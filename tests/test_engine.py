@@ -1,0 +1,173 @@
+"""Engine integration tests (tier 2 of the reference test plan: small
+assemblies with analytically known outcomes, cf. ref tests/test_tracer_engine.py).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tracer_tpu import geometry as G
+from tracer_tpu import materials as M
+from tracer_tpu import spatial as sp
+from tracer_tpu.bundle import RayBundle
+from tracer_tpu.engine import TracerEngine, TraceOptions, trace_fused
+from tracer_tpu.scene import Assembly, AssembledObject, Surface, compile_scene
+from tracer_tpu.sources import single_ray_source
+
+
+def build(*objs):
+    return TracerEngine(Assembly(objects=list(objs)))
+
+
+def test_flat_mirror_reflection():
+    """Ray going down onto z=0 mirror reflects straight up with (1-abs)."""
+    mirror = AssembledObject(surfs=[Surface(G.rect_plate(2, 2),
+                                            M.reflective(0.1))])
+    eng = build(mirror)
+    bund = RayBundle.create(pos=[[0.0, 0.0, 1.0]], dir=[[0.0, 0.0, -1.0]],
+                            energy=[1.0])
+    res = eng.ray_tracer(bund, reps=1)
+    rec = res.records[0]
+    np.testing.assert_allclose(np.asarray(rec.hit)[0], [0, 0, 0], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(rec.dir_out)[0], [0, 0, 1.0],
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(rec.e_out)[0], 0.9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.accum.absorbed).sum(), 0.1,
+                               atol=1e-12)
+
+
+def test_tilted_mirror_routing():
+    """45-deg mirror turns a downward ray into a horizontal one.
+
+    rotx(pi/4) tilts the local normal to (0, -s, c), so the reflected ray
+    leaves along -y."""
+    mirror = AssembledObject(surfs=[Surface(G.flat(), M.perfect_mirror())])
+    mirror.set_transform(sp.rotx(np.pi / 4))
+    eng = build(mirror)
+    bund = RayBundle.create(pos=[[0.0, 0.0, 1.0]], dir=[[0.0, 0.0, -1.0]])
+    res = eng.ray_tracer(bund, reps=1)
+    d = np.asarray(res.records[0].dir_out)[0]
+    np.testing.assert_allclose(d, [0.0, -1.0, 0.0], atol=1e-12)
+
+
+def test_one_sided_kills_backside():
+    plate = AssembledObject(surfs=[Surface(
+        G.rect_plate(2, 2), M.reflective(0.0, one_sided=True))])
+    eng = build(plate)
+    # hits from below (travelling along +z = local up)
+    bund = RayBundle.create(pos=[[0.0, 0.0, -1.0], [0.0, 0.0, 1.0]],
+                            dir=[[0.0, 0.0, 1.0], [0.0, 0.0, -1.0]])
+    res = eng.ray_tracer(bund, reps=1)
+    e_out = np.asarray(res.records[0].e_out)
+    assert e_out[0] == 0.0       # backside killed
+    assert e_out[1] == 1.0       # front side reflected
+
+
+def test_paraboloid_focus():
+    """Paraxial rays reflected by a parabolic dish pass through the focus."""
+    f = 1.5
+    dish = AssembledObject(surfs=[Surface(G.parabolic_dish(4.0, f),
+                                          M.perfect_mirror())])
+    eng = build(dish)
+    x0 = np.array([0.5, -0.8, 1.1])
+    pos = np.stack([x0, np.zeros(3), np.full(3, 3.0)], axis=1)
+    dirs = np.tile([0.0, 0.0, -1.0], (3, 1))
+    res = eng.ray_tracer(RayBundle.create(pos=pos, dir=dirs), reps=1)
+    rec = res.records[0]
+    hit = np.asarray(rec.hit)
+    d = np.asarray(rec.dir_out)
+    # propagate to z = f plane: all rays should pass through (0, 0, f)
+    s = (f - hit[:, 2]) / d[:, 2]
+    pts = hit + s[:, None] * d
+    np.testing.assert_allclose(pts[:, :2], 0.0, atol=1e-9)
+
+
+def test_bundle_depletion_stops_early():
+    """With an absorbing plate, the trace should stop after one bounce."""
+    plate = AssembledObject(surfs=[Surface(G.rect_plate(2, 2),
+                                           M.reflective(1.0))])
+    eng = build(plate)
+    bund = RayBundle.create(pos=[[0.0, 0.0, 1.0]], dir=[[0.0, 0.0, -1.0]])
+    res = eng.ray_tracer(bund, reps=50)
+    assert len(res.records) == 1
+    bal = res.energy_balance()
+    np.testing.assert_allclose(bal["closure"], 0.0, atol=1e-12)
+
+
+def test_two_mirror_ping_pong_energy():
+    """Two facing mirrors: after k bounces energy is (1-a)^k; min_energy
+    culling eventually stops the trace (ref engine min_energy semantics)."""
+    a = 0.5
+    m1 = AssembledObject(surfs=[Surface(G.rect_plate(2, 2),
+                                        M.reflective(a))])
+    m2 = AssembledObject(surfs=[Surface(G.rect_plate(2, 2),
+                                        M.reflective(a))])
+    m2.set_transform(sp.translate(z=1.0) @ sp.rotx(np.pi))
+    eng = build(m1, m2)
+    bund = RayBundle.create(pos=[[0.0, 0.0, 0.5]], dir=[[0.0, 0.0, -1.0]])
+    res = eng.ray_tracer(bund, reps=100, min_energy=1e-3)
+    # energy halves each bounce: 10 bounces to reach 1e-3 < 2^-10
+    assert len(res.records) == 10
+    bal = res.energy_balance()
+    np.testing.assert_allclose(bal["closure"], 0.0, atol=1e-12)
+    assert bal["culled"] > 0
+
+
+def test_escaped_energy_accounted():
+    plate = AssembledObject(surfs=[Surface(G.rect_plate(2, 2),
+                                           M.perfect_mirror())])
+    eng = build(plate)
+    # one ray hits, one misses
+    bund = RayBundle.create(pos=[[0.0, 0.0, 1.0], [5.0, 0.0, 1.0]],
+                            dir=[[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]],
+                            energy=[1.0, 2.0])
+    res = eng.ray_tracer(bund, reps=1)
+    assert float(res.accum.escaped) == 2.0
+
+
+def test_fused_matches_stepped():
+    """trace_fused and the host-stepped engine agree on accumulators."""
+    a = 0.3
+    mirror = AssembledObject(surfs=[Surface(G.rect_plate(2, 2),
+                                            M.reflective(a))])
+    asm = Assembly(objects=[mirror])
+    table, meta = compile_scene(asm, dtype=jnp.float64)
+    bund = RayBundle.create(pos=[[0.0, 0.0, 1.0], [0.3, 0.2, 2.0]],
+                            dir=[[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])
+    key = jax.random.PRNGKey(7)
+    eng = TracerEngine(table, meta)
+    res = eng.ray_tracer(bund, reps=5, key=key)
+    _, accum = trace_fused(table, bund, key, max_bounces=5)
+    np.testing.assert_allclose(np.asarray(accum.absorbed),
+                               np.asarray(res.accum.absorbed), rtol=1e-12)
+    np.testing.assert_allclose(float(accum.escaped),
+                               float(res.accum.escaped), rtol=1e-12)
+
+
+def test_refractive_interface_snell():
+    """Refractive surface: outgoing direction obeys Snell's law for the
+    refracted branch or mirror law for the reflected branch."""
+    glass = AssembledObject(surfs=[Surface(
+        G.flat(), M.refractive_homogenous(1.0, 1.5))])
+    eng = build(glass)
+    n = 200
+    ang = np.pi / 6
+    d = np.tile([np.sin(ang), 0.0, -np.cos(ang)], (n, 1))
+    pos = np.tile([0.0, 0.0, 1.0], (n, 1)) - d  # all aimed at origin region
+    res = eng.ray_tracer(RayBundle.create(pos=pos, dir=d), reps=1,
+                         key=jax.random.PRNGKey(3))
+    rec = res.records[0]
+    out = np.asarray(rec.dir_out)
+    refracted = out[:, 2] < 0  # continued downward
+    # Snell: sin(theta2) = sin(30)/1.5
+    sin2 = np.abs(out[refracted, 0])
+    np.testing.assert_allclose(sin2, np.sin(ang) / 1.5, atol=1e-9)
+    # reflected branch mirrors: z component flips
+    reflected = ~refracted
+    if reflected.any():
+        np.testing.assert_allclose(out[reflected, 2], np.cos(ang), atol=1e-9)
+    # Fresnel fraction sanity: R(30 deg, 1->1.5) ~ 0.0423, loose MC gate
+    frac = reflected.mean()
+    assert 0.0 < frac < 0.15
+    # ref_index toggled on the refracted rays only
+    ri = np.asarray(res.final.ref_index)
+    np.testing.assert_allclose(ri[refracted], 1.5)

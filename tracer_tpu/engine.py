@@ -1,0 +1,291 @@
+"""Trace engine: the Monte-Carlo bounce loop.
+
+TPU-native replacement for the reference's ``TracerEngine.ray_tracer``
+(tracer/tracer_engine.py:124-295): the ray population lives in a fixed-size
+slab (dead rays are masked, not removed), each bounce is one fused
+intersect+shade kernel over the whole slab, and accounting happens by
+scatter-add into per-surface accumulators instead of per-surface Python
+append-lists.
+
+Two drivers:
+  * :func:`TracerEngine.ray_tracer` — host-stepped loop (one jitted bounce per
+    step). Keeps full per-bounce records (the genealogy "RayTree" and all
+    accountant data), stops early when the bundle dies, like the reference.
+  * :func:`trace_fused` — single jitted ``lax.while_loop``; accumulators only.
+    This is the benchmark/sharded path (shard the ray axis over a mesh).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .bundle import RayBundle
+from .kernels.intersect import nearest_hit
+from .kernels.shade import shade
+from .scene import Assembly, SceneMeta, SceneTable, compile_scene
+
+
+@struct.dataclass
+class TraceAccum:
+    """Device-side energy bookkeeping (per scene-table row)."""
+
+    absorbed: jnp.ndarray   # (S,) energy deposited per surface row
+    hits: jnp.ndarray       # (S,) number of ray hits per surface row
+    escaped: jnp.ndarray    # () energy that left the scene
+    culled: jnp.ndarray     # () energy dropped by the min_energy threshold
+
+    @classmethod
+    def zeros(cls, n_rows: int, dtype=jnp.float32) -> "TraceAccum":
+        return cls(absorbed=jnp.zeros((n_rows,), dtype=dtype),
+                   hits=jnp.zeros((n_rows,), dtype=dtype),
+                   escaped=jnp.zeros((), dtype=dtype),
+                   culled=jnp.zeros((), dtype=dtype))
+
+    def __add__(self, other: "TraceAccum") -> "TraceAccum":
+        return jax.tree_util.tree_map(lambda a, b: a + b, self, other)
+
+
+@struct.dataclass
+class BounceRecord:
+    """Per-bounce, per-ray-slot record (the genealogy/accounting data).
+
+    The slot index is the ray id: slot i in bounce b descends from slot i in
+    bounce b-1 (fixed-slab design), so no parent array is needed — this
+    replaces the reference's RayTree parent bookkeeping (trace_tree.py).
+    """
+
+    sid: jnp.ndarray        # (N,) hit surface row, -1 = escaped/dead
+    t: jnp.ndarray          # (N,) hit distance
+    hit: jnp.ndarray        # (N,3) global hit point
+    local: jnp.ndarray      # (N,3) local-frame hit point
+    dir_in: jnp.ndarray     # (N,3)
+    dir_out: jnp.ndarray    # (N,3)
+    e_in: jnp.ndarray       # (N,)
+    e_out: jnp.ndarray      # (N,)
+    absorbed: jnp.ndarray   # (N,)
+    backside: jnp.ndarray   # (N,) bool
+    alive_in: jnp.ndarray   # (N,) bool — slot carried a live ray this bounce
+
+
+@dataclasses.dataclass
+class TraceOptions:
+    max_bounces: int = 100
+    min_energy: float = 1e-6
+    t_eps: float = None  # None -> dtype default (intersect.default_t_eps)
+    disc_eps: float = 1e-6
+    block: int = 64          # surfaces per intersection scan step
+    record: bool = True
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("min_energy", "t_eps", "disc_eps", "block"))
+def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
+                 key: jax.Array, min_energy: float, t_eps, disc_eps: float,
+                 block: int):
+    """One bounce: intersect, shade, account. Returns (bundle', accum', rec)."""
+    n_rows = scene.frame.shape[0]
+    alive = bundle.alive & (bundle.energy > 0.0)
+
+    t, sid = nearest_hit(scene, bundle.pos, bundle.dir,
+                         t_eps=t_eps, disc_eps=disc_eps, block=block)
+    sid = jnp.where(alive, sid, -1)
+    hit = sid >= 0
+    escaped = alive & ~hit
+
+    res = shade(scene, sid, t, bundle.pos, bundle.dir, bundle.energy,
+                bundle.wavelength, bundle.ref_index, key)
+
+    e_in = jnp.where(hit, bundle.energy, 0.0)
+    e_out = jnp.where(hit, res.out_energy, 0.0)
+    absorbed_ray = jnp.where(hit, res.absorbed, 0.0)
+
+    sid_safe = jnp.maximum(sid, 0)
+    accum = accum.replace(
+        absorbed=accum.absorbed.at[sid_safe].add(absorbed_ray),
+        hits=accum.hits.at[sid_safe].add(jnp.where(hit, 1.0, 0.0)),
+        escaped=accum.escaped + jnp.sum(jnp.where(escaped, bundle.energy, 0.0)),
+    )
+
+    low = hit & (e_out <= min_energy)
+    accum = accum.replace(culled=accum.culled + jnp.sum(jnp.where(low, e_out, 0.0)))
+    alive_next = hit & ~low
+
+    new_bundle = bundle.replace(
+        pos=jnp.where(hit[:, None], res.out_pos, bundle.pos),
+        dir=jnp.where(hit[:, None], res.out_dir, bundle.dir),
+        energy=jnp.where(alive_next, e_out, 0.0),
+        ref_index=jnp.where(hit, res.out_ref_index, bundle.ref_index),
+        alive=alive_next,
+    )
+
+    rec = BounceRecord(
+        sid=sid, t=t, hit=res.out_pos, local=res.local_pt,
+        dir_in=bundle.dir, dir_out=res.out_dir,
+        e_in=e_in, e_out=e_out, absorbed=absorbed_ray,
+        backside=res.backside & hit, alive_in=alive,
+    )
+    return new_bundle, accum, rec
+
+
+@dataclasses.dataclass
+class TraceResult:
+    """Host-side result: final bundle, accumulators, per-bounce records."""
+
+    scene: SceneTable
+    meta: Optional[SceneMeta]
+    final: RayBundle
+    accum: TraceAccum
+    records: List[BounceRecord]
+    source: RayBundle
+
+    # ---- accountant-style queries (ref optics_callables accountants) ------
+    def _rows_of(self, surface) -> np.ndarray:
+        """Scene-table row ids of a logical surface (by index or name)."""
+        if self.meta is None:
+            raise ValueError("no SceneMeta attached")
+        if isinstance(surface, str):
+            surface = self.meta.index_of(surface)
+        return np.nonzero(self.meta.row_logical == surface)[0]
+
+    def hits_of(self, surface):
+        """All hits on a logical surface across bounces, as a dict of numpy
+        arrays: global/local hit points, absorbed & incident energy,
+        incoming directions, bounce index. The reference's get_all_hits."""
+        rows = set(self._rows_of(surface).tolist())
+        out = dict(hit=[], local=[], absorbed=[], e_in=[], e_out=[],
+                   dir_in=[], bounce=[], backside=[])
+        for b, rec in enumerate(self.records):
+            sid = np.asarray(rec.sid)
+            mask = np.isin(sid, list(rows)) & np.asarray(rec.alive_in)
+            if not mask.any():
+                continue
+            out["hit"].append(np.asarray(rec.hit)[mask])
+            out["local"].append(np.asarray(rec.local)[mask])
+            out["absorbed"].append(np.asarray(rec.absorbed)[mask])
+            out["e_in"].append(np.asarray(rec.e_in)[mask])
+            out["e_out"].append(np.asarray(rec.e_out)[mask])
+            out["dir_in"].append(np.asarray(rec.dir_in)[mask])
+            out["backside"].append(np.asarray(rec.backside)[mask])
+            out["bounce"].append(np.full(mask.sum(), b))
+        return {k: (np.concatenate(v) if v else np.empty((0,)))
+                for k, v in out.items()}
+
+    def absorbed_by_logical(self) -> np.ndarray:
+        """Absorbed energy aggregated to logical surfaces."""
+        rows = np.asarray(self.accum.absorbed)
+        if self.meta is None:
+            return rows
+        n = self.meta.row_logical.max() + 1
+        out = np.zeros(n)
+        np.add.at(out, self.meta.row_logical, rows)
+        return out
+
+    def energy_balance(self) -> dict:
+        src = float(np.asarray(self.source.total_energy()))
+        absorbed = float(np.asarray(self.accum.absorbed).sum())
+        escaped = float(np.asarray(self.accum.escaped))
+        culled = float(np.asarray(self.accum.culled))
+        residual = float(np.asarray(self.final.total_energy()))
+        return dict(source=src, absorbed=absorbed, escaped=escaped,
+                    culled=culled, residual=residual,
+                    closure=src - absorbed - escaped - culled - residual)
+
+    def ray_history(self, slot: int):
+        """Walk one ray slot through the bounces (genealogy query,
+        replacing ref trace_tree.RayTree.ray_history)."""
+        hist = []
+        for b, rec in enumerate(self.records):
+            if not bool(np.asarray(rec.alive_in)[slot]):
+                break
+            hist.append(dict(bounce=b, sid=int(np.asarray(rec.sid)[slot]),
+                             hit=np.asarray(rec.hit)[slot],
+                             e_in=float(np.asarray(rec.e_in)[slot]),
+                             e_out=float(np.asarray(rec.e_out)[slot])))
+        return hist
+
+
+class TracerEngine:
+    """Drives tracing of a scene. Mirrors the reference engine's API shape
+    (construct with an Assembly, then ray_tracer(bundle, reps, min_energy))
+    on top of the compiled scene table."""
+
+    def __init__(self, assembly_or_table, meta: Optional[SceneMeta] = None,
+                 dtype=None):
+        if isinstance(assembly_or_table, Assembly):
+            if dtype is None:
+                dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+            self.scene, self.meta = compile_scene(assembly_or_table, dtype=dtype)
+        else:
+            self.scene = assembly_or_table
+            self.meta = meta
+        self.tree: Optional[TraceResult] = None
+
+    def ray_tracer(self, bundle: RayBundle, reps: int = 100,
+                   min_energy: float = 1e-6, key: Optional[jax.Array] = None,
+                   opts: Optional[TraceOptions] = None) -> TraceResult:
+        opts = opts or TraceOptions(max_bounces=reps, min_energy=min_energy)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        accum = TraceAccum.zeros(self.scene.num_rows, dtype=bundle.pos.dtype)
+        records: List[BounceRecord] = []
+        source = bundle
+        for b in range(opts.max_bounces):
+            key, sub = jax.random.split(key)
+            bundle, accum, rec = _bounce_step(
+                self.scene, bundle, accum, sub,
+                min_energy=opts.min_energy, t_eps=opts.t_eps,
+                disc_eps=opts.disc_eps, block=opts.block)
+            if opts.record:
+                records.append(jax.device_get(rec))
+            # host check: stop when the bundle dies (like ref :277-280)
+            if not bool(jnp.any(bundle.alive)):
+                break
+        result = TraceResult(scene=self.scene, meta=self.meta, final=bundle,
+                             accum=jax.device_get(accum), records=records,
+                             source=source)
+        self.tree = result
+        return result
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_bounces", "min_energy", "t_eps",
+                              "disc_eps", "block"))
+def trace_fused(scene: SceneTable, bundle: RayBundle, key: jax.Array,
+                max_bounces: int = 100, min_energy: float = 1e-6,
+                t_eps=None, disc_eps: float = 1e-6,
+                block: int = 64):
+    """Fully fused trace: one lax.while_loop on device, no records.
+
+    Returns (final_bundle, accum). This is the unit of work that shards over
+    a device mesh (see parallel.py) and the benchmark path.
+    """
+    # Derive the zeros from bundle data so they inherit shard_map's
+    # varying-axis tags (a bare jnp.zeros would mismatch the loop carry
+    # under a mesh).
+    zero = jnp.sum(bundle.energy) * 0.0
+    accum0 = TraceAccum(
+        absorbed=jnp.zeros((scene.num_rows,), dtype=bundle.pos.dtype) + zero,
+        hits=jnp.zeros((scene.num_rows,), dtype=bundle.pos.dtype) + zero,
+        escaped=zero, culled=zero)
+
+    def cond(state):
+        i, bundle, accum, key = state
+        return (i < max_bounces) & jnp.any(bundle.alive)
+
+    def body(state):
+        i, bundle, accum, key = state
+        key, sub = jax.random.split(key)
+        bundle, accum, _ = _bounce_step(
+            scene, bundle, accum, sub, min_energy=min_energy,
+            t_eps=t_eps, disc_eps=disc_eps, block=block)
+        return (i + 1, bundle, accum, key)
+
+    _, bundle, accum, _ = jax.lax.while_loop(
+        cond, body, (jnp.array(0, dtype=jnp.int32), bundle, accum0, key))
+    return bundle, accum

@@ -1,0 +1,483 @@
+"""Geometry descriptors: every surface is one quadric + aperture constraints.
+
+TPU-first re-design of the reference's two geometry-manager families
+(tracer/flat_surface.py, tracer/quadric.py and subclasses): instead of
+per-class Python intersection code, every surface shape is described by
+
+  * 10 coefficients of a general quadric  Q(p) = p^T A p + 2 b.p + c  in the
+    surface's local frame (flat surfaces are the degenerate linear case
+    A = 0, b = (0,0,1/2): Q = z), and
+  * a list of aperture constraints, each ``(type_id, 6 params)``, evaluated
+    on the local hit coordinates and ANDed together.
+
+The scene compiler packs these into flat arrays; one branchless kernel
+intersects every surface type (kernels/intersect.py). Shapes covered and the
+reference classes they match are noted on each factory function.
+
+All factories return a :class:`Geometry`, a host-side (NumPy) description.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# --- aperture constraint type ids (must match kernels/intersect.py) --------
+AP_NONE = 0
+AP_RECT = 1          # |x| <= p0 and |y| <= p1
+AP_RADIAL = 2        # p0^2 <= x^2+y^2 <= p1^2
+AP_ZRANGE = 3        # p0 <= z <= p1
+AP_ANGRANGE = 4      # p0 <= atan2(y,x) mod 2pi <= p1
+AP_XCUT = 5          # x <= p0
+AP_HEX = 6           # regular hexagon, circumradius p0, two sides || y axis
+AP_TRIANGLE = 7      # inside 2D triangle (p0,p1),(p2,p3),(p4,p5)
+AP_RECT_HOLE = 8     # NOT (|x-p0| <= p2 and |y-p1| <= p3)
+AP_CIRC_HOLE = 9     # NOT ((x-p0)^2 + (y-p1)^2 <= p2^2)
+AP_CIRC = 10         # (x-p0)^2 + (y-p1)^2 <= p2^2
+AP_SPHERE = 11       # (x-p0)^2+(y-p1)^2+(z-p2)^2 <= p3^2
+AP_ABS_HALFPLANE = 12  # |p0*x + p1*y| <= p2
+
+N_AP_PARAMS = 6
+
+Constraint = Tuple[int, np.ndarray]
+
+
+def _c(kind: int, *params: float) -> Constraint:
+    p = np.zeros(N_AP_PARAMS)
+    p[: len(params)] = params
+    return (kind, p)
+
+
+@dataclasses.dataclass
+class Geometry:
+    """Host-side surface-shape description (compiled to arrays by scene.py).
+
+    quadric - (10,) coefficients [Axx,Ayy,Azz,Axy,Axz,Ayz,bx,by,bz,c] of
+        Q(p) = x^T A x + 2 b.x + c = 0 in the local frame.
+    apertures - list of (type_id, params(6,)) constraints, ANDed.
+    kind - shape-family tag used for meshing / flux-map binning.
+    extent - shape parameters for meshing/binning, by kind.
+    """
+
+    quadric: np.ndarray
+    apertures: List[Constraint]
+    kind: str = "generic"
+    extent: dict = dataclasses.field(default_factory=dict)
+
+    def with_aperture(self, *constraints: Constraint) -> "Geometry":
+        return dataclasses.replace(self, apertures=self.apertures + list(constraints))
+
+
+def _quadric(axx=0.0, ayy=0.0, azz=0.0, axy=0.0, axz=0.0, ayz=0.0,
+             bx=0.0, by=0.0, bz=0.0, c=0.0) -> np.ndarray:
+    return np.array([axx, ayy, azz, axy, axz, ayz, bx, by, bz, c], dtype=float)
+
+
+# ---------------------------------------------------------------------------
+# Flat family (reference: tracer/flat_surface.py, triangular_face.py,
+# polygon.py). All are the plane z=0 with different apertures.
+# ---------------------------------------------------------------------------
+
+_FLAT = _quadric(bz=0.5)  # Q = z
+
+
+def flat() -> Geometry:
+    """Infinite plane z=0 (ref FlatGeometryManager, flat_surface.py:11)."""
+    return Geometry(_FLAT.copy(), [], kind="flat")
+
+
+def rect_plate(width: float, height: float) -> Geometry:
+    """w x h rectangle in the local XY plane (ref RectPlateGM :181)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("width and height must be positive")
+    g = flat().with_aperture(_c(AP_RECT, width / 2.0, height / 2.0))
+    g.kind = "rect"
+    g.extent = dict(w=width, h=height)
+    return g
+
+
+def extruded_rect_plate(width: float, height: float, extr_center,
+                        extr_width: float, extr_height: float) -> Geometry:
+    """Rectangle with a rectangular hole (ref ExtrudedRectPlateGM :253)."""
+    cx, cy = np.asarray(extr_center, dtype=float).reshape(2)
+    g = rect_plate(width, height).with_aperture(
+        _c(AP_RECT_HOLE, cx, cy, extr_width / 2.0, extr_height / 2.0))
+    g.kind = "extruded_rect"
+    g.extent = dict(w=width, h=height, cx=cx, cy=cy,
+                    ew=extr_width, eh=extr_height)
+    return g
+
+
+def perforated_rect_plate(width: float, height: float, centers,
+                          radii) -> Geometry:
+    """Rectangle with n circular holes (ref PerforatedRectPlateGM :357)."""
+    centers = np.atleast_2d(np.asarray(centers, dtype=float))
+    radii = np.broadcast_to(np.asarray(radii, dtype=float), (centers.shape[0],))
+    g = rect_plate(width, height)
+    for (cx, cy), r in zip(centers, radii):
+        g = g.with_aperture(_c(AP_CIRC_HOLE, cx, cy, r))
+    g.kind = "perforated_rect"
+    g.extent = dict(w=width, h=height)
+    return g
+
+
+def round_plate(outer_radius: float, inner_radius: float = 0.0) -> Geometry:
+    """Annular disc Ri..Re in the local XY plane (ref RoundPlateGM :457)."""
+    g = flat().with_aperture(_c(AP_RADIAL, inner_radius, outer_radius))
+    g.kind = "round"
+    g.extent = dict(re=outer_radius, ri=inner_radius)
+    return g
+
+
+def straight_cut_round_plate(radius: float, x_cut: float) -> Geometry:
+    """Disc cut by the chord x = x_cut (ref StraightCutRoundPlateGM :548)."""
+    g = flat().with_aperture(_c(AP_RADIAL, 0.0, radius), _c(AP_XCUT, x_cut))
+    g.kind = "cut_round"
+    g.extent = dict(re=radius, x_cut=x_cut)
+    return g
+
+
+def triangle(verts) -> Geometry:
+    """Planar triangular face; ``verts`` is (3,2) local XY corner coords
+    (ref TriangularFace, triangular_face.py:12 — there built from 3D
+    vertices; scene.py's triangulated-object builder computes the local
+    frame and hands 2D corners here)."""
+    v = np.asarray(verts, dtype=float).reshape(3, 2)
+    g = flat().with_aperture(_c(AP_TRIANGLE, *v.reshape(-1)))
+    g.kind = "triangle"
+    g.extent = dict(verts=v)
+    return g
+
+
+# ---------------------------------------------------------------------------
+# Quadric family (reference: tracer/quadric.py subclasses).
+# ---------------------------------------------------------------------------
+
+def paraboloid(a: float, b: Optional[float] = None) -> Geometry:
+    """Paraboloid z = (x/a)^2 + (y/b)^2 (ref Paraboloid, paraboloid.py:11)."""
+    if b is None:
+        b = a
+    g = Geometry(_quadric(axx=1.0 / a**2, ayy=1.0 / b**2, bz=-0.5), [],
+                 kind="paraboloid", extent=dict(qa=1.0 / a**2, qb=1.0 / b**2))
+    return g
+
+
+def parabolic_dish(diameter: float, focal_length: float) -> Geometry:
+    """Circular-aperture dish from (D, f): z = (x^2+y^2)/(4f), r <= D/2
+    (ref ParabolicDishGM, paraboloid.py:71 — trims by local z in [0, h])."""
+    par = 2.0 * np.sqrt(focal_length)
+    R = diameter / 2.0
+    h = (R / par) ** 2
+    g = paraboloid(par, par).with_aperture(_c(AP_ZRANGE, 0.0, h))
+    g.kind = "parabolic_dish"
+    g.extent = dict(R=R, h=h, qa=1.0 / par**2, focal=focal_length)
+    return g
+
+
+def hexagonal_parabolic_dish(diameter: float, focal_length: float) -> Geometry:
+    """Paraboloid with regular-hexagon aperture, circumradius D/2, two sides
+    parallel to the local Y axis (ref HexagonalParabolicDishGM :174)."""
+    par = 2.0 * np.sqrt(focal_length)
+    g = paraboloid(par, par).with_aperture(_c(AP_HEX, diameter / 2.0))
+    g.kind = "hex_parabolic_dish"
+    g.extent = dict(R=diameter / 2.0, focal=focal_length)
+    return g
+
+
+def rect_parabolic_dish(width: float, height: float,
+                        focal_length: float) -> Geometry:
+    """Paraboloid with a w x h rectangular aperture (ref
+    RectangularParabolicDishGM :225; NOTE the reference trims at |x| <= w,
+    |y| <= h — i.e. its "width" is the half-extent; we use full extents and
+    trim at half of them, which is the conventional meaning)."""
+    par = 2.0 * np.sqrt(focal_length)
+    g = paraboloid(par, par).with_aperture(_c(AP_RECT, width / 2.0, height / 2.0))
+    g.kind = "rect_parabolic_dish"
+    g.extent = dict(w=width, h=height, focal=focal_length, qa=1.0 / par**2)
+    return g
+
+
+def parabolic_cylinder(a: float) -> Geometry:
+    """Parabolic cylinder z = (x/a)^2 (ref ParabolicCylinder :328)."""
+    return Geometry(_quadric(axx=1.0 / a**2, bz=-0.5), [],
+                    kind="parabolic_cylinder", extent=dict(qa=1.0 / a**2))
+
+
+def parabolic_trough(width: float, length: float,
+                     focal_length: float) -> Geometry:
+    """Parabolic trough: z = x^2/(4f), |x| <= w/2, |y| <= L/2 (ref
+    ParabolicTroughGM, paraboloid.py:386)."""
+    par = 2.0 * np.sqrt(focal_length)
+    g = parabolic_cylinder(par).with_aperture(
+        _c(AP_RECT, width / 2.0, length / 2.0))
+    g.kind = "parabolic_trough"
+    g.extent = dict(w=width, L=length, focal=focal_length, qa=1.0 / par**2)
+    return g
+
+
+def flat_quadric(a=1.0, b=1.0, c=1.0, d=0.0, e=0.0, f=0.0) -> Geometry:
+    """General single-sheet surface z = ax^2+by^2+cxy+dx+ey+f (ref
+    FlatQuadricSurfaceGM, quadratic_surface.py:4)."""
+    return Geometry(
+        _quadric(axx=a, ayy=b, axy=c / 2.0, bx=d / 2.0, by=e / 2.0,
+                 bz=-0.5, c=f),
+        [], kind="flat_quadric", extent=dict(a=a, b=b, c=c, d=d, e=e, f=f))
+
+
+def rect_flat_quadric(width: float, height: float, a=1.0, b=1.0, c=1.0,
+                      d=0.0, e=0.0, f=0.0) -> Geometry:
+    """z = ax^2+by^2+cxy+dx+ey+f over a rectangle (ref
+    RectFlatQuadricSurfaceGM, quadratic_surface.py:64; same half-extent note
+    as rect_parabolic_dish — the reference trims at |x| <= w/2 via _w=w/2)."""
+    g = flat_quadric(a, b, c, d, e, f).with_aperture(
+        _c(AP_RECT, width / 2.0, height / 2.0))
+    g.kind = "rect_flat_quadric"
+    g.extent = dict(w=width, h=height, a=a, b=b, c=c, d=d, e=e, f=f)
+    return g
+
+
+def sphere(radius: float = 1.0) -> Geometry:
+    """Full sphere of given radius centered on the local origin (ref
+    SphericalGM, sphere_surface.py:9)."""
+    if radius <= 0:
+        raise ValueError("Radius must be positive")
+    g = Geometry(_quadric(axx=1.0, ayy=1.0, azz=1.0, c=-radius**2), [],
+                 kind="sphere", extent=dict(R=radius))
+    return g
+
+
+def hemisphere(radius: float = 1.0) -> Geometry:
+    """Lower (z <= 0) half of the sphere (ref HemisphereGM :117)."""
+    g = sphere(radius).with_aperture(_c(AP_ZRANGE, -radius, 0.0))
+    g.kind = "hemisphere"
+    return g
+
+
+def cut_sphere(radius: float, *constraints: Constraint) -> Geometry:
+    """Sphere trimmed by explicit local-frame constraints — the analog of
+    the reference's CutSphereGM + BoundaryShape volume (sphere_surface.py:168),
+    with the bounding volume expressed in the surface's own frame. Use
+    e.g. ``cylinder_bound(r)`` / ``zrange(z0, z1)`` / ``sphere_bound(...)``.
+    """
+    g = sphere(radius).with_aperture(*constraints)
+    g.kind = "cut_sphere"
+    return g
+
+
+def spherical_rect_facet(radius: float, lx: float, ly: float) -> Geometry:
+    """Rectangular facet of a sphere, z <= 0 side (ref SphericalRectFacet,
+    sphere_surface.py:206: rect trim on local x,y plus bottom hemisphere)."""
+    g = sphere(radius).with_aperture(
+        _c(AP_RECT, lx / 2.0, ly / 2.0), _c(AP_ZRANGE, -radius, 0.0))
+    g.kind = "spherical_rect_facet"
+    g.extent = dict(R=radius, lx=lx, ly=ly)
+    return g
+
+
+def infinite_cylinder(diameter: float) -> Geometry:
+    """Cylinder x^2+y^2 = R^2 along local Z (ref InfiniteCylinder,
+    cylinder.py:12)."""
+    R = diameter / 2.0
+    return Geometry(_quadric(axx=1.0, ayy=1.0, c=-R**2), [],
+                    kind="cylinder", extent=dict(R=R))
+
+
+def finite_cylinder(diameter: float, height: float,
+                    ang_range: Sequence[float] = (0.0, 2.0 * np.pi)) -> Geometry:
+    """Cylinder of given height centered on the origin, optional angular
+    wedge (ref FiniteCylinder, cylinder.py:59)."""
+    g = infinite_cylinder(diameter).with_aperture(
+        _c(AP_ZRANGE, -height / 2.0, height / 2.0))
+    if not (ang_range[0] <= 0.0 and ang_range[1] >= 2.0 * np.pi):
+        g = g.with_aperture(_c(AP_ANGRANGE, ang_range[0], ang_range[1]))
+    g.kind = "finite_cylinder"
+    g.extent = dict(R=diameter / 2.0, h=height, ang_range=tuple(ang_range))
+    return g
+
+
+def rect_cut_cylinder(diameter: float, height: float, w: float,
+                      h: float) -> Geometry:
+    """Finite cylinder additionally trimmed to |x|<=w/2, |y|<=h/2 (ref
+    RectCutCylinder, cylinder.py:161)."""
+    g = infinite_cylinder(diameter).with_aperture(
+        _c(AP_ZRANGE, -height / 2.0, height / 2.0),
+        _c(AP_RECT, w / 2.0, h / 2.0))
+    g.kind = "rect_cut_cylinder"
+    g.extent = dict(R=diameter / 2.0, h=height, w=w, hf=h)
+    return g
+
+
+def infinite_cone(c: float, a: float = 0.0) -> Geometry:
+    """Cone x^2+y^2 = (c*(z-a))^2, gradient c = r/h, apex at z=a (ref
+    InfiniteCone, cone.py:7)."""
+    return Geometry(
+        _quadric(axx=1.0, ayy=1.0, azz=-c**2, bz=c**2 * a, c=-(c * a) ** 2),
+        [], kind="cone", extent=dict(c=c, a=a))
+
+
+def finite_cone(r: float, h: float) -> Geometry:
+    """Cone of base radius r, height h, apex at the origin, 0 <= z <= h (ref
+    FiniteCone, cone.py:74)."""
+    if r <= 0 or h <= 0:
+        raise ValueError("finite_cone needs positive r and h")
+    g = infinite_cone(r / h, 0.0).with_aperture(_c(AP_ZRANGE, 0.0, h))
+    g.kind = "finite_cone"
+    g.extent = dict(r=r, h=h, c=r / h)
+    return g
+
+
+def rect_cut_cone(r: float, h: float, wf: float, hf: float) -> Geometry:
+    """Finite cone trimmed to a rectangle in x,y (ref RectCutCone, cone.py)."""
+    g = infinite_cone(r / h, 0.0).with_aperture(
+        _c(AP_ZRANGE, 0.0, h), _c(AP_RECT, wf / 2.0, hf / 2.0))
+    g.kind = "rect_cut_cone"
+    g.extent = dict(r=r, h=h, w=wf, hf=hf)
+    return g
+
+
+def conical_frustum(z1: float, r1: float, z2: float, r2: float) -> Geometry:
+    """Frustum from (z1,r1) to (z2,r2) along local Z (ref ConicalFrustum,
+    cone.py:142)."""
+    if r1 <= 0 or r2 <= 0 or r1 == r2 or z1 == z2:
+        raise ValueError("need positive distinct radii and distinct z")
+    c = (r2 - r1) / (z2 - z1)
+    a = (r2 * z1 - r1 * z2) / (r2 - r1)
+    zmin, zmax = sorted((z1, z2))
+    g = infinite_cone(c, a).with_aperture(_c(AP_ZRANGE, zmin, zmax))
+    g.kind = "conical_frustum"
+    g.extent = dict(z1=z1, r1=r1, z2=z2, r2=r2, c=c, a=a)
+    return g
+
+
+def rect_cut_conical_frustum(z1, r1, z2, r2, w, h) -> Geometry:
+    """Frustum trimmed to a rectangle in x,y (ref RectCutConicalFrustum)."""
+    g = conical_frustum(z1, r1, z2, r2).with_aperture(
+        _c(AP_RECT, w / 2.0, h / 2.0))
+    g.kind = "rect_cut_conical_frustum"
+    return g
+
+
+def ellipsoid(a: float, b: float, c: float) -> Geometry:
+    """Ellipsoid (x/a)^2+(y/b)^2+(z/c)^2 = 1 (ref Ellipsoid, ellipsoid.py:5)."""
+    return Geometry(
+        _quadric(axx=1.0 / a**2, ayy=1.0 / b**2, azz=1.0 / c**2, c=-1.0),
+        [], kind="ellipsoid", extent=dict(a=a, b=b, c=c))
+
+
+# --- aperture-constraint helpers for user code -----------------------------
+
+def zrange(z0: float, z1: float) -> Constraint:
+    return _c(AP_ZRANGE, z0, z1)
+
+
+def cylinder_bound(radius: float, cx: float = 0.0, cy: float = 0.0) -> Constraint:
+    """Keep hits inside a z-aligned cylinder of given radius (local frame)."""
+    return _c(AP_CIRC, cx, cy, radius)
+
+
+def sphere_bound(center, radius: float) -> Constraint:
+    cx, cy, cz = np.asarray(center, dtype=float).reshape(3)
+    return _c(AP_SPHERE, cx, cy, cz, radius)
+
+
+def ang_range(a0: float, a1: float) -> Constraint:
+    return _c(AP_ANGRANGE, a0, a1)
+
+
+# --- polygon triangulation (replaces the reference's shapely dependency) ---
+
+def triangulate_polygon(verts: np.ndarray) -> np.ndarray:
+    """Ear-clipping triangulation of a simple 2D polygon.
+
+    verts - (n,2) polygon vertices in order (CW or CCW).
+    Returns (n-2, 3) int indices into verts.
+
+    Used to lower FlatSimplePolygonGM (ref polygon.py:7, which used shapely
+    Delaunay) into a fan of triangle surfaces sharing one logical id.
+    """
+    verts = np.asarray(verts, dtype=float)
+    n = len(verts)
+    if n < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    # Ensure CCW order.
+    area2 = np.sum(verts[:, 0] * np.roll(verts[:, 1], -1)
+                   - np.roll(verts[:, 0], -1) * verts[:, 1])
+    idx = list(range(n)) if area2 >= 0 else list(range(n))[::-1]
+
+    def is_ear(i0, i1, i2, remaining):
+        a, b, c = verts[i0], verts[i1], verts[i2]
+        cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        if cross <= 1e-14:
+            return False
+        for j in remaining:
+            if j in (i0, i1, i2):
+                continue
+            p = verts[j]
+            # barycentric point-in-triangle
+            d1 = (b[0]-a[0])*(p[1]-a[1]) - (b[1]-a[1])*(p[0]-a[0])
+            d2 = (c[0]-b[0])*(p[1]-b[1]) - (c[1]-b[1])*(p[0]-b[0])
+            d3 = (a[0]-c[0])*(p[1]-c[1]) - (a[1]-c[1])*(p[0]-c[0])
+            if d1 >= 0 and d2 >= 0 and d3 >= 0:
+                return False
+        return True
+
+    tris = []
+    guard = 0
+    while len(idx) > 3 and guard < 10000:
+        guard += 1
+        n_cur = len(idx)
+        for k in range(n_cur):
+            i0, i1, i2 = idx[k - 1], idx[k], idx[(k + 1) % n_cur]
+            if is_ear(i0, i1, i2, idx):
+                tris.append((i0, i1, i2))
+                idx.pop(k)
+                break
+        else:
+            # Degenerate polygon; fall back to a fan.
+            break
+    if len(idx) >= 3:
+        for k in range(1, len(idx) - 1):
+            tris.append((idx[0], idx[k], idx[k + 1]))
+    return np.asarray(tris, dtype=int)
+
+
+def polygon(verts) -> List[Geometry]:
+    """Simple-polygon plate in the local XY plane, lowered to triangles
+    (capability parity with ref FlatSimplePolygonGM, polygon.py:7). Returns a
+    list of triangle Geometries to be added as one logical surface."""
+    verts = np.asarray(verts, dtype=float)
+    tris = triangulate_polygon(verts)
+    return [triangle(verts[list(t)]) for t in tris]
+
+
+def perforated_polygon(outer, holes) -> List[Geometry]:
+    """Polygon with polygonal holes (ref PerforatedPolygonGM, polygon.py:139):
+    triangulated outer polygon with each triangle carrying hole exclusions is
+    complex; instead each triangle gets CIRC/TRIANGLE holes is not general —
+    we lower by triangulating the outer polygon and attaching each hole as a
+    set of triangle exclusions is unsupported; practical approach: keep outer
+    triangles and mark hits inside any hole via extra constraints per
+    triangle when holes are convex polygons of <= 3 vertices. For general
+    holes, trace both and subtract in analysis. Currently supports
+    triangular holes only."""
+    outer_tris = polygon(outer)
+    holes = [np.asarray(h, dtype=float) for h in holes]
+    for h in holes:
+        if len(h) != 3:
+            raise NotImplementedError(
+                "perforated_polygon currently supports triangular holes; "
+                "triangulate your hole or model it as separate surfaces")
+    out = []
+    for g in outer_tris:
+        for h in holes:
+            # exclusion: NOT inside hole triangle — encode as hole triangle
+            # with negated sense via AP_TRIANGLE in a hole slot:
+            g = g.with_aperture((_HOLE_TRIANGLE, np.asarray(h).reshape(-1)))
+        out.append(g)
+    return out
+
+
+# hole-triangle constraint (NOT inside triangle) — appended id
+_HOLE_TRIANGLE = 13
+AP_TRIANGLE_HOLE = _HOLE_TRIANGLE

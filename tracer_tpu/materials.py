@@ -1,0 +1,185 @@
+"""Optics-manager descriptors: what happens when a ray hits a surface.
+
+Re-design of the reference's optics managers (tracer/optics_callables.py):
+instead of per-surface Python callables, each surface carries an integer
+``kind``, a packed parameter vector and a flag word; the shade kernel
+(kernels/shade.py) computes every interaction branchlessly and selects by
+kind. Accounting (the reference's "accountant" system) is configured per
+surface via record flags and realized by the engine's per-bounce records
+(see engine.py / analysis/accountant.py).
+
+The generated-class-name API of the reference (ReflectiveReceiver,
+OneSidedRealReflectiveDetector, ...) is kept as a thin compatibility layer in
+``tracer_tpu.compat`` built from these descriptors.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+# --- optics kinds (must match kernels/shade.py) -----------------------------
+K_TRANSPARENT = 0      # pass through unchanged (ref Transparent :93)
+K_REFLECT = 1          # specular mirror; sigma>0 adds slope error
+                       # (ref Reflective :116, RealReflective :214)
+K_LAMBERTIAN = 2       # cosine-weighted diffuse (ref Lambertian :143)
+K_LAMBERTIAN_SPECULAR = 3  # w.p. specularity specular else diffuse (:553)
+K_SEMI_LAMBERTIAN = 4  # diffuse below ang_range, specular at glancing (:506)
+K_REFLECT_SPECTRAL = 5  # wavelength-interpolated absorptance (:178)
+K_REFRACTIVE = 6       # homogenous-media Fresnel interface (:1186)
+K_PERIODIC = 7         # periodic boundary teleport (:690)
+K_ABSORBER = 8         # perfect absorber (Reflective with abs=1 shortcut)
+
+N_OPT_PARAMS = 8
+
+# --- flag bits --------------------------------------------------------------
+F_ONE_SIDED = 1 << 0   # zero energy for rays arriving along local +Z
+F_BIVAR = 1 << 1       # bivariate (tan-gauss) slope error instead of radial
+F_IAM = 1 << 2         # Martin-Ruiz incidence-angle modifier active
+F_SPLIT = 1 << 3       # refractive: split energy instead of Russian roulette
+
+
+@dataclasses.dataclass
+class OpticsSpec:
+    """Host-side description of a surface's optical behavior.
+
+    params layout by kind:
+      REFLECT:    p0=absorptivity p1=sigma_slope  p4=a_r p5=c (IAM)
+      LAMBERTIAN: p0=absorptivity p1=ang_range    p4=a_r p5=c
+      LAMBERTIAN_SPECULAR: p0=abs p1=specularity p2=sigma p4=a_r p5=c
+      SEMI_LAMBERTIAN:     p0=abs p1=ang_range
+      REFLECT_SPECTRAL: p0=table_start p1=table_len p2=sigma
+      REFRACTIVE: p0=n1 p1=n2 p2=sigma
+      PERIODIC:   p0=period
+    """
+
+    kind: int
+    params: np.ndarray
+    flags: int = 0
+    # accounting configuration (realized via engine per-bounce records):
+    record: tuple = ()   # subset of accountant names, e.g ("location","absorption")
+    spectral_table: Optional[np.ndarray] = None  # (n,2) [wavelength, absorptance]
+
+    def replace(self, **kw) -> "OpticsSpec":
+        return dataclasses.replace(self, **kw)
+
+
+def _params(*vals) -> np.ndarray:
+    p = np.zeros(N_OPT_PARAMS)
+    p[: len(vals)] = vals
+    return p
+
+
+def transparent() -> OpticsSpec:
+    return OpticsSpec(K_TRANSPARENT, _params())
+
+
+def reflective(absorptivity: float = 0.0, sigma: float = 0.0,
+               bi_var: bool = False, one_sided: bool = False) -> OpticsSpec:
+    """Specular mirror with absorptivity; sigma > 0 adds surface slope error
+    (radial Gaussian by default, bivariate tan-Gaussian with bi_var).
+    Covers ref Reflective/RealReflective/OneSided* variants."""
+    flags = (F_BIVAR if bi_var else 0) | (F_ONE_SIDED if one_sided else 0)
+    return OpticsSpec(K_REFLECT, _params(absorptivity, sigma), flags)
+
+
+# The reference's module-level convenience constant.
+def perfect_mirror() -> OpticsSpec:
+    return reflective(0.0)
+
+
+def real_reflective(absorptivity: float, sigma: float,
+                    bi_var: bool = False, one_sided: bool = False) -> OpticsSpec:
+    return reflective(absorptivity, sigma, bi_var, one_sided)
+
+
+def lambertian(absorptivity: float = 0.0, ang_range: float = np.pi / 2,
+               one_sided: bool = False) -> OpticsSpec:
+    flags = F_ONE_SIDED if one_sided else 0
+    return OpticsSpec(K_LAMBERTIAN, _params(absorptivity, ang_range), flags)
+
+
+def lambertian_specular(absorptivity: float = 0.0,
+                        specularity: float = 0.5,
+                        sigma: float = 0.0) -> OpticsSpec:
+    return OpticsSpec(K_LAMBERTIAN_SPECULAR,
+                      _params(absorptivity, specularity, sigma))
+
+
+def semi_lambertian(absorptivity: float = 0.0,
+                    ang_range: float = np.pi / 2) -> OpticsSpec:
+    return OpticsSpec(K_SEMI_LAMBERTIAN, _params(absorptivity, ang_range))
+
+
+def reflective_spectral(absorptances, wavelengths, sigma: float = 0.0,
+                        one_sided: bool = False) -> OpticsSpec:
+    """Wavelength-dependent absorptance, linearly interpolated (ref
+    Reflective_spectral :178). The table is packed into the scene's shared
+    spectral table at compile time."""
+    table = np.stack([np.asarray(wavelengths, dtype=float),
+                      np.asarray(absorptances, dtype=float)], axis=1)
+    flags = F_ONE_SIDED if one_sided else 0
+    return OpticsSpec(K_REFLECT_SPECTRAL, _params(0, len(table), sigma),
+                      flags, spectral_table=table)
+
+
+def refractive_homogenous(n1: float, n2: float, single_ray: bool = True,
+                          sigma: float = 0.0) -> OpticsSpec:
+    """Fresnel interface between homogenous media with indices n1/n2; the
+    active pair member is toggled against the ray's current ref_index (ref
+    RefractiveHomogenous :1186). single_ray=True uses Russian roulette
+    (TPU-friendly, keeps the ray population fixed); False requests
+    energy-splitting which the engine realizes with a doubled ray slab."""
+    flags = 0 if single_ray else F_SPLIT
+    return OpticsSpec(K_REFRACTIVE, _params(n1, n2, sigma), flags)
+
+
+def periodic_boundary(period: float) -> OpticsSpec:
+    """Teleports rays by ``period`` along the surface normal (ref
+    PeriodicBoundary :690)."""
+    return OpticsSpec(K_PERIODIC, _params(period))
+
+
+def absorber(one_sided: bool = True) -> OpticsSpec:
+    """Perfect absorber: the standard receiver surface."""
+    return reflective(1.0, one_sided=one_sided)
+
+
+def iam(spec: OpticsSpec, a_r: float, c: float = 1.0) -> OpticsSpec:
+    """Wrap a spec with the Martin-Ruiz incidence angle modifier (ref IAM
+    :271): energy *= 1 - abs*(1-exp(-cos(aoi)/a_r))/(1-exp(-1/a_r))."""
+    p = spec.params.copy()
+    p[4] = a_r
+    p[5] = c
+    return spec.replace(params=p, flags=spec.flags | F_IAM)
+
+
+# --- accounting sugar (reference's Receiver/Detector aliases) ---------------
+
+def with_accounting(spec: OpticsSpec, *what: str) -> OpticsSpec:
+    """Request per-hit recording for this surface. ``what`` from:
+    location, absorption, reception, direction, normal, spectral, attenuation,
+    scattering. Mirrors the reference's accountant class factory aliases
+    (optics_callables.py:2043-2092) compositionally."""
+    valid = {"location", "absorption", "reception", "direction", "normal",
+             "spectral", "attenuation", "scattering"}
+    bad = set(what) - valid
+    if bad:
+        raise ValueError(f"unknown accountants: {bad}")
+    return spec.replace(record=tuple(dict.fromkeys(spec.record + tuple(what))))
+
+
+def receiver(spec: OpticsSpec) -> OpticsSpec:
+    """Location + absorption accounting (ref alias Receiver)."""
+    return with_accounting(spec, "location", "absorption")
+
+
+def detector(spec: OpticsSpec) -> OpticsSpec:
+    """Direction + location + absorption accounting (ref alias Detector)."""
+    return with_accounting(spec, "direction", "location", "absorption")
+
+
+def transmitter(spec: OpticsSpec) -> OpticsSpec:
+    """Location + scattering(outgoing energy) accounting (ref Transmitter)."""
+    return with_accounting(spec, "location", "scattering")

@@ -1,0 +1,285 @@
+"""Scene graph builder and compiler to the flat device-side surface table.
+
+The user-facing API mirrors the reference's scene layer (Surface /
+AssembledObject / Assembly with nested homogeneous transforms —
+tracer/surface.py, object.py, assembly.py, has_frame.py) but it is a
+*builder*: ``Scene.compile()`` flattens the tree into a pytree of arrays
+(:class:`SceneTable`) that the trace kernels consume. Python objects never
+appear on the hot path.
+
+A Surface may carry several Geometry rows (e.g. a triangulated polygon);
+they share one *logical* surface id so accounting aggregates correctly.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Union
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .geometry import Geometry, N_AP_PARAMS, AP_NONE
+from .materials import OpticsSpec, N_OPT_PARAMS
+from . import spatial
+
+
+class HasFrame:
+    """A node with a homogeneous transform relative to its parent
+    (capability parity with ref tracer/has_frame.py)."""
+
+    def __init__(self, location=None, rotation=None, transform=None):
+        self._transform = np.eye(4)
+        if transform is not None:
+            self.set_transform(transform)
+        if rotation is not None:
+            self.set_rotation(rotation)
+        if location is not None:
+            self.set_location(location)
+
+    def get_location(self) -> np.ndarray:
+        return self._transform[:3, 3].copy()
+
+    def get_rotation(self) -> np.ndarray:
+        return self._transform[:3, :3].copy()
+
+    def get_transform(self) -> np.ndarray:
+        return self._transform.copy()
+
+    def set_location(self, location) -> None:
+        self._transform = self._transform.copy()
+        self._transform[:3, 3] = np.asarray(location, dtype=float).reshape(3)
+
+    def set_rotation(self, rotation) -> None:
+        self._transform = self._transform.copy()
+        self._transform[:3, :3] = np.asarray(rotation, dtype=float)
+
+    def set_transform(self, transform) -> None:
+        self._transform = np.asarray(transform, dtype=float).reshape(4, 4).copy()
+
+
+class Surface(HasFrame):
+    """Pairs shape (one or more Geometry rows) with an OpticsSpec
+    (ref tracer/surface.py:12)."""
+
+    def __init__(self, geometry: Union[Geometry, Sequence[Geometry]],
+                 optics: OpticsSpec, location=None, rotation=None,
+                 name: Optional[str] = None, fixed_color=None):
+        HasFrame.__init__(self, location=location, rotation=rotation)
+        if isinstance(geometry, Geometry):
+            geometry = [geometry]
+        self.geometries: List[Geometry] = list(geometry)
+        self.optics = optics
+        self.name = name
+        self.fixed_color = fixed_color
+
+    # Parity helpers -------------------------------------------------------
+    def get_optics_manager(self) -> OpticsSpec:
+        return self.optics
+
+    def get_geometry_manager(self) -> Geometry:
+        return self.geometries[0]
+
+
+class AssembledObject(HasFrame):
+    """A set of surfaces with a shared frame, optionally with a boundary
+    used for acceleration (ref tracer/object.py:7)."""
+
+    def __init__(self, surfs: Optional[Sequence[Surface]] = None,
+                 bounds=None, location=None, rotation=None, transform=None):
+        HasFrame.__init__(self, location=location, rotation=rotation,
+                          transform=transform)
+        self.surfaces: List[Surface] = list(surfs or [])
+        self.bounds = bounds
+
+    def add_surface(self, surface: Surface) -> None:
+        self.surfaces.append(surface)
+
+    def get_surfaces(self) -> List[Surface]:
+        return list(self.surfaces)
+
+
+class Assembly(HasFrame):
+    """A tree of objects and sub-assemblies (ref tracer/assembly.py:9)."""
+
+    def __init__(self, objects: Optional[Sequence[AssembledObject]] = None,
+                 subassemblies: Optional[Sequence["Assembly"]] = None,
+                 location=None, rotation=None, transform=None):
+        HasFrame.__init__(self, location=location, rotation=rotation,
+                          transform=transform)
+        self.objects: List[AssembledObject] = list(objects or [])
+        self.assemblies: List[Assembly] = list(subassemblies or [])
+
+    def add_object(self, obj: AssembledObject, transform=None) -> None:
+        if transform is not None:
+            obj.set_transform(transform)
+        self.objects.append(obj)
+
+    def add_assembly(self, asm: "Assembly", transform=None) -> None:
+        if transform is not None:
+            asm.set_transform(transform)
+        self.assemblies.append(asm)
+
+    def get_assemblies(self) -> List["Assembly"]:
+        out = list(self.assemblies)
+        for a in self.assemblies:
+            out.extend(a.get_assemblies())
+        return out
+
+    def get_objects(self) -> List[AssembledObject]:
+        out = list(self.objects)
+        for a in self.assemblies:
+            out.extend(a.get_objects())
+        return out
+
+    def get_surfaces(self) -> List[Surface]:
+        out: List[Surface] = []
+        for o in self.get_objects():
+            out.extend(o.surfaces)
+        return out
+
+    # -- flattening ----------------------------------------------------------
+    def _walk(self, parent_frame: np.ndarray):
+        """Yield (surface, global_frame) over the whole tree."""
+        frame = parent_frame @ self._transform
+        for obj in self.objects:
+            obj_frame = frame @ obj._transform
+            for s in obj.surfaces:
+                yield s, obj_frame @ s._transform
+        for a in self.assemblies:
+            yield from a._walk(frame)
+
+
+# ---------------------------------------------------------------------------
+# Compiled scene
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class SceneTable:
+    """Flat struct-of-arrays scene, replicated on every device.
+
+    frame      (S,4,4) local->global homogeneous transforms
+    inv_frame  (S,4,4) exact inverses
+    quadric    (S,10)  local-frame quadric coefficients
+    ap_type    (S,C)   aperture constraint type ids (AP_NONE pads)
+    ap_params  (S,C,6) constraint parameters
+    opt_kind   (S,)    optics kind ids
+    opt_flags  (S,)    optics flag words
+    opt_params (S,P)   optics parameters
+    spectral_wl/spectral_ab (L,) shared spectral absorptance table
+    logical    (S,)    logical surface id (rows of one Surface share it)
+    """
+
+    frame: jnp.ndarray
+    inv_frame: jnp.ndarray
+    quadric: jnp.ndarray
+    ap_type: jnp.ndarray
+    ap_params: jnp.ndarray
+    opt_kind: jnp.ndarray
+    opt_flags: jnp.ndarray
+    opt_params: jnp.ndarray
+    spectral_wl: jnp.ndarray
+    spectral_ab: jnp.ndarray
+    logical: jnp.ndarray
+
+    @property
+    def num_rows(self) -> int:
+        return self.frame.shape[0]
+
+    @property
+    def num_logical(self) -> int:
+        # static: logical is built from arange-like host data
+        return int(np.asarray(self.logical).max()) + 1
+
+
+@dataclasses.dataclass
+class SceneMeta:
+    """Host-side companion to SceneTable: names, per-logical-surface
+    geometry/optics descriptors for flux-map binning and accounting."""
+
+    surfaces: List[Surface]          # logical surfaces, index = logical id
+    names: List[str]
+    row_logical: np.ndarray          # (S,) logical id per table row
+    frames: np.ndarray               # (S,4,4) global frames (host copy)
+
+    def index_of(self, name: str) -> int:
+        return self.names.index(name)
+
+
+def compile_scene(assembly: Assembly, dtype=jnp.float32,
+                  max_constraints: Optional[int] = None):
+    """Flatten an Assembly into (SceneTable, SceneMeta)."""
+    pairs = list(assembly._walk(np.eye(4)))
+    if not pairs:
+        raise ValueError("empty scene")
+
+    # group rows by logical surface
+    logical_surfaces: List[Surface] = []
+    rows = []  # (geometry, frame, logical_id, optics)
+    seen = {}
+    for surf, frame in pairs:
+        if id(surf) not in seen:
+            seen[id(surf)] = len(logical_surfaces)
+            logical_surfaces.append(surf)
+        lid = seen[id(surf)]
+        for g in surf.geometries:
+            rows.append((g, frame, lid, surf.optics))
+
+    S = len(rows)
+    C = max_constraints or max(1, max(len(g.apertures) for g, *_ in rows))
+
+    frames = np.zeros((S, 4, 4))
+    invs = np.zeros((S, 4, 4))
+    quad = np.zeros((S, 10))
+    ap_type = np.zeros((S, C), dtype=np.int32)
+    ap_params = np.zeros((S, C, N_AP_PARAMS))
+    opt_kind = np.zeros((S,), dtype=np.int32)
+    opt_flags = np.zeros((S,), dtype=np.int32)
+    opt_params = np.zeros((S, N_OPT_PARAMS))
+    logical = np.zeros((S,), dtype=np.int32)
+
+    spectral_chunks = []
+    spectral_len = 0
+
+    for i, (g, frame, lid, opt) in enumerate(rows):
+        if len(g.apertures) > C:
+            raise ValueError(
+                f"surface row {i} has {len(g.apertures)} constraints > C={C}")
+        frames[i] = frame
+        invs[i] = spatial.invert_transform(frame)
+        quad[i] = g.quadric
+        for j, (t, p) in enumerate(g.apertures):
+            ap_type[i, j] = t
+            ap_params[i, j] = p
+        opt_kind[i] = opt.kind
+        opt_flags[i] = opt.flags
+        opt_params[i] = opt.params
+        if opt.spectral_table is not None:
+            opt_params[i, 0] = spectral_len
+            opt_params[i, 1] = len(opt.spectral_table)
+            spectral_chunks.append(opt.spectral_table)
+            spectral_len += len(opt.spectral_table)
+        logical[i] = lid
+
+    if spectral_chunks:
+        spec = np.concatenate(spectral_chunks, axis=0)
+    else:
+        spec = np.zeros((1, 2))
+
+    table = SceneTable(
+        frame=jnp.asarray(frames, dtype=dtype),
+        inv_frame=jnp.asarray(invs, dtype=dtype),
+        quadric=jnp.asarray(quad, dtype=dtype),
+        ap_type=jnp.asarray(ap_type),
+        ap_params=jnp.asarray(ap_params, dtype=dtype),
+        opt_kind=jnp.asarray(opt_kind),
+        opt_flags=jnp.asarray(opt_flags),
+        opt_params=jnp.asarray(opt_params, dtype=dtype),
+        spectral_wl=jnp.asarray(spec[:, 0], dtype=dtype),
+        spectral_ab=jnp.asarray(spec[:, 1], dtype=dtype),
+        logical=jnp.asarray(logical),
+    )
+    names = [s.name or f"surface_{k}" for k, s in enumerate(logical_surfaces)]
+    meta = SceneMeta(surfaces=logical_surfaces, names=names,
+                     row_logical=logical, frames=frames)
+    return table, meta
