@@ -105,12 +105,33 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
     e_out = jnp.where(hit, res.out_energy, 0.0)
     absorbed_ray = jnp.where(hit, res.absorbed, 0.0)
 
-    sid_safe = jnp.maximum(sid, 0)
-    accum = accum.replace(
-        absorbed=accum.absorbed.at[sid_safe].add(absorbed_ray),
-        hits=accum.hits.at[sid_safe].add(jnp.where(hit, 1.0, 0.0)),
-        escaped=accum.escaped + jnp.sum(jnp.where(escaped, bundle.energy, 0.0)),
-    )
+    if n_rows <= 64:
+        # masked reductions beat TPU scatters ~30x for small surface counts
+        hit_f = jnp.where(hit, 1.0, 0.0)
+        absorbed_rows = jnp.stack(
+            [jnp.sum(jnp.where(sid == s_i, absorbed_ray, 0.0))
+             for s_i in range(n_rows)])
+        hit_rows = jnp.stack(
+            [jnp.sum(jnp.where(sid == s_i, hit_f, 0.0))
+             for s_i in range(n_rows)])
+        accum = accum.replace(
+            absorbed=accum.absorbed + absorbed_rows,
+            hits=accum.hits + hit_rows,
+            escaped=accum.escaped
+            + jnp.sum(jnp.where(escaped, bundle.energy, 0.0)),
+        )
+    else:
+        sid_safe = jnp.maximum(sid, 0)
+        # one fused scatter for both per-surface accumulators
+        vals = jnp.stack([absorbed_ray, jnp.where(hit, 1.0, 0.0)], axis=1)
+        acc2 = (jnp.stack([accum.absorbed, accum.hits], axis=1)
+                .at[sid_safe].add(vals))
+        accum = accum.replace(
+            absorbed=acc2[:, 0],
+            hits=acc2[:, 1],
+            escaped=accum.escaped
+            + jnp.sum(jnp.where(escaped, bundle.energy, 0.0)),
+        )
 
     low = hit & (e_out <= min_energy)
     accum = accum.replace(culled=accum.culled + jnp.sum(jnp.where(low, e_out, 0.0)))
@@ -289,3 +310,84 @@ def trace_fused(scene: SceneTable, bundle: RayBundle, key: jax.Array,
     _, bundle, accum, _ = jax.lax.while_loop(
         cond, body, (jnp.array(0, dtype=jnp.int32), bundle, accum0, key))
     return bundle, accum
+
+
+@functools.partial(
+    jax.jit, static_argnames=("source_fn", "total_rays", "max_rounds",
+                              "min_energy", "t_eps", "disc_eps", "block"))
+def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
+                    total_rays: int, max_rounds: int = 10_000,
+                    min_energy: float = 1e-6, t_eps=None,
+                    disc_eps: float = 1e-6, block: int = 64):
+    """Streaming wavefront trace with on-device ray regeneration.
+
+    The reference (and trace_fused) lets the ray population decay across
+    bounces, so late bounces run a mostly-dead slab. Here every dead slot is
+    immediately refilled with a fresh source ray, keeping VPU occupancy at
+    ~100% — the TPU-native analog of the reference's host-side batching
+    loops (solar_simulator.py:90-97, Sandia example :193-226), fused into
+    one device loop.
+
+    source_fn(key) must be traceable and return a RayBundle with the slab
+    size; it is called once per round for the dead slots. ``total_rays``
+    caps how many source rays are emitted in total.
+
+    Returns (accum, emitted): energy accumulators (escaped/culled/absorbed
+    cover every emitted ray; residual energy of still-alive rays at exit is
+    NOT accounted — make total_rays >> slab for <0.1% bias, or read it from
+    the returned accumulator difference) and the number of rays emitted.
+    """
+    probe = source_fn(key)
+    n = probe.num_rays
+
+    zero = jnp.sum(probe.energy) * 0.0
+    accum0 = TraceAccum(
+        absorbed=jnp.zeros((scene.num_rows,), dtype=probe.pos.dtype) + zero,
+        hits=jnp.zeros((scene.num_rows,), dtype=probe.pos.dtype) + zero,
+        escaped=zero, culled=zero)
+    source0 = zero   # total energy emitted
+
+    def regenerate(bundle, key, emitted, source_e):
+        fresh = source_fn(key)
+        free = ~bundle.alive
+        budget = total_rays - emitted
+        # refill at most `budget` dead slots (prefix of free slots)
+        free_rank = jnp.cumsum(free.astype(jnp.int32))
+        refill = free & (free_rank <= budget)
+        sel = refill[:, None]
+        bundle = bundle.replace(
+            pos=jnp.where(sel, fresh.pos, bundle.pos),
+            dir=jnp.where(sel, fresh.dir, bundle.dir),
+            energy=jnp.where(refill, fresh.energy, bundle.energy),
+            wavelength=jnp.where(refill, fresh.wavelength, bundle.wavelength),
+            ref_index=jnp.where(refill, fresh.ref_index, bundle.ref_index),
+            alive=bundle.alive | refill,
+        )
+        emitted = emitted + jnp.sum(refill.astype(jnp.int32))
+        source_e = source_e + jnp.sum(jnp.where(refill, fresh.energy, 0.0))
+        return bundle, emitted, source_e
+
+    empty = probe.replace(alive=jnp.zeros((n,), dtype=bool),
+                          energy=jnp.zeros_like(probe.energy))
+
+    def cond(state):
+        i, bundle, accum, key, emitted, source_e = state
+        return ((i < max_rounds)
+                & ((emitted < total_rays) | jnp.any(bundle.alive)))
+
+    def body(state):
+        i, bundle, accum, key, emitted, source_e = state
+        key, k_src, k_bounce = jax.random.split(key, 3)
+        bundle, emitted, source_e = regenerate(bundle, k_src, emitted,
+                                               source_e)
+        bundle, accum, _ = _bounce_step(
+            scene, bundle, accum, k_bounce, min_energy=min_energy,
+            t_eps=t_eps, disc_eps=disc_eps, block=block)
+        return (i + 1, bundle, accum, key, emitted, source_e)
+
+    state = (jnp.array(0, dtype=jnp.int32), empty, accum0, key,
+             jnp.array(0, dtype=jnp.int32) + jnp.sum(probe.parent) * 0,
+             source0)
+    _, bundle, accum, _, emitted, source_e = jax.lax.while_loop(
+        cond, body, state)
+    return accum, emitted, source_e

@@ -1,17 +1,21 @@
-"""Nearest-hit intersection kernel: one branchless quadric test for every
-surface family.
+"""Nearest-hit intersection kernel, specialized per surface group.
 
 Replaces the reference's per-surface Python dispatch (HOT LOOP 1,
 tracer/tracer_engine.py:27-64 + tracer/quadric.py:32-113 +
-tracer/flat_surface.py:16-62): surfaces live in a flat table; a scan over
-surface blocks keeps a running (t_min, surface_id) per ray, so memory stays
-O(block * n_rays) and XLA fuses the whole block into vector code.
+tracer/flat_surface.py:16-62). The scene compiler sorts surfaces so rows
+with the same aperture signature are contiguous (scene.py); for each group
+this kernel emits *lean* code — only that group's aperture predicates are
+evaluated, instead of a 13-way select per constraint per surface. Within a
+group, a scan over blocks of surfaces keeps a running (t_min, surface_id)
+per ray, so memory stays O(block * n_rays).
 
 Numerics follow the reference's conventions so results are comparable:
   * quadric roots via the numerically-stable q-formula (quadric.py:83-91)
   * linear (A==0) and B==0 special cases (quadric.py:79-86)
-  * a discriminant threshold for grazing hits (quadric.py:58)
-  * a positive-t threshold to avoid self-intersection (quadric.py:133).
+  * discriminant threshold for grazing hits (quadric.py:58)
+  * a positive-t threshold (quadric.py:133) — made scale-relative and
+    dtype-aware here, because the reference's absolute 1e-6 lets float32
+    rays re-hit their own surface at meter scale.
 """
 from __future__ import annotations
 
@@ -25,81 +29,85 @@ from .. import geometry as G
 from ..mathutils import apply_rot
 
 
-def aperture_mask(ap_type: jnp.ndarray, ap_params: jnp.ndarray,
-                  pt: jnp.ndarray) -> jnp.ndarray:
-    """Evaluate ANDed aperture constraints at local points.
-
-    ap_type (C,), ap_params (C,6), pt (..., 3) -> bool (...).
-    All constraint predicates are computed branchlessly and selected by id.
-    """
-    x, y, z = pt[..., 0], pt[..., 1], pt[..., 2]
-    r2 = x * x + y * y
-    ok = jnp.ones(x.shape, dtype=bool)
-    for c in range(ap_type.shape[0]):
-        t = ap_type[c]
-        p = ap_params[c]
-        # compute every predicate (cheap VPU math), select by type id
-        rect = (jnp.abs(x) <= p[0]) & (jnp.abs(y) <= p[1])
-        radial = (r2 >= p[0] * p[0]) & (r2 <= p[1] * p[1])
-        zrange = (z >= p[0]) & (z <= p[1])
+def _constraint_pred(kind: int, p, x, y, z):
+    """Predicate for ONE statically-known constraint type. p is (6,) params
+    (per surface, broadcast against ray-shaped x/y/z)."""
+    if kind == G.AP_NONE:
+        return None
+    if kind == G.AP_RECT:
+        return (jnp.abs(x) <= p[..., 0]) & (jnp.abs(y) <= p[..., 1])
+    if kind == G.AP_RADIAL:
+        r2 = x * x + y * y
+        return (r2 >= p[..., 0] ** 2) & (r2 <= p[..., 1] ** 2)
+    if kind == G.AP_ZRANGE:
+        return (z >= p[..., 0]) & (z <= p[..., 1])
+    if kind == G.AP_ANGRANGE:
         ang = jnp.arctan2(y, x)
         ang = jnp.where(ang < 0.0, ang + 2.0 * jnp.pi, ang)
-        angrange = (ang >= p[0]) & (ang <= p[1])
-        xcut = x <= p[0]
-        # hexagon, circumradius p0, two sides parallel to the y axis
+        return (ang >= p[..., 0]) & (ang <= p[..., 1])
+    if kind == G.AP_XCUT:
+        return x <= p[..., 0]
+    if kind == G.AP_HEX:
+        # circumradius p0, two sides parallel to the local y axis
         # (matches ref HexagonalParabolicDishGM._select_coords)
-        hexa = (jnp.abs(x) <= jnp.sqrt(3.0) * p[0] / 2.0) & \
-               (jnp.abs(y) <= p[0] - jnp.tan(jnp.pi / 6.0) * jnp.abs(x))
-        # triangle via consistent edge cross products
-        d1 = (p[2] - p[0]) * (y - p[1]) - (p[3] - p[1]) * (x - p[0])
-        d2 = (p[4] - p[2]) * (y - p[3]) - (p[5] - p[3]) * (x - p[2])
-        d3 = (p[0] - p[4]) * (y - p[5]) - (p[1] - p[5]) * (x - p[4])
+        return ((jnp.abs(x) <= jnp.sqrt(3.0) * p[..., 0] / 2.0)
+                & (jnp.abs(y) <= p[..., 0]
+                   - jnp.tan(jnp.pi / 6.0) * jnp.abs(x)))
+    if kind in (G.AP_TRIANGLE, G.AP_TRIANGLE_HOLE):
+        d1 = ((p[..., 2] - p[..., 0]) * (y - p[..., 1])
+              - (p[..., 3] - p[..., 1]) * (x - p[..., 0]))
+        d2 = ((p[..., 4] - p[..., 2]) * (y - p[..., 3])
+              - (p[..., 5] - p[..., 3]) * (x - p[..., 2]))
+        d3 = ((p[..., 0] - p[..., 4]) * (y - p[..., 5])
+              - (p[..., 1] - p[..., 5]) * (x - p[..., 4]))
         has_neg = (d1 < 0) | (d2 < 0) | (d3 < 0)
         has_pos = (d1 > 0) | (d2 > 0) | (d3 > 0)
-        tri = ~(has_neg & has_pos)
-        rect_hole = ~((jnp.abs(x - p[0]) <= p[2]) & (jnp.abs(y - p[1]) <= p[3]))
-        dcx, dcy = x - p[0], y - p[1]
-        circ_d2 = dcx * dcx + dcy * dcy
-        circ_hole = circ_d2 > p[2] * p[2]
-        circ = circ_d2 <= p[2] * p[2]
-        dsz = z - p[2]
-        sph = (dcx * dcx + dcy * dcy + dsz * dsz) <= p[3] * p[3]
-        abshp = jnp.abs(p[0] * x + p[1] * y) <= p[2]
+        inside = ~(has_neg & has_pos)
+        return inside if kind == G.AP_TRIANGLE else ~inside
+    if kind == G.AP_RECT_HOLE:
+        return ~((jnp.abs(x - p[..., 0]) <= p[..., 2])
+                 & (jnp.abs(y - p[..., 1]) <= p[..., 3]))
+    if kind == G.AP_CIRC_HOLE:
+        return ((x - p[..., 0]) ** 2 + (y - p[..., 1]) ** 2) > p[..., 2] ** 2
+    if kind == G.AP_CIRC:
+        return ((x - p[..., 0]) ** 2 + (y - p[..., 1]) ** 2) <= p[..., 2] ** 2
+    if kind == G.AP_SPHERE:
+        return ((x - p[..., 0]) ** 2 + (y - p[..., 1]) ** 2
+                + (z - p[..., 2]) ** 2) <= p[..., 3] ** 2
+    if kind == G.AP_ABS_HALFPLANE:
+        return jnp.abs(p[..., 0] * x + p[..., 1] * y) <= p[..., 2]
+    raise ValueError(f"unknown aperture constraint {kind}")
 
-        preds = jnp.stack([
-            jnp.ones_like(rect),       # AP_NONE
-            rect, radial, zrange, angrange, xcut, hexa, tri,
-            rect_hole, circ_hole, circ, sph, abshp,
-            ~tri,                      # AP_TRIANGLE_HOLE
-        ], axis=0)
-        ok = ok & preds[t]
+
+def aperture_mask_static(sig, ap_params, pt):
+    """ANDed aperture constraints with a statically-known signature.
+    ap_params (C,6) for one surface; pt (...,3) local points."""
+    x, y, z = pt[..., 0], pt[..., 1], pt[..., 2]
+    ok = None
+    for c, kind in enumerate(sig):
+        pred = _constraint_pred(kind, ap_params[c], x, y, z)
+        if pred is None:
+            continue
+        ok = pred if ok is None else (ok & pred)
+    if ok is None:
+        return jnp.ones(x.shape, dtype=bool)
     return ok
 
 
-def _surface_t(inv_frame: jnp.ndarray, quad: jnp.ndarray,
-               ap_type: jnp.ndarray, ap_params: jnp.ndarray,
-               pos: jnp.ndarray, dirs: jnp.ndarray,
-               t_eps: float, disc_eps: float) -> jnp.ndarray:
-    """Parametric hit distance of every ray against ONE surface.
-
-    inv_frame (4,4), quad (10,), ap_type (C,), ap_params (C,6),
-    pos/dirs (N,3). Returns t (N,), +inf on miss.
-    """
+def _surface_t(inv_frame, quad, ap_params, pos, dirs, t_eps, disc_eps, sig):
+    """Hit distance of every ray against ONE surface with static aperture
+    signature ``sig``. Returns t (N,), +inf on miss."""
     rot = inv_frame[:3, :3]
     trn = inv_frame[:3, 3]
     # apply_rot, not `@`: tiny matmuls must stay off the bf16-rounded MXU
-    v = apply_rot(rot, pos) + trn    # local ray origins
-    d = apply_rot(rot, dirs)         # local ray directions
-    # Scale-relative self-intersection guard: in float32 the hit point of the
-    # previous bounce carries O(|v| * eps_mach) error, so an absolute 1e-6
-    # threshold (the reference's, for float64) lets rays re-hit their own
-    # surface. Scale the threshold by the local ray-origin magnitude.
+    v = apply_rot(rot, pos) + trn
+    d = apply_rot(rot, dirs)
+    # scale-relative self-intersection guard (see module docstring)
     t_min = t_eps * (1.0 + jnp.sqrt(jnp.sum(v * v, axis=-1)))
 
     axx, ayy, azz, axy, axz, ayz, bx, by, bz, c0 = [quad[i] for i in range(10)]
 
     def q_form(p, q2):
-        # p^T A q2 with symmetric A
         return (axx * p[..., 0] * q2[..., 0] + ayy * p[..., 1] * q2[..., 1]
                 + azz * p[..., 2] * q2[..., 2]
                 + axy * (p[..., 0] * q2[..., 1] + p[..., 1] * q2[..., 0])
@@ -114,43 +122,36 @@ def _surface_t(inv_frame: jnp.ndarray, quad: jnp.ndarray,
     C = q_form(v, v) + 2.0 * b_dot(v) + c0
 
     inf = jnp.array(jnp.inf, dtype=pos.dtype)
-
     is_linear = A == 0.0
     is_b0 = B == 0.0
 
-    # quadratic: stable q-formula
     disc = B * B - 4.0 * A * C
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     signB = jnp.where(B >= 0.0, 1.0, -1.0)
     q = -0.5 * (B + signB * sq)
-    safeA = jnp.where(A == 0.0, 1.0, A)
+    safeA = jnp.where(is_linear, 1.0, A)
     safeq = jnp.where(q == 0.0, 1.0, q)
     t_quad_0 = q / safeA
     t_quad_1 = C / safeq
     quad_ok = disc >= disc_eps
 
-    # B == 0 (and A != 0): t = +-sqrt(-C/A)
     mCA = -C / safeA
     sqrt_mCA = jnp.sqrt(jnp.maximum(mCA, 0.0))
     b0_ok = mCA >= 0.0
 
-    # linear (A == 0): single root
-    safeB = jnp.where(B == 0.0, 1.0, B)
+    safeB = jnp.where(is_b0, 1.0, B)
     t_lin = -C / safeB
-    # parallel-ray threshold per ref flat_surface.py:39 (|dt| > 1e-7)
-    lin_ok = jnp.abs(B) > 1e-7
+    lin_ok = jnp.abs(B) > 1e-7   # parallel-ray cutoff, ref flat_surface.py:39
 
-    t0 = jnp.where(is_linear, t_lin,
-                   jnp.where(is_b0, -sqrt_mCA, t_quad_0))
-    t1 = jnp.where(is_linear, t_lin,
-                   jnp.where(is_b0, sqrt_mCA, t_quad_1))
-    root_ok = jnp.where(is_linear, lin_ok,
-                        jnp.where(is_b0, b0_ok, quad_ok))
+    t0 = jnp.where(is_linear, t_lin, jnp.where(is_b0, -sqrt_mCA, t_quad_0))
+    t1 = jnp.where(is_linear, t_lin, jnp.where(is_b0, sqrt_mCA, t_quad_1))
+    root_ok = jnp.where(is_linear, lin_ok, jnp.where(is_b0, b0_ok, quad_ok))
 
     def root_t(t):
-        pt = v + t[..., None] * d
         ok = root_ok & (t > t_min) & jnp.isfinite(t)
-        ok = ok & aperture_mask(ap_type, ap_params, pt)
+        if sig:  # evaluate apertures only when the group has any
+            pt = v + t[..., None] * d
+            ok = ok & aperture_mask_static(sig, ap_params, pt)
         return jnp.where(ok, t, inf)
 
     return jnp.minimum(root_t(t0), root_t(t1))
@@ -162,56 +163,75 @@ def default_t_eps(dtype) -> float:
     return 3e-4 if jnp.dtype(dtype).itemsize <= 4 else 1e-6
 
 
+def _group_nearest(scene, start, end, sig, pos, dirs, t_eps, disc_eps,
+                   block, carry):
+    """Fold one contiguous surface group into the running (t, sid) carry."""
+    Sg = end - start
+    blk = min(block, Sg)
+    nb = -(-Sg // blk)
+    pad = nb * blk - Sg
+
+    def prep(a):
+        a = a[start:end]
+        if pad:
+            a = jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        return a.reshape((nb, blk) + a.shape[1:])
+
+    inv_frames = prep(scene.inv_frame)
+    quads = prep(scene.quadric)
+    ap_p = prep(scene.ap_params)
+    sids = prep(jnp.arange(scene.num_rows, dtype=jnp.int32))
+    # padded rows have quad == 0 -> linear branch with B == 0 -> never hit
+
+    per_surface = jax.vmap(
+        lambda invf, qd, app: _surface_t(invf, qd, app, pos, dirs,
+                                         t_eps, disc_eps, sig))
+
+    def body(c, blk_data):
+        t_best, sid_best = c
+        invf, qd, app, sid = blk_data
+        t_blk = per_surface(invf, qd, app)                 # (blk, N)
+        if blk == 1:
+            t_min, sid_min = t_blk[0], sid[0]
+        else:
+            i_min = jnp.argmin(t_blk, axis=0)
+            t_min = jnp.min(t_blk, axis=0)
+            sid_min = sid[i_min]
+        upd = t_min < t_best
+        return (jnp.where(upd, t_min, t_best),
+                jnp.where(upd, sid_min, sid_best)), None
+
+    if nb == 1:
+        carry, _ = body(carry, (inv_frames[0], quads[0], ap_p[0], sids[0]))
+        return carry
+    carry, _ = jax.lax.scan(body, carry, (inv_frames, quads, ap_p, sids))
+    return carry
+
+
 @functools.partial(jax.jit, static_argnames=("t_eps", "disc_eps", "block"))
 def nearest_hit(scene, pos: jnp.ndarray, dirs: jnp.ndarray,
                 t_eps: Optional[float] = None, disc_eps: float = 1e-6,
                 block: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Nearest surface hit per ray over the whole scene table.
 
-    Returns (t, sid): t (N,) hit distance (+inf = escaped),
-    sid (N,) int32 row index of the hit surface (-1 = escaped).
-    ``block`` surfaces are tested per scan step (memory O(block*N)).
-    t_eps defaults by dtype (see default_t_eps) and is scaled by the local
-    ray-origin magnitude inside the kernel.
+    Returns (t, sid): t (N,) hit distance (+inf = escaped), sid (N,) int32
+    row of the hit surface (-1 = escaped). Surfaces are processed in
+    compile-time aperture-signature groups; within a group, ``block``
+    surfaces per scan step (memory O(block * N)).
     """
     if t_eps is None:
         t_eps = default_t_eps(pos.dtype)
-    S = scene.num_rows
-    N = pos.shape[0]
-    blk = min(block or 64, S)
-    nb = -(-S // blk)
-    pad = nb * blk - S
+    block = block or 16
 
-    def pad0(a):
-        return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
-
-    inv_frames = pad0(scene.inv_frame).reshape(nb, blk, 4, 4)
-    quads = pad0(scene.quadric).reshape(nb, blk, 10)
-    ap_t = pad0(scene.ap_type).reshape(nb, blk, -1)
-    ap_p = pad0(scene.ap_params).reshape(nb, blk, -1, scene.ap_params.shape[-1])
-    sids = pad0(jnp.arange(S, dtype=jnp.int32)).reshape(nb, blk)
-    # padded rows have quad == 0 -> linear branch with B == 0 -> never hit
-
-    per_surface = jax.vmap(
-        lambda invf, qd, at, app: _surface_t(invf, qd, at, app, pos, dirs,
-                                             t_eps, disc_eps))
-
-    def body(carry, blk_data):
-        t_best, sid_best = carry
-        invf, qd, at, app, sid = blk_data
-        t_blk = per_surface(invf, qd, at, app)            # (blk, N)
-        i_min = jnp.argmin(t_blk, axis=0)                  # (N,)
-        t_min = jnp.min(t_blk, axis=0)
-        sid_min = sid[i_min]
-        upd = t_min < t_best
-        return (jnp.where(upd, t_min, t_best),
-                jnp.where(upd, sid_min, sid_best)), None
-
-    # full_like (not full): inherits the shard_map varying-axis tags of the
-    # ray arrays, otherwise the scan carry types mismatch under a mesh.
-    init = (jnp.full_like(pos[:, 0], jnp.inf),
-            jnp.full_like(pos[:, 0], -1, dtype=jnp.int32))
-    (t_best, sid_best), _ = jax.lax.scan(
-        body, init, (inv_frames, quads, ap_t, ap_p, sids))
+    # full_like: inherits shard_map varying-axis tags of the ray arrays
+    carry = (jnp.full_like(pos[:, 0], jnp.inf),
+             jnp.full_like(pos[:, 0], -1, dtype=jnp.int32))
+    if not scene.groups:
+        raise ValueError("SceneTable.groups missing — compile with "
+                         "scene.compile_scene")
+    for (start, end, sig) in scene.groups:
+        carry = _group_nearest(scene, start, end, sig, pos, dirs,
+                               t_eps, disc_eps, block, carry)
+    t_best, sid_best = carry
     sid_best = jnp.where(jnp.isfinite(t_best), sid_best, -1)
     return t_best, sid_best

@@ -1,10 +1,16 @@
 """Shading kernel: apply each surface's optics to its hit rays, branchlessly.
 
 Replaces the reference's per-surface optics callables (HOT LOOP 2,
-tracer/tracer_engine.py:218-264 dispatching into optics_callables.py):
-every interaction law is computed for every ray with vector ops and the
-result selected by the surface's optics kind — classic TPU-style predication
-(the extra VPU flops are free next to HBM traffic).
+tracer/tracer_engine.py:218-264 dispatching into optics_callables.py).
+Interaction laws are computed with vector ops and selected by surface
+optics kind — TPU-style predication — but the kernel is *specialized at
+compile time* on the scene's static metadata (kinds_present / features):
+laws and RNG draws for optics absent from the scene are never emitted.
+
+Per-ray surface data comes from ONE packed row table. For small scenes the
+"gather" is a fused where-select chain (TPU gathers of (4,4) frames from
+HBM were the dominant bounce cost — ~100 ms/Mray); large scenes use a
+single contiguous gather of the packed row.
 
 Randomness comes from explicit jax.random keys (one per bounce), replacing
 the reference's global numpy RNG, which makes traces reproducible per shard.
@@ -32,17 +38,31 @@ class ShadeResult(NamedTuple):
     backside: jnp.ndarray      # (N,) bool, hit arrived along local +Z
 
 
+_SELECT_GATHER_MAX = 64
+
+
+def _gather_rows(table: jnp.ndarray, sid: jnp.ndarray) -> jnp.ndarray:
+    """Per-ray rows of a (S,K) table. For small S, a where-select chain that
+    XLA fuses into one elementwise pass (table rows become constants),
+    avoiding TPU HBM gathers; otherwise one contiguous dynamic gather."""
+    S = table.shape[0]
+    if S <= _SELECT_GATHER_MAX:
+        out = jnp.broadcast_to(table[0], sid.shape + table.shape[1:])
+        for s in range(1, S):
+            out = jnp.where((sid == s)[..., None], table[s], out)
+        return out
+    return jnp.take(table, sid, axis=0)
+
+
 def _interp_segment(x, start, length, tab_x, tab_y):
     """Per-ray linear interpolation inside a [start, start+length) slice of a
     shared table. Out-of-range clamps to the slice edge values."""
     start = start.astype(jnp.int32)
     length = jnp.maximum(length.astype(jnp.int32), 1)
     n_tab = tab_x.shape[0]
-    # binary search bounded to the slice via masked compare
     idx = jnp.arange(n_tab)
     in_seg = (idx[None, :] >= start[:, None]) & (idx[None, :] < (start + length)[:, None])
     xs = jnp.where(in_seg, tab_x[None, :], jnp.inf)
-    # number of slice entries <= x  (per ray)
     k = jnp.sum(xs <= x[:, None], axis=1)
     lo = jnp.clip(start + k - 1, start, start + length - 1)
     hi = jnp.clip(start + k, start, start + length - 1)
@@ -59,147 +79,185 @@ def shade(scene, sid: jnp.ndarray, t: jnp.ndarray, pos: jnp.ndarray,
     escaped rays get arbitrary-but-finite outputs which the engine masks)."""
     n = pos.shape[0]
     s = jnp.maximum(sid, 0)
+    kinds = set(scene.kinds_present) or {M.K_REFLECT}
+    features = set(scene.features)
 
-    take = lambda a: jnp.take(a, s, axis=0)
-    frame = take(scene.frame)
-    inv_frame = take(scene.inv_frame)
-    quad = take(scene.quadric)
-    kind = take(scene.opt_kind)
-    flags = take(scene.opt_flags)
-    prm = take(scene.opt_params)
+    # ---- packed per-surface row: rot(9) trn(3) quadric(10) params(8) ------
+    S = scene.num_rows
+    packed = jnp.concatenate([
+        scene.frame[:, :3, :3].reshape(S, 9),
+        scene.frame[:, :3, 3],
+        scene.quadric,
+        scene.opt_params,
+    ], axis=1)
+    row = _gather_rows(packed, s)
+    rot = row[:, 0:9].reshape(n, 3, 3)
+    trn = row[:, 9:12]
+    quad = row[:, 12:22]
+    prm = row[:, 22:30]
+
+    ints = jnp.stack([scene.opt_kind, scene.opt_flags], axis=1)
+    introw = _gather_rows(ints, s)
+    kind, flags = introw[:, 0], introw[:, 1]
 
     t_safe = jnp.where(jnp.isfinite(t), t, 0.0)
     hit_g = pos + t_safe[:, None] * dirs
 
-    rot_inv = inv_frame[:, :3, :3]
-    # apply_rot, not einsum: keep tiny matmuls off the bf16-rounded MXU
-    p_l = apply_rot(rot_inv, hit_g) + inv_frame[:, :3, 3]
-    d_l = apply_rot(rot_inv, dirs)
+    # local coordinates: p_l = R^T (p - t0); d_l not needed (normals flip
+    # via the global cosine)
+    rel = hit_g - trn
+    # R^T x as apply_rot with swapped index order
+    p_l = jnp.stack([
+        rot[:, 0, 0] * rel[:, 0] + rot[:, 1, 0] * rel[:, 1] + rot[:, 2, 0] * rel[:, 2],
+        rot[:, 0, 1] * rel[:, 0] + rot[:, 1, 1] * rel[:, 1] + rot[:, 2, 1] * rel[:, 2],
+        rot[:, 0, 2] * rel[:, 0] + rot[:, 1, 2] * rel[:, 1] + rot[:, 2, 2] * rel[:, 2],
+    ], axis=1)
 
-    # gradient of the quadric at the local hit point = 2(A p + b)
-    axx, ayy, azz = quad[:, 0], quad[:, 1], quad[:, 2]
-    axy, axz, ayz = quad[:, 3], quad[:, 4], quad[:, 5]
-    bx, by, bz = quad[:, 6], quad[:, 7], quad[:, 8]
+    # quadric gradient at the local hit point = 2(A p + b)
     x, y, z = p_l[:, 0], p_l[:, 1], p_l[:, 2]
     grad = jnp.stack([
-        axx * x + axy * y + axz * z + bx,
-        axy * x + ayy * y + ayz * z + by,
-        axz * x + ayz * y + azz * z + bz,
+        quad[:, 0] * x + quad[:, 3] * y + quad[:, 4] * z + quad[:, 6],
+        quad[:, 3] * x + quad[:, 1] * y + quad[:, 5] * z + quad[:, 7],
+        quad[:, 4] * x + quad[:, 5] * y + quad[:, 2] * z + quad[:, 8],
     ], axis=1)
     n_l = normalize(grad, eps=1e-30)
 
-    rot = frame[:, :3, :3]
     n_geom = apply_rot(rot, n_l)
     cos_geom = dot(dirs, n_geom)
     # shading normal opposes the incoming ray (ref quadric/flat normal flip)
     ns = jnp.where(cos_geom[:, None] > 0.0, -n_geom, n_geom)
     # one-sidedness references the local +Z ("up", ref surface.py/up()):
-    up = rot[:, :, 2]
-    backside = dot(dirs, up) > 0.0
+    backside = (dirs[:, 0] * rot[:, 0, 2] + dirs[:, 1] * rot[:, 1, 2]
+                + dirs[:, 2] * rot[:, 2, 2]) > 0.0
 
-    # --- random draws shared by all laws -----------------------------------
-    k_phi, k_u, k_th, k_tx, k_spec = jax.random.split(key, 5)
-    phi = jax.random.uniform(k_phi, (n,), dtype=pos.dtype,
-                             minval=0.0, maxval=2.0 * jnp.pi)
-    u1 = jax.random.uniform(k_u, (n,), dtype=pos.dtype)
-    nrm1 = jax.random.normal(k_th, (n,), dtype=pos.dtype)
-    nrm2 = jax.random.normal(k_tx, (n,), dtype=pos.dtype)
-    u_choice = jax.random.uniform(k_spec, (n,), dtype=pos.dtype)
+    needs_diffuse = bool(kinds & {M.K_LAMBERTIAN, M.K_LAMBERTIAN_SPECULAR,
+                                  M.K_SEMI_LAMBERTIAN})
+    needs_choice = bool(kinds & {M.K_LAMBERTIAN_SPECULAR, M.K_REFRACTIVE})
+    needs_slope = "slope_error" in features
+    needs_phi = needs_diffuse or needs_slope
 
-    # --- effective absorptivity (incl. IAM and spectral variants) ----------
+    # ---- random draws (only those the scene's optics need) ----------------
+    k_phi, k_u, k_th, k_tx, k_choice = jax.random.split(key, 5)
+    phi = (jax.random.uniform(k_phi, (n,), dtype=pos.dtype, minval=0.0,
+                              maxval=2.0 * jnp.pi) if needs_phi else None)
+    u1 = (jax.random.uniform(k_u, (n,), dtype=pos.dtype)
+          if needs_diffuse else None)
+    u_choice = (jax.random.uniform(k_choice, (n,), dtype=pos.dtype)
+                if needs_choice else None)
+
+    # ---- effective absorptivity (incl. IAM and spectral variants) ---------
     absorptivity = prm[:, 0]
-    spectral = kind == M.K_REFLECT_SPECTRAL
-    spec_abs = _interp_segment(wavelength, prm[:, 0], prm[:, 1],
-                               scene.spectral_wl, scene.spectral_ab)
-    absorptivity = jnp.where(spectral, spec_abs, absorptivity)
-    # Martin-Ruiz IAM (ref optics_callables.py:271):
+    if "spectral" in features:
+        spectral = kind == M.K_REFLECT_SPECTRAL
+        spec_abs = _interp_segment(wavelength, prm[:, 0], prm[:, 1],
+                                   scene.spectral_wl, scene.spectral_ab)
+        absorptivity = jnp.where(spectral, spec_abs, absorptivity)
+    else:
+        spectral = jnp.zeros((n,), dtype=bool)
     cos_aoi = jnp.abs(dot(dirs, ns))
-    a_r = jnp.where(prm[:, 4] > 0.0, prm[:, 4], 1.0)
-    iam_f = (1.0 - jnp.exp(-cos_aoi / a_r)) / (1.0 - jnp.exp(-1.0 / a_r))
-    has_iam = (flags & M.F_IAM) != 0
-    absorptivity = jnp.where(has_iam, absorptivity * iam_f, absorptivity)
+    if "iam" in features:
+        # Martin-Ruiz incidence-angle modifier (ref optics_callables.py:271)
+        a_r = jnp.where(prm[:, 4] > 0.0, prm[:, 4], 1.0)
+        iam_f = (1.0 - jnp.exp(-cos_aoi / a_r)) / (1.0 - jnp.exp(-1.0 / a_r))
+        has_iam = (flags & M.F_IAM) != 0
+        absorptivity = jnp.where(has_iam, absorptivity * iam_f, absorptivity)
 
-    # --- perturbed normal for slope error (ref RealReflective :214) --------
-    sigma = jnp.where(kind == M.K_REFLECT, prm[:, 1], prm[:, 2])
-    bivar = (flags & M.F_BIVAR) != 0
-    th = nrm1 * sigma
-    radial_err = jnp.stack([jnp.sin(th) * jnp.cos(phi),
-                            jnp.sin(th) * jnp.sin(phi),
-                            jnp.cos(th)], axis=1)
-    tanx = jnp.tan(nrm1 * sigma)
-    tany = jnp.tan(nrm2 * sigma)
-    ez = 1.0 / jnp.sqrt(1.0 + tanx**2 + tany**2)
-    bivar_err = jnp.stack([tanx * ez, tany * ez, ez], axis=1)
-    err = jnp.where(bivar[:, None], bivar_err, radial_err)
-    n_pert = normalize(rotate_to_normal(err, ns), eps=1e-30)
-    n_eff = jnp.where((sigma > 0.0)[:, None], n_pert, ns)
+    # ---- perturbed normal for slope error (ref RealReflective :214) -------
+    if needs_slope:
+        nrm1 = jax.random.normal(k_th, (n,), dtype=pos.dtype)
+        sigma = jnp.where(kind == M.K_REFLECT, prm[:, 1], prm[:, 2])
+        th = nrm1 * sigma
+        radial_err = jnp.stack([jnp.sin(th) * jnp.cos(phi),
+                                jnp.sin(th) * jnp.sin(phi),
+                                jnp.cos(th)], axis=1)
+        if "bivar" in features:
+            nrm2 = jax.random.normal(k_tx, (n,), dtype=pos.dtype)
+            tanx = jnp.tan(nrm1 * sigma)
+            tany = jnp.tan(nrm2 * sigma)
+            ez = 1.0 / jnp.sqrt(1.0 + tanx**2 + tany**2)
+            bivar_err = jnp.stack([tanx * ez, tany * ez, ez], axis=1)
+            bivar = (flags & M.F_BIVAR) != 0
+            err = jnp.where(bivar[:, None], bivar_err, radial_err)
+        else:
+            err = radial_err
+        n_pert = normalize(rotate_to_normal(err, ns), eps=1e-30)
+        n_eff = jnp.where((sigma > 0.0)[:, None], n_pert, ns)
+    else:
+        n_eff = ns
 
-    # --- candidate interactions ---------------------------------------------
+    # ---- candidate interactions, selected by kind --------------------------
     d_reflect = reflections(dirs, n_eff)
-
-    # cosine-weighted ("pillbox") diffuse within ang_range about the normal
-    ang_range = prm[:, 1]
-    sinsq = jnp.sin(ang_range) * jnp.sqrt(u1)
-    d_lamb_local = jnp.stack([jnp.cos(phi) * sinsq, jnp.sin(phi) * sinsq,
-                              jnp.sqrt(jnp.maximum(1.0 - sinsq**2, 0.0))],
-                             axis=1)
-    d_lambert = rotate_to_normal(d_lamb_local, ns)
-    # full-hemisphere variant (for LambertianSpecular's diffuse branch)
-    sinsq_h = jnp.sqrt(u1)
-    d_hemi = rotate_to_normal(
-        jnp.stack([jnp.cos(phi) * sinsq_h, jnp.sin(phi) * sinsq_h,
-                   jnp.sqrt(jnp.maximum(1.0 - sinsq_h**2, 0.0))], axis=1), ns)
-
-    # refraction against the toggled medium (ref RefractiveHomogenous :1186)
-    n1_s, n2_s = prm[:, 0], prm[:, 1]
-    n_cur = ref_index
-    n_next = jnp.where(jnp.abs(n_cur - n1_s) < 1e-9, n2_s, n1_s)
-    refr_ok, d_refract = refractions(n_cur, n_next, dirs, n_eff)
-    R = fresnel(dirs, n_eff, n_cur, n_next)
-    R = jnp.where(refr_ok, R, 1.0)
-    go_reflect = u_choice <= R
-
-    # --- select by kind ------------------------------------------------------
-    is_transparent = kind == M.K_TRANSPARENT
-    is_reflect = (kind == M.K_REFLECT) | spectral
-    is_lambert = kind == M.K_LAMBERTIAN
-    is_lspec = kind == M.K_LAMBERTIAN_SPECULAR
-    is_semi = kind == M.K_SEMI_LAMBERTIAN
-    is_refr = kind == M.K_REFRACTIVE
-    is_periodic = kind == M.K_PERIODIC
-
-    # LambertianSpecular: specular w.p. specularity (p1), diffuse otherwise
-    lspec_spec = u_choice < prm[:, 1]
-    d_lspec = jnp.where(lspec_spec[:, None], d_reflect, d_hemi)
-    # SemiLambertian: specular at glancing incidence, diffuse otherwise
-    ang_in = jnp.arccos(jnp.clip(cos_aoi, -1.0, 1.0))
-    semi_glancing = ang_in > prm[:, 1]
-    d_semi = jnp.where(semi_glancing[:, None], d_reflect, d_lambert)
-
-    d_refr_sel = jnp.where(go_reflect[:, None], d_reflect, d_refract)
-
     out_dir = d_reflect
-    out_dir = jnp.where(is_transparent[:, None], dirs, out_dir)
-    out_dir = jnp.where(is_lambert[:, None], d_lambert, out_dir)
-    out_dir = jnp.where(is_lspec[:, None], d_lspec, out_dir)
-    out_dir = jnp.where(is_semi[:, None], d_semi, out_dir)
-    out_dir = jnp.where(is_refr[:, None], d_refr_sel, out_dir)
-    out_dir = jnp.where(is_periodic[:, None], dirs, out_dir)
-    out_dir = normalize(out_dir, eps=1e-30)
+    keep_energy = jnp.zeros((n,), dtype=bool)
 
-    # energy: most kinds multiply by (1 - absorptivity); refractive Russian
-    # roulette and transparent/periodic keep it; one-sided kills backside hits
-    keep = is_transparent | is_refr | is_periodic
-    out_energy = jnp.where(keep, energy, energy * (1.0 - absorptivity))
-    one_sided = (flags & M.F_ONE_SIDED) != 0
-    out_energy = jnp.where(one_sided & backside, 0.0, out_energy)
+    if needs_diffuse:
+        ang_range = prm[:, 1]
+        sinsq = jnp.sin(ang_range) * jnp.sqrt(u1)
+        d_lambert = rotate_to_normal(
+            jnp.stack([jnp.cos(phi) * sinsq, jnp.sin(phi) * sinsq,
+                       jnp.sqrt(jnp.maximum(1.0 - sinsq**2, 0.0))], axis=1),
+            ns)
+        if M.K_LAMBERTIAN in kinds:
+            out_dir = jnp.where((kind == M.K_LAMBERTIAN)[:, None],
+                                d_lambert, out_dir)
+        if M.K_LAMBERTIAN_SPECULAR in kinds:
+            # full-hemisphere diffuse branch (ref LambertianSpecular :553)
+            sh = jnp.sqrt(u1)
+            d_hemi = rotate_to_normal(
+                jnp.stack([jnp.cos(phi) * sh, jnp.sin(phi) * sh,
+                           jnp.sqrt(jnp.maximum(1.0 - sh**2, 0.0))], axis=1),
+                ns)
+            lspec = jnp.where((u_choice < prm[:, 1])[:, None],
+                              d_reflect, d_hemi)
+            out_dir = jnp.where((kind == M.K_LAMBERTIAN_SPECULAR)[:, None],
+                                lspec, out_dir)
+        if M.K_SEMI_LAMBERTIAN in kinds:
+            # diffuse below ang_range incidence, specular at glancing
+            # (ref SemiLambertian :506; both branches absorb)
+            ang_in = jnp.arccos(jnp.clip(cos_aoi, -1.0, 1.0))
+            d_semi = jnp.where((ang_in > prm[:, 1])[:, None],
+                               d_reflect, d_lambert)
+            out_dir = jnp.where((kind == M.K_SEMI_LAMBERTIAN)[:, None],
+                                d_semi, out_dir)
 
-    out_ref_index = jnp.where(is_refr & ~go_reflect, n_next, n_cur)
+    out_ref_index = ref_index
+    if M.K_REFRACTIVE in kinds:
+        # Fresnel interface with Russian roulette between reflection and
+        # refraction; media toggled vs the ray's current index
+        # (ref RefractiveHomogenous :1186)
+        n1_s, n2_s = prm[:, 0], prm[:, 1]
+        n_next = jnp.where(jnp.abs(ref_index - n1_s) < 1e-9, n2_s, n1_s)
+        refr_ok, d_refract = refractions(ref_index, n_next, dirs, n_eff)
+        R = fresnel(dirs, n_eff, ref_index, n_next)
+        R = jnp.where(refr_ok, R, 1.0)
+        go_reflect = u_choice <= R
+        is_refr = kind == M.K_REFRACTIVE
+        out_dir = jnp.where((is_refr & ~go_reflect)[:, None],
+                            d_refract, out_dir)
+        keep_energy = keep_energy | is_refr
+        out_ref_index = jnp.where(is_refr & ~go_reflect, n_next, ref_index)
 
     out_pos = hit_g
-    period = prm[:, 0]
-    out_pos = jnp.where(is_periodic[:, None],
-                        hit_g + period[:, None] * ns, out_pos)
+    if M.K_PERIODIC in kinds:
+        # teleport by period along the (flipped-against-ray) normal
+        # (ref PeriodicBoundary :690)
+        is_periodic = kind == M.K_PERIODIC
+        out_dir = jnp.where(is_periodic[:, None], dirs, out_dir)
+        out_pos = jnp.where(is_periodic[:, None],
+                            hit_g + prm[:, 0][:, None] * ns, out_pos)
+        keep_energy = keep_energy | is_periodic
+    if M.K_TRANSPARENT in kinds:
+        is_transp = kind == M.K_TRANSPARENT
+        out_dir = jnp.where(is_transp[:, None], dirs, out_dir)
+        keep_energy = keep_energy | is_transp
+
+    out_dir = normalize(out_dir, eps=1e-30)
+
+    out_energy = jnp.where(keep_energy, energy,
+                           energy * (1.0 - absorptivity))
+    if "one_sided" in features:
+        one_sided = (flags & M.F_ONE_SIDED) != 0
+        out_energy = jnp.where(one_sided & backside, 0.0, out_energy)
 
     absorbed = energy - out_energy
 

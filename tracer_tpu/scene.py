@@ -181,6 +181,18 @@ class SceneTable:
     spectral_wl: jnp.ndarray
     spectral_ab: jnp.ndarray
     logical: jnp.ndarray
+    # Static (hashable) compile-time specialization data. Rows are SORTED so
+    # each aperture-signature group is a contiguous [start, end) slice; the
+    # intersect kernel emits lean code per group instead of evaluating every
+    # constraint predicate for every surface.
+    groups: tuple = struct.field(pytree_node=False, default=())
+    # sorted tuple of optics kinds present; shade only compiles those laws
+    kinds_present: tuple = struct.field(pytree_node=False, default=())
+    # sorted tuple of flag bits in use (F_ONE_SIDED etc.)
+    flags_present: tuple = struct.field(pytree_node=False, default=())
+    # static feature tags ("slope_error", "iam", "one_sided", "bivar",
+    # "spectral") used to prune unused shading code paths
+    features: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def num_rows(self) -> int:
@@ -225,6 +237,13 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
         for g in surf.geometries:
             rows.append((g, frame, lid, surf.optics))
 
+    # Sort rows so surfaces with the same aperture signature are contiguous:
+    # the intersect kernel specializes per group at compile time.
+    def ap_sig(geom: Geometry):
+        return tuple(t for t, _ in geom.apertures)
+
+    rows.sort(key=lambda r: ap_sig(r[0]))
+
     S = len(rows)
     C = max_constraints or max(1, max(len(g.apertures) for g, *_ in rows))
 
@@ -266,6 +285,35 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
     else:
         spec = np.zeros((1, 2))
 
+    # contiguous aperture-signature groups (rows were sorted above)
+    groups = []
+    start = 0
+    for i in range(1, S + 1):
+        if i == S or ap_sig(rows[i][0]) != ap_sig(rows[start][0]):
+            groups.append((start, i, ap_sig(rows[start][0])))
+            start = i
+
+    kinds_present = tuple(sorted({opt.kind for *_, opt in rows}))
+    flags_present = tuple(sorted({opt.flags for *_, opt in rows}))
+
+    from . import materials as M
+    features = set()
+    for g, frame, lid, opt in rows:
+        sigma_slot = 1 if opt.kind == M.K_REFLECT else 2
+        if opt.kind in (M.K_REFLECT, M.K_REFLECT_SPECTRAL,
+                        M.K_LAMBERTIAN_SPECULAR, M.K_REFRACTIVE) \
+                and opt.params[sigma_slot] > 0:
+            features.add("slope_error")
+        if opt.flags & M.F_IAM:
+            features.add("iam")
+        if opt.flags & M.F_ONE_SIDED:
+            features.add("one_sided")
+        if opt.flags & M.F_BIVAR:
+            features.add("bivar")
+        if opt.kind == M.K_REFLECT_SPECTRAL:
+            features.add("spectral")
+    features = tuple(sorted(features))
+
     table = SceneTable(
         frame=jnp.asarray(frames, dtype=dtype),
         inv_frame=jnp.asarray(invs, dtype=dtype),
@@ -278,6 +326,10 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
         spectral_wl=jnp.asarray(spec[:, 0], dtype=dtype),
         spectral_ab=jnp.asarray(spec[:, 1], dtype=dtype),
         logical=jnp.asarray(logical),
+        groups=tuple(groups),
+        kinds_present=kinds_present,
+        flags_present=flags_present,
+        features=features,
     )
     names = [s.name or f"surface_{k}" for k, s in enumerate(logical_surfaces)]
     meta = SceneMeta(surfaces=logical_surfaces, names=names,
