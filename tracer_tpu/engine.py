@@ -84,10 +84,11 @@ class TraceOptions:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("min_energy", "t_eps", "disc_eps", "block"))
+                   static_argnames=("min_energy", "t_eps", "disc_eps", "block",
+                                    "count_hits"))
 def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
                  key: jax.Array, min_energy: float, t_eps, disc_eps: float,
-                 block: int):
+                 block: int, count_hits: bool = True):
     """One bounce: intersect, shade, account. Returns (bundle', accum', rec)."""
     n_rows = scene.frame.shape[0]
     alive = bundle.alive & (bundle.energy > 0.0)
@@ -105,33 +106,34 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
     e_out = jnp.where(hit, res.out_energy, 0.0)
     absorbed_ray = jnp.where(hit, res.absorbed, 0.0)
 
+    new_escaped = accum.escaped + jnp.sum(
+        jnp.where(escaped, bundle.energy, 0.0))
     if n_rows <= 64:
         # masked reductions beat TPU scatters ~30x for small surface counts
-        hit_f = jnp.where(hit, 1.0, 0.0)
         absorbed_rows = jnp.stack(
             [jnp.sum(jnp.where(sid == s_i, absorbed_ray, 0.0))
              for s_i in range(n_rows)])
-        hit_rows = jnp.stack(
-            [jnp.sum(jnp.where(sid == s_i, hit_f, 0.0))
-             for s_i in range(n_rows)])
-        accum = accum.replace(
-            absorbed=accum.absorbed + absorbed_rows,
-            hits=accum.hits + hit_rows,
-            escaped=accum.escaped
-            + jnp.sum(jnp.where(escaped, bundle.energy, 0.0)),
-        )
+        new_hits = accum.hits
+        if count_hits:
+            hit_f = jnp.where(hit, 1.0, 0.0)
+            new_hits = accum.hits + jnp.stack(
+                [jnp.sum(jnp.where(sid == s_i, hit_f, 0.0))
+                 for s_i in range(n_rows)])
+        accum = accum.replace(absorbed=accum.absorbed + absorbed_rows,
+                              hits=new_hits, escaped=new_escaped)
     else:
         sid_safe = jnp.maximum(sid, 0)
-        # one fused scatter for both per-surface accumulators
-        vals = jnp.stack([absorbed_ray, jnp.where(hit, 1.0, 0.0)], axis=1)
-        acc2 = (jnp.stack([accum.absorbed, accum.hits], axis=1)
-                .at[sid_safe].add(vals))
-        accum = accum.replace(
-            absorbed=acc2[:, 0],
-            hits=acc2[:, 1],
-            escaped=accum.escaped
-            + jnp.sum(jnp.where(escaped, bundle.energy, 0.0)),
-        )
+        if count_hits:
+            # one fused scatter for both per-surface accumulators
+            vals = jnp.stack([absorbed_ray, jnp.where(hit, 1.0, 0.0)], axis=1)
+            acc2 = (jnp.stack([accum.absorbed, accum.hits], axis=1)
+                    .at[sid_safe].add(vals))
+            accum = accum.replace(absorbed=acc2[:, 0], hits=acc2[:, 1],
+                                  escaped=new_escaped)
+        else:
+            accum = accum.replace(
+                absorbed=accum.absorbed.at[sid_safe].add(absorbed_ray),
+                escaped=new_escaped)
 
     low = hit & (e_out <= min_energy)
     accum = accum.replace(culled=accum.culled + jnp.sum(jnp.where(low, e_out, 0.0)))
@@ -314,11 +316,12 @@ def trace_fused(scene: SceneTable, bundle: RayBundle, key: jax.Array,
 
 @functools.partial(
     jax.jit, static_argnames=("source_fn", "total_rays", "max_rounds",
-                              "min_energy", "t_eps", "disc_eps", "block"))
+                              "max_path", "min_energy", "t_eps", "disc_eps",
+                              "block"))
 def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
                     total_rays: int, max_rounds: int = 10_000,
-                    min_energy: float = 1e-6, t_eps=None,
-                    disc_eps: float = 1e-6, block: int = 64):
+                    max_path: int = 100, min_energy: float = 1e-6,
+                    t_eps=None, disc_eps: float = 1e-6, block: int = 64):
     """Streaming wavefront trace with on-device ray regeneration.
 
     The reference (and trace_fused) lets the ray population decay across
@@ -330,7 +333,11 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
 
     source_fn(key) must be traceable and return a RayBundle with the slab
     size; it is called once per round for the dead slots. ``total_rays``
-    caps how many source rays are emitted in total.
+    caps how many source rays are emitted in total. ``max_path`` is the
+    per-ray bounce budget (the streaming analog of the reference engine's
+    ``reps``, tracer_engine.py:124): rays older than it are culled with
+    their energy accounted, which bounds the straggler tail that would
+    otherwise keep the whole slab looping for rare long paths.
 
     Returns (accum, emitted): energy accumulators (escaped/culled/absorbed
     cover every emitted ray; residual energy of still-alive rays at exit is
@@ -347,7 +354,7 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
         escaped=zero, culled=zero)
     source0 = zero   # total energy emitted
 
-    def regenerate(bundle, key, emitted, source_e):
+    def regenerate(bundle, age, key, emitted, source_e):
         fresh = source_fn(key)
         free = ~bundle.alive
         budget = total_rays - emitted
@@ -363,31 +370,39 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             ref_index=jnp.where(refill, fresh.ref_index, bundle.ref_index),
             alive=bundle.alive | refill,
         )
+        age = jnp.where(refill, 0, age)
         emitted = emitted + jnp.sum(refill.astype(jnp.int32))
         source_e = source_e + jnp.sum(jnp.where(refill, fresh.energy, 0.0))
-        return bundle, emitted, source_e
+        return bundle, age, emitted, source_e
 
     empty = probe.replace(alive=jnp.zeros((n,), dtype=bool),
                           energy=jnp.zeros_like(probe.energy))
 
     def cond(state):
-        i, bundle, accum, key, emitted, source_e = state
+        i, bundle, age, accum, key, emitted, source_e = state
         return ((i < max_rounds)
                 & ((emitted < total_rays) | jnp.any(bundle.alive)))
 
     def body(state):
-        i, bundle, accum, key, emitted, source_e = state
+        i, bundle, age, accum, key, emitted, source_e = state
         key, k_src, k_bounce = jax.random.split(key, 3)
-        bundle, emitted, source_e = regenerate(bundle, k_src, emitted,
-                                               source_e)
+        bundle, age, emitted, source_e = regenerate(bundle, age, k_src,
+                                                    emitted, source_e)
         bundle, accum, _ = _bounce_step(
             scene, bundle, accum, k_bounce, min_energy=min_energy,
-            t_eps=t_eps, disc_eps=disc_eps, block=block)
-        return (i + 1, bundle, accum, key, emitted, source_e)
+            t_eps=t_eps, disc_eps=disc_eps, block=block, count_hits=False)
+        # per-ray bounce budget: cull overage rays, account their energy
+        age = age + 1
+        over = bundle.alive & (age >= max_path)
+        accum = accum.replace(
+            culled=accum.culled + jnp.sum(jnp.where(over, bundle.energy, 0.0)))
+        bundle = bundle.replace(alive=bundle.alive & ~over)
+        return (i + 1, bundle, age, accum, key, emitted, source_e)
 
-    state = (jnp.array(0, dtype=jnp.int32), empty, accum0, key,
-             jnp.array(0, dtype=jnp.int32) + jnp.sum(probe.parent) * 0,
-             source0)
-    _, bundle, accum, _, emitted, source_e = jax.lax.while_loop(
+    zero_i = jnp.sum(probe.parent) * 0
+    state = (jnp.array(0, dtype=jnp.int32), empty,
+             jnp.zeros((n,), dtype=jnp.int32) + zero_i, accum0, key,
+             jnp.array(0, dtype=jnp.int32) + zero_i, source0)
+    _, bundle, _, accum, _, emitted, source_e = jax.lax.while_loop(
         cond, body, state)
     return accum, emitted, source_e

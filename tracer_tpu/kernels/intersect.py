@@ -223,13 +223,28 @@ def nearest_hit(scene, pos: jnp.ndarray, dirs: jnp.ndarray,
         t_eps = default_t_eps(pos.dtype)
     block = block or 16
 
+    # TPU + float32: use the Pallas kernel (single HBM pass, all
+    # intermediates in VMEM). The jnp path below stays as the float64/CPU
+    # oracle and the fallback for exotic backends.
+    if pos.dtype == jnp.float32 and jax.default_backend() not in ("cpu",):
+        from .pallas_intersect import nearest_hit_pallas
+        S = scene.num_rows
+        rows = jnp.concatenate([
+            scene.inv_frame[:, :3, :3].reshape(S, 9),
+            scene.inv_frame[:, :3, 3],
+            scene.quadric,
+            scene.ap_params.reshape(S, -1),
+        ], axis=1).astype(jnp.float32)
+        return nearest_hit_pallas(rows, pos, dirs, scene.groups,
+                                  t_eps, disc_eps)
+
     # full_like: inherits shard_map varying-axis tags of the ray arrays
     carry = (jnp.full_like(pos[:, 0], jnp.inf),
              jnp.full_like(pos[:, 0], -1, dtype=jnp.int32))
     if not scene.groups:
         raise ValueError("SceneTable.groups missing — compile with "
                          "scene.compile_scene")
-    for (start, end, sig) in scene.groups:
+    for (start, end, sig, _tag) in scene.groups:
         carry = _group_nearest(scene, start, end, sig, pos, dirs,
                                t_eps, disc_eps, block, carry)
     t_best, sid_best = carry

@@ -237,12 +237,18 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
         for g in surf.geometries:
             rows.append((g, frame, lid, surf.optics))
 
-    # Sort rows so surfaces with the same aperture signature are contiguous:
-    # the intersect kernel specializes per group at compile time.
+    # Sort rows so surfaces with the same aperture signature (and plane-ness)
+    # are contiguous: the intersect kernel specializes per group.
     def ap_sig(geom: Geometry):
         return tuple(t for t, _ in geom.apertures)
 
-    rows.sort(key=lambda r: ap_sig(r[0]))
+    _flat_quad = np.zeros(10)
+    _flat_quad[8] = 0.5
+
+    def _is_flat_geom(geom: Geometry) -> bool:
+        return np.array_equal(geom.quadric, _flat_quad)
+
+    rows.sort(key=lambda r: (ap_sig(r[0]), not _is_flat_geom(r[0])))
 
     S = len(rows)
     C = max_constraints or max(1, max(len(g.apertures) for g, *_ in rows))
@@ -285,12 +291,19 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
     else:
         spec = np.zeros((1, 2))
 
-    # contiguous aperture-signature groups (rows were sorted above)
+    # contiguous aperture-signature groups (rows were sorted above); each
+    # group is tagged "flat" when every member is the canonical plane z=0
+    # (quadric [0..0, bz=.5, 0]) so kernels can take a ~3x cheaper path
+    def is_flat(i):
+        return _is_flat_geom(rows[i][0])
+
     groups = []
     start = 0
     for i in range(1, S + 1):
-        if i == S or ap_sig(rows[i][0]) != ap_sig(rows[start][0]):
-            groups.append((start, i, ap_sig(rows[start][0])))
+        if i == S or ap_sig(rows[i][0]) != ap_sig(rows[start][0]) \
+                or is_flat(i) != is_flat(start):
+            tag = "flat" if is_flat(start) else "quadric"
+            groups.append((start, i, ap_sig(rows[start][0]), tag))
             start = i
 
     kinds_present = tuple(sorted({opt.kind for *_, opt in rows}))

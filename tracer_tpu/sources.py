@@ -102,33 +102,52 @@ def _buie_tables(CSR: float, pre_process_CSR: bool = True):
                 kappa=kappa, gamma=gamma, csr=CSR)
 
 
+_BUIE_INV_N = 1 << 14  # dense inverse-CDF table resolution
+
+
+def _buie_inverse_table(tb) -> np.ndarray:
+    """Host-side dense inverse CDF of the solar-disc part: theta at
+    _BUIE_INV_N+1 uniform quantiles of [0, cdf_disc_end]. Exact per-interval
+    quadratic inversion (same math as ref Buie_directions_sampling step 3),
+    evaluated once in NumPy so device sampling is two loads and a lerp —
+    jnp.searchsorted per ray costs ~100 ms/Mray on TPU."""
+    theta, w, cdf = tb["theta"], tb["w"], tb["cdf"]
+    disc_end = cdf[-1]
+    r = np.linspace(0.0, disc_end, _BUIE_INV_N + 1)
+    i = np.clip(np.searchsorted(cdf, r, side="right") - 1, 0, len(cdf) - 2)
+    A, B = w[i], w[i + 1]
+    t0, t1 = theta[i], theta[i + 1]
+    C = 2.0 * tb["integ_sum"] * (r - cdf[i]) * (t1 - t0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        root = np.sqrt(np.maximum(((t0 - t1) * A) ** 2 + C * (B - A), 0.0))
+        th_q = -(-A * t1 + B * t0 + root) / np.where(A == B, 1.0, A - B)
+        th_lin = t0 + C / (2.0 * np.where(A == 0.0, 1.0, A) * (t1 - t0))
+    th = np.where(A == B, th_lin, th_q)
+    th[0] = 0.0
+    return th
+
+
 def buie_directions(key, num_rays: int, CSR: float,
                     pre_process_CSR: bool = True) -> jnp.ndarray:
     """Sample ray directions from the Buie sunshape about +Z
-    (ref Buie_directions_sampling, sources.py:330): inverse-CDF over the
-    discretized solar-disc radiance plus the analytic circumsolar aureole."""
+    (ref Buie_directions_sampling, sources.py:330): dense tabulated
+    inverse-CDF over the discretized solar-disc radiance (see
+    _buie_inverse_table) plus the analytic circumsolar aureole."""
     tb = _buie_tables(CSR, pre_process_CSR)
-    theta = jnp.asarray(tb["theta"])
-    w = jnp.asarray(tb["w"])
-    cdf = jnp.asarray(tb["cdf"])
+    inv = jnp.asarray(_buie_inverse_table(tb))
+    disc_end = tb["cdf"][-1]
+
     k1, k2 = jax.random.split(key)
     r = jax.random.uniform(k1, (num_rays,))
 
-    i = jnp.clip(jnp.searchsorted(cdf, r, side="right") - 1, 0, len(tb["cdf"]) - 2)
-    A = w[i]
-    B = w[i + 1]
-    t0, t1 = theta[i], theta[i + 1]
-    C = 2.0 * tb["integ_sum"] * (r - cdf[i]) * (t1 - t0)
-    denom = jnp.where(A == B, 1.0, A - B)
-    root = jnp.sqrt(jnp.maximum(((t0 - t1) * A) ** 2 + C * (B - A), 0.0))
-    th_disc = -(-A * t1 + B * t0 + root) / denom
-    # A == B fallback (linear inversion)
-    th_lin = t0 + C / (2.0 * jnp.where(A == 0.0, 1.0, A) * (t1 - t0))
-    thetas = jnp.where(A == B, th_lin, th_disc)
+    u = jnp.clip(r / disc_end, 0.0, 1.0) * _BUIE_INV_N
+    i0 = jnp.clip(u.astype(jnp.int32), 0, _BUIE_INV_N - 1)
+    frac = u - i0.astype(u.dtype)
+    thetas = inv[i0] * (1.0 - frac) + inv[i0 + 1] * frac
 
     if tb["csr"] > 0.0:
         gamma, kappa = tb["gamma"], tb["kappa"]
-        aureole = r >= cdf[-1]
+        aureole = r >= disc_end
         th_aur = ((r - 1.0) * ((gamma + 2.0) / (10.0 ** (3.0 * gamma)
                                                 * np.exp(kappa))
                                * tb["integ_sum"]
