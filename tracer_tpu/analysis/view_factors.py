@@ -1,0 +1,337 @@
+"""Monte-Carlo radiative view factors with adaptive precision.
+
+Capability parity with the reference's emissive_losses/view_factors_3D.py:
+the RTVF base (adaptive 3-sigma Welford loop gating per-element ray firing
+via the stdev + reciprocity + summation tests, :44-106) and the
+2N-parameter axisymmetric cavity driver (Two_N_parameters_cavity_RTVF :359).
+
+TPU-native re-design: each element's emission bundle is traced by the fused
+device engine with absorptivity-1 Lambertian walls and ONE bounce (view
+factors are direct-exchange fractions); the absorbed energy is binned into
+elements by global z-slab on the device records. The host loop only runs
+the statistics.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from .. import geometry as G
+from .. import materials as M
+from ..engine import TracerEngine, TraceOptions
+from ..scene import Assembly, AssembledObject, Surface, compile_scene
+from .. import spatial as sp
+from ..sources import disk_bundle, vf_cylinder_bundle, vf_frustum_bundle
+
+
+def build_two_n_cavity(aperture_radius: float, frusta_radii: Sequence[float],
+                       frusta_depths: Sequence[float], cone_depth: float,
+                       optics=None) -> Assembly:
+    """Axisymmetric cavity: aperture disc at z=0, a chain of frusta /
+    cylinders, closed by a cone (or flat plate). Mirrors the geometry
+    construction of ref Two_N_parameters_cavity_RTVF (:436-476).
+
+    optics - per-surface OpticsSpec factory (default: absorptivity-1
+        Lambertian, the VF configuration).
+    """
+    frusta_radii = list(frusta_radii)
+    frusta_depths = list(frusta_depths)
+    if optics is None:
+        optics = lambda: M.lambertian(absorptivity=1.0)
+
+    objs = []
+    # aperture
+    objs.append(AssembledObject(surfs=[Surface(
+        G.round_plate(aperture_radius), optics(), name="aperture")]))
+
+    radii = [aperture_radius] + frusta_radii
+    z = 0.0
+    for i in range(len(frusta_radii)):
+        r_in, r_out, d = radii[i], radii[i + 1], frusta_depths[i]
+        name = f"frustum_{i}"
+        if r_in == r_out:  # cylinder section
+            surf = Surface(G.finite_cylinder(2.0 * r_out, abs(d)), optics(),
+                           name=name)
+            obj = AssembledObject(surfs=[surf])
+            obj.set_transform(sp.translate(z=z + d / 2.0))
+        elif d == 0.0:  # flat annular step
+            surf = Surface(G.round_plate(max(r_in, r_out), min(r_in, r_out)),
+                           optics(), name=name)
+            obj = AssembledObject(surfs=[surf])
+            obj.set_transform(sp.translate(z=z))
+        else:
+            surf = Surface(G.conical_frustum(0.0, r_in, abs(d), r_out),
+                           optics(), name=name)
+            obj = AssembledObject(surfs=[surf])
+            if d < 0.0:
+                obj.set_transform(sp.translate(z=z) @ sp.rotx(np.pi))
+            else:
+                obj.set_transform(sp.translate(z=z))
+        objs.append(obj)
+        z += d
+
+    max_depth = z
+    r_last = radii[-1]
+    if cone_depth > 0.0:  # outgoing cone
+        obj = AssembledObject(surfs=[Surface(
+            G.finite_cone(r_last, cone_depth),
+            optics(), name="cone")])
+        obj.set_transform(sp.rotx(np.pi) @ sp.translate(z=-(max_depth
+                                                            + cone_depth)))
+    elif cone_depth == 0.0:  # flat back plate
+        obj = AssembledObject(surfs=[Surface(
+            G.round_plate(r_last), optics(), name="cone")])
+        obj.set_transform(sp.translate(z=max_depth))
+    else:  # inward cone
+        obj = AssembledObject(surfs=[Surface(
+            G.finite_cone(r_last, -cone_depth), optics(), name="cone")])
+        obj.set_transform(sp.translate(z=max_depth + cone_depth))
+    objs.append(obj)
+    return Assembly(objects=objs)
+
+
+class TwoNParametersCavityRTVF:
+    """Adaptive MC view factors of a 2N-parameter cavity
+    (ref Two_N_parameters_cavity_RTVF :359 + RTVF.test_precision :44).
+
+    Elements (in order): aperture, el_FRUs[i] depth-equal slices per
+    frustum, el_CON slices of the cone. After construction,
+    ``VF_esperance`` holds the converged VF matrix and ``areas`` the
+    analytic element areas.
+    """
+
+    def __init__(self, apertureRadius: float, frustaRadii, frustaDepths,
+                 coneDepth: float, el_FRUs, el_CON: int,
+                 num_rays: int = 10000, precision: float = 0.01,
+                 precision_option: str = "absolute",
+                 precision_rec: Optional[float] = None,
+                 key=None, max_iters: int = 200, min_iters: int = 3):
+        self.aperture_radius = float(apertureRadius)
+        self.frusta_radii = [float(r) for r in np.atleast_1d(frustaRadii)]
+        self.frusta_depths = [float(d) for d in np.atleast_1d(frustaDepths)]
+        self.cone_depth = float(coneDepth)
+        self.el_FRUs = [int(e) for e in np.atleast_1d(el_FRUs)]
+        self.el_CON = int(el_CON)
+        self.num_rays = int(num_rays)
+        self.precision = precision
+        self.precision_rec = precision_rec or precision
+        self.precision_option = precision_option
+
+        n = 1 + sum(self.el_FRUs) + self.el_CON
+        self.n_elements = n
+        self.areas = self._element_areas()
+        self._element_z = self._element_z_edges()
+
+        asm = build_two_n_cavity(self.aperture_radius, self.frusta_radii,
+                                 self.frusta_depths, self.cone_depth)
+        self.engine = TracerEngine(asm)
+        self._logical_of_row = self.engine.meta.row_logical
+
+        # Welford state (mirrors ref RTVF fields)
+        self.VF = np.zeros((n, n))
+        self.VF_esperance = np.zeros((n, n))
+        self.Qsum = np.zeros((n, n))
+        self.stdev_VF = np.zeros((n, n))
+        self.p = np.zeros(n)
+        self.ray_counts = np.full(n, self.num_rays, dtype=float)
+        self.progress = np.ones((n, n), dtype=bool)
+
+        if key is None:
+            key = jax.random.PRNGKey(20260816)
+        self._run(key, max_iters, min_iters)
+
+    # --- geometry bookkeeping ------------------------------------------------
+    def _element_areas(self) -> np.ndarray:
+        """Analytic element areas (ref :404-427)."""
+        n = self.n_elements
+        areas = np.zeros(n)
+        areas[0] = np.pi * self.aperture_radius**2
+        radii_chain = [self.aperture_radius] + self.frusta_radii
+        idx = 1
+        for k, (el, d) in enumerate(zip(self.el_FRUs, self.frusta_depths)):
+            r_in, r_out = radii_chain[k], radii_chain[k + 1]
+            if r_in == r_out:
+                areas[idx:idx + el] = 2.0 * np.pi * r_out * abs(d) / el
+            else:
+                L = np.sqrt(d**2 + (r_out - r_in) ** 2) / el
+                radii = r_in + np.arange(el + 1) * (r_out - r_in) / el
+                areas[idx:idx + el] = np.pi * (radii[:-1] + radii[1:]) * L
+            idx += el
+        r_last = self.frusta_radii[-1]
+        radii = r_last + np.arange(self.el_CON + 1) * (-r_last) / self.el_CON
+        areas[idx:] = (np.pi * (radii[:-1] + radii[1:])
+                       * np.sqrt(self.cone_depth**2 + r_last**2) / self.el_CON)
+        return areas
+
+    def _element_z_edges(self):
+        """(surface_logical_id, z_lo, z_hi) per element, global coords."""
+        out = [("aperture", 0, 0.0, 0.0)]
+        z = 0.0
+        for k, (el, d) in enumerate(zip(self.el_FRUs, self.frusta_depths)):
+            for e in range(el):
+                z0 = z + e * d / el
+                z1 = z + (e + 1) * d / el
+                out.append((f"frustum_{k}", 1 + k, min(z0, z1), max(z0, z1)))
+            z += d
+        zc0, zc1 = sorted((z, z + self.cone_depth)) if self.cone_depth != 0 \
+            else (z, z)
+        for e in range(self.el_CON):
+            # cone elements sliced by radius (equal-radius rings); bin by
+            # radial distance instead of z for the flat-plate case
+            out.append(("cone", 1 + len(self.el_FRUs), zc0, zc1, e))
+        return out
+
+    # --- element sources -----------------------------------------------------
+    def _element_source(self, key, element: int):
+        """Emission bundle of one element (ref gen_source + :490-540)."""
+        nrays = self.num_rays
+        ap_r = self.aperture_radius
+        if element == 0:
+            return disk_bundle(key, nrays, center=[0, 0, 0],
+                               direction=[0, 0, 1.0], radius=ap_r,
+                               ang_range=np.pi / 2,
+                               flux=1.0 / (np.pi * ap_r**2))
+        idx = 1
+        radii_chain = [self.aperture_radius] + self.frusta_radii
+        z = 0.0
+        for k, (el, d) in enumerate(zip(self.el_FRUs, self.frusta_depths)):
+            for e in range(el):
+                if element == idx:
+                    r0 = radii_chain[k] + e * (radii_chain[k + 1]
+                                               - radii_chain[k]) / el
+                    r1 = radii_chain[k] + (e + 1) * (radii_chain[k + 1]
+                                                     - radii_chain[k]) / el
+                    depth = d / el
+                    center = [0, 0, z + e * d / el]
+                    if r0 == r1:
+                        return vf_cylinder_bundle(
+                            key, nrays, rc=r0, lc=abs(depth),
+                            center=[0, 0, z + (e + 0.5) * d / el],
+                            direction=[0, 0, 1.0], rays_in=True)
+                    return vf_frustum_bundle(
+                        key, nrays, r0=r0, r1=r1, depth=depth,
+                        center=center, direction=[0, 0, 1.0],
+                        rays_in=(d >= 0.0))
+                idx += 1
+            z += d
+        # cone elements: sub-frusta of the cone wall
+        e = element - idx
+        r_last = self.frusta_radii[-1]
+        cd = self.cone_depth
+        if cd == 0.0:  # flat back plate: annular disk emitters
+            r_hi = r_last * (1.0 - e / self.el_CON)
+            r_lo = r_last * (1.0 - (e + 1) / self.el_CON)
+            return disk_bundle(key, nrays, center=[0, 0, z],
+                               direction=[0, 0, -1.0], radius=r_hi,
+                               ang_range=np.pi / 2, radius_in=r_lo,
+                               flux=1.0 / (np.pi * (r_hi**2 - r_lo**2)))
+        r0 = r_last * (1.0 - e / self.el_CON)
+        r1 = r_last * (1.0 - (e + 1) / self.el_CON)
+        z0 = z + cd * e / self.el_CON
+        depth = cd / self.el_CON
+        return vf_frustum_bundle(key, nrays, r0=r0, r1=max(r1, 1e-9 * r_last),
+                                 depth=depth, center=[0, 0, z0],
+                                 direction=[0, 0, 1.0], rays_in=(cd < 0.0))
+
+    # --- binning --------------------------------------------------------------
+    def _bin_absorbed(self, result) -> np.ndarray:
+        """Absorbed energy per element from trace records (z/radial slabs)."""
+        out = np.zeros(self.n_elements)
+        rec = result.records[0]  # single-bounce trace
+        sid = np.asarray(rec.sid)
+        hit = np.asarray(rec.hit)
+        absorbed = np.asarray(rec.absorbed)
+        alive = np.asarray(rec.alive_in)
+        logical = self._logical_of_row[np.maximum(sid, 0)]
+        valid = alive & (sid >= 0)
+
+        names = self.engine.meta.names
+        ap_l = names.index("aperture")
+        cone_l = names.index("cone")
+        # aperture element
+        out[0] = absorbed[valid & (logical == ap_l)].sum()
+        idx = 1
+        z = 0.0
+        for k, (el, d) in enumerate(zip(self.el_FRUs, self.frusta_depths)):
+            f_l = names.index(f"frustum_{k}")
+            m = valid & (logical == f_l)
+            if m.any():
+                rel = (hit[m, 2] - z) / d * el
+                b = np.clip(rel.astype(int), 0, el - 1)
+                np.add.at(out, idx + b, absorbed[m])
+            idx += el
+            z += d
+        # cone: bin by radius ring (equal radial slices, matches areas)
+        m = valid & (logical == cone_l)
+        if m.any():
+            r_last = self.frusta_radii[-1]
+            rr = np.hypot(hit[m, 0], hit[m, 1]) / r_last
+            b = np.clip((self.el_CON * (1.0 - rr)).astype(int), 0,
+                        self.el_CON - 1)
+            np.add.at(out, idx + b, absorbed[m])
+        return out
+
+    # --- adaptive loop (ref RTVF.test_precision :44-106) ----------------------
+    def _run(self, key, max_iters: int, min_iters: int) -> None:
+        stable = 0
+        it = 0
+        while (self.progress.any() or stable < 2) and it < max_iters:
+            it += 1
+            for el in range(self.n_elements):
+                if self.ray_counts[el] == 0.0:
+                    continue
+                key, sub, ktrace = jax.random.split(key, 3)
+                bund = self._element_source(sub, el)
+                res = self.engine.ray_tracer(
+                    bund, reps=1, min_energy=1e-10, key=ktrace,
+                    opts=TraceOptions(max_bounces=1, min_energy=1e-10))
+                emitted = float(np.asarray(bund.energy).sum())
+                self.VF[el] = self._bin_absorbed(res) / emitted
+            self.p += self.ray_counts
+            self._test_precision()
+            if it >= min_iters and not self.progress.any():
+                stable += 1
+            else:
+                stable = 0
+            # elements whose whole row converged stop firing
+            self.ray_counts = np.where(self.progress.any(axis=1),
+                                       float(self.num_rays), 0.0)
+        self.iterations = it
+
+    def _test_precision(self) -> None:
+        r = self.ray_counts[:, None]
+        p = np.maximum(self.p[:, None], 1.0)
+        p_1 = np.maximum(p - r, 0.0)
+        Ai = np.broadcast_to(self.areas[:, None], self.VF.shape)
+
+        fired = r > 0
+        self.Qsum = np.where(
+            fired, self.Qsum + r * p_1 / p * (self.VF - self.VF_esperance) ** 2,
+            self.Qsum)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            self.stdev_VF = 3.0 * np.sqrt(self.Qsum / np.maximum(p - 1.0, 1.0)) \
+                / np.sqrt(p)
+        self.VF_esperance = np.where(
+            fired, (self.VF_esperance * p_1 + self.VF * r) / p,
+            self.VF_esperance)
+
+        AiFij = self.VF_esperance * Ai
+        if self.precision_option == "absolute":
+            stdev_test = self.stdev_VF <= self.precision / 2.0
+            tas = self.stdev_VF * Ai
+            reciprocity_test = (tas + tas.T) <= self.precision_rec
+        else:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                rel = np.nan_to_num(self.stdev_VF / self.VF_esperance)
+                stdev_test = rel <= self.precision
+                tas = Ai * self.stdev_VF
+                rel_rec = np.nan_to_num((tas + tas.T) / AiFij,
+                                        posinf=0.0, neginf=0.0)
+            reciprocity_test = (rel_rec <= self.precision_rec) | (
+                AiFij < self.precision_rec * np.max(AiFij, axis=1,
+                                                    keepdims=True))
+        summ_test = np.abs(self.VF_esperance.sum(axis=1) - 1.0) \
+            < self.precision
+        self.progress = ~(summ_test[:, None] & stdev_test & reciprocity_test)

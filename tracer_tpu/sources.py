@@ -448,3 +448,93 @@ def trapezoid_bundle(key, num_rays: int, A, B, C, direction=None,
     b1 = triangular_bundle(k1, n1, A, Bv, Cv, direction, ang_range, f, procs)
     b2 = triangular_bundle(k2, n2, A, Cv, D, direction, ang_range, f, procs)
     return b1.concat(b2)
+
+
+# ---------------------------------------------------------------------------
+# View-factor sources: Lambertian emitters over frustum / cylinder walls
+# (ref sources.py:644 vf_frustum_bundle, :716 vf_cylinder_bundle) — used by
+# the MC view-factor subsystem (analysis/view_factors.py). Vectorized with
+# per-ray rotation frames instead of the reference's per-ray Python loops.
+# ---------------------------------------------------------------------------
+
+def _rotz_rows(phi, rows):
+    """Rotate (N,3) row vectors about z by per-ray angles phi."""
+    c, s = jnp.cos(phi), jnp.sin(phi)
+    x, y, z = rows[:, 0], rows[:, 1], rows[:, 2]
+    return jnp.stack([c * x - s * y, s * x + c * y, z], axis=1)
+
+
+def vf_frustum_bundle(key, num_rays: int, r0: float, r1: float, depth: float,
+                      center, direction, flux: Optional[float] = None,
+                      rays_in: bool = True,
+                      angular_span: Sequence[float] = (0.0, 2.0 * np.pi),
+                      angular_range: float = np.pi / 2) -> RayBundle:
+    """Lambertian emitter over a frustum wall from (z=0, r0) to (z=depth,
+    r1); rays point inward when rays_in (ref vf_frustum_bundle :644).
+    Total energy 1 unless flux is given (then flux*lateral_area)."""
+    center = _as_row3(center)
+    direction = _as_row3(direction)
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    dir_flat = pillbox_sunshape_directions(k1, num_rays, angular_range)
+    c = (r1 - r0) / depth
+    u = jax.random.uniform(k2, (num_rays,))
+    rs = jnp.sqrt((r1**2 - r0**2) * u + r0**2)
+    zs = (rs - r0) / c
+    phi = jax.random.uniform(k3, (num_rays,), minval=angular_span[0],
+                             maxval=angular_span[1])
+
+    # rotate the pillbox (about +z) onto the inward wall normal:
+    # roty(-pi/2 + atan(c)) then rotz(phi)   (ref :776-782)
+    theta_rot = -np.pi / 2 + np.arctan(c)
+    yrot = spatial.roty(theta_rot)[:3, :3]
+    local_unit = _rotz_rows(phi, dir_flat @ jnp.asarray(yrot).T)
+    if not rays_in:
+        local_unit = -local_unit
+
+    verts_local = jnp.stack([rs * jnp.cos(phi), rs * jnp.sin(phi), zs], axis=1)
+    perp_rot = spatial.rotation_to_z(direction)
+    verts = _rotate_rows(perp_rot, verts_local) + center
+    dirs = _rotate_rows(perp_rot, local_unit)
+
+    if flux is None:
+        energy = jnp.full((num_rays,), 1.0 / num_rays)
+    else:
+        area = ((angular_span[1] - angular_span[0]) * (r1 + r0) / 2.0
+                * np.sqrt(abs(r1 - r0) ** 2 + depth**2))
+        energy = jnp.full((num_rays,), flux * area / num_rays)
+    return RayBundle.create(pos=verts, dir=dirs, energy=energy)
+
+
+def vf_cylinder_bundle(key, num_rays: int, rc: float, lc: float, center,
+                       direction, flux: Optional[float] = None,
+                       rays_in: bool = True,
+                       angular_span: Sequence[float] = (0.0, 2.0 * np.pi),
+                       ang_range: float = np.pi / 2) -> RayBundle:
+    """Lambertian emitter over a cylinder wall, centered on the wall's mid
+    height (ref vf_cylinder_bundle :716)."""
+    center = _as_row3(center)
+    direction = _as_row3(direction)
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    zs = lc * jax.random.uniform(k1, (num_rays,)) - lc / 2.0
+    phi = jax.random.uniform(k2, (num_rays,), minval=angular_span[0],
+                             maxval=angular_span[1])
+    dir_flat = pillbox_sunshape_directions(k3, num_rays, ang_range)
+
+    yrot = spatial.roty(-np.pi / 2)[:3, :3]
+    local_unit = _rotz_rows(phi, dir_flat @ jnp.asarray(yrot).T)
+    if not rays_in:
+        local_unit = -local_unit
+
+    verts_local = jnp.stack([rc * jnp.cos(phi), rc * jnp.sin(phi), zs], axis=1)
+    perp_rot = spatial.rotation_to_z(direction)
+    verts = _rotate_rows(perp_rot, verts_local) + center
+    dirs = _rotate_rows(perp_rot, local_unit)
+
+    if flux is None:
+        energy = jnp.full((num_rays,), 1.0 / num_rays)
+    else:
+        area = rc * (angular_span[1] - angular_span[0]) * lc
+        energy = jnp.full((num_rays,), flux * area / num_rays)
+    return RayBundle.create(pos=verts, dir=dirs, energy=energy)
