@@ -1,0 +1,127 @@
+"""Tests for sampling distributions, electromagnetics, optical constants,
+estimator, and vector utilities."""
+import jax
+import numpy as np
+import pytest
+
+from tracer_tpu.analysis.estimator import Estimator, mcrt_to_ci
+from tracer_tpu.electromagnetics import (drude_lorentz_model,
+                                         dielectric_to_refractive,
+                                         fresnel_dielectrics, planck,
+                                         refractive_to_dielectric)
+from tracer_tpu.optical_constants import Al, Cu, SiO2, TabulatedMaterial
+from tracer_tpu.sampling import (HenyeyGreenstein, PWLinCosSinDistribution,
+                                 PWLinearDistribution, disk_sampling,
+                                 triangle_sampling)
+from tracer_tpu import vector_utils as vu
+
+
+def test_pw_linear_sampling_matches_pdf():
+    xs = np.array([0.0, 1.0, 2.0, 3.0])
+    ys = np.array([0.0, 2.0, 1.0, 3.0])
+    d = PWLinearDistribution(xs, ys)
+    x, w = d.sample(jax.random.PRNGKey(0), 200_000)
+    x = np.asarray(x)
+    hist, edges = np.histogram(x, bins=60, range=(0, 3), density=True)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    np.testing.assert_allclose(hist, d.pdf(centers), atol=0.03)
+    # CDF endpoints
+    np.testing.assert_allclose(d.cdf(3.0), 1.0, atol=1e-9)
+    np.testing.assert_allclose(d.cdf(0.0), 0.0, atol=1e-9)
+
+
+def test_pw_lincossin_weights():
+    xs = np.linspace(0.0, np.pi / 2, 20)
+    ys = np.ones_like(xs)
+    d = PWLinCosSinDistribution(xs, ys)
+    x, w = d.sample(jax.random.PRNGKey(1), 50_000)
+    # weighted mean of cos(theta) under cos*sin density = 2/3
+    m = float(np.sum(np.cos(np.asarray(x)) * np.asarray(w)) / np.sum(np.asarray(w)))
+    np.testing.assert_allclose(m, 2.0 / 3.0, atol=0.01)
+
+
+def test_henyey_greenstein_mean_cosine():
+    g = 0.6
+    hg = HenyeyGreenstein(g)
+    th, phi = hg.sample(jax.random.PRNGKey(2), 200_000)
+    np.testing.assert_allclose(float(np.mean(np.cos(np.asarray(th)))), g,
+                               atol=0.005)
+
+
+def test_shape_samplers():
+    pos, nrm = disk_sampling(jax.random.PRNGKey(3), 2.0, 10_000, r_int=1.0)
+    r = np.hypot(np.asarray(pos)[:, 0], np.asarray(pos)[:, 1])
+    assert (r >= 1.0 - 1e-6).all() and (r <= 2.0 + 1e-6).all()
+    pos, nrm = triangle_sampling(jax.random.PRNGKey(4), [0, 0, 0],
+                                 [1, 0, 0], [0, 1, 0], 1000)
+    p = np.asarray(pos)
+    assert (p[:, 0] >= 0).all() and (p[:, 1] >= 0).all()
+    assert (p[:, 0] + p[:, 1] <= 1 + 1e-9).all()
+
+
+def test_planck_wien_peak():
+    T = 5800.0
+    wl = np.linspace(100e-9, 3e-6, 4000)
+    B = np.asarray(planck(wl, T))
+    peak = wl[np.argmax(B)]
+    np.testing.assert_allclose(peak, 2.8977719e-3 / T, rtol=1e-3)
+
+
+def test_fresnel_normal_incidence():
+    R_p, R_s, th2 = fresnel_dielectrics(1.0, 1.5, 0.0)
+    np.testing.assert_allclose(R_p, ((1.5 - 1) / (1.5 + 1)) ** 2, atol=1e-12)
+    np.testing.assert_allclose(R_p, R_s, atol=1e-12)
+
+
+def test_dielectric_refractive_roundtrip():
+    m = 2.0 + 0.5j
+    np.testing.assert_allclose(
+        dielectric_to_refractive(refractive_to_dielectric(m)), m, rtol=1e-12)
+
+
+def test_sio2_sellmeier():
+    m = SiO2().m(589e-9)
+    np.testing.assert_allclose(m.real, 1.458, atol=2e-3)  # textbook value
+    assert m.imag == 0.0
+
+
+def test_metal_models_reasonable():
+    # Al at 500 nm: strongly absorbing metal, n < k
+    m = Al().m(500e-9)[0]
+    assert m.imag > 2.0 and m.imag > m.real
+    m = Cu().m(650e-9)[0]  # red: copper is reflective, k > 1
+    assert m.imag > 1.0
+
+
+def test_material_validity_range():
+    mat = TabulatedMaterial([400e-9, 800e-9], [1.5, 1.6], [0.0, 0.1])
+    m = mat.m([500e-9, 900e-9])
+    assert np.isfinite(m[0]) and np.isnan(m[1])
+
+
+def test_estimator_welford():
+    rng = np.random.default_rng(0)
+    est = Estimator(n_sigma=3.0)
+    for _ in range(50):
+        est.update(rng.normal(5.0, 1.0, size=(100,)))
+    np.testing.assert_allclose(est.mean, 5.0, atol=0.1)
+    assert est.ci < 0.1
+
+
+def test_mcrt_to_ci_converges():
+    rng = np.random.default_rng(1)
+    est = mcrt_to_ci(lambda b: rng.normal(10.0, 0.5), rel_tol=0.02,
+                     min_batches=5, max_batches=2000)
+    np.testing.assert_allclose(est.mean, 10.0, atol=0.3)
+    assert est.converged(0.02)
+
+
+def test_vector_utils():
+    assert vu.get_angle([1, 0, 0], [0, 1, 0]) == pytest.approx(np.pi / 2)
+    pts = vu.project_on_plane([[1.0, 1.0, 3.0]], [0, 0, 1.0])
+    np.testing.assert_allclose(pts, [[1, 1, 0]], atol=1e-12)
+    box = vu.aabb([[0, 0, 0], [1, 2, -1]])
+    np.testing.assert_allclose(box, [[0, 0, -1], [1, 2, 0]])
+    # rotate_z_to_normal: +Z maps onto the normal
+    out = vu.rotate_z_to_normal([[0, 0, 1.0]], [1.0, 0, 0])
+    np.testing.assert_allclose(out, [[1, 0, 0]], atol=1e-12)
