@@ -1,0 +1,124 @@
+"""Volumetric media tests: Beer-Lambert attenuation, Henyey-Greenstein
+scattering, refractive composites, bifacial surfaces (cf. ref
+optics_callables Absorbant :861, Scattering :946, BiFacial :1877)."""
+import jax
+import numpy as np
+
+from tracer_tpu import geometry as G
+from tracer_tpu import materials as M
+from tracer_tpu import spatial as sp
+from tracer_tpu.bundle import RayBundle
+from tracer_tpu.engine import TracerEngine
+from tracer_tpu.scene import Assembly, AssembledObject, Surface
+
+
+def slab_scene(entry_opt, depth=1.0, size=10.0):
+    """Entry interface at z=depth (facing up), absorber plate at z=-10."""
+    entry = AssembledObject(surfs=[Surface(G.rect_plate(size, size),
+                                           entry_opt, name="entry")])
+    entry.set_transform(sp.translate(z=depth))
+    exitf = AssembledObject(surfs=[Surface(G.rect_plate(size, size),
+                                           entry_opt, name="exit")])
+    det = AssembledObject(surfs=[Surface(
+        G.rect_plate(size, size), M.receiver(M.reflective(1.0)),
+        name="det")])
+    det.set_transform(sp.translate(z=-5.0))
+    return Assembly(objects=[entry, exitf, det])
+
+
+def test_beer_lambert_slab():
+    """Rays cross a 1 m absorbing slab (att = 0.7/m): transmitted energy
+    is exp(-0.7)."""
+    att = 0.7
+    asm = slab_scene(M.absorbant_interface(att))
+    eng = TracerEngine(asm)
+    n = 1000
+    bund = RayBundle.create(pos=np.tile([0.1, 0.2, 2.0], (n, 1)),
+                            dir=np.tile([0.0, 0.0, -1.0], (n, 1)))
+    res = eng.ray_tracer(bund, reps=10, key=jax.random.PRNGKey(0))
+    hits = res.hits_of("det")
+    np.testing.assert_allclose(hits["absorbed"].sum() / n, np.exp(-att),
+                               rtol=1e-6)
+    bal = res.energy_balance()
+    np.testing.assert_allclose(bal["medium"] / n, 1.0 - np.exp(-att),
+                               rtol=1e-6)
+    np.testing.assert_allclose(bal["closure"], 0.0, atol=1e-9 * n)
+
+
+def test_scattering_mean_free_path():
+    """Rays in a scattering slab: the fraction reaching the far boundary
+    unscattered is exp(-sigma * L)."""
+    sigma = 1.5
+    L = 1.0
+    asm = slab_scene(M.scattering_interface(sigma, g=0.0), depth=L)
+    eng = TracerEngine(asm)
+    n = 20000
+    bund = RayBundle.create(pos=np.tile([0.0, 0.0, 2.0], (n, 1)),
+                            dir=np.tile([0.0, 0.0, -1.0], (n, 1)))
+    res = eng.ray_tracer(bund, reps=2, key=jax.random.PRNGKey(1))
+    # bounce 0: all enter at z=1 (surface 'entry'); bounce 1: unscattered
+    # rays reach z=0 ('exit'); scattered ones have no sid
+    rec = res.records[1]
+    sid = np.asarray(rec.sid)
+    alive = np.asarray(rec.alive_in)
+    exit_rows = res._rows_of("exit")
+    reached = np.isin(sid, exit_rows) & alive
+    frac = reached.sum() / alive.sum()
+    np.testing.assert_allclose(frac, np.exp(-sigma * L), atol=0.01)
+
+
+def test_scattering_hg_forward_bias():
+    """g > 0 biases scattering directions forward."""
+    sigma, g = 5.0, 0.7
+    asm = slab_scene(M.scattering_interface(sigma, g=g), depth=1.0)
+    eng = TracerEngine(asm)
+    n = 20000
+    bund = RayBundle.create(pos=np.tile([0.0, 0.0, 2.0], (n, 1)),
+                            dir=np.tile([0.0, 0.0, -1.0], (n, 1)))
+    res = eng.ray_tracer(bund, reps=3, key=jax.random.PRNGKey(2))
+    # after entering, scattered rays changed direction; measure mean cosine
+    # between bounce-1 input directions and bounce-2 input directions for
+    # rays that scattered (no sid at bounce 1 but alive at bounce 2)
+    r1, r2 = res.records[1], res.records[2]
+    scat = (np.asarray(r1.sid) < 0) & np.asarray(r2.alive_in)
+    if scat.sum() > 100:
+        d1 = np.asarray(r1.dir_in)[scat]
+        d2 = np.asarray(r2.dir_in)[scat]
+        mean_cos = np.mean(np.sum(d1 * d2, axis=1))
+        np.testing.assert_allclose(mean_cos, g, atol=0.05)
+
+
+def test_refractive_absorbant_lens_medium():
+    """Glass slab with absorption: energy crossing both faces is attenuated
+    by the inside path only."""
+    att = 1.0
+    glass = M.refractive_homogenous(1.0, 1.5, att1=0.0, att2=att)
+    asm = slab_scene(glass, depth=1.0)
+    eng = TracerEngine(asm)
+    n = 50000
+    bund = RayBundle.create(pos=np.tile([0.0, 0.0, 2.0], (n, 1)),
+                            dir=np.tile([0.0, 0.0, -1.0], (n, 1)))
+    res = eng.ray_tracer(bund, reps=12, key=jax.random.PRNGKey(3))
+    bal = res.energy_balance()
+    # normal incidence: R = 0.04 per face; transmitted-through fraction
+    # dominated by exp(-1) with Fresnel losses bouncing around
+    hits = res.hits_of("det")
+    frac = hits["absorbed"].sum() / n
+    T = 1 - ((1.5 - 1) / (1.5 + 1)) ** 2
+    expect = T**2 * np.exp(-att)   # first-pass estimate
+    assert abs(frac - expect) < 0.02
+    np.testing.assert_allclose(bal["closure"], 0.0, atol=1e-6 * n)
+
+
+def test_bifacial_lowering():
+    """Front reflects, back absorbs fully — opposite of one-sided kill."""
+    opt = M.bifacial(M.reflective(0.0), M.reflective(1.0))
+    plate = AssembledObject(surfs=[Surface(G.rect_plate(2, 2), opt)])
+    eng = TracerEngine(Assembly(objects=[plate]))
+    assert eng.scene.num_rows == 2  # lowered into two rows
+    bund = RayBundle.create(pos=[[0.0, 0.0, 1.0], [0.0, 0.0, -1.0]],
+                            dir=[[0.0, 0.0, -1.0], [0.0, 0.0, 1.0]])
+    res = eng.ray_tracer(bund, reps=1, key=jax.random.PRNGKey(4))
+    e_out = np.asarray(res.records[0].e_out)
+    assert e_out[0] == 1.0   # front face mirror
+    assert e_out[1] == 0.0   # back face absorber

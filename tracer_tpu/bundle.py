@@ -26,8 +26,16 @@ class RayBundle:
     energy     (N,)  power carried [W]
     wavelength (N,)  vacuum wavelength (units follow the user; 0 = unset)
     ref_index  (N,)  refractive index of the medium the ray travels in
+    att_coeff  (N,)  attenuation coefficient of the medium [1/m] (0 = clear)
+    scat_coeff (N,)  scattering coefficient of the medium [1/m] (0 = none)
+    scat_g     (N,)  Henyey-Greenstein asymmetry of the medium
     alive      (N,)  bool, False for slots that no longer carry a ray
     parent     (N,)  int32 index into the previous bounce's bundle
+
+    The medium fields replace the reference's per-manager medium toggling
+    (optics_callables Absorbant :861 / Scattering :946, which stored
+    scat_coeff on the bundle too) and make volumetric effects an engine
+    mechanism instead of surface-callable side effects.
     """
 
     pos: jnp.ndarray
@@ -35,6 +43,9 @@ class RayBundle:
     energy: jnp.ndarray
     wavelength: jnp.ndarray
     ref_index: jnp.ndarray
+    att_coeff: jnp.ndarray
+    scat_coeff: jnp.ndarray
+    scat_g: jnp.ndarray
     alive: jnp.ndarray
     parent: jnp.ndarray
 
@@ -47,6 +58,9 @@ class RayBundle:
         energy=None,
         wavelength=None,
         ref_index=None,
+        att_coeff=None,
+        scat_coeff=None,
+        scat_g=None,
         alive=None,
         parent=None,
         dtype=None,
@@ -66,6 +80,9 @@ class RayBundle:
         energy = arr(energy, 1.0)
         wavelength = arr(wavelength, 0.0)
         ref_index = arr(ref_index, 1.0)
+        att_coeff = arr(att_coeff, 0.0)
+        scat_coeff = arr(scat_coeff, 0.0)
+        scat_g = arr(scat_g, 0.0)
         if alive is None:
             alive = jnp.ones((n,), dtype=bool)
         else:
@@ -74,7 +91,8 @@ class RayBundle:
             parent = jnp.arange(n, dtype=jnp.int32)
         else:
             parent = jnp.broadcast_to(jnp.asarray(parent, dtype=jnp.int32), (n,))
-        return cls(pos, dir, energy, wavelength, ref_index, alive, parent)
+        return cls(pos, dir, energy, wavelength, ref_index, att_coeff,
+                   scat_coeff, scat_g, alive, parent)
 
     # ---- basic queries ----------------------------------------------------
     @property

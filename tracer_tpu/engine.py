@@ -39,13 +39,15 @@ class TraceAccum:
     hits: jnp.ndarray       # (S,) number of ray hits per surface row
     escaped: jnp.ndarray    # () energy that left the scene
     culled: jnp.ndarray     # () energy dropped by the min_energy threshold
+    medium: jnp.ndarray     # () energy absorbed by participating media
 
     @classmethod
     def zeros(cls, n_rows: int, dtype=jnp.float32) -> "TraceAccum":
         return cls(absorbed=jnp.zeros((n_rows,), dtype=dtype),
                    hits=jnp.zeros((n_rows,), dtype=dtype),
                    escaped=jnp.zeros((), dtype=dtype),
-                   culled=jnp.zeros((), dtype=dtype))
+                   culled=jnp.zeros((), dtype=dtype),
+                   medium=jnp.zeros((), dtype=dtype))
 
     def __add__(self, other: "TraceAccum") -> "TraceAccum":
         return jax.tree_util.tree_map(lambda a, b: a + b, self, other)
@@ -89,18 +91,69 @@ class TraceOptions:
 def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
                  key: jax.Array, min_energy: float, t_eps, disc_eps: float,
                  block: int, count_hits: bool = True):
-    """One bounce: intersect, shade, account. Returns (bundle', accum', rec)."""
+    """One bounce: intersect, shade, account. Returns (bundle', accum', rec).
+
+    With volumetric media in the scene ("volumetric" feature), a scattering
+    event is sampled along each segment before the surface interaction: rays
+    whose Henyey-Greenstein free path ends before the surface scatter there
+    instead (ref Scattering :946), and all rays are Beer-Lambert attenuated
+    over the traversed distance (ref Absorbant :861). The exponential free
+    path is memoryless, so re-sampling after every event (including periodic
+    teleports) is statistically identical to the reference's remaining-path
+    carry-over (optics.py:214 complex-sigma trick).
+    """
     n_rows = scene.frame.shape[0]
     alive = bundle.alive & (bundle.energy > 0.0)
 
     t, sid = nearest_hit(scene, bundle.pos, bundle.dir,
                          t_eps=t_eps, disc_eps=disc_eps, block=block)
     sid = jnp.where(alive, sid, -1)
+
+    volumetric = "volumetric" in scene.features
+    scattered = jnp.zeros_like(alive)
+    if volumetric:
+        key, k_free, k_th, k_phi = jax.random.split(key, 4)
+        u = jax.random.uniform(k_free, (bundle.num_rays,),
+                               dtype=bundle.pos.dtype,
+                               minval=jnp.finfo(jnp.float32).tiny, maxval=1.0)
+        sigma_s = bundle.scat_coeff
+        free_path = jnp.where(sigma_s > 0.0,
+                              -jnp.log(u) / jnp.where(sigma_s > 0.0,
+                                                      sigma_s, 1.0),
+                              jnp.inf)
+        t_hit = jnp.where(sid >= 0, t, jnp.inf)
+        scattered = alive & (free_path < t_hit)
+        sid = jnp.where(scattered, -1, sid)
+        # Beer-Lambert attenuation over the traversed distance
+        travel = jnp.minimum(free_path, t_hit)
+        att_ok = jnp.isfinite(travel) & (bundle.att_coeff > 0.0)
+        trans = jnp.exp(-bundle.att_coeff * jnp.where(att_ok, travel, 0.0))
+        new_energy = jnp.where(alive & att_ok,
+                               bundle.energy * trans, bundle.energy)
+        # attenuation is energy lost to the medium, not to a surface
+        accum = accum.replace(medium=accum.medium + jnp.sum(
+            jnp.where(alive, bundle.energy - new_energy, 0.0)))
+        bundle = bundle.replace(energy=new_energy)
+        # Henyey-Greenstein scattering direction about the travel direction
+        g = bundle.scat_g
+        sg = jax.random.uniform(k_th, (bundle.num_rays,),
+                                dtype=bundle.pos.dtype) * 2.0 - 1.0
+        cos_th = jnp.where(
+            jnp.abs(g) < 1e-9, sg,
+            (1.0 + g**2 - ((1.0 - g**2)
+                           / (1.0 + g * sg)) ** 2) / (2.0 * jnp.where(
+                               jnp.abs(g) < 1e-9, 1.0, g)))
+        cos_th = jnp.clip(cos_th, -1.0, 1.0)
+        sin_th = jnp.sqrt(1.0 - cos_th**2)
+        phi = jax.random.uniform(k_phi, (bundle.num_rays,),
+                                 dtype=bundle.pos.dtype,
+                                 minval=0.0, maxval=2.0 * jnp.pi)
     hit = sid >= 0
-    escaped = alive & ~hit
+    escaped = alive & ~hit & ~scattered
 
     res = shade(scene, sid, t, bundle.pos, bundle.dir, bundle.energy,
-                bundle.wavelength, bundle.ref_index, key)
+                bundle.wavelength, bundle.ref_index, key,
+                medium=(bundle.att_coeff, bundle.scat_coeff, bundle.scat_g))
 
     e_in = jnp.where(hit, bundle.energy, 0.0)
     e_out = jnp.where(hit, res.out_energy, 0.0)
@@ -139,13 +192,33 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
     accum = accum.replace(culled=accum.culled + jnp.sum(jnp.where(low, e_out, 0.0)))
     alive_next = hit & ~low
 
+    out_att, out_scat, out_g = res.out_medium
     new_bundle = bundle.replace(
         pos=jnp.where(hit[:, None], res.out_pos, bundle.pos),
         dir=jnp.where(hit[:, None], res.out_dir, bundle.dir),
         energy=jnp.where(alive_next, e_out, 0.0),
         ref_index=jnp.where(hit, res.out_ref_index, bundle.ref_index),
+        att_coeff=jnp.where(hit, out_att, bundle.att_coeff),
+        scat_coeff=jnp.where(hit, out_scat, bundle.scat_coeff),
         alive=alive_next,
     )
+    new_bundle = new_bundle.replace(
+        scat_g=jnp.where(hit, out_g, bundle.scat_g))
+    if volumetric:
+        # scattered rays: move to the event point, take the HG direction,
+        # stay alive (their energy was already attenuated above)
+        from .mathutils import rotate_to_normal
+        local = jnp.stack([sin_th * jnp.cos(phi), sin_th * jnp.sin(phi),
+                           cos_th], axis=1)
+        d_scat = rotate_to_normal(local, bundle.dir)
+        p_scat = bundle.pos + jnp.where(scattered, free_path, 0.0)[:, None] \
+            * bundle.dir
+        new_bundle = new_bundle.replace(
+            pos=jnp.where(scattered[:, None], p_scat, new_bundle.pos),
+            dir=jnp.where(scattered[:, None], d_scat, new_bundle.dir),
+            energy=jnp.where(scattered, bundle.energy, new_bundle.energy),
+            alive=new_bundle.alive | scattered,
+        )
 
     rec = BounceRecord(
         sid=sid, t=t, hit=res.out_pos, local=res.local_pt,
@@ -215,9 +288,11 @@ class TraceResult:
         escaped = float(np.asarray(self.accum.escaped))
         culled = float(np.asarray(self.accum.culled))
         residual = float(np.asarray(self.final.total_energy()))
+        medium = float(np.asarray(self.accum.medium))
         return dict(source=src, absorbed=absorbed, escaped=escaped,
-                    culled=culled, residual=residual,
-                    closure=src - absorbed - escaped - culled - residual)
+                    culled=culled, medium=medium, residual=residual,
+                    closure=src - absorbed - escaped - culled - medium
+                    - residual)
 
     def ray_history(self, slot: int):
         """Walk one ray slot through the bounces (genealogy query,
@@ -295,7 +370,7 @@ def trace_fused(scene: SceneTable, bundle: RayBundle, key: jax.Array,
     accum0 = TraceAccum(
         absorbed=jnp.zeros((scene.num_rows,), dtype=bundle.pos.dtype) + zero,
         hits=jnp.zeros((scene.num_rows,), dtype=bundle.pos.dtype) + zero,
-        escaped=zero, culled=zero)
+        escaped=zero, culled=zero, medium=zero)
 
     def cond(state):
         i, bundle, accum, key = state
@@ -351,7 +426,7 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     accum0 = TraceAccum(
         absorbed=jnp.zeros((scene.num_rows,), dtype=probe.pos.dtype) + zero,
         hits=jnp.zeros((scene.num_rows,), dtype=probe.pos.dtype) + zero,
-        escaped=zero, culled=zero)
+        escaped=zero, culled=zero, medium=zero)
     source0 = zero   # total energy emitted
 
     def regenerate(bundle, age, key, emitted, source_e):
@@ -368,6 +443,9 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             energy=jnp.where(refill, fresh.energy, bundle.energy),
             wavelength=jnp.where(refill, fresh.wavelength, bundle.wavelength),
             ref_index=jnp.where(refill, fresh.ref_index, bundle.ref_index),
+            att_coeff=jnp.where(refill, fresh.att_coeff, bundle.att_coeff),
+            scat_coeff=jnp.where(refill, fresh.scat_coeff, bundle.scat_coeff),
+            scat_g=jnp.where(refill, fresh.scat_g, bundle.scat_g),
             alive=bundle.alive | refill,
         )
         age = jnp.where(refill, 0, age)

@@ -32,6 +32,7 @@ class ShadeResult(NamedTuple):
     out_dir: jnp.ndarray       # (N,3) next-segment direction
     out_energy: jnp.ndarray    # (N,)
     out_ref_index: jnp.ndarray  # (N,)
+    out_medium: tuple          # (att, scat, g) each (N,) — entered medium
     absorbed: jnp.ndarray      # (N,) energy deposited on the hit surface
     local_pt: jnp.ndarray      # (N,3) hit point in surface-local coords
     normal: jnp.ndarray        # (N,3) shading normal (global, against ray)
@@ -74,7 +75,8 @@ def _interp_segment(x, start, length, tab_x, tab_y):
 
 def shade(scene, sid: jnp.ndarray, t: jnp.ndarray, pos: jnp.ndarray,
           dirs: jnp.ndarray, energy: jnp.ndarray, wavelength: jnp.ndarray,
-          ref_index: jnp.ndarray, key: jax.Array) -> ShadeResult:
+          ref_index: jnp.ndarray, key: jax.Array,
+          medium=None) -> ShadeResult:
     """Shade all rays against their hit surfaces (sid >= 0 assumed valid;
     escaped rays get arbitrary-but-finite outputs which the engine masks)."""
     n = pos.shape[0]
@@ -82,8 +84,9 @@ def shade(scene, sid: jnp.ndarray, t: jnp.ndarray, pos: jnp.ndarray,
     kinds = set(scene.kinds_present) or {M.K_REFLECT}
     features = set(scene.features)
 
-    # ---- packed per-surface row: rot(9) trn(3) quadric(10) params(8) ------
+    # ---- packed per-surface row: rot(9) trn(3) quadric(10) params ---------
     S = scene.num_rows
+    n_prm = scene.opt_params.shape[1]
     packed = jnp.concatenate([
         scene.frame[:, :3, :3].reshape(S, 9),
         scene.frame[:, :3, 3],
@@ -94,7 +97,7 @@ def shade(scene, sid: jnp.ndarray, t: jnp.ndarray, pos: jnp.ndarray,
     rot = row[:, 0:9].reshape(n, 3, 3)
     trn = row[:, 9:12]
     quad = row[:, 12:22]
-    prm = row[:, 22:30]
+    prm = row[:, 22:22 + n_prm]
 
     ints = jnp.stack([scene.opt_kind, scene.opt_flags], axis=1)
     introw = _gather_rows(ints, s)
@@ -221,21 +224,40 @@ def shade(scene, sid: jnp.ndarray, t: jnp.ndarray, pos: jnp.ndarray,
                                 d_semi, out_dir)
 
     out_ref_index = ref_index
+    if medium is None:
+        zero = jnp.zeros_like(ref_index)
+        medium = (zero, zero, zero)
+    att, scat, g_hg = medium
+    out_att, out_scat, out_g = att, scat, g_hg
     if M.K_REFRACTIVE in kinds:
         # Fresnel interface with Russian roulette between reflection and
-        # refraction; media toggled vs the ray's current index
-        # (ref RefractiveHomogenous :1186)
+        # refraction; media toggled vs the ray's current index — or, for
+        # index-matched volumetric interfaces (n1 == n2), vs the medium
+        # tuple (ref RefractiveHomogenous :1186 / Absorbant / Scattering)
         n1_s, n2_s = prm[:, 0], prm[:, 1]
-        n_next = jnp.where(jnp.abs(ref_index - n1_s) < 1e-9, n2_s, n1_s)
+        att1, att2 = prm[:, 6], prm[:, 7]
+        sc1, sc2 = prm[:, 8], prm[:, 9]
+        g1, g2 = prm[:, 10], prm[:, 11]
+        in_medium1 = jnp.where(
+            jnp.abs(n1_s - n2_s) > 1e-9,
+            jnp.abs(ref_index - n1_s) < 1e-9,
+            (att == att1) & (scat == sc1) & (g_hg == g1))
+        n_next = jnp.where(in_medium1, n2_s, n1_s)
+        att_next = jnp.where(in_medium1, att2, att1)
+        scat_next = jnp.where(in_medium1, sc2, sc1)
+        g_next = jnp.where(in_medium1, g2, g1)
         refr_ok, d_refract = refractions(ref_index, n_next, dirs, n_eff)
         R = fresnel(dirs, n_eff, ref_index, n_next)
         R = jnp.where(refr_ok, R, 1.0)
         go_reflect = u_choice <= R
         is_refr = kind == M.K_REFRACTIVE
-        out_dir = jnp.where((is_refr & ~go_reflect)[:, None],
-                            d_refract, out_dir)
+        crossed = is_refr & ~go_reflect
+        out_dir = jnp.where(crossed[:, None], d_refract, out_dir)
         keep_energy = keep_energy | is_refr
-        out_ref_index = jnp.where(is_refr & ~go_reflect, n_next, ref_index)
+        out_ref_index = jnp.where(crossed, n_next, ref_index)
+        out_att = jnp.where(crossed, att_next, att)
+        out_scat = jnp.where(crossed, scat_next, scat)
+        out_g = jnp.where(crossed, g_next, g_hg)
 
     out_pos = hit_g
     if M.K_PERIODIC in kinds:
@@ -262,4 +284,5 @@ def shade(scene, sid: jnp.ndarray, t: jnp.ndarray, pos: jnp.ndarray,
     absorbed = energy - out_energy
 
     return ShadeResult(out_pos, out_dir, out_energy, out_ref_index,
-                       absorbed, p_l, ns, backside)
+                       (out_att, out_scat, out_g), absorbed, p_l, ns,
+                       backside)

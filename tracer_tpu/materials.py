@@ -31,7 +31,7 @@ K_REFRACTIVE = 6       # homogenous-media Fresnel interface (:1186)
 K_PERIODIC = 7         # periodic boundary teleport (:690)
 K_ABSORBER = 8         # perfect absorber (Reflective with abs=1 shortcut)
 
-N_OPT_PARAMS = 8
+N_OPT_PARAMS = 12
 
 # --- flag bits --------------------------------------------------------------
 F_ONE_SIDED = 1 << 0   # zero energy for rays arriving along local +Z
@@ -50,7 +50,8 @@ class OpticsSpec:
       LAMBERTIAN_SPECULAR: p0=abs p1=specularity p2=sigma p4=a_r p5=c
       SEMI_LAMBERTIAN:     p0=abs p1=ang_range
       REFLECT_SPECTRAL: p0=table_start p1=table_len p2=sigma
-      REFRACTIVE: p0=n1 p1=n2 p2=sigma
+      REFRACTIVE: p0=n1 p1=n2 p2=sigma p6=att1 p7=att2 p8=scat1 p9=scat2
+                  p10=g1 p11=g2   (medium tuple toggled on crossing)
       PERIODIC:   p0=period
     """
 
@@ -125,14 +126,59 @@ def reflective_spectral(absorptances, wavelengths, sigma: float = 0.0,
 
 
 def refractive_homogenous(n1: float, n2: float, single_ray: bool = True,
-                          sigma: float = 0.0) -> OpticsSpec:
+                          sigma: float = 0.0,
+                          att1: float = 0.0, att2: float = 0.0,
+                          scat1: float = 0.0, scat2: float = 0.0,
+                          g1: float = 0.0, g2: float = 0.0) -> OpticsSpec:
     """Fresnel interface between homogenous media with indices n1/n2; the
     active pair member is toggled against the ray's current ref_index (ref
     RefractiveHomogenous :1186). single_ray=True uses Russian roulette
     (TPU-friendly, keeps the ray population fixed); False requests
-    energy-splitting which the engine realizes with a doubled ray slab."""
+    energy-splitting which the engine realizes with a doubled ray slab.
+
+    att/scat/g define the attenuation [1/m], scattering [1/m] and HG
+    asymmetry of each medium; crossing rays pick up the entered medium's
+    values (covers ref RefractiveAbsorbantHomogenous :1298 and
+    RefractiveScatteringHomogenous :1350 compositionally)."""
     flags = 0 if single_ray else F_SPLIT
-    return OpticsSpec(K_REFRACTIVE, _params(n1, n2, sigma), flags)
+    p = _params(n1, n2, sigma)
+    p[6:12] = [att1, att2, scat1, scat2, g1, g2]
+    return OpticsSpec(K_REFRACTIVE, p, flags)
+
+
+def refractive_absorbant_homogenous(n1, n2, att1=0.0, att2=0.0,
+                                    single_ray=True, sigma=0.0) -> OpticsSpec:
+    """Refractive interface between absorbing media (ref
+    RefractiveAbsorbantHomogenous :1298)."""
+    return refractive_homogenous(n1, n2, single_ray, sigma, att1, att2)
+
+
+def absorbant_interface(att_inside: float, n: float = 1.0) -> OpticsSpec:
+    """Transparent boundary of an absorbing volume: rays crossing it toggle
+    their medium attenuation coefficient (covers ref Absorbant :861 used as
+    a volume boundary). n identical on both sides -> no bending, no Fresnel
+    reflection; toggling keys on the medium tuple."""
+    return refractive_homogenous(n, n, att1=0.0, att2=att_inside)
+
+
+def scattering_interface(scat_inside: float, g: float = 0.0,
+                         att_inside: float = 0.0,
+                         n: float = 1.0) -> OpticsSpec:
+    """Transparent boundary of a scattering (optionally absorbing) volume
+    (covers ref Scattering :946 / ScatteringAbsorbant composites). The
+    engine samples Henyey-Greenstein free paths inside."""
+    return refractive_homogenous(n, n, att1=0.0, att2=att_inside,
+                                 scat1=0.0, scat2=scat_inside,
+                                 g1=0.0, g2=g)
+
+
+def bifacial(front: OpticsSpec, back: OpticsSpec) -> OpticsSpec:
+    """Different optics per face side (ref BiFacial :1877). Lowered by the
+    scene compiler into two coincident one-sided rows (front as-is, back on
+    a pi-flipped frame), so the kernels never branch on face side."""
+    out = front.replace(flags=front.flags | F_ONE_SIDED)
+    out.back_spec = back.replace(flags=back.flags | F_ONE_SIDED)
+    return out
 
 
 def periodic_boundary(period: float) -> OpticsSpec:

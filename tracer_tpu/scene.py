@@ -225,7 +225,9 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
     if not pairs:
         raise ValueError("empty scene")
 
-    # group rows by logical surface
+    # group rows by logical surface; bifacial optics lower into two
+    # coincident one-sided rows (back on a pi-flipped frame)
+    flip = np.diag([1.0, -1.0, -1.0, 1.0])  # rotx(pi)
     logical_surfaces: List[Surface] = []
     rows = []  # (geometry, frame, logical_id, optics)
     seen = {}
@@ -236,6 +238,17 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
         lid = seen[id(surf)]
         for g in surf.geometries:
             rows.append((g, frame, lid, surf.optics))
+            back = getattr(surf.optics, "back_spec", None)
+            if back is not None:
+                # the flip mirrors local y and z: only mirror-symmetric
+                # apertures survive unchanged
+                from .geometry import AP_NONE, AP_RECT, AP_RADIAL, AP_HEX
+                ok_types = {AP_NONE, AP_RECT, AP_RADIAL, AP_HEX}
+                if any(t not in ok_types for t, _ in g.apertures):
+                    raise NotImplementedError(
+                        "bifacial lowering currently supports mirror-"
+                        "symmetric apertures (rect/annulus/hex)")
+                rows.append((g, frame @ flip, lid, back))
 
     # Sort rows so surfaces with the same aperture signature (and plane-ness)
     # are contiguous: the intersect kernel specializes per group.
@@ -325,6 +338,8 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
             features.add("bivar")
         if opt.kind == M.K_REFLECT_SPECTRAL:
             features.add("spectral")
+        if opt.kind == M.K_REFRACTIVE and np.any(opt.params[6:12] != 0.0):
+            features.add("volumetric")
     features = tuple(sorted(features))
 
     table = SceneTable(
