@@ -64,6 +64,9 @@ class Geometry:
     apertures: List[Constraint]
     kind: str = "generic"
     extent: dict = dataclasses.field(default_factory=dict)
+    # optional extra transform relative to the owning Surface (e.g. per-face
+    # frames of a triangulated surface)
+    frame: Optional[np.ndarray] = None
 
     def with_aperture(self, *constraints: Constraint) -> "Geometry":
         return dataclasses.replace(self, apertures=self.apertures + list(constraints))
@@ -440,6 +443,31 @@ def triangulate_polygon(verts: np.ndarray) -> np.ndarray:
         for k in range(1, len(idx) - 1):
             tris.append((idx[0], idx[k], idx[k + 1]))
     return np.asarray(tris, dtype=int)
+
+
+def triangle3d(v0, v1, v2) -> Geometry:
+    """Triangular face from 3D vertices (ref TriangularFace,
+    triangular_face.py:12): computes the face's local frame (origin v0,
+    z = face normal, x along v1-v0) and a 2D triangle aperture in it."""
+    v0, v1, v2 = (np.asarray(v, dtype=float).reshape(3) for v in (v0, v1, v2))
+    e1 = v1 - v0
+    e2 = v2 - v0
+    n = np.cross(e1, e2)
+    nn = np.linalg.norm(n)
+    if nn < 1e-300:
+        raise ValueError("degenerate triangle")
+    n = n / nn
+    x_ax = e1 / np.linalg.norm(e1)
+    y_ax = np.cross(n, x_ax)
+    frame = np.eye(4)
+    frame[:3, 0], frame[:3, 1], frame[:3, 2] = x_ax, y_ax, n
+    frame[:3, 3] = v0
+    p1 = np.array([e1 @ x_ax, e1 @ y_ax])
+    p2 = np.array([e2 @ x_ax, e2 @ y_ax])
+    g = triangle([[0.0, 0.0], p1, p2])
+    g.frame = frame
+    g.extent = dict(verts3d=np.stack([v0, v1, v2]))
+    return g
 
 
 def polygon(verts) -> List[Geometry]:

@@ -1,0 +1,91 @@
+"""Ready-made spherical lens (parity with reference
+tracer/models/spherical_lens.py): two spherical (or flat) refractive faces
+plus a bounding cylinder, positioned so the back principal point sits at
+Z=0 per the lensmaker equation [Smith, Modern Optical Engineering 4th ed.,
+eq. 3.21a]."""
+from __future__ import annotations
+
+import numpy as np
+
+from .. import geometry as G
+from .. import materials as M
+from ..scene import AssembledObject, Surface
+from .. import spatial as sp
+
+_FLAT_VALUES = (0, None, np.inf, -np.inf)
+
+
+class SphericalLens(AssembledObject):
+    def __init__(self, diameter, depth, R1, R2, refr_idx, transform=None):
+        """diameter, depth - aperture and center thickness; R1, R2 - front /
+        back radii of curvature (positive = center of curvature down the Z
+        axis; 0/None/inf = flat); refr_idx - lens material index."""
+        flip = sp.rotx(np.pi)[:3, :3]
+        refr = lambda: M.refractive_homogenous(1.0, refr_idx)
+        surfs = []
+
+        # face geometry: spherical cap cut at |z| = sqrt(R^2 - (D/2)^2)
+        def cap(R):
+            z_cut = np.sqrt(R**2 - diameter**2 / 4.0)
+            if R > 0:
+                return G.cut_sphere(abs(R), G.zrange(z_cut, abs(R)))
+            return G.cut_sphere(abs(R), G.zrange(-abs(R), -z_cut))
+
+        front_flat = R1 in _FLAT_VALUES
+        back_flat = R2 in _FLAT_VALUES
+        if front_flat:
+            self._front = Surface(G.round_plate(diameter / 2.0), refr(),
+                                  name="lens_front")
+            R1 = np.inf
+        else:
+            self._front = Surface(cap(R1), refr(), name="lens_front")
+        if back_flat:
+            self._back = Surface(G.round_plate(diameter / 2.0), refr(),
+                                 rotation=flip, name="lens_back")
+            R2 = np.inf
+        else:
+            self._back = Surface(cap(R2), refr(), name="lens_back")
+
+        # lensmaker equation; see module docstring
+        opt_power = (refr_idx - 1.0) * (
+            1.0 / R1 - 1.0 / R2
+            + depth * (refr_idx - 1.0) / (R1 * R2 * refr_idx))
+        f = 1.0 / opt_power
+        # back principal plane sits f*d*(n-1)/(n*R1) toward the front of the
+        # back vertex; placing the vertex at -pd puts H' exactly at Z=0 so
+        # the focus is at Z=-f. (The reference places the vertex at +pd,
+        # spherical_lens.py:92-96, which lands H' at +2pd — a small
+        # positioning bug confirmed by tracing; not replicated.)
+        pd = -f * depth * (refr_idx - 1.0) / (refr_idx * R1)
+
+        cyl_height = 0.0
+        cyl_loc = 0.0
+        if R2 != np.inf:
+            locb = pd - R2
+            self._back.set_location([0.0, 0.0, locb])
+            z_cut2 = np.sign(R2) * np.sqrt(R2**2 - diameter**2 / 4.0)
+            edge_b = locb + z_cut2
+            cyl_loc += edge_b / 2.0
+            cyl_height -= edge_b
+        if R1 != np.inf:
+            locf = pd + depth - R1
+            self._front.set_location([0.0, 0.0, locf])
+            z_cut1 = np.sign(R1) * np.sqrt(R1**2 - diameter**2 / 4.0)
+            edge_f = locf + z_cut1
+            cyl_loc += edge_f / 2.0
+            cyl_height += edge_f
+
+        surfs = [self._front, self._back]
+        if cyl_height > 0:
+            self._cyl = Surface(
+                G.finite_cylinder(diameter, cyl_height),
+                M.refractive_homogenous(refr_idx, 1.0),
+                location=[0.0, 0.0, cyl_loc], name="lens_rim")
+            surfs.append(self._cyl)
+
+        AssembledObject.__init__(self, surfs=surfs, transform=transform)
+        self._f = f
+
+    def focal_length(self) -> float:
+        """Effective focal length from the back principal point at Z=0."""
+        return self._f

@@ -283,8 +283,9 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
         if len(g.apertures) > C:
             raise ValueError(
                 f"surface row {i} has {len(g.apertures)} constraints > C={C}")
-        frames[i] = frame
-        invs[i] = spatial.invert_transform(frame)
+        row_frame = frame if g.frame is None else frame @ g.frame
+        frames[i] = row_frame
+        invs[i] = spatial.invert_transform(row_frame)
         quad[i] = g.quadric
         for j, (t, p) in enumerate(g.apertures):
             ap_type[i, j] = t
