@@ -231,9 +231,11 @@ class TwoNParametersCavityRTVF:
         r1 = r_last * (1.0 - (e + 1) / self.el_CON)
         z0 = z + cd * e / self.el_CON
         depth = cd / self.el_CON
+        # outgoing cone (cd>0): the cavity sees the cone's inside
+        # (ref rays_cone=True for coneDepth>0, :463-476)
         return vf_frustum_bundle(key, nrays, r0=r0, r1=max(r1, 1e-9 * r_last),
                                  depth=depth, center=[0, 0, z0],
-                                 direction=[0, 0, 1.0], rays_in=(cd < 0.0))
+                                 direction=[0, 0, 1.0], rays_in=(cd > 0.0))
 
     # --- binning --------------------------------------------------------------
     def _bin_absorbed(self, result) -> np.ndarray:
