@@ -1,0 +1,98 @@
+"""Reference-API compatibility layer: the generated optics-manager names.
+
+The reference synthesizes classes named <Optics><Accountants> at import
+time (optics_callables.py:2043-2092), e.g. ``ReflectiveReceiver``,
+``OneSidedRealReflectiveDetector``, ``LambertianReceiver``. This module
+resolves those names dynamically (PEP 562) to OpticsSpec factories composed
+from tracer_tpu.materials, so reference user code can switch with an import
+change:
+
+    from tracer_tpu import compat as opt
+    surf = Surface(geom, opt.ReflectiveReceiver(absorptivity=0.9))
+"""
+from __future__ import annotations
+
+from . import materials as M
+
+# base optics name -> factory(**kwargs) (longest names first when parsing)
+_BASES = {
+    "OneSidedRealReflective": lambda absorptivity=0.0, sigma=0.0,
+        bi_var=True: M.reflective(absorptivity, sigma, bi_var,
+                                  one_sided=True),
+    "OneSidedReflective": lambda absorptivity=0.0:
+        M.reflective(absorptivity, one_sided=True),
+    "RealReflective": lambda absorptivity=0.0, sigma=0.0, bi_var=True:
+        M.reflective(absorptivity, sigma, bi_var),
+    "ReflectiveSpectral": lambda absorptances, wavelengths:
+        M.reflective_spectral(absorptances, wavelengths),
+    "Reflective": lambda absorptivity=0.0: M.reflective(absorptivity),
+    "LambertianSpecular": lambda absorptivity=0.0, specularity=0.5:
+        M.lambertian_specular(absorptivity, specularity),
+    "SemiLambertian": lambda absorptivity=0.0, angular_range=None, **kw:
+        M.semi_lambertian(absorptivity, angular_range or 1.5707963),
+    "Lambertian": lambda absorptivity=0.0, ang_range=1.5707963:
+        M.lambertian(absorptivity, ang_range),
+    "RefractiveHomogenous": lambda n1=1.0, n2=1.5, single_ray=True,
+        sigma=0.0: M.refractive_homogenous(n1, n2, single_ray, sigma or 0.0),
+    "PeriodicBoundary": lambda period: M.periodic_boundary(period),
+    "Transparent": lambda: M.transparent(),
+}
+
+# accountant-name tokens -> record tags (ref Accountant subclasses
+# :1597-1852 and aliases :2074)
+_TOKENS = {
+    "Receiver": ("location", "absorption"),
+    "Detector": ("direction", "location", "absorption"),
+    "Transmitter": ("location", "scattering"),
+    "Location": ("location",),
+    "Absorber": ("absorption",),
+    "Attenuator": ("attenuation",),
+    "Reception": ("reception",),
+    "Directional": ("direction",),
+    "Normal": ("normal",),
+    "Spectral": ("spectral",),
+    "Polychromatic": ("spectral",),
+    "Scatterer": ("scattering",),
+}
+
+
+def _resolve(name: str):
+    base_name = None
+    for b in sorted(_BASES, key=len, reverse=True):
+        if name.startswith(b):
+            base_name = b
+            break
+    if base_name is None:
+        raise AttributeError(name)
+    rest = name[len(base_name):]
+    records = []
+    while rest:
+        for tok in sorted(_TOKENS, key=len, reverse=True):
+            if rest.startswith(tok):
+                records.extend(_TOKENS[tok])
+                rest = rest[len(tok):]
+                break
+        else:
+            raise AttributeError(name)
+    factory = _BASES[base_name]
+
+    def make(*args, **kwargs):
+        spec = factory(*args, **kwargs)
+        if records:
+            spec = M.with_accounting(spec, *records)
+        return spec
+
+    make.__name__ = name
+    return make
+
+
+def __getattr__(name: str):
+    if name.startswith("_"):
+        raise AttributeError(name)
+    fn = _resolve(name)
+    globals()[name] = fn  # cache
+    return fn
+
+
+# the reference's module constant (optics_callables.py:489)
+perfect_mirror = M.perfect_mirror()
