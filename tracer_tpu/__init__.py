@@ -8,13 +8,16 @@ device mesh, and the bounce loop runs fused on device.
 """
 
 from .bundle import RayBundle, concatenate_rays
-from .engine import TracerEngine, TraceOptions, TraceResult, trace_fused
+from .engine import (TracerEngine, TraceOptions, TraceResult, trace_fused,
+                     trace_streaming)
 from .scene import Assembly, AssembledObject, Surface, compile_scene
-from . import geometry, materials, optics, sources, spatial
+from . import (geometry, materials, optics, sampling, sources, spatial,
+               stl_utils, vector_utils)
 
 __version__ = "0.1.0"
 __all__ = [
     "RayBundle", "concatenate_rays", "TracerEngine", "TraceOptions",
-    "TraceResult", "trace_fused", "Assembly", "AssembledObject", "Surface",
-    "compile_scene", "geometry", "materials", "optics", "sources", "spatial",
+    "TraceResult", "trace_fused", "trace_streaming", "Assembly",
+    "AssembledObject", "Surface", "compile_scene", "geometry", "materials",
+    "optics", "sampling", "sources", "spatial", "stl_utils", "vector_utils",
 ]

@@ -259,6 +259,43 @@ def shade(scene, sid: jnp.ndarray, t: jnp.ndarray, pos: jnp.ndarray,
         out_scat = jnp.where(crossed, scat_next, scat)
         out_g = jnp.where(crossed, g_next, g_hg)
 
+    if M.K_COOK_TORRANCE in kinds:
+        # Beckmann-sampled microfacet reflection (see materials
+        # .bdrf_cook_torrance). Needs its own uniforms.
+        k_ct1, k_ct2 = jax.random.split(jax.random.fold_in(key, 7))
+        u_ct = jax.random.uniform(k_ct1, (n,), dtype=pos.dtype,
+                                  minval=1e-7, maxval=1.0)
+        phi_ct = jax.random.uniform(k_ct2, (n,), dtype=pos.dtype,
+                                    minval=0.0, maxval=2.0 * jnp.pi)
+        alpha_ct = prm[:, 0]
+        tan2 = -alpha_ct**2 * jnp.log(u_ct)
+        cos_h = 1.0 / jnp.sqrt(1.0 + tan2)
+        sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h**2, 0.0))
+        h_local = jnp.stack([sin_h * jnp.cos(phi_ct),
+                             sin_h * jnp.sin(phi_ct), cos_h], axis=1)
+        h_vec = normalize(rotate_to_normal(h_local, ns), eps=1e-30)
+        d_ct = reflections(dirs, h_vec)
+        # throughput: F(d.h) * G * |d.h| / (|n.d| |n.h|)
+        v_dot_h = jnp.abs(dot(dirs, h_vec))
+        n_dot_v = jnp.maximum(jnp.abs(dot(dirs, ns)), 1e-6)
+        n_dot_h = jnp.maximum(jnp.abs(dot(h_vec, ns)), 1e-6)
+        n_dot_l = dot(d_ct, ns)
+        from ..optics import fresnel_to_attenuating
+        m2 = prm[:, 1] + 1j * prm[:, 2]
+        th1 = jnp.arccos(jnp.clip(v_dot_h, 0.0, 1.0))
+        R_p, R_s, _ = fresnel_to_attenuating(1.0, m2, th1)
+        F = 0.5 * (R_p + R_s)
+        G = jnp.minimum(
+            1.0, jnp.minimum(2.0 * n_dot_h * n_dot_v / jnp.maximum(v_dot_h, 1e-6),
+                             2.0 * n_dot_h * jnp.abs(n_dot_l)
+                             / jnp.maximum(v_dot_h, 1e-6)))
+        w_ct = prm[:, 3] * F * G * v_dot_h / (n_dot_v * n_dot_h)
+        # reflected below the surface: absorbed
+        w_ct = jnp.where(n_dot_l > 0.0, jnp.clip(w_ct, 0.0, 1.0), 0.0)
+        is_ct = kind == M.K_COOK_TORRANCE
+        out_dir = jnp.where(is_ct[:, None], d_ct, out_dir)
+        absorptivity = jnp.where(is_ct, 1.0 - w_ct, absorptivity)
+
     out_pos = hit_g
     if M.K_PERIODIC in kinds:
         # teleport by period along the (flipped-against-ray) normal

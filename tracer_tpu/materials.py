@@ -30,6 +30,7 @@ K_REFLECT_SPECTRAL = 5  # wavelength-interpolated absorptance (:178)
 K_REFRACTIVE = 6       # homogenous-media Fresnel interface (:1186)
 K_PERIODIC = 7         # periodic boundary teleport (:690)
 K_ABSORBER = 8         # perfect absorber (Reflective with abs=1 shortcut)
+K_COOK_TORRANCE = 9    # microfacet BDRF (:630); analytic Beckmann sampling
 
 N_OPT_PARAMS = 12
 
@@ -179,6 +180,20 @@ def bifacial(front: OpticsSpec, back: OpticsSpec) -> OpticsSpec:
     out = front.replace(flags=front.flags | F_ONE_SIDED)
     out.back_spec = back.replace(flags=back.flags | F_ONE_SIDED)
     return out
+
+
+def bdrf_cook_torrance(alpha: float, m_n: float, m_k: float,
+                       R_lam: float = 1.0) -> OpticsSpec:
+    """Cook-Torrance isotropic microfacet BDRF (ref
+    BDRF_Cook_Torrance_isotropic :630). The reference tabulates the BDRF on
+    an angular grid and importance-samples it per ray in Python; here the
+    Beckmann facet distribution is sampled analytically on device and the
+    throughput weight F*G*|d.h| / (|n.d||n.h|) applied — the standard
+    microfacet importance-sampling identity, physically equivalent.
+
+    alpha - Beckmann roughness; m_n + i*m_k - complex refractive index of
+    the surface at the design wavelength; R_lam - reflectance scale."""
+    return OpticsSpec(K_COOK_TORRANCE, _params(alpha, m_n, m_k, R_lam))
 
 
 def periodic_boundary(period: float) -> OpticsSpec:
