@@ -157,6 +157,28 @@ def _surface_t(inv_frame, quad, ap_params, pos, dirs, t_eps, disc_eps, sig):
     return jnp.minimum(root_t(t0), root_t(t1))
 
 
+def _use_pallas(pos) -> bool:
+    return (pos.dtype == jnp.float32
+            and jax.default_backend() not in ("cpu",))
+
+
+def nearest_hit_aux(scene, pos, dirs, t_eps=None, disc_eps: float = 1e-6,
+                    block=None):
+    """Like nearest_hit, but on the Pallas path also returns the winner's
+    shading data (normal/local/up_dot/kind/flags/p0/p1) carried through the
+    kernel, letting the shade pass skip its per-ray row gather. Returns
+    (t, sid, aux_or_None)."""
+    if t_eps is None:
+        t_eps = default_t_eps(pos.dtype)
+    if _use_pallas(pos):
+        from .pallas_intersect import nearest_hit_pallas, pack_rows
+        return nearest_hit_pallas(pack_rows(scene), pos, dirs, scene.groups,
+                                  t_eps, disc_eps)
+    t, sid = nearest_hit(scene, pos, dirs, t_eps=t_eps, disc_eps=disc_eps,
+                         block=block)
+    return t, sid, None
+
+
 def default_t_eps(dtype) -> float:
     """Relative positive-t threshold by precision: float32 needs a much
     larger self-intersection guard than the reference's float64 1e-6."""
@@ -226,17 +248,11 @@ def nearest_hit(scene, pos: jnp.ndarray, dirs: jnp.ndarray,
     # TPU + float32: use the Pallas kernel (single HBM pass, all
     # intermediates in VMEM). The jnp path below stays as the float64/CPU
     # oracle and the fallback for exotic backends.
-    if pos.dtype == jnp.float32 and jax.default_backend() not in ("cpu",):
-        from .pallas_intersect import nearest_hit_pallas
-        S = scene.num_rows
-        rows = jnp.concatenate([
-            scene.inv_frame[:, :3, :3].reshape(S, 9),
-            scene.inv_frame[:, :3, 3],
-            scene.quadric,
-            scene.ap_params.reshape(S, -1),
-        ], axis=1).astype(jnp.float32)
-        return nearest_hit_pallas(rows, pos, dirs, scene.groups,
-                                  t_eps, disc_eps)
+    if _use_pallas(pos):
+        from .pallas_intersect import nearest_hit_pallas, pack_rows
+        t, sid, _aux = nearest_hit_pallas(pack_rows(scene), pos, dirs,
+                                          scene.groups, t_eps, disc_eps)
+        return t, sid
 
     # full_like: inherits shard_map varying-axis tags of the ray arrays
     carry = (jnp.full_like(pos[:, 0], jnp.inf),

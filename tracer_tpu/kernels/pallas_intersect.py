@@ -36,21 +36,30 @@ TILE = SUB * LANE
 ROW_INV_ROT = 0      # 9 floats, row-major R^T
 ROW_INV_TRN = 9      # 3 floats
 ROW_QUAD = 12        # 10 floats
-ROW_AP = 22          # C*6 floats of aperture params
-ROW_F = 22           # + 6*C
+ROW_KIND = 22        # optics kind (as float)
+ROW_FLAGS = 23       # optics flags (as float)
+ROW_P0 = 24          # first two optics params
+ROW_AP = 26          # C*6 floats of aperture params
+ROW_F = 26           # + 6*C
+
+# carried per-ray state: t, sid, global normal (3), local hit point (3),
+# up-component of ray dir, optics kind/flags/p0/p1 of the winner
+N_STATE = 13
 
 
-def pack_rows(inv_frame: np.ndarray, quadric: np.ndarray,
-              ap_params: np.ndarray) -> np.ndarray:
-    """Pack per-surface data into one (S, ROW_F + 6*C) float array."""
-    S = inv_frame.shape[0]
-    C = ap_params.shape[1]
-    rows = np.zeros((S, ROW_F + 6 * C), dtype=np.float32)
-    rows[:, 0:9] = inv_frame[:, :3, :3].reshape(S, 9)
-    rows[:, 9:12] = inv_frame[:, :3, 3]
-    rows[:, 12:22] = quadric
-    rows[:, 22:] = ap_params.reshape(S, C * 6)
-    return rows
+def pack_rows(scene) -> "jnp.ndarray":
+    """Pack per-surface data into one (S, ROW_F + 6*C) float array (traced;
+    XLA hoists it out of trace loops)."""
+    S = scene.num_rows
+    return jnp.concatenate([
+        scene.inv_frame[:, :3, :3].reshape(S, 9),
+        scene.inv_frame[:, :3, 3],
+        scene.quadric,
+        scene.opt_kind[:, None].astype(jnp.float32),
+        scene.opt_flags[:, None].astype(jnp.float32),
+        scene.opt_params[:, 0:2],
+        scene.ap_params.reshape(S, -1),
+    ], axis=1).astype(jnp.float32)
 
 
 def _ap_ok_static(sig, rp, x, y, z):
@@ -107,18 +116,27 @@ def _ap_ok_static(sig, rp, x, y, z):
 
 def _make_kernel(sig, n_surf: int, base_sid: int, t_eps: float,
                  disc_eps: float, flat: bool):
-    """Build the group kernel: fori over surfaces, running (t, sid) min.
+    """Build the group kernel: fori over surfaces, running (t, sid) min,
+    plus the winner's shading data (global geometric normal, local hit
+    point, up-component of the ray direction, optics kind/flags/first two
+    params) carried through the loop — this removes the per-ray surface-row
+    gather from the shade pass, which dominated the bounce cost (~12 ms per
+    Mray for random gathers of 34-float rows).
+
     ``flat`` groups (plane z=0 in the local frame) skip the quadric solve
     entirely — t = -v_z/d_z — about 3x fewer flops."""
 
     def kernel(rows_ref, px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref,
-               t_in_ref, sid_in_ref, t_ref, sid_ref):
+               *state_refs):
+        ins = state_refs[:N_STATE]
+        outs = state_refs[N_STATE:]
         px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         big = jnp.float32(np.inf)
 
         def body(s, carry):
-            t_best, sid_best = carry
+            (t_best, sid_best, ngx_b, ngy_b, ngz_b, plx_b, ply_b, plz_b,
+             upd_b, kind_b, flags_b, q0_b, q1_b) = carry
             r = [rows_ref[s, k] for k in range(ROW_F + 6 * len(sig))]
 
             vz = r[6] * px + r[7] * py + r[8] * pz + r[11]
@@ -128,24 +146,26 @@ def _make_kernel(sig, n_surf: int, base_sid: int, t_eps: float,
                 safeB = jnp.where(ddz == 0.0, 1.0, ddz)
                 t_hit = -vz / safeB
                 root_ok = jnp.abs(ddz) > 1e-7  # ref flat_surface.py:39
-                # aperture needs local x,y only
+                vx = r[0] * px + r[1] * py + r[2] * pz + r[9]
+                vy = r[3] * px + r[4] * py + r[5] * pz + r[10]
+                ddx = r[0] * dx + r[1] * dy + r[2] * dz
+                ddy = r[3] * dx + r[4] * dy + r[5] * dz
+                t_thr = t_eps * (1.0 + jnp.sqrt(vx * vx + vy * vy
+                                                + vz * vz))
+                hx = vx + t_hit * ddx
+                hy = vy + t_hit * ddy
+                hz = jnp.zeros_like(hx)
+                ok = root_ok & (t_hit > t_thr)
                 if sig:
-                    vx = r[0] * px + r[1] * py + r[2] * pz + r[9]
-                    vy = r[3] * px + r[4] * py + r[5] * pz + r[10]
-                    ddx = r[0] * dx + r[1] * dy + r[2] * dz
-                    ddy = r[3] * dx + r[4] * dy + r[5] * dz
-                    t_thr = t_eps * (1.0 + jnp.sqrt(vx * vx + vy * vy
-                                                    + vz * vz))
-                    hx = vx + t_hit * ddx
-                    hy = vy + t_hit * ddy
-                    ok = root_ok & (t_hit > t_thr)
-                    ap = _ap_ok_static(sig, r, hx, hy, jnp.zeros_like(hx))
+                    ap = _ap_ok_static(sig, r, hx, hy, hz)
                     if ap is not None:
                         ok = ok & ap
-                else:
-                    t_thr = t_eps * (1.0 + jnp.abs(vz))
-                    ok = root_ok & (t_hit > t_thr)
                 t_surf = jnp.where(ok, t_hit, big)
+                # global geometric normal of the plane = R e_z = row 2 of
+                # the stored inverse rotation (R^T)
+                gx = jnp.full_like(px, r[6])
+                gy = jnp.full_like(px, r[7])
+                gz = jnp.full_like(px, r[8])
             else:
                 vx = r[0] * px + r[1] * py + r[2] * pz + r[9]
                 vy = r[3] * px + r[4] * py + r[5] * pz + r[10]
@@ -195,25 +215,49 @@ def _make_kernel(sig, n_surf: int, base_sid: int, t_eps: float,
                 def root_t(t):
                     ok = root_ok & (t > t_min_thr)
                     if sig:
-                        hx = vx + t * ddx
-                        hy = vy + t * ddy
-                        hz = vz + t * ddz
-                        ap = _ap_ok_static(sig, r, hx, hy, hz)
+                        hhx = vx + t * ddx
+                        hhy = vy + t * ddy
+                        hhz = vz + t * ddz
+                        ap = _ap_ok_static(sig, r, hhx, hhy, hhz)
                         if ap is not None:
                             ok = ok & ap
                     return jnp.where(ok, t, big)
 
-                t_surf = jnp.minimum(root_t(t0), root_t(t1))
+                ta = root_t(t0)
+                tb = root_t(t1)
+                t_surf = jnp.minimum(ta, tb)
+                hx = vx + t_surf * ddx
+                hy = vy + t_surf * ddy
+                hz = vz + t_surf * ddz
+                # local quadric gradient at the hit -> global via R = (inv)^T
+                glx = (axx * hx + axy * hy + axz * hz + bx)
+                gly = (axy * hx + ayy * hy + ayz * hz + by)
+                glz = (axz * hx + ayz * hy + azz * hz + bz)
+                gx = r[0] * glx + r[3] * gly + r[6] * glz
+                gy = r[1] * glx + r[4] * gly + r[7] * glz
+                gz = r[2] * glx + r[5] * gly + r[8] * glz
 
             upd = t_surf < t_best
             t_best = jnp.where(upd, t_surf, t_best)
             sid_best = jnp.where(upd, s + base_sid, sid_best)
-            return t_best, sid_best
+            ngx_b = jnp.where(upd, gx, ngx_b)
+            ngy_b = jnp.where(upd, gy, ngy_b)
+            ngz_b = jnp.where(upd, gz, ngz_b)
+            plx_b = jnp.where(upd, hx, plx_b)
+            ply_b = jnp.where(upd, hy, ply_b)
+            plz_b = jnp.where(upd, hz, plz_b)
+            upd_b = jnp.where(upd, ddz, upd_b)
+            kind_b = jnp.where(upd, r[ROW_KIND], kind_b)
+            flags_b = jnp.where(upd, r[ROW_FLAGS], flags_b)
+            q0_b = jnp.where(upd, r[ROW_P0], q0_b)
+            q1_b = jnp.where(upd, r[ROW_P0 + 1], q1_b)
+            return (t_best, sid_best, ngx_b, ngy_b, ngz_b, plx_b, ply_b,
+                    plz_b, upd_b, kind_b, flags_b, q0_b, q1_b)
 
-        t_best, sid_best = jax.lax.fori_loop(
-            0, n_surf, body, (t_in_ref[:], sid_in_ref[:]))
-        t_ref[:] = t_best
-        sid_ref[:] = sid_best
+        carry = jax.lax.fori_loop(
+            0, n_surf, body, tuple(ref[:] for ref in ins))
+        for ref, val in zip(outs, carry):
+            ref[:] = val
 
     return kernel
 
@@ -222,11 +266,12 @@ def _make_kernel(sig, n_surf: int, base_sid: int, t_eps: float,
                    static_argnames=("groups", "t_eps", "disc_eps"))
 def nearest_hit_pallas(rows: jnp.ndarray, pos: jnp.ndarray,
                        dirs: jnp.ndarray, groups, t_eps: float,
-                       disc_eps: float = 1e-6
-                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                       disc_eps: float = 1e-6):
     """Nearest hit over all surface groups. rows is the packed (S, K) table
-    (pack_rows); groups a static tuple of (start, end, sig). Rays (N,3) f32,
-    N padded to a multiple of TILE by the caller or here."""
+    (pack_rows); groups a static tuple of (start, end, sig, tag). Rays
+    (N,3) f32. Returns (t, sid, aux) with aux the winner's shading data:
+    dict(normal (N,3) unnormalized global gradient, local (N,3), up_dot
+    (N,), kind (N,) i32, flags (N,) i32, p0, p1)."""
     n = pos.shape[0]
     n_pad = -(-n // TILE) * TILE
     pad = n_pad - n
@@ -240,8 +285,11 @@ def nearest_hit_pallas(rows: jnp.ndarray, pos: jnp.ndarray,
             comps.append(c.reshape(n_pad // LANE, LANE))
 
     nb = n_pad // TILE
-    t = jnp.full((n_pad // LANE, LANE), jnp.inf, dtype=jnp.float32)
-    sid = jnp.full((n_pad // LANE, LANE), -1, dtype=jnp.int32)
+    shape2 = (n_pad // LANE, LANE)
+    state = [jnp.full(shape2, jnp.inf, dtype=jnp.float32),     # t
+             jnp.full(shape2, -1, dtype=jnp.int32)]            # sid
+    state += [jnp.zeros(shape2, dtype=jnp.float32)
+              for _ in range(N_STATE - 2)]
 
     def ray_idx(i, s_ref):  # grid index first, then scalar-prefetch refs
         return (i, 0)
@@ -256,18 +304,27 @@ def nearest_hit_pallas(rows: jnp.ndarray, pos: jnp.ndarray,
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),
-            in_specs=[ray_spec] * 8,
-            out_specs=(ray_spec, ray_spec),
+            in_specs=[ray_spec] * (6 + N_STATE),
+            out_specs=tuple([ray_spec] * N_STATE),
         )
-        t, sid = pl.pallas_call(
+        state = list(pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=(jax.ShapeDtypeStruct(t.shape, t.dtype),
-                       jax.ShapeDtypeStruct(sid.shape, sid.dtype)),
-            input_output_aliases={7: 0, 8: 1},
-        )(rows[start:end], *comps, t, sid)
+            out_shape=tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
+                            for a in state),
+            input_output_aliases={7 + i: i for i in range(N_STATE)},
+        )(rows[start:end], *comps, *state))
 
-    t = t.reshape(n_pad)[:n]
-    sid = sid.reshape(n_pad)[:n]
+    flat = [a.reshape(n_pad)[:n] for a in state]
+    t, sid = flat[0], flat[1]
     sid = jnp.where(jnp.isfinite(t), sid, -1)
-    return t, sid
+    aux = dict(
+        normal=jnp.stack(flat[2:5], axis=1),
+        local=jnp.stack(flat[5:8], axis=1),
+        up_dot=flat[8],
+        kind=flat[9].astype(jnp.int32),
+        flags=flat[10].astype(jnp.int32),
+        p0=flat[11],
+        p1=flat[12],
+    )
+    return t, sid, aux

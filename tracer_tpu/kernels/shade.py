@@ -73,65 +73,86 @@ def _interp_segment(x, start, length, tab_x, tab_y):
     return y0 + jnp.clip(w, 0.0, 1.0) * (y1 - y0)
 
 
+# optics kinds whose parameters beyond p0/p1 are needed by shade; scenes
+# restricted to the others can run entirely from the intersect kernel's
+# carried aux data (no per-ray row gather at all)
+_EXTENDED_PARAM_KINDS = {M.K_LAMBERTIAN_SPECULAR, M.K_REFLECT_SPECTRAL,
+                         M.K_REFRACTIVE, M.K_COOK_TORRANCE}
+
+
 def shade(scene, sid: jnp.ndarray, t: jnp.ndarray, pos: jnp.ndarray,
           dirs: jnp.ndarray, energy: jnp.ndarray, wavelength: jnp.ndarray,
           ref_index: jnp.ndarray, key: jax.Array,
-          medium=None) -> ShadeResult:
+          medium=None, aux=None) -> ShadeResult:
     """Shade all rays against their hit surfaces (sid >= 0 assumed valid;
-    escaped rays get arbitrary-but-finite outputs which the engine masks)."""
+    escaped rays get arbitrary-but-finite outputs which the engine masks).
+
+    aux - optional winner shading data carried out of the Pallas intersect
+    kernel (see pallas_intersect.nearest_hit_pallas): replaces the per-ray
+    surface-row gathers here."""
     n = pos.shape[0]
     s = jnp.maximum(sid, 0)
     kinds = set(scene.kinds_present) or {M.K_REFLECT}
     features = set(scene.features)
-
-    # ---- packed per-surface row: rot(9) trn(3) quadric(10) params ---------
     S = scene.num_rows
     n_prm = scene.opt_params.shape[1]
-    packed = jnp.concatenate([
-        scene.frame[:, :3, :3].reshape(S, 9),
-        scene.frame[:, :3, 3],
-        scene.quadric,
-        scene.opt_params,
-    ], axis=1)
-    row = _gather_rows(packed, s)
-    rot = row[:, 0:9].reshape(n, 3, 3)
-    trn = row[:, 9:12]
-    quad = row[:, 12:22]
-    prm = row[:, 22:22 + n_prm]
-
-    ints = jnp.stack([scene.opt_kind, scene.opt_flags], axis=1)
-    introw = _gather_rows(ints, s)
-    kind, flags = introw[:, 0], introw[:, 1]
 
     t_safe = jnp.where(jnp.isfinite(t), t, 0.0)
     hit_g = pos + t_safe[:, None] * dirs
 
-    # local coordinates: p_l = R^T (p - t0); d_l not needed (normals flip
-    # via the global cosine)
-    rel = hit_g - trn
-    # R^T x as apply_rot with swapped index order
-    p_l = jnp.stack([
-        rot[:, 0, 0] * rel[:, 0] + rot[:, 1, 0] * rel[:, 1] + rot[:, 2, 0] * rel[:, 2],
-        rot[:, 0, 1] * rel[:, 0] + rot[:, 1, 1] * rel[:, 1] + rot[:, 2, 1] * rel[:, 2],
-        rot[:, 0, 2] * rel[:, 0] + rot[:, 1, 2] * rel[:, 1] + rot[:, 2, 2] * rel[:, 2],
-    ], axis=1)
+    needs_full_prm = bool(kinds & _EXTENDED_PARAM_KINDS) \
+        or "iam" in features
+    if aux is not None:
+        p_l = aux["local"]
+        n_geom = normalize(aux["normal"], eps=1e-30)
+        kind, flags = aux["kind"], aux["flags"]
+        backside = aux["up_dot"] > 0.0
+        if needs_full_prm:
+            prm = _gather_rows(scene.opt_params, s)
+        else:
+            prm = jnp.zeros((n, n_prm), dtype=pos.dtype)
+            prm = prm.at[:, 0].set(aux["p0"]).at[:, 1].set(aux["p1"])
+    else:
+        # ---- packed per-surface row: rot(9) trn(3) quadric(10) params ----
+        packed = jnp.concatenate([
+            scene.frame[:, :3, :3].reshape(S, 9),
+            scene.frame[:, :3, 3],
+            scene.quadric,
+            scene.opt_params,
+        ], axis=1)
+        row = _gather_rows(packed, s)
+        rot = row[:, 0:9].reshape(n, 3, 3)
+        trn = row[:, 9:12]
+        quad = row[:, 12:22]
+        prm = row[:, 22:22 + n_prm]
 
-    # quadric gradient at the local hit point = 2(A p + b)
-    x, y, z = p_l[:, 0], p_l[:, 1], p_l[:, 2]
-    grad = jnp.stack([
-        quad[:, 0] * x + quad[:, 3] * y + quad[:, 4] * z + quad[:, 6],
-        quad[:, 3] * x + quad[:, 1] * y + quad[:, 5] * z + quad[:, 7],
-        quad[:, 4] * x + quad[:, 5] * y + quad[:, 2] * z + quad[:, 8],
-    ], axis=1)
-    n_l = normalize(grad, eps=1e-30)
+        ints = jnp.stack([scene.opt_kind, scene.opt_flags], axis=1)
+        introw = _gather_rows(ints, s)
+        kind, flags = introw[:, 0], introw[:, 1]
 
-    n_geom = apply_rot(rot, n_l)
+        # local coordinates: p_l = R^T (p - t0)
+        rel = hit_g - trn
+        p_l = jnp.stack([
+            rot[:, 0, 0] * rel[:, 0] + rot[:, 1, 0] * rel[:, 1] + rot[:, 2, 0] * rel[:, 2],
+            rot[:, 0, 1] * rel[:, 0] + rot[:, 1, 1] * rel[:, 1] + rot[:, 2, 1] * rel[:, 2],
+            rot[:, 0, 2] * rel[:, 0] + rot[:, 1, 2] * rel[:, 1] + rot[:, 2, 2] * rel[:, 2],
+        ], axis=1)
+
+        # quadric gradient at the local hit point = 2(A p + b)
+        x, y, z = p_l[:, 0], p_l[:, 1], p_l[:, 2]
+        grad = jnp.stack([
+            quad[:, 0] * x + quad[:, 3] * y + quad[:, 4] * z + quad[:, 6],
+            quad[:, 3] * x + quad[:, 1] * y + quad[:, 5] * z + quad[:, 7],
+            quad[:, 4] * x + quad[:, 5] * y + quad[:, 2] * z + quad[:, 8],
+        ], axis=1)
+        n_l = normalize(grad, eps=1e-30)
+        n_geom = apply_rot(rot, n_l)
+        backside = (dirs[:, 0] * rot[:, 0, 2] + dirs[:, 1] * rot[:, 1, 2]
+                    + dirs[:, 2] * rot[:, 2, 2]) > 0.0
+
     cos_geom = dot(dirs, n_geom)
     # shading normal opposes the incoming ray (ref quadric/flat normal flip)
     ns = jnp.where(cos_geom[:, None] > 0.0, -n_geom, n_geom)
-    # one-sidedness references the local +Z ("up", ref surface.py/up()):
-    backside = (dirs[:, 0] * rot[:, 0, 2] + dirs[:, 1] * rot[:, 1, 2]
-                + dirs[:, 2] * rot[:, 2, 2]) > 0.0
 
     needs_diffuse = bool(kinds & {M.K_LAMBERTIAN, M.K_LAMBERTIAN_SPECULAR,
                                   M.K_SEMI_LAMBERTIAN})
