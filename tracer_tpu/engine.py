@@ -87,10 +87,11 @@ class TraceOptions:
 
 @functools.partial(jax.jit,
                    static_argnames=("min_energy", "t_eps", "disc_eps", "block",
-                                    "count_hits"))
+                                    "count_hits", "need_local"))
 def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
                  key: jax.Array, min_energy: float, t_eps, disc_eps: float,
-                 block: int, count_hits: bool = True):
+                 block: int, count_hits: bool = True,
+                 need_local: bool = True):
     """One bounce: intersect, shade, account. Returns (bundle', accum', rec).
 
     With volumetric media in the scene ("volumetric" feature), a scattering
@@ -106,7 +107,8 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
     alive = bundle.alive & (bundle.energy > 0.0)
 
     t, sid, aux = nearest_hit_aux(scene, bundle.pos, bundle.dir,
-                                  t_eps=t_eps, disc_eps=disc_eps, block=block)
+                                  t_eps=t_eps, disc_eps=disc_eps, block=block,
+                                  need_local=need_local)
     sid = jnp.where(alive, sid, -1)
 
     volumetric = "volumetric" in scene.features
@@ -481,7 +483,8 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
                                                     emitted, source_e)
         bundle, accum, _ = _bounce_step(
             scene, bundle, accum, k_bounce, min_energy=min_energy,
-            t_eps=t_eps, disc_eps=disc_eps, block=block, count_hits=False)
+            t_eps=t_eps, disc_eps=disc_eps, block=block, count_hits=False,
+            need_local=False)
         # per-ray bounce budget: cull overage rays, account their energy
         age = age + 1
         over = bundle.alive & (age >= max_path)

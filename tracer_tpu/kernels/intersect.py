@@ -163,17 +163,18 @@ def _use_pallas(pos) -> bool:
 
 
 def nearest_hit_aux(scene, pos, dirs, t_eps=None, disc_eps: float = 1e-6,
-                    block=None):
+                    block=None, need_local: bool = True):
     """Like nearest_hit, but on the Pallas path also returns the winner's
     shading data (normal/local/up_dot/kind/flags/p0/p1) carried through the
     kernel, letting the shade pass skip its per-ray row gather. Returns
-    (t, sid, aux_or_None)."""
+    (t, sid, aux_or_None). need_local=False skips carrying the local hit
+    point (3 selects/surface) when no per-bounce records are kept."""
     if t_eps is None:
         t_eps = default_t_eps(pos.dtype)
     if _use_pallas(pos):
         from .pallas_intersect import nearest_hit_pallas, pack_rows
         return nearest_hit_pallas(pack_rows(scene), pos, dirs, scene.groups,
-                                  t_eps, disc_eps)
+                                  t_eps, disc_eps, need_local=need_local)
     t, sid = nearest_hit(scene, pos, dirs, t_eps=t_eps, disc_eps=disc_eps,
                          block=block)
     return t, sid, None

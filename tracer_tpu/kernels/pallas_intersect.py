@@ -36,15 +36,17 @@ TILE = SUB * LANE
 ROW_INV_ROT = 0      # 9 floats, row-major R^T
 ROW_INV_TRN = 9      # 3 floats
 ROW_QUAD = 12        # 10 floats
-ROW_KIND = 22        # optics kind (as float)
-ROW_FLAGS = 23       # optics flags (as float)
-ROW_P0 = 24          # first two optics params
-ROW_AP = 26          # C*6 floats of aperture params
-ROW_F = 26           # + 6*C
+ROW_KIND = 22        # optics kind*1024 + flags (as float; both small ints)
+ROW_P0 = 23          # first two optics params
+ROW_AP = 25          # C*6 floats of aperture params
+ROW_F = 25           # + 6*C
 
 # carried per-ray state: t, sid, global normal (3), local hit point (3),
-# up-component of ray dir, optics kind/flags/p0/p1 of the winner
-N_STATE = 13
+# up-component of ray dir, optics kind*1024+flags, p0, p1 of the winner.
+# With need_local=False (streaming: no per-bounce records) the local hit
+# point is not carried, saving 3 selects per surface iteration.
+N_STATE = 12
+N_STATE_NOLOCAL = 9
 
 
 def pack_rows(scene) -> "jnp.ndarray":
@@ -55,8 +57,8 @@ def pack_rows(scene) -> "jnp.ndarray":
         scene.inv_frame[:, :3, :3].reshape(S, 9),
         scene.inv_frame[:, :3, 3],
         scene.quadric,
-        scene.opt_kind[:, None].astype(jnp.float32),
-        scene.opt_flags[:, None].astype(jnp.float32),
+        (scene.opt_kind * 1024 + scene.opt_flags)[:, None]
+        .astype(jnp.float32),
         scene.opt_params[:, 0:2],
         scene.ap_params.reshape(S, -1),
     ], axis=1).astype(jnp.float32)
@@ -115,7 +117,7 @@ def _ap_ok_static(sig, rp, x, y, z):
 
 
 def _make_kernel(sig, n_surf: int, base_sid: int, t_eps: float,
-                 disc_eps: float, flat: bool):
+                 disc_eps: float, flat: bool, need_local: bool = True):
     """Build the group kernel: fori over surfaces, running (t, sid) min,
     plus the winner's shading data (global geometric normal, local hit
     point, up-component of the ray direction, optics kind/flags/first two
@@ -126,17 +128,23 @@ def _make_kernel(sig, n_surf: int, base_sid: int, t_eps: float,
     ``flat`` groups (plane z=0 in the local frame) skip the quadric solve
     entirely — t = -v_z/d_z — about 3x fewer flops."""
 
+    n_state = N_STATE if need_local else N_STATE_NOLOCAL
+
     def kernel(rows_ref, px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref,
                *state_refs):
-        ins = state_refs[:N_STATE]
-        outs = state_refs[N_STATE:]
+        ins = state_refs[:n_state]
+        outs = state_refs[n_state:]
         px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         big = jnp.float32(np.inf)
 
         def body(s, carry):
-            (t_best, sid_best, ngx_b, ngy_b, ngz_b, plx_b, ply_b, plz_b,
-             upd_b, kind_b, flags_b, q0_b, q1_b) = carry
+            if need_local:
+                (t_best, sid_best, ngx_b, ngy_b, ngz_b, plx_b, ply_b,
+                 plz_b, upd_b, kf_b, q0_b, q1_b) = carry
+            else:
+                (t_best, sid_best, ngx_b, ngy_b, ngz_b,
+                 upd_b, kf_b, q0_b, q1_b) = carry
             r = [rows_ref[s, k] for k in range(ROW_F + 6 * len(sig))]
 
             vz = r[6] * px + r[7] * py + r[8] * pz + r[11]
@@ -150,8 +158,9 @@ def _make_kernel(sig, n_surf: int, base_sid: int, t_eps: float,
                 vy = r[3] * px + r[4] * py + r[5] * pz + r[10]
                 ddx = r[0] * dx + r[1] * dy + r[2] * dz
                 ddy = r[3] * dx + r[4] * dy + r[5] * dz
-                t_thr = t_eps * (1.0 + jnp.sqrt(vx * vx + vy * vy
-                                                + vz * vz))
+                # L1-norm scale guard (>= L2, safe; saves a sqrt)
+                t_thr = t_eps * (1.0 + jnp.abs(vx) + jnp.abs(vy)
+                                 + jnp.abs(vz))
                 hx = vx + t_hit * ddx
                 hy = vy + t_hit * ddy
                 hz = jnp.zeros_like(hx)
@@ -243,16 +252,18 @@ def _make_kernel(sig, n_surf: int, base_sid: int, t_eps: float,
             ngx_b = jnp.where(upd, gx, ngx_b)
             ngy_b = jnp.where(upd, gy, ngy_b)
             ngz_b = jnp.where(upd, gz, ngz_b)
-            plx_b = jnp.where(upd, hx, plx_b)
-            ply_b = jnp.where(upd, hy, ply_b)
-            plz_b = jnp.where(upd, hz, plz_b)
             upd_b = jnp.where(upd, ddz, upd_b)
-            kind_b = jnp.where(upd, r[ROW_KIND], kind_b)
-            flags_b = jnp.where(upd, r[ROW_FLAGS], flags_b)
+            kf_b = jnp.where(upd, r[ROW_KIND], kf_b)
             q0_b = jnp.where(upd, r[ROW_P0], q0_b)
             q1_b = jnp.where(upd, r[ROW_P0 + 1], q1_b)
-            return (t_best, sid_best, ngx_b, ngy_b, ngz_b, plx_b, ply_b,
-                    plz_b, upd_b, kind_b, flags_b, q0_b, q1_b)
+            if need_local:
+                plx_b = jnp.where(upd, hx, plx_b)
+                ply_b = jnp.where(upd, hy, ply_b)
+                plz_b = jnp.where(upd, hz, plz_b)
+                return (t_best, sid_best, ngx_b, ngy_b, ngz_b, plx_b,
+                        ply_b, plz_b, upd_b, kf_b, q0_b, q1_b)
+            return (t_best, sid_best, ngx_b, ngy_b, ngz_b,
+                    upd_b, kf_b, q0_b, q1_b)
 
         carry = jax.lax.fori_loop(
             0, n_surf, body, tuple(ref[:] for ref in ins))
@@ -263,10 +274,11 @@ def _make_kernel(sig, n_surf: int, base_sid: int, t_eps: float,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("groups", "t_eps", "disc_eps"))
+                   static_argnames=("groups", "t_eps", "disc_eps",
+                                    "need_local"))
 def nearest_hit_pallas(rows: jnp.ndarray, pos: jnp.ndarray,
                        dirs: jnp.ndarray, groups, t_eps: float,
-                       disc_eps: float = 1e-6):
+                       disc_eps: float = 1e-6, need_local: bool = True):
     """Nearest hit over all surface groups. rows is the packed (S, K) table
     (pack_rows); groups a static tuple of (start, end, sig, tag). Rays
     (N,3) f32. Returns (t, sid, aux) with aux the winner's shading data:
@@ -285,11 +297,12 @@ def nearest_hit_pallas(rows: jnp.ndarray, pos: jnp.ndarray,
             comps.append(c.reshape(n_pad // LANE, LANE))
 
     nb = n_pad // TILE
+    n_state = N_STATE if need_local else N_STATE_NOLOCAL
     shape2 = (n_pad // LANE, LANE)
     state = [jnp.full(shape2, jnp.inf, dtype=jnp.float32),     # t
              jnp.full(shape2, -1, dtype=jnp.int32)]            # sid
     state += [jnp.zeros(shape2, dtype=jnp.float32)
-              for _ in range(N_STATE - 2)]
+              for _ in range(n_state - 2)]
 
     def ray_idx(i, s_ref):  # grid index first, then scalar-prefetch refs
         return (i, 0)
@@ -298,33 +311,40 @@ def nearest_hit_pallas(rows: jnp.ndarray, pos: jnp.ndarray,
 
     for (start, end, sig, tag) in groups:
         kernel = _make_kernel(sig, end - start, start, t_eps, disc_eps,
-                              flat=(tag == "flat"))
+                              flat=(tag == "flat"), need_local=need_local)
         # surface rows ride in SMEM (scalar prefetch): per-surface scalar
         # reads are far cheaper there than VMEM vector-lane extracts
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),
-            in_specs=[ray_spec] * (6 + N_STATE),
-            out_specs=tuple([ray_spec] * N_STATE),
+            in_specs=[ray_spec] * (6 + n_state),
+            out_specs=tuple([ray_spec] * n_state),
         )
         state = list(pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
                             for a in state),
-            input_output_aliases={7 + i: i for i in range(N_STATE)},
+            input_output_aliases={7 + i: i for i in range(n_state)},
         )(rows[start:end], *comps, *state))
 
     flat = [a.reshape(n_pad)[:n] for a in state]
     t, sid = flat[0], flat[1]
     sid = jnp.where(jnp.isfinite(t), sid, -1)
+    if need_local:
+        local = jnp.stack(flat[5:8], axis=1)
+        rest = flat[8:]
+    else:
+        local = jnp.zeros((n, 3), dtype=jnp.float32)
+        rest = flat[5:]
+    kf = rest[1].astype(jnp.int32)
     aux = dict(
         normal=jnp.stack(flat[2:5], axis=1),
-        local=jnp.stack(flat[5:8], axis=1),
-        up_dot=flat[8],
-        kind=flat[9].astype(jnp.int32),
-        flags=flat[10].astype(jnp.int32),
-        p0=flat[11],
-        p1=flat[12],
+        local=local,
+        up_dot=rest[0],
+        kind=kf // 1024,
+        flags=kf % 1024,
+        p0=rest[2],
+        p1=rest[3],
     )
     return t, sid, aux
