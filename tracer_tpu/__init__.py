@@ -12,7 +12,7 @@ from .engine import (TracerEngine, TraceOptions, TraceResult, trace_fused,
                      trace_streaming)
 from .scene import Assembly, AssembledObject, Surface, compile_scene
 from . import (geometry, materials, optics, sampling, sources, spatial,
-               stl_utils, vector_utils)
+               stl_utils, trace_tree, vector_utils)
 
 __version__ = "0.1.0"
 __all__ = [

@@ -75,3 +75,32 @@ def multi_ray_sim(scene, bundles, key: jax.Array, mesh: Optional[Mesh] = None,
     if bundle.num_rays % n_dev:
         bundle = bundle.pad_to(-(-bundle.num_rays // n_dev) * n_dev)
     return trace_sharded(scene, bundle, key, mesh, **trace_kw)
+
+
+class TracerEngineMP:
+    """API-parity shim for the reference's process-pool engine
+    (tracer/tracer_engine_mp.py:9): construct with an Assembly, call
+    multi_ray_sim(sources) — but the 'processes' are mesh devices and the
+    merge is a psum. Exposes the merged accumulators like TracerEngine."""
+
+    def __init__(self, assembly, mesh: Optional[Mesh] = None, dtype=None):
+        from .engine import TracerEngine
+        self._engine = TracerEngine(assembly, dtype=dtype)
+        self.scene = self._engine.scene
+        self.meta = self._engine.meta
+        self.mesh = mesh
+        self.itmax = 100
+        self.minener = 1e-6
+
+    def multi_ray_sim(self, sources, procs: Optional[int] = None, key=None):
+        """Trace several source bundles over the device mesh (``procs`` is
+        accepted for signature parity; the mesh size governs parallelism).
+        Returns (final_bundle, accum) and stores accum on self."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        mesh = self.mesh or default_mesh(procs)
+        final, accum = multi_ray_sim(self.scene, sources, key, mesh=mesh,
+                                     max_bounces=self.itmax,
+                                     min_energy=self.minener)
+        self.accum = accum
+        return final, accum
