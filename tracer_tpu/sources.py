@@ -561,3 +561,80 @@ def vf_cylinder_bundle(key, num_rays: int, rc: float, lc: float, center,
         area = rc * (angular_span[1] - angular_span[0]) * lc
         energy = jnp.full((num_rays,), flux * area / num_rays)
     return RayBundle.create(pos=verts, dir=dirs, energy=energy)
+
+
+def gray_source(key, shape: dict, location, direction, num_rays: int,
+                directions_distribution: dict, energy: float,
+                rays_direction=None) -> RayBundle:
+    """General gray source composer (ref gray_source, sources.py:44):
+    ``shape`` and ``directions_distribution`` are {'type': name,
+    'kwargs': {...}} dicts resolved against the sampling library's shape
+    samplers and direction distributions."""
+    from . import sampling as smp
+
+    location = _as_row3(location)
+    direction = _as_row3(direction)
+    k1, k2 = jax.random.split(key)
+
+    shape_fns = dict(disk=smp.disk_sampling, rectangle=smp.rectangle_sampling,
+                     triangle=smp.triangle_sampling,
+                     polygon=smp.polygon_sampling,
+                     cylinder=smp.cylinder_sampling,
+                     frustum=smp.frustum_sampling, sphere=smp.sphere_sampling)
+    fn = shape_fns[shape["type"]]
+    verts, normals = fn(k1, ns=num_rays, **shape["kwargs"])
+
+    rot = spatial.rotation_to_z(direction)
+    verts = _rotate_rows(rot, verts) + location
+    normals = _rotate_rows(rot, normals)
+
+    dd = directions_distribution
+    if dd["type"].lower() == "lambertian":
+        dirs = smp.lambertian_directions_sampling(
+            k2, num_rays, normals=normals, **dd.get("kwargs", {}))
+    else:
+        raise ValueError(f"unknown directions distribution {dd['type']}")
+
+    energies = jnp.full((num_rays,), energy / num_rays)
+    if rays_direction is not None:
+        rays_direction = _as_row3(rays_direction)
+        energies = energies * np.cos(float(np.dot(rays_direction, direction)))
+    return RayBundle.create(pos=verts, dir=dirs, energy=energies)
+
+
+def spectral_band_axisymmetrical_thermal_emission_source(
+        key, positions, normals, area, thetas, band_emittance, T: float,
+        nrays: int, band, ref_index: float = 1.0) -> RayBundle:
+    """Thermal emitter over a spectral band with directional emittance
+    (ref sources.py:771): Planck-integrated band radiance, directions
+    importance-sampled from the emittance(theta)*cos*sin profile."""
+    from .electromagnetics import planck
+    from .sampling import PWLinCosSinDistribution
+    from .vector_utils import rotate_z_to_normal
+
+    thetas = np.asarray(thetas, dtype=float)
+    wls = np.linspace(band[0], band[1],
+                      max(int((band[1] - band[0]) / 1e-9), 16))
+    bb = np.asarray(planck(wls, T))
+    bb_int = np.trapezoid(bb, wls) if hasattr(np, "trapezoid") \
+        else np.trapz(bb, wls)
+    band_emittance = np.broadcast_to(np.asarray(band_emittance, dtype=float),
+                                     thetas.shape)
+    radiance = band_emittance * bb_int
+
+    k1, k2 = jax.random.split(key)
+    dist = PWLinCosSinDistribution(thetas, radiance)
+    th_rays, weights = dist.sample(k1, nrays)
+    exitance = 2.0 * np.pi * np.trapz(
+        radiance * np.cos(thetas) * np.sin(thetas), thetas)
+    phis = jax.random.uniform(k2, (nrays,), maxval=2.0 * jnp.pi)
+    s = jnp.sin(th_rays)
+    dirs = jnp.stack([s * jnp.cos(phis), s * jnp.sin(phis),
+                      jnp.cos(th_rays)], axis=1)
+    dirs = jnp.asarray(rotate_z_to_normal(np.asarray(dirs),
+                                          np.asarray(normals)))
+    energy = weights / jnp.sum(weights) * exitance * area
+    wl_avg = float(np.sum(wls * bb) / np.sum(bb))
+    return RayBundle.create(pos=np.asarray(positions, dtype=float),
+                            dir=dirs, energy=energy,
+                            wavelength=wl_avg, ref_index=ref_index)
