@@ -85,6 +85,48 @@ class TraceOptions:
     record: bool = True
 
 
+def _account(scene: SceneTable, accum: TraceAccum, sid, hit, escaped,
+             absorbed_ray, energy, count_hits: bool) -> TraceAccum:
+    """Per-surface energy accounting for one bounce.
+
+    Small scenes: masked reductions (beat TPU scatters ~30x). Large scenes:
+    one-hot bf16 matmul — XLA fuses the one-hot generation into the MXU
+    pass, making it ~free, while a TPU scatter of 1M rays into a few
+    hundred bins costs ~9 ms; the one-hot is exact in bf16, the absorbed
+    values are bf16-rounded (<0.4% per ray, negligible vs MC noise) and
+    accumulated in float32."""
+    n_rows = scene.frame.shape[0]
+    new_escaped = accum.escaped + jnp.sum(jnp.where(escaped, energy, 0.0))
+    if n_rows <= 64:
+        absorbed_rows = jnp.stack(
+            [jnp.sum(jnp.where(sid == s_i, absorbed_ray, 0.0))
+             for s_i in range(n_rows)])
+        new_hits = accum.hits
+        if count_hits:
+            hit_f = jnp.where(hit, 1.0, 0.0)
+            new_hits = accum.hits + jnp.stack(
+                [jnp.sum(jnp.where(sid == s_i, hit_f, 0.0))
+                 for s_i in range(n_rows)])
+        return accum.replace(absorbed=accum.absorbed + absorbed_rows,
+                             hits=new_hits, escaped=new_escaped)
+    sid_safe = jnp.maximum(sid, 0)
+    onehot = (sid_safe[None, :] == jnp.arange(n_rows)[:, None]
+              ).astype(jnp.bfloat16)
+    if count_hits:
+        vals = jnp.stack([absorbed_ray, jnp.where(hit, 1.0, 0.0)],
+                         axis=1).astype(jnp.bfloat16)
+        acc2 = jnp.matmul(onehot, vals, preferred_element_type=jnp.float32)
+        return accum.replace(
+            absorbed=accum.absorbed + acc2[:, 0].astype(accum.absorbed.dtype),
+            hits=accum.hits + acc2[:, 1].astype(accum.hits.dtype),
+            escaped=new_escaped)
+    add = jnp.matmul(onehot, absorbed_ray[:, None].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)[:, 0]
+    return accum.replace(
+        absorbed=accum.absorbed + add.astype(accum.absorbed.dtype),
+        escaped=new_escaped)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("min_energy", "t_eps", "disc_eps", "block",
                                     "count_hits", "need_local"))
@@ -105,6 +147,55 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
     """
     n_rows = scene.frame.shape[0]
     alive = bundle.alive & (bundle.energy > 0.0)
+
+    # Fully-fused fast path for single-group pure-specular scenes (e.g.
+    # heliostat fields): intersect + reflect + slope error + one-sided kill
+    # in one Pallas kernel, one HBM round trip of the ray state per bounce.
+    from . import materials as _M
+    from .kernels.intersect import _use_pallas, default_t_eps
+    use_fused = (not need_local
+                 and scene.kinds_present == (_M.K_REFLECT,)
+                 and "volumetric" not in scene.features
+                 and "iam" not in scene.features
+                 and len(scene.groups) == 1
+                 and _use_pallas(bundle.pos))
+    if use_fused:
+        from .kernels.pallas_intersect import (bounce_reflect_pallas,
+                                               pack_rows)
+        key, k_seed = jax.random.split(key)
+        seed = jax.random.randint(k_seed, (1,), 0, jnp.iinfo(jnp.int32).max,
+                                  dtype=jnp.int32)
+        te = default_t_eps(bundle.pos.dtype) if t_eps is None else t_eps
+        new_pos, new_dir, new_e, sid, absorbed_f = bounce_reflect_pallas(
+            pack_rows(scene), seed, bundle.pos, bundle.dir, bundle.energy,
+            scene.groups, te, disc_eps,
+            bivar=any(f & _M.F_BIVAR for f in scene.flags_present),
+            one_sided="one_sided" in scene.features,
+            slope="slope_error" in scene.features)
+        sid = jnp.where(alive, sid, -1)
+        hit = sid >= 0
+        escaped = alive & ~hit
+        e_in = jnp.where(hit, bundle.energy, 0.0)
+        e_out = jnp.where(hit, new_e, 0.0)
+        absorbed_ray = jnp.where(hit, absorbed_f, 0.0)
+        accum = _account(scene, accum, sid, hit, escaped, absorbed_ray,
+                         bundle.energy, count_hits)
+        low = hit & (e_out <= min_energy)
+        accum = accum.replace(
+            culled=accum.culled + jnp.sum(jnp.where(low, e_out, 0.0)))
+        alive_next = hit & ~low
+        new_bundle = bundle.replace(
+            pos=jnp.where(hit[:, None], new_pos, bundle.pos),
+            dir=jnp.where(hit[:, None], new_dir, bundle.dir),
+            energy=jnp.where(alive_next, e_out, 0.0),
+            alive=alive_next)
+        zeros3 = jnp.zeros_like(bundle.pos)
+        rec = BounceRecord(
+            sid=sid, t=jnp.where(hit, 0.0, jnp.inf), hit=new_pos,
+            local=zeros3, dir_in=bundle.dir, dir_out=new_dir, e_in=e_in,
+            e_out=e_out, absorbed=absorbed_ray,
+            backside=jnp.zeros_like(hit), alive_in=alive)
+        return new_bundle, accum, rec
 
     t, sid, aux = nearest_hit_aux(scene, bundle.pos, bundle.dir,
                                   t_eps=t_eps, disc_eps=disc_eps, block=block,
@@ -162,46 +253,8 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
     e_out = jnp.where(hit, res.out_energy, 0.0)
     absorbed_ray = jnp.where(hit, res.absorbed, 0.0)
 
-    new_escaped = accum.escaped + jnp.sum(
-        jnp.where(escaped, bundle.energy, 0.0))
-    if n_rows <= 64:
-        # masked reductions beat TPU scatters ~30x for small surface counts
-        absorbed_rows = jnp.stack(
-            [jnp.sum(jnp.where(sid == s_i, absorbed_ray, 0.0))
-             for s_i in range(n_rows)])
-        new_hits = accum.hits
-        if count_hits:
-            hit_f = jnp.where(hit, 1.0, 0.0)
-            new_hits = accum.hits + jnp.stack(
-                [jnp.sum(jnp.where(sid == s_i, hit_f, 0.0))
-                 for s_i in range(n_rows)])
-        accum = accum.replace(absorbed=accum.absorbed + absorbed_rows,
-                              hits=new_hits, escaped=new_escaped)
-    else:
-        # One-hot bf16 matmul instead of scatter: XLA fuses the one-hot
-        # generation into the MXU pass, making this ~free, while a TPU
-        # scatter of 1M rays into a few hundred bins costs ~9 ms. The
-        # one-hot is exact in bf16; the absorbed values are bf16-rounded
-        # (<0.4% per ray, statistically negligible vs MC noise) and
-        # accumulated in float32.
-        sid_safe = jnp.maximum(sid, 0)
-        onehot = (sid_safe[None, :] == jnp.arange(n_rows)[:, None]
-                  ).astype(jnp.bfloat16)
-        if count_hits:
-            vals = jnp.stack([absorbed_ray, jnp.where(hit, 1.0, 0.0)],
-                             axis=1).astype(jnp.bfloat16)
-            acc2 = jnp.matmul(onehot, vals,
-                              preferred_element_type=jnp.float32)
-            accum = accum.replace(
-                absorbed=accum.absorbed + acc2[:, 0].astype(accum.absorbed.dtype),
-                hits=accum.hits + acc2[:, 1].astype(accum.hits.dtype),
-                escaped=new_escaped)
-        else:
-            add = jnp.matmul(onehot, absorbed_ray[:, None].astype(jnp.bfloat16),
-                             preferred_element_type=jnp.float32)[:, 0]
-            accum = accum.replace(
-                absorbed=accum.absorbed + add.astype(accum.absorbed.dtype),
-                escaped=new_escaped)
+    accum = _account(scene, accum, sid, hit, escaped, absorbed_ray,
+                     bundle.energy, count_hits)
 
     low = hit & (e_out <= min_energy)
     accum = accum.replace(culled=accum.culled + jnp.sum(jnp.where(low, e_out, 0.0)))

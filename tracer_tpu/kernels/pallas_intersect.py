@@ -116,28 +116,19 @@ def _ap_ok_static(sig, rp, x, y, z):
     return ok
 
 
-def _make_kernel(sig, n_surf: int, base_sid: int, t_eps: float,
-                 disc_eps: float, flat: bool, need_local: bool = True):
-    """Build the group kernel: fori over surfaces, running (t, sid) min,
-    plus the winner's shading data (global geometric normal, local hit
-    point, up-component of the ray direction, optics kind/flags/first two
-    params) carried through the loop — this removes the per-ray surface-row
-    gather from the shade pass, which dominated the bounce cost (~12 ms per
-    Mray for random gathers of 34-float rows).
+def _surface_body(sig, base_sid, t_eps, disc_eps, flat, need_local,
+                  rows_ref, rays):
+    """Per-surface fori body shared by the plain and fused group kernels:
+    running (t, sid) min plus the winner's shading data (global geometric
+    normal, optionally local hit point, up-component, optics
+    kind*1024+flags and first two params) — carrying these removes the
+    per-ray surface-row gather from the shade pass (~12 ms/Mray for random
+    gathers of 34-float rows). ``flat`` groups (plane z=0) skip the quadric
+    solve entirely — t = -v_z/d_z — about 3x fewer flops."""
+    px, py, pz, dx, dy, dz = rays
+    big = jnp.float32(np.inf)
 
-    ``flat`` groups (plane z=0 in the local frame) skip the quadric solve
-    entirely — t = -v_z/d_z — about 3x fewer flops."""
-
-    n_state = N_STATE if need_local else N_STATE_NOLOCAL
-
-    def kernel(rows_ref, px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref,
-               *state_refs):
-        ins = state_refs[:n_state]
-        outs = state_refs[n_state:]
-        px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
-        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-        big = jnp.float32(np.inf)
-
+    if True:
         def body(s, carry):
             if need_local:
                 (t_best, sid_best, ngx_b, ngy_b, ngz_b, plx_b, ply_b,
@@ -265,6 +256,23 @@ def _make_kernel(sig, n_surf: int, base_sid: int, t_eps: float,
             return (t_best, sid_best, ngx_b, ngy_b, ngz_b,
                     upd_b, kf_b, q0_b, q1_b)
 
+    return body
+
+
+def _make_kernel(sig, n_surf: int, base_sid: int, t_eps: float,
+                 disc_eps: float, flat: bool, need_local: bool = True):
+    """Plain group kernel: fori over surfaces, state carried in/out via
+    aliased buffers so multiple groups chain."""
+    n_state = N_STATE if need_local else N_STATE_NOLOCAL
+
+    def kernel(rows_ref, px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref,
+               *state_refs):
+        ins = state_refs[:n_state]
+        outs = state_refs[n_state:]
+        rays = (px_ref[:], py_ref[:], pz_ref[:],
+                dx_ref[:], dy_ref[:], dz_ref[:])
+        body = _surface_body(sig, base_sid, t_eps, disc_eps, flat,
+                             need_local, rows_ref, rays)
         carry = jax.lax.fori_loop(
             0, n_surf, body, tuple(ref[:] for ref in ins))
         for ref, val in zip(outs, carry):
@@ -348,3 +356,195 @@ def nearest_hit_pallas(rows: jnp.ndarray, pos: jnp.ndarray,
         p1=rest[3],
     )
     return t, sid, aux
+
+
+# ---------------------------------------------------------------------------
+# Fused bounce kernel for pure-specular scenes (the heliostat-field class of
+# workloads): intersect + reflect + slope error + one-sided kill in ONE
+# kernel, so the ray state makes a single HBM round trip per bounce. Used
+# when every surface is K_REFLECT (kernels/../engine gates on the scene's
+# static kinds_present). RNG comes from the per-core Pallas PRNG.
+# ---------------------------------------------------------------------------
+
+def _make_shade_epilogue(bivar: bool, one_sided: bool, slope: bool):
+    def epilogue(seed0, t_b, ng_x, ng_y, ng_z, upd_b, kf_b, q0_b, q1_b,
+                 px, py, pz, dx, dy, dz, e_in):
+        hit = jnp.isfinite(t_b)
+        t_safe = jnp.where(hit, t_b, 0.0)
+        hx = px + t_safe * dx
+        hy = py + t_safe * dy
+        hz = pz + t_safe * dz
+
+        # shading normal: normalize carried gradient, flip against the ray
+        g2 = ng_x * ng_x + ng_y * ng_y + ng_z * ng_z
+        rinv = jax.lax.rsqrt(jnp.maximum(g2, 1e-30))
+        cos_g = dx * ng_x + dy * ng_y + dz * ng_z
+        flip = jnp.where(cos_g > 0.0, -rinv, rinv)
+        nx, ny, nz = ng_x * flip, ng_y * flip, ng_z * flip
+
+        if slope:
+            pltpu.prng_seed(seed0 + pl.program_id(0))
+            def uniform():
+                # 24-bit mantissa path; Mosaic lacks uint32->f32 casts so
+                # reinterpret the shifted bits as int32 first
+                bits = pltpu.bitcast(pltpu.prng_random_bits(px.shape),
+                                     jnp.uint32) >> 8
+                return (pltpu.bitcast(bits, jnp.int32).astype(jnp.float32)
+                        * (1.0 / (1 << 24)) + 1e-12)
+            u1, u2 = uniform(), uniform()
+            rr = jnp.sqrt(-2.0 * jnp.log(u1))
+            ang = 2.0 * np.pi * u2
+            nrm1 = rr * jnp.cos(ang)
+            sigma = q1_b
+            if bivar:
+                nrm2 = rr * jnp.sin(ang)
+                tx = jnp.tan(nrm1 * sigma)
+                ty = jnp.tan(nrm2 * sigma)
+                ez = jax.lax.rsqrt(1.0 + tx * tx + ty * ty)
+                ex, ey = tx * ez, ty * ez
+            else:
+                u3 = uniform()
+                th = nrm1 * sigma
+                phi = 2.0 * np.pi * u3
+                s_th = jnp.sin(th)
+                ex, ey, ez = (s_th * jnp.cos(phi), s_th * jnp.sin(phi),
+                              jnp.cos(th))
+            # rotate the error vector into the frame whose z is the normal
+            pn = jnp.sqrt(jnp.maximum(nx * nx + ny * ny, 1e-30))
+            sing = pn < 1e-6
+            perp_x = jnp.where(sing, 1.0, ny / pn)
+            perp_y = jnp.where(sing, 0.0, -nx / pn)
+            # ycol = n x perp
+            yc_x = ny * 0.0 - nz * perp_y
+            yc_y = nz * perp_x - nx * 0.0
+            yc_z = nx * perp_y - ny * perp_x
+            mx = ex * perp_x + ey * yc_x + ez * nx
+            my = ex * perp_y + ey * yc_y + ez * ny
+            mz = ey * yc_z + ez * nz
+            mr = jax.lax.rsqrt(jnp.maximum(mx * mx + my * my + mz * mz,
+                                           1e-30))
+            nx, ny, nz = mx * mr, my * mr, mz * mr
+
+        dn = dx * nx + dy * ny + dz * nz
+        rx = dx - 2.0 * dn * nx
+        ry = dy - 2.0 * dn * ny
+        rz = dz - 2.0 * dn * nz
+
+        e_out = e_in * (1.0 - q0_b)
+        if one_sided:
+            kill = ((kf_b % 1024.0) >= 1.0) & (upd_b > 0.0)
+            e_out = jnp.where(kill, 0.0, e_out)
+        absorbed = jnp.where(hit, e_in - e_out, 0.0)
+
+        npx = jnp.where(hit, hx, px)
+        npy = jnp.where(hit, hy, py)
+        npz = jnp.where(hit, hz, pz)
+        ndx = jnp.where(hit, rx, dx)
+        ndy = jnp.where(hit, ry, dy)
+        ndz = jnp.where(hit, rz, dz)
+        ne = jnp.where(hit, e_out, e_in)
+        return npx, npy, npz, ndx, ndy, ndz, ne, absorbed
+
+    return epilogue
+
+
+def _make_fused_kernel(sig, n_surf, base_sid, t_eps, disc_eps, flat,
+                       bivar, one_sided, slope):
+    """Group kernel + reflect epilogue, for single-group pure-specular
+    scenes: one HBM round trip of the ray state per bounce."""
+    epi = _make_shade_epilogue(bivar, one_sided, slope)
+
+    def kernel(seed_ref, rows_ref, px_ref, py_ref, pz_ref,
+               dx_ref, dy_ref, dz_ref, e_ref,
+               npx_ref, npy_ref, npz_ref, ndx_ref, ndy_ref, ndz_ref,
+               ne_ref, sid_ref, abs_ref):
+        rays = (px_ref[:], py_ref[:], pz_ref[:],
+                dx_ref[:], dy_ref[:], dz_ref[:])
+        px, py, pz, dx, dy, dz = rays
+        big = jnp.float32(np.inf)
+        zero = jnp.zeros_like(px)
+        init = (jnp.full_like(px, big),
+                jnp.full_like(px, -1, dtype=jnp.int32),
+                zero, zero, zero, zero, zero, zero, zero)
+        body = _surface_body(sig, base_sid, t_eps, disc_eps, flat,
+                             False, rows_ref, rays)
+        carry = jax.lax.fori_loop(0, n_surf, body, init)
+        (t_b, sid_b, ngx, ngy, ngz, upd_b, kf_b, q0_b, q1_b) = carry
+
+        outs = epi(seed_ref[0], t_b, ngx, ngy, ngz, upd_b, kf_b, q0_b,
+                   q1_b, px, py, pz, dx, dy, dz, e_ref[:])
+        npx, npy, npz, ndx, ndy, ndz, ne, absorbed = outs
+        npx_ref[:] = npx
+        npy_ref[:] = npy
+        npz_ref[:] = npz
+        ndx_ref[:] = ndx
+        ndy_ref[:] = ndy
+        ndz_ref[:] = ndz
+        ne_ref[:] = ne
+        sid_ref[:] = jnp.where(jnp.isfinite(t_b), sid_b, -1)
+        abs_ref[:] = absorbed
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("groups", "t_eps", "disc_eps", "bivar",
+                                    "one_sided", "slope"))
+def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
+                          t_eps: float, disc_eps: float = 1e-6,
+                          bivar: bool = True, one_sided: bool = True,
+                          slope: bool = True):
+    """Fused intersect+reflect bounce for single-group K_REFLECT scenes.
+
+    Returns (new_pos, new_dir, new_energy, sid, absorbed); non-hit lanes
+    pass their state through unchanged (the engine masks them)."""
+    assert len(groups) == 1
+    (start, end, sig, tag) = groups[0]
+    n = pos.shape[0]
+    n_pad = -(-n // TILE) * TILE
+    pad = n_pad - n
+
+    comps = []
+    for a in (pos, dirs):
+        for k in range(3):
+            c = a[:, k]
+            if pad:
+                c = jnp.pad(c, (0, pad), constant_values=1.0)
+            comps.append(c.reshape(n_pad // LANE, LANE))
+    e = energy
+    if pad:
+        e = jnp.pad(e, (0, pad))
+    comps.append(e.reshape(n_pad // LANE, LANE))
+
+    nb = n_pad // TILE
+
+    def ray_idx(i, seed_ref, rows_ref):
+        return (i, 0)
+
+    ray_spec = pl.BlockSpec((SUB, LANE), ray_idx, memory_space=pltpu.VMEM)
+    kernel = _make_fused_kernel(sig, end - start, start, t_eps, disc_eps,
+                                flat=(tag == "flat"), bivar=bivar,
+                                one_sided=one_sided, slope=slope)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,   # seed and surface rows ride in SMEM
+        grid=(nb,),
+        in_specs=[ray_spec] * 7,
+        out_specs=tuple([ray_spec] * 9),
+    )
+    shape2 = (n_pad // LANE, LANE)
+    out_shapes = tuple([jax.ShapeDtypeStruct(shape2, jnp.float32)] * 7
+                       + [jax.ShapeDtypeStruct(shape2, jnp.int32),
+                          jax.ShapeDtypeStruct(shape2, jnp.float32)])
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+    )(seed, rows, *comps)
+
+    flat_outs = [a.reshape(n_pad)[:n] for a in outs]
+    new_pos = jnp.stack(flat_outs[0:3], axis=1)
+    new_dir = jnp.stack(flat_outs[3:6], axis=1)
+    new_e = flat_outs[6]
+    sid = flat_outs[7]
+    absorbed = flat_outs[8]
+    return new_pos, new_dir, new_e, sid, absorbed
