@@ -5,7 +5,7 @@ Capability parity with the reference's ray_trace_utils/estimator.py
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 

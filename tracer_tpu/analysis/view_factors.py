@@ -21,7 +21,7 @@ import numpy as np
 from .. import geometry as G
 from .. import materials as M
 from ..engine import TracerEngine, TraceOptions
-from ..scene import Assembly, AssembledObject, Surface, compile_scene
+from ..scene import Assembly, AssembledObject, Surface
 from .. import spatial as sp
 from ..sources import disk_bundle, vf_cylinder_bundle, vf_frustum_bundle
 

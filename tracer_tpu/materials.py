@@ -15,7 +15,7 @@ OneSidedRealReflectiveDetector, ...) is kept as a thin compatibility layer in
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

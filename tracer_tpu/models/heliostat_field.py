@@ -20,7 +20,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from .. import spatial as sp
-from ..scene import Assembly, AssembledObject
+from ..scene import Assembly
 from .one_sided_mirror import (flat_quad_one_sided_mirror,
                                rect_one_sided_mirror,
                                rect_para_one_sided_mirror)

@@ -9,7 +9,7 @@ SimulatorReflector :195, SimulatorLampBader :214, SimulatorLampZhu :261).
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import numpy as np
@@ -22,7 +22,7 @@ from ..engine import TracerEngine
 from ..sampling import (PWLinearDistribution, cylinder_sampling,
                         lambertian_directions_sampling, sphere_sampling)
 from ..scene import Assembly, AssembledObject, Surface
-from ..spatial import general_axis_rotation, rotation_to_z
+from ..spatial import rotation_to_z
 from ..vector_utils import rotate_z_to_normal
 
 

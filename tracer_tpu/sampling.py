@@ -13,8 +13,6 @@ All ``sample`` methods take an explicit jax.random key.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

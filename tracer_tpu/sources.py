@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .bundle import RayBundle
-from .mathutils import rotation_to_z as rotation_to_z_jnp
 from . import spatial
 
 

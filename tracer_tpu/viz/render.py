@@ -9,8 +9,6 @@ design makes each slot its own genealogy — no parent walking needed).
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from ..geometry import Geometry
