@@ -71,4 +71,8 @@ def make_source_fn(info, slab: int, csr: float = 0.02, dni: float = 1000.0):
         return buie_sunshape(key, slab, center=src_center, direction=-sun,
                              radius=extent, CSR=csr, flux=dni)
 
+    # static spec so trace_streaming can regenerate in-kernel
+    from tracer_tpu.sources import buie_sunshape_pallas_spec
+    source_fn.pallas_spec = buie_sunshape_pallas_spec(
+        slab, src_center, -sun, extent, csr, dni)
     return source_fn

@@ -458,6 +458,84 @@ def trace_fused(scene: SceneTable, bundle: RayBundle, key: jax.Array,
 
 
 @functools.partial(
+    jax.jit, static_argnames=("source_spec", "total_rays", "max_rounds",
+                              "max_path", "min_energy", "t_eps", "disc_eps",
+                              "slab", "bivar", "one_sided", "slope"))
+def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
+                                total_rays: int, slab: int,
+                                max_rounds: int, max_path: int,
+                                min_energy: float, t_eps, disc_eps: float,
+                                bivar: bool, one_sided: bool, slope: bool):
+    """Streaming trace where regeneration happens INSIDE the fused bounce
+    kernel (single-group pure-specular scenes with a bakeable source): the
+    ray state makes exactly one HBM round trip per bounce. The emission
+    budget is enforced per-round (the final emission round may overshoot by
+    up to one slab; the returned ``emitted`` is exact)."""
+    from .kernels.intersect import default_t_eps
+    from .kernels.pallas_intersect import bounce_reflect_pallas, pack_rows
+
+    e_ray = source_spec[5]
+    rows = pack_rows(scene)
+    te = default_t_eps(jnp.float32) if t_eps is None else t_eps
+
+    pos0 = jnp.zeros((slab, 3), dtype=jnp.float32)
+    dir0 = jnp.zeros((slab, 3), dtype=jnp.float32).at[:, 2].set(1.0)
+    e0 = jnp.zeros((slab,), dtype=jnp.float32)
+    age0 = jnp.zeros((slab,), dtype=jnp.int32)
+    accum0 = TraceAccum.zeros(scene.num_rows)
+    z32 = jnp.array(0, dtype=jnp.int32)
+
+    def cond(st):
+        i, pos, dirs, e, age, accum, key, emitted, source_e = st
+        return (i < max_rounds) & ((emitted < total_rays) | jnp.any(e > 0.0))
+
+    def body(st):
+        i, pos, dirs, e, age, accum, key, emitted, source_e = st
+        key, ks = jax.random.split(key)
+        seed = jax.random.randint(ks, (1,), 0, jnp.iinfo(jnp.int32).max,
+                                  dtype=jnp.int32)
+        n_dead = jnp.sum((e <= 0.0).astype(jnp.int32))
+        # refill while budget remains; the final emission round may
+        # overshoot by up to one slab (returned `emitted` is exact)
+        do_regen = emitted < total_rays
+        regen = jnp.where(do_regen, 1, 0).astype(jnp.int32)[None]
+        emitted = emitted + jnp.where(do_regen, n_dead, z32)
+        source_e = source_e + jnp.where(do_regen,
+                                        n_dead.astype(jnp.float32) * e_ray,
+                                        0.0)
+        reborn = (e <= 0.0) & do_regen
+        e_before = jnp.where(reborn, e_ray, e)
+        age = jnp.where(reborn, 0, age)  # fresh rays restart their budget
+
+        pos, dirs, e_new, sid, absorbed = bounce_reflect_pallas(
+            rows, seed, pos, dirs, e, scene.groups, te, disc_eps,
+            bivar=bivar, one_sided=one_sided, slope=slope,
+            source_spec=source_spec, regen=regen)
+
+        hit = sid >= 0
+        escaped = (e_before > 0.0) & ~hit
+        accum = _account(scene, accum, sid, hit, escaped, absorbed,
+                         e_before, count_hits=False)
+        low = hit & (e_new <= min_energy)
+        accum = accum.replace(
+            culled=accum.culled + jnp.sum(jnp.where(low, e_new, 0.0)))
+        e_new = jnp.where(hit & ~low, e_new, 0.0)
+        # per-ray bounce budget
+        age = jnp.where(e_before > 0.0, age + 1, 0)
+        over = (e_new > 0.0) & (age >= max_path)
+        accum = accum.replace(
+            culled=accum.culled + jnp.sum(jnp.where(over, e_new, 0.0)))
+        e_new = jnp.where(over, 0.0, e_new)
+        return (i + 1, pos, dirs, e_new, age, accum, key, emitted, source_e)
+
+    st = (z32, pos0, dir0, e0, age0, accum0, key, z32,
+          jnp.zeros((), dtype=jnp.float32))
+    st = jax.lax.while_loop(cond, body, st)
+    _, _, _, _, _, accum, _, emitted, source_e = st
+    return accum, emitted, source_e
+
+
+@functools.partial(
     jax.jit, static_argnames=("source_fn", "total_rays", "max_rounds",
                               "max_path", "min_energy", "t_eps", "disc_eps",
                               "block"))
@@ -487,8 +565,26 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     NOT accounted — make total_rays >> slab for <0.1% bias, or read it from
     the returned accumulator difference) and the number of rays emitted.
     """
+    # Megakernel dispatch: if the source carries a bakeable Pallas spec and
+    # the scene qualifies for the fused reflect bounce, regeneration happens
+    # inside the kernel (one HBM round trip of the ray state per round).
+    from . import materials as _M
+    from .kernels.intersect import _use_pallas
+    spec = getattr(source_fn, "pallas_spec", None)
     probe = source_fn(key)
     n = probe.num_rays
+    if (spec is not None
+            and scene.kinds_present == (_M.K_REFLECT,)
+            and "volumetric" not in scene.features
+            and "iam" not in scene.features
+            and len(scene.groups) == 1
+            and _use_pallas(probe.pos)):
+        return _trace_streaming_megakernel(
+            scene, spec, key, total_rays, n, max_rounds, max_path,
+            min_energy, t_eps, disc_eps,
+            bivar=any(f & _M.F_BIVAR for f in scene.flags_present),
+            one_sided="one_sided" in scene.features,
+            slope="slope_error" in scene.features)
 
     zero = jnp.sum(probe.energy) * 0.0
     accum0 = TraceAccum(

@@ -366,7 +366,9 @@ def nearest_hit_pallas(rows: jnp.ndarray, pos: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _make_shade_epilogue(bivar: bool, one_sided: bool, slope: bool):
-    def epilogue(seed0, t_b, ng_x, ng_y, ng_z, upd_b, kf_b, q0_b, q1_b,
+    """Reflect + slope error + one-sided kill on the carried winner data.
+    The per-core PRNG must already be seeded by the caller."""
+    def epilogue(t_b, ng_x, ng_y, ng_z, upd_b, kf_b, q0_b, q1_b,
                  px, py, pz, dx, dy, dz, e_in):
         hit = jnp.isfinite(t_b)
         t_safe = jnp.where(hit, t_b, 0.0)
@@ -382,7 +384,6 @@ def _make_shade_epilogue(bivar: bool, one_sided: bool, slope: bool):
         nx, ny, nz = ng_x * flip, ng_y * flip, ng_z * flip
 
         if slope:
-            pltpu.prng_seed(seed0 + pl.program_id(0))
             def uniform():
                 # 24-bit mantissa path; Mosaic lacks uint32->f32 casts so
                 # reinterpret the shifted bits as int32 first
@@ -447,19 +448,81 @@ def _make_shade_epilogue(bivar: bool, one_sided: bool, slope: bool):
     return epilogue
 
 
+def _kernel_uniform(shape):
+    """Uniform (0,1] from the per-core PRNG. 24-bit mantissa path; Mosaic
+    lacks uint32->f32 casts so reinterpret the shifted bits as int32."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32) >> 8
+    return (pltpu.bitcast(bits, jnp.int32).astype(jnp.float32)
+            * (1.0 / (1 << 24)) + 1e-12)
+
+
+def _sample_disk_buie(spec, shape):
+    """In-kernel disk + Buie-sunshape source sampling (all parameters are
+    static Python floats baked into the kernel; cf. sources.buie_sunshape).
+    Returns the 6 fresh ray components."""
+    (cx, cy, cz, rot, radius, e_ray, coeffs, disc_end,
+     gamma, kappa, integ_sum, theta_tot, theta_dni) = spec
+    u1, u2, u3, u4 = (_kernel_uniform(shape) for _ in range(4))
+    # position on the source disc
+    rr = radius * jnp.sqrt(u1)
+    phv = 2.0 * np.pi * u2
+    lx, ly = rr * jnp.cos(phv), rr * jnp.sin(phv)
+    fpx = rot[0] * lx + rot[1] * ly + cx
+    fpy = rot[3] * lx + rot[4] * ly + cy
+    fpz = rot[6] * lx + rot[7] * ly + cz
+    # Buie polar angle: polynomial inverse CDF of the solar disc
+    u = jnp.minimum(u3 / disc_end, 1.0)
+    acc = jnp.full(shape, coeffs[0], dtype=jnp.float32)
+    for c in coeffs[1:]:
+        acc = acc * u + c
+    theta = jnp.sqrt(u) * acc
+    if gamma is not None:  # circumsolar aureole (u3 >= disc_end)
+        base = ((u3 - 1.0) * ((gamma + 2.0) / (10.0 ** (3.0 * gamma)
+                                               * np.exp(kappa)) * integ_sum
+                              - theta_dni ** (gamma + 2.0))
+                + u3 * theta_tot ** (gamma + 2.0))
+        th_aur = jnp.exp(jnp.log(jnp.maximum(base, 1e-30))
+                         * (1.0 / (gamma + 2.0)))
+        theta = jnp.where(u3 >= disc_end, th_aur, theta)
+    phd = 2.0 * np.pi * u4
+    s_t = jnp.sin(theta)
+    ax, ay, az = s_t * jnp.cos(phd), s_t * jnp.sin(phd), jnp.cos(theta)
+    fdx = rot[0] * ax + rot[1] * ay + rot[2] * az
+    fdy = rot[3] * ax + rot[4] * ay + rot[5] * az
+    fdz = rot[6] * ax + rot[7] * ay + rot[8] * az
+    return fpx, fpy, fpz, fdx, fdy, fdz
+
+
 def _make_fused_kernel(sig, n_surf, base_sid, t_eps, disc_eps, flat,
-                       bivar, one_sided, slope):
+                       bivar, one_sided, slope, source_spec=None):
     """Group kernel + reflect epilogue, for single-group pure-specular
-    scenes: one HBM round trip of the ray state per bounce."""
+    scenes: one HBM round trip of the ray state per bounce. With a
+    source_spec, dead lanes (energy <= 0) are regenerated from the source
+    in-kernel when the regen flag (2nd scalar prefetch) is set."""
     epi = _make_shade_epilogue(bivar, one_sided, slope)
 
-    def kernel(seed_ref, rows_ref, px_ref, py_ref, pz_ref,
+    def kernel(seed_ref, regen_ref, rows_ref, px_ref, py_ref, pz_ref,
                dx_ref, dy_ref, dz_ref, e_ref,
                npx_ref, npy_ref, npz_ref, ndx_ref, ndy_ref, ndz_ref,
                ne_ref, sid_ref, abs_ref):
-        rays = (px_ref[:], py_ref[:], pz_ref[:],
-                dx_ref[:], dy_ref[:], dz_ref[:])
-        px, py, pz, dx, dy, dz = rays
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        e = e_ref[:]
+
+        if source_spec is not None:
+            do = (e <= 0.0) & (regen_ref[0] > 0)
+            f = _sample_disk_buie(source_spec, px.shape)
+            e_ray = jnp.float32(source_spec[5])
+            px = jnp.where(do, f[0], px)
+            py = jnp.where(do, f[1], py)
+            pz = jnp.where(do, f[2], pz)
+            dx = jnp.where(do, f[3], dx)
+            dy = jnp.where(do, f[4], dy)
+            dz = jnp.where(do, f[5], dz)
+            e = jnp.where(do, e_ray, e)
+
+        rays = (px, py, pz, dx, dy, dz)
         big = jnp.float32(np.inf)
         zero = jnp.zeros_like(px)
         init = (jnp.full_like(px, big),
@@ -470,8 +533,8 @@ def _make_fused_kernel(sig, n_surf, base_sid, t_eps, disc_eps, flat,
         carry = jax.lax.fori_loop(0, n_surf, body, init)
         (t_b, sid_b, ngx, ngy, ngz, upd_b, kf_b, q0_b, q1_b) = carry
 
-        outs = epi(seed_ref[0], t_b, ngx, ngy, ngz, upd_b, kf_b, q0_b,
-                   q1_b, px, py, pz, dx, dy, dz, e_ref[:])
+        outs = epi(t_b, ngx, ngy, ngz, upd_b, kf_b, q0_b,
+                   q1_b, px, py, pz, dx, dy, dz, e)
         npx, npy, npz, ndx, ndy, ndz, ne, absorbed = outs
         npx_ref[:] = npx
         npy_ref[:] = npy
@@ -480,23 +543,27 @@ def _make_fused_kernel(sig, n_surf, base_sid, t_eps, disc_eps, flat,
         ndy_ref[:] = ndy
         ndz_ref[:] = ndz
         ne_ref[:] = ne
-        sid_ref[:] = jnp.where(jnp.isfinite(t_b), sid_b, -1)
-        abs_ref[:] = absorbed
+        # mask stale lanes: only lanes carrying energy report hits
+        live = e > 0.0
+        sid_ref[:] = jnp.where(jnp.isfinite(t_b) & live, sid_b, -1)
+        abs_ref[:] = jnp.where(live, absorbed, 0.0)
 
     return kernel
 
 
 @functools.partial(jax.jit,
                    static_argnames=("groups", "t_eps", "disc_eps", "bivar",
-                                    "one_sided", "slope"))
+                                    "one_sided", "slope", "source_spec"))
 def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                           t_eps: float, disc_eps: float = 1e-6,
                           bivar: bool = True, one_sided: bool = True,
-                          slope: bool = True):
+                          slope: bool = True, source_spec=None, regen=None):
     """Fused intersect+reflect bounce for single-group K_REFLECT scenes.
 
     Returns (new_pos, new_dir, new_energy, sid, absorbed); non-hit lanes
-    pass their state through unchanged (the engine masks them)."""
+    pass their state through unchanged (the engine masks them). With a
+    static source_spec and a regen flag array (1,), dead lanes are
+    refilled from the source before intersecting (streaming megakernel)."""
     assert len(groups) == 1
     (start, end, sig, tag) = groups[0]
     n = pos.shape[0]
@@ -517,15 +584,19 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
 
     nb = n_pad // TILE
 
-    def ray_idx(i, seed_ref, rows_ref):
+    def ray_idx(i, seed_ref, regen_ref, rows_ref):
         return (i, 0)
+
+    if regen is None:
+        regen = jnp.zeros((1,), dtype=jnp.int32)
 
     ray_spec = pl.BlockSpec((SUB, LANE), ray_idx, memory_space=pltpu.VMEM)
     kernel = _make_fused_kernel(sig, end - start, start, t_eps, disc_eps,
                                 flat=(tag == "flat"), bivar=bivar,
-                                one_sided=one_sided, slope=slope)
+                                one_sided=one_sided, slope=slope,
+                                source_spec=source_spec)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,   # seed and surface rows ride in SMEM
+        num_scalar_prefetch=3,   # seed, regen flag, surface rows (SMEM)
         grid=(nb,),
         in_specs=[ray_spec] * 7,
         out_specs=tuple([ray_spec] * 9),
@@ -538,7 +609,7 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-    )(seed, rows, *comps)
+    )(seed, regen, rows, *comps)
 
     flat_outs = [a.reshape(n_pad)[:n] for a in outs]
     new_pos = jnp.stack(flat_outs[0:3], axis=1)

@@ -181,6 +181,25 @@ def buie_directions(key, num_rays: int, CSR: float,
                       jnp.cos(thetas)], axis=1)
 
 
+def buie_sunshape_pallas_spec(num_rays: int, center, direction,
+                              radius: float, CSR: float, flux: float,
+                              pre_process_CSR: bool = True) -> tuple:
+    """Static (hashable) parameter tuple describing a buie_sunshape source
+    for in-kernel regeneration by the fused streaming megakernel
+    (kernels/pallas_intersect._sample_disk_buie). Energies and geometry
+    match buie_sunshape with rays_direction == direction."""
+    tb = _buie_tables(CSR, pre_process_CSR)
+    coeffs = tuple(float(c) for c in _buie_inverse_poly(tb))
+    center = _as_row3(center)
+    rot = spatial.rotation_to_z(_as_row3(direction)).reshape(-1)
+    e_ray = float(flux * np.pi * radius**2 / num_rays)
+    gamma = float(tb["gamma"]) if tb["csr"] > 0.0 else None
+    return (float(center[0]), float(center[1]), float(center[2]),
+            tuple(float(r) for r in rot), float(radius), e_ray, coeffs,
+            float(tb["cdf"][-1]), gamma, float(tb["kappa"]),
+            float(tb["integ_sum"]), float(_THETA_TOT), float(_THETA_DNI))
+
+
 def sunshape_to_ray_directions(key, angles, norm_intensity,
                                num_rays: int) -> jnp.ndarray:
     """Directions from a tabulated radiance profile (ref sources.py:386)."""
