@@ -31,8 +31,9 @@ def main():
     accum, emitted, src_e = jax.block_until_ready(step_j(key))  # compile+warm
 
     # physics guard: the benchmark must stay correct while being fast.
-    # ~11.7% of footprint rays hit mirrors; receiver gets ~90% of the
-    # reflected power minus spillage. Energy must balance.
+    # mirror aperture is ~8.7% of the footprint; projection + blocking give
+    # ~6% interception, x0.9 reflectivity minus spillage -> receiver gets
+    # ~5.4% of footprint power. Energy must balance.
     import numpy as np
     ab = np.asarray(accum.absorbed)
     se = float(src_e)
@@ -40,7 +41,7 @@ def main():
                - float(accum.medium)) / se
     rec_frac = float(ab.max()) / se
     assert abs(closure) < 5e-3, f"energy closure broken: {closure}"
-    assert 0.07 < rec_frac < 0.13, f"receiver fraction off: {rec_frac}"
+    assert 0.035 < rec_frac < 0.08, f"receiver fraction off: {rec_frac}"
 
     # per-rep timing, best-of-N: the TPU tunnel adds high-variance latency
     reps = 6

@@ -22,10 +22,11 @@ from tracer_tpu.sources import buie_sunshape
 
 
 def nsttf_positions(n: int = 218) -> np.ndarray:
-    """Radial-stagger north field with ~n heliostats, 50..210 m from the
-    tower (approximates the NSTTF footprint)."""
+    """Radial-stagger north field with ~n heliostats, 60..230 m from the
+    tower (approximates the NSTTF footprint; spacing chosen so 6.1 m
+    mirrors never interpenetrate)."""
     pos = radial_stagger(np.pi / 2 - 0.9, np.pi / 2 + 0.9,
-                         az_space=0.09, rmin=55.0, rmax=210.0, r_space=10.5)
+                         az_space=0.115, rmin=60.0, rmax=240.0, r_space=12.2)
     pos = pos[np.argsort(np.hypot(pos[:, 0], pos[:, 1]))][:n]
     return np.concatenate([pos, np.zeros((len(pos), 1))], axis=1)
 

@@ -7,10 +7,14 @@ Pass --coords <csv> to use real site coordinates (x,y[,z] per row);
 otherwise an equivalent radial-stagger field is generated.
 """
 import argparse
+import os
+import sys
 import time
 
 import jax
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(n_rays=4_000_000, slab=1 << 20, coords=None, zenith_deg=30.0):
@@ -33,15 +37,18 @@ def main(n_rays=4_000_000, slab=1 << 20, coords=None, zenith_deg=30.0):
     rec = by_logical[meta.index_of("receiver")]
     heli = by_logical.sum() - rec
 
+    # accumulators sum over all traced rays; normalize to instantaneous
+    # power of one slab-worth of footprint rays
     se = float(src_e)
+    norm = slab / float(emitted)
     print(f"traced {int(emitted)/1e6:.1f}M rays in {dt:.1f}s "
           f"({int(emitted)/dt/1e6:.1f} Mrays/s)")
-    print(f"source power          {se/1e6:10.2f} MW over the field footprint")
-    print(f"receiver power        {rec/1e6:10.2f} MW")
-    print(f"heliostat absorption  {heli/1e6:10.2f} MW")
-    print(f"escaped               {float(accum.escaped)/1e6:10.2f} MW")
-    print(f"spillage+attrition    "
-          f"{(se-rec-heli-float(accum.escaped)-float(accum.culled))/1e3:10.2f} kW")
+    print(f"footprint power       {se*norm/1e6:10.2f} MW")
+    print(f"receiver power        {rec*norm/1e6:10.2f} MW")
+    print(f"heliostat absorption  {heli*norm/1e6:10.2f} MW")
+    print(f"escaped (ground/sky)  {float(accum.escaped)*norm/1e6:10.2f} MW")
+    print(f"unaccounted           "
+          f"{(se-rec-heli-float(accum.escaped)-float(accum.culled))*norm/1e3:10.2f} kW")
     return accum
 
 
