@@ -92,7 +92,173 @@ def build_two_n_cavity(aperture_radius: float, frusta_radii: Sequence[float],
     return Assembly(objects=objs)
 
 
-class TwoNParametersCavityRTVF:
+class RTVFBase:
+    """Adaptive-precision Welford machinery shared by the view-factor
+    drivers (ref RTVF.test_precision, view_factors_3D.py:44-106)."""
+
+    def _init_stats(self, n: int, num_rays: int):
+        self.n_elements = n
+        self.num_rays = int(num_rays)
+        self.VF = np.zeros((n, n))
+        self.VF_esperance = np.zeros((n, n))
+        self.Qsum = np.zeros((n, n))
+        self.stdev_VF = np.zeros((n, n))
+        self.p = np.zeros(n)
+        self.ray_counts = np.full(n, self.num_rays, dtype=float)
+        self.progress = np.ones((n, n), dtype=bool)
+
+    def _test_precision(self) -> None:
+        r = self.ray_counts[:, None]
+        p = np.maximum(self.p[:, None], 1.0)
+        p_1 = np.maximum(p - r, 0.0)
+        Ai = np.broadcast_to(self.areas[:, None], self.VF.shape)
+
+        fired = r > 0
+        self.Qsum = np.where(
+            fired, self.Qsum + r * p_1 / p * (self.VF - self.VF_esperance) ** 2,
+            self.Qsum)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            self.stdev_VF = 3.0 * np.sqrt(self.Qsum / np.maximum(p - 1.0, 1.0)) \
+                / np.sqrt(p)
+        self.VF_esperance = np.where(
+            fired, (self.VF_esperance * p_1 + self.VF * r) / p,
+            self.VF_esperance)
+
+        AiFij = self.VF_esperance * Ai
+        if self.precision_option == "absolute":
+            stdev_test = self.stdev_VF <= self.precision / 2.0
+            tas = self.stdev_VF * Ai
+            reciprocity_test = (tas + tas.T) <= self.precision_rec
+        else:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                rel = np.nan_to_num(self.stdev_VF / self.VF_esperance)
+                stdev_test = rel <= self.precision
+                tas = Ai * self.stdev_VF
+                rel_rec = np.nan_to_num((tas + tas.T) / AiFij,
+                                        posinf=0.0, neginf=0.0)
+            reciprocity_test = (rel_rec <= self.precision_rec) | (
+                AiFij < self.precision_rec * np.max(AiFij, axis=1,
+                                                    keepdims=True))
+        summ_test = np.abs(self.VF_esperance.sum(axis=1) - 1.0) \
+            < self.precision
+        self.progress = ~(summ_test[:, None] & stdev_test & reciprocity_test)
+
+    def _adaptive_loop(self, key, max_iters: int, min_iters: int,
+                       fire_element) -> None:
+        """Fire ``fire_element(key, el) -> VF row`` per unconverged element
+        until the precision gates pass."""
+        import jax as _jax
+        stable = 0
+        it = 0
+        while (self.progress.any() or stable < 2) and it < max_iters:
+            it += 1
+            for el in range(self.n_elements):
+                if self.ray_counts[el] == 0.0:
+                    continue
+                key, sub = _jax.random.split(key)
+                self.VF[el] = fire_element(sub, el)
+            self.p += self.ray_counts
+            self._test_precision()
+            if it >= min_iters and not self.progress.any():
+                stable += 1
+            else:
+                stable = 0
+            self.ray_counts = np.where(self.progress.any(axis=1),
+                                       float(self.num_rays), 0.0)
+        self.iterations = it
+
+
+class BinnedAxisymmetricRTVF(RTVFBase):
+    """View factors for an arbitrary axisymmetric receiver described by a
+    binning scheme — the generic form of the reference's FONaR_RTVF
+    (view_factors_3D.py:114): element i is the wall patch with angular span
+    scheme[i,0], z span scheme[i,1] and radius span scheme[i,2] (equal z ->
+    annular disc; equal r -> cylinder wall; otherwise frustum). Emission
+    bundles are chosen per patch type (ref gen_source :217) and absorbed
+    energy is binned back by the global hit coordinates.
+
+    assembly - scene whose surfaces cover the patches (absorptivity-1
+    optics recommended); rays_in - per-element emission orientation
+    (True = toward the axis), scalar or (n,) array.
+    """
+
+    def __init__(self, assembly, binning_scheme, areas, num_rays=10000,
+                 precision=0.01, precision_option="absolute",
+                 precision_rec=None, rays_in=True, key=None,
+                 max_iters=200, min_iters=3):
+        self.binning_scheme = np.asarray(binning_scheme, dtype=float)
+        self.areas = np.asarray(areas, dtype=float)
+        self.precision = precision
+        self.precision_rec = precision_rec or precision
+        self.precision_option = precision_option
+        n = len(self.binning_scheme)
+        self.rays_in = np.broadcast_to(np.asarray(rays_in), (n,))
+        self._init_stats(n, num_rays)
+        self.engine = TracerEngine(assembly)
+        if key is None:
+            key = jax.random.PRNGKey(20260816)
+        self._adaptive_loop(key, max_iters, min_iters, self._fire)
+
+    def _element_source(self, key, el: int):
+        ang, zz, rr = self.binning_scheme[el]
+        nrays = self.num_rays
+        rays_in = bool(self.rays_in[el])
+        if zz[0] == zz[1]:      # annular disc
+            return disk_bundle(key, nrays, center=[0, 0, zz[0]],
+                               direction=[0, 0, 1.0 if rays_in else -1.0],
+                               radius=rr[1], radius_in=rr[0],
+                               angular_span=tuple(ang),
+                               ang_range=np.pi / 2,
+                               flux=1.0 / (0.5 * (ang[1] - ang[0])
+                                           * (rr[1]**2 - rr[0]**2)))
+        if rr[0] == rr[1]:      # cylinder wall
+            return vf_cylinder_bundle(
+                key, nrays, rc=rr[0], lc=abs(zz[1] - zz[0]),
+                center=[0, 0, 0.5 * (zz[0] + zz[1])],
+                direction=[0, 0, np.sign(zz[1] - zz[0])],
+                rays_in=rays_in, angular_span=tuple(ang))
+        # frustum
+        z0, z1 = (zz[0], zz[1]) if zz[1] > zz[0] else (zz[1], zz[0])
+        r0, r1 = (rr[0], rr[1]) if zz[1] > zz[0] else (rr[1], rr[0])
+        return vf_frustum_bundle(key, nrays, r0=r0, r1=r1, depth=z1 - z0,
+                                 center=[0, 0, z0], direction=[0, 0, 1.0],
+                                 rays_in=rays_in, angular_span=tuple(ang))
+
+    def _fire(self, key, el: int) -> np.ndarray:
+        k1, k2 = jax.random.split(key)
+        bund = self._element_source(k1, el)
+        res = self.engine.ray_tracer(
+            bund, reps=1, min_energy=1e-12, key=k2,
+            opts=TraceOptions(max_bounces=1, min_energy=1e-12))
+        rec = res.records[0]
+        sid = np.asarray(rec.sid)
+        ok = np.asarray(rec.alive_in) & (sid >= 0)
+        hit = np.asarray(rec.hit)[ok]
+        absorbed = np.asarray(rec.absorbed)[ok]
+        emitted = float(np.asarray(bund.energy).sum())
+        # bin by global (angle, z, r) windows of the scheme
+        ang = np.arctan2(hit[:, 1], hit[:, 0])
+        ang = np.where(ang < 0.0, ang + 2.0 * np.pi, ang)
+        z = hit[:, 2]
+        r = np.hypot(hit[:, 0], hit[:, 1])
+        out = np.zeros(self.n_elements)
+        sch = self.binning_scheme
+        tol = 1e-6
+        for j in range(self.n_elements):
+            zlo, zhi = sorted(sch[j, 1])
+            rlo, rhi = sorted(sch[j, 2])
+            m = ((ang >= sch[j, 0, 0] - tol) & (ang <= sch[j, 0, 1] + tol)
+                 & (z >= zlo - tol) & (z <= zhi + tol)
+                 & (r >= rlo - tol) & (r <= rhi + tol))
+            out[j] = absorbed[m].sum()
+        return out / emitted
+
+
+# the reference's class name
+FONaR_RTVF = BinnedAxisymmetricRTVF
+
+
+class TwoNParametersCavityRTVF(RTVFBase):
     """Adaptive MC view factors of a 2N-parameter cavity
     (ref Two_N_parameters_cavity_RTVF :359 + RTVF.test_precision :44).
 
@@ -120,32 +286,21 @@ class TwoNParametersCavityRTVF:
         self.precision_option = precision_option
 
         n = 1 + sum(self.el_FRUs) + self.el_CON
-        self.n_elements = n
-        self.areas = self._element_areas()
-        self._element_z = self._element_z_edges()
+        self.areas = self._element_areas(n)
+        self._init_stats(n, num_rays)
 
         asm = build_two_n_cavity(self.aperture_radius, self.frusta_radii,
                                  self.frusta_depths, self.cone_depth)
         self.engine = TracerEngine(asm)
         self._logical_of_row = self.engine.meta.row_logical
 
-        # Welford state (mirrors ref RTVF fields)
-        self.VF = np.zeros((n, n))
-        self.VF_esperance = np.zeros((n, n))
-        self.Qsum = np.zeros((n, n))
-        self.stdev_VF = np.zeros((n, n))
-        self.p = np.zeros(n)
-        self.ray_counts = np.full(n, self.num_rays, dtype=float)
-        self.progress = np.ones((n, n), dtype=bool)
-
         if key is None:
             key = jax.random.PRNGKey(20260816)
-        self._run(key, max_iters, min_iters)
+        self._adaptive_loop(key, max_iters, min_iters, self._fire)
 
     # --- geometry bookkeeping ------------------------------------------------
-    def _element_areas(self) -> np.ndarray:
+    def _element_areas(self, n: int) -> np.ndarray:
         """Analytic element areas (ref :404-427)."""
-        n = self.n_elements
         areas = np.zeros(n)
         areas[0] = np.pi * self.aperture_radius**2
         radii_chain = [self.aperture_radius] + self.frusta_radii
@@ -275,65 +430,11 @@ class TwoNParametersCavityRTVF:
             np.add.at(out, idx + b, absorbed[m])
         return out
 
-    # --- adaptive loop (ref RTVF.test_precision :44-106) ----------------------
-    def _run(self, key, max_iters: int, min_iters: int) -> None:
-        stable = 0
-        it = 0
-        while (self.progress.any() or stable < 2) and it < max_iters:
-            it += 1
-            for el in range(self.n_elements):
-                if self.ray_counts[el] == 0.0:
-                    continue
-                key, sub, ktrace = jax.random.split(key, 3)
-                bund = self._element_source(sub, el)
-                res = self.engine.ray_tracer(
-                    bund, reps=1, min_energy=1e-10, key=ktrace,
-                    opts=TraceOptions(max_bounces=1, min_energy=1e-10))
-                emitted = float(np.asarray(bund.energy).sum())
-                self.VF[el] = self._bin_absorbed(res) / emitted
-            self.p += self.ray_counts
-            self._test_precision()
-            if it >= min_iters and not self.progress.any():
-                stable += 1
-            else:
-                stable = 0
-            # elements whose whole row converged stop firing
-            self.ray_counts = np.where(self.progress.any(axis=1),
-                                       float(self.num_rays), 0.0)
-        self.iterations = it
-
-    def _test_precision(self) -> None:
-        r = self.ray_counts[:, None]
-        p = np.maximum(self.p[:, None], 1.0)
-        p_1 = np.maximum(p - r, 0.0)
-        Ai = np.broadcast_to(self.areas[:, None], self.VF.shape)
-
-        fired = r > 0
-        self.Qsum = np.where(
-            fired, self.Qsum + r * p_1 / p * (self.VF - self.VF_esperance) ** 2,
-            self.Qsum)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            self.stdev_VF = 3.0 * np.sqrt(self.Qsum / np.maximum(p - 1.0, 1.0)) \
-                / np.sqrt(p)
-        self.VF_esperance = np.where(
-            fired, (self.VF_esperance * p_1 + self.VF * r) / p,
-            self.VF_esperance)
-
-        AiFij = self.VF_esperance * Ai
-        if self.precision_option == "absolute":
-            stdev_test = self.stdev_VF <= self.precision / 2.0
-            tas = self.stdev_VF * Ai
-            reciprocity_test = (tas + tas.T) <= self.precision_rec
-        else:
-            with np.errstate(divide="ignore", invalid="ignore"):
-                rel = np.nan_to_num(self.stdev_VF / self.VF_esperance)
-                stdev_test = rel <= self.precision
-                tas = Ai * self.stdev_VF
-                rel_rec = np.nan_to_num((tas + tas.T) / AiFij,
-                                        posinf=0.0, neginf=0.0)
-            reciprocity_test = (rel_rec <= self.precision_rec) | (
-                AiFij < self.precision_rec * np.max(AiFij, axis=1,
-                                                    keepdims=True))
-        summ_test = np.abs(self.VF_esperance.sum(axis=1) - 1.0) \
-            < self.precision
-        self.progress = ~(summ_test[:, None] & stdev_test & reciprocity_test)
+    def _fire(self, key, el: int) -> np.ndarray:
+        k1, k2 = jax.random.split(key)
+        bund = self._element_source(k1, el)
+        res = self.engine.ray_tracer(
+            bund, reps=1, min_energy=1e-10, key=k2,
+            opts=TraceOptions(max_bounces=1, min_energy=1e-10))
+        emitted = float(np.asarray(bund.energy).sum())
+        return self._bin_absorbed(res) / emitted

@@ -247,11 +247,17 @@ def disk_bundle(key, num_rays: int, center, direction, radius: float,
                 ang_range: float, flux: Optional[float] = None,
                 radius_in: float = 0.0,
                 angular_span: Sequence[float] = (0.0, 2.0 * np.pi),
+                x_cut: Optional[float] = None,
                 rays_direction=None, procs: int = 1) -> RayBundle:
     """Uniform disk (or annular wedge) source with pillbox divergence
     (ref disk_bundle, sources.py:175). Energy per ray =
     flux * pi (R^2 - Ri^2) / n * cos(2 sin(|rays_dir - dir|/2)) (exact
-    reference formula, including its chord-angle quirk)."""
+    reference formula, including its chord-angle quirk).
+
+    x_cut - keep only x < x_cut (chord-cut disc). Unlike the reference's
+    rejection loop (sources.py:222-237, dynamic-shape), points are sampled
+    exactly via the inverse CDF of the truncated chord-length density
+    (static shapes; requires radius_in == 0 and a full angular span)."""
     center = _as_row3(center)
     direction = _as_row3(direction)
     if rays_direction is None:
@@ -263,12 +269,33 @@ def disk_bundle(key, num_rays: int, center, direction, radius: float,
     a = pillbox_sunshape_directions(k1, num_rays, ang_range)
     directions = _rotate_rows(spatial.rotation_to_z(rays_direction), a)
 
-    u = jax.random.uniform(k2, (num_rays,))
-    thetas = jax.random.uniform(k3, (num_rays,), minval=angular_span[0],
-                                maxval=angular_span[1])
-    rs = jnp.sqrt(radius_in**2 + u * (radius**2 - radius_in**2))
-    verts_local = jnp.stack([rs * jnp.cos(thetas), rs * jnp.sin(thetas),
-                             jnp.zeros(num_rays)], axis=1)
+    if x_cut is not None:
+        if radius_in != 0.0 or angular_span != (0.0, 2.0 * np.pi):
+            raise NotImplementedError("x_cut combines only with a plain disc")
+        # p(x) ~ 2 sqrt(R^2-x^2) on [-R, x_cut]: dense host-side inverse CDF
+        xs_t = np.linspace(-radius, min(x_cut, radius), 4097)
+        pdf = 2.0 * np.sqrt(np.maximum(radius**2 - xs_t**2, 0.0))
+        cdf = np.concatenate([[0.0], np.cumsum((pdf[1:] + pdf[:-1]) / 2.0
+                                               * np.diff(xs_t))])
+        cdf /= cdf[-1]
+        u_grid = np.linspace(0.0, 1.0, 4097)
+        inv = np.interp(u_grid, cdf, xs_t)
+        u = jax.random.uniform(k2, (num_rays,)) * 4096
+        i0 = jnp.clip(u.astype(jnp.int32), 0, 4095)
+        fr = u - i0.astype(u.dtype)
+        inv_j = jnp.asarray(inv)
+        xs = inv_j[i0] * (1 - fr) + inv_j[i0 + 1] * fr
+        half = jnp.sqrt(jnp.maximum(radius**2 - xs**2, 0.0))
+        ys = jax.random.uniform(k3, (num_rays,), minval=-1.0,
+                                maxval=1.0) * half
+        verts_local = jnp.stack([xs, ys, jnp.zeros(num_rays)], axis=1)
+    else:
+        u = jax.random.uniform(k2, (num_rays,))
+        thetas = jax.random.uniform(k3, (num_rays,), minval=angular_span[0],
+                                    maxval=angular_span[1])
+        rs = jnp.sqrt(radius_in**2 + u * (radius**2 - radius_in**2))
+        verts_local = jnp.stack([rs * jnp.cos(thetas), rs * jnp.sin(thetas),
+                                 jnp.zeros(num_rays)], axis=1)
     verts = _rotate_rows(spatial.rotation_to_z(direction), verts_local) + center
 
     if flux is not None:
