@@ -125,3 +125,21 @@ def test_vector_utils():
     # rotate_z_to_normal: +Z maps onto the normal
     out = vu.rotate_z_to_normal([[0, 0, 1.0]], [1.0, 0, 0])
     np.testing.assert_allclose(out, [[1, 0, 0]], atol=1e-12)
+
+
+def test_cut_round_fluxmap_uniform():
+    """Uniform illumination of a straight-cut disc recovers constant flux
+    (chord-clipped cell areas)."""
+    from tracer_tpu import geometry as G
+    from tracer_tpu.analysis.fluxmap import fluxmap
+    g = G.straight_cut_round_plate(1.0, 0.3)
+    rng = np.random.default_rng(0)
+    n = 200000
+    p = rng.uniform(-1, 1, (n, 2))
+    keep = (np.hypot(p[:, 0], p[:, 1]) <= 1.0) & (p[:, 0] <= 0.3)
+    p = p[keep]
+    local = np.concatenate([p, np.zeros((len(p), 1))], axis=1)
+    e = np.full(len(p), 4.0 / n)
+    fl, bins = fluxmap(g, e, local, resolution=10)
+    inner = fl[1:-1, :][fl[1:-1, :] > 0]
+    np.testing.assert_allclose(inner.mean(), 1.0, atol=0.05)

