@@ -171,3 +171,34 @@ def test_refractive_interface_snell():
     # ref_index toggled on the refracted rays only
     ri = np.asarray(res.final.ref_index)
     np.testing.assert_allclose(ri[refracted], 1.5)
+
+
+def test_refractive_material_dispersion():
+    """Dispersive interface (materials on both sides, ref Refractive
+    optics_callables.py:726): refraction obeys Snell with n evaluated at
+    each ray's wavelength, and crossing rays adopt n(lambda)."""
+    glass = AssembledObject(surfs=[Surface(
+        G.flat(), M.refractive_material(
+            1.0, ([400e-9, 700e-9], [1.6, 1.4])))])
+    eng = build(glass)
+    n = 400
+    ang = np.pi / 6
+    d = np.tile([np.sin(ang), 0.0, -np.cos(ang)], (n, 1))
+    pos = np.tile([0.0, 0.0, 1.0], (n, 1)) - d
+    wl = np.where(np.arange(n) % 2 == 0, 400e-9, 700e-9)
+    res = eng.ray_tracer(RayBundle.create(pos=pos, dir=d, wavelength=wl),
+                         reps=1, key=jax.random.PRNGKey(5))
+    out = np.asarray(res.records[0].dir_out)
+    refracted = out[:, 2] < 0
+    assert refracted.sum() > 300  # R(30 deg) is a few percent
+    n_of = np.where(wl == 400e-9, 1.6, 1.4)
+    sin2 = np.abs(out[:, 0])
+    np.testing.assert_allclose(sin2[refracted],
+                               (np.sin(ang) / n_of)[refracted], atol=1e-9)
+    ri = np.asarray(res.final.ref_index)
+    np.testing.assert_allclose(ri[refracted], n_of[refracted], atol=1e-9)
+    # constructor also accepts optical_constants materials via .m(wl)
+    from tracer_tpu.optical_constants import SiO2
+    spec = M.refractive_material(1.0, SiO2(), wl_range=(400e-9, 1000e-9))
+    tab = spec.spectral_table
+    assert np.all(np.diff(tab[1:, 1]) < 0)  # normal dispersion of silica

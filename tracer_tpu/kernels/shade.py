@@ -256,12 +256,26 @@ def shade(scene, sid: jnp.ndarray, t: jnp.ndarray, pos: jnp.ndarray,
         # index-matched volumetric interfaces (n1 == n2), vs the medium
         # tuple (ref RefractiveHomogenous :1186 / Absorbant / Scattering)
         n1_s, n2_s = prm[:, 0], prm[:, 1]
+        if "dispersive" in features:
+            # dispersive interfaces: per-ray indices interpolated from the
+            # two per-row segments [st, st+L1) and [st+L1, st+L1+L2) of the
+            # shared table (ref Refractive optics_callables.py:726 toggles
+            # between two wavelength-dependent materials)
+            st, L1, L2 = prm[:, 3], prm[:, 4], prm[:, 5]
+            n1_d = _interp_segment(wavelength, st, L1,
+                                   scene.spectral_wl, scene.spectral_ab)
+            n2_d = _interp_segment(wavelength, st + L1, L2,
+                                   scene.spectral_wl, scene.spectral_ab)
+            disp = L2 > 0.0
+            n1_s = jnp.where(disp, n1_d, n1_s)
+            n2_s = jnp.where(disp, n2_d, n2_s)
         att1, att2 = prm[:, 6], prm[:, 7]
         sc1, sc2 = prm[:, 8], prm[:, 9]
         g1, g2 = prm[:, 10], prm[:, 11]
+        # nearest-match toggle (robust to fp noise in per-ray indices)
         in_medium1 = jnp.where(
             jnp.abs(n1_s - n2_s) > 1e-9,
-            jnp.abs(ref_index - n1_s) < 1e-9,
+            jnp.abs(ref_index - n1_s) <= jnp.abs(ref_index - n2_s),
             (att == att1) & (scat == sc1) & (g_hg == g1))
         n_next = jnp.where(in_medium1, n2_s, n1_s)
         att_next = jnp.where(in_medium1, att2, att1)

@@ -147,6 +147,47 @@ def refractive_homogenous(n1: float, n2: float, single_ray: bool = True,
     return OpticsSpec(K_REFRACTIVE, p, flags)
 
 
+def _index_table(mat, wl_range, n_samples):
+    """n(lambda) table from a material: an optical_constants object with
+    .m(wavelengths), a (wavelengths, indices) pair, or a constant float."""
+    if hasattr(mat, "m"):
+        wls = np.linspace(wl_range[0], wl_range[1], n_samples)
+        ns = np.real(np.atleast_1d(mat.m(wls)))
+        ok = np.isfinite(ns)  # drop points outside the validity range
+        wls, ns = wls[ok], ns[ok]
+        if len(wls) == 0:
+            raise ValueError("material has no data inside wl_range")
+    elif np.isscalar(mat):
+        wls, ns = np.array([0.0]), np.array([float(mat)])
+    else:
+        wls, ns = (np.asarray(v, dtype=float) for v in mat)
+    return np.stack([wls, ns], axis=1)
+
+
+def refractive_material(material_1, material_2, single_ray: bool = True,
+                        sigma: float = 0.0,
+                        wl_range=(300e-9, 2500e-9),
+                        n_samples: int = 64) -> OpticsSpec:
+    """Fresnel interface between two dispersive media whose indices come
+    from material callables, evaluated at each ray's wavelength (ref
+    Refractive, optics_callables.py:726: toggles between two
+    optical_constants materials per ray). Each side may be an
+    optical_constants material (anything with .m(wl)), an explicit
+    (wavelengths, n) table, or a constant float.
+
+    Both n(lambda) tables are packed as one chunk into the scene's shared
+    spectral table; params[3:6] = (chunk start [compile-time], len side 1,
+    len side 2) and shading interpolates per ray. params[0:2] hold the mean
+    indices as the non-dispersive fallback."""
+    t1 = _index_table(material_1, wl_range, n_samples)
+    t2 = _index_table(material_2, wl_range, n_samples)
+    flags = 0 if single_ray else F_SPLIT
+    p = _params(float(t1[:, 1].mean()), float(t2[:, 1].mean()), sigma,
+                0.0, float(len(t1)), float(len(t2)))
+    return OpticsSpec(K_REFRACTIVE, p, flags,
+                      spectral_table=np.concatenate([t1, t2], axis=0))
+
+
 def refractive_absorbant_homogenous(n1, n2, att1=0.0, att2=0.0,
                                     single_ray=True, sigma=0.0) -> OpticsSpec:
     """Refractive interface between absorbing media (ref

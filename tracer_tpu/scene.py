@@ -276,6 +276,7 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
     opt_params = np.zeros((S, N_OPT_PARAMS))
     logical = np.zeros((S,), dtype=np.int32)
 
+    from . import materials as _M
     spectral_chunks = []
     spectral_len = 0
 
@@ -294,8 +295,13 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
         opt_flags[i] = opt.flags
         opt_params[i] = opt.params
         if opt.spectral_table is not None:
-            opt_params[i, 0] = spectral_len
-            opt_params[i, 1] = len(opt.spectral_table)
+            if opt.kind == _M.K_REFRACTIVE:
+                # dispersive interface: both n(lambda) tables in one chunk,
+                # start in slot 3 (lens already in slots 4/5)
+                opt_params[i, 3] = spectral_len
+            else:
+                opt_params[i, 0] = spectral_len
+                opt_params[i, 1] = len(opt.spectral_table)
             spectral_chunks.append(opt.spectral_table)
             spectral_len += len(opt.spectral_table)
         logical[i] = lid
@@ -339,6 +345,8 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
             features.add("bivar")
         if opt.kind == M.K_REFLECT_SPECTRAL:
             features.add("spectral")
+        if opt.kind == M.K_REFRACTIVE and opt.spectral_table is not None:
+            features.add("dispersive")
         if opt.kind == M.K_REFRACTIVE and np.any(opt.params[6:12] != 0.0):
             features.add("volumetric")
     features = tuple(sorted(features))
