@@ -202,3 +202,40 @@ def test_refractive_material_dispersion():
     spec = M.refractive_material(1.0, SiO2(), wl_range=(400e-9, 1000e-9))
     tab = spec.spectral_table
     assert np.all(np.diff(tab[1:, 1]) < 0)  # normal dispersion of silica
+
+
+def test_refractive_energy_splitting():
+    """single_ray=False (F_SPLIT): a hit produces BOTH branches — the
+    primary ray refracts with (1-R) E and a new ray reflects with R E (ref
+    Refractive single_ray=False, optics_callables.py:732). Energy balance
+    stays exact and the split-off ray records its parent slot."""
+    from tracer_tpu.electromagnetics import fresnel_dielectrics
+    glass = AssembledObject(surfs=[Surface(
+        G.flat(), M.refractive_homogenous(1.0, 1.5, single_ray=False))])
+    eng = build(glass)
+    ang = np.pi / 6
+    d = np.array([[np.sin(ang), 0.0, -np.cos(ang)]])
+    res = eng.ray_tracer(RayBundle.create(pos=-d + 0.0, dir=d), reps=4,
+                         key=jax.random.PRNGKey(2))
+    R_p, R_s, th2 = fresnel_dielectrics(1.0, 1.5, ang)
+    R = float(0.5 * (R_p + R_s))
+    fin = res.final
+    assert fin.num_rays == 2
+    # both branches escaped; total energy conserved exactly
+    np.testing.assert_allclose(float(res.accum.escaped), 1.0, rtol=1e-12)
+    # bounce-0 record: primary kept (1-R), split-off ray got R
+    rec0 = res.records[0]
+    np.testing.assert_allclose(float(np.asarray(rec0.e_out)[0]), 1.0 - R,
+                               rtol=1e-9)
+    assert bool(np.asarray(rec0.split[0])[0])
+    np.testing.assert_allclose(float(np.asarray(rec0.split[1])[0]), R,
+                               rtol=1e-9)
+    refr, refl = 0, 1
+    np.testing.assert_allclose(
+        np.asarray(fin.dir)[refr],
+        [np.sin(th2), 0.0, -np.cos(th2)], atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(fin.dir)[refl],
+        [np.sin(ang), 0.0, np.cos(ang)], atol=1e-9)
+    assert int(np.asarray(fin.parent)[1]) == 0
+    np.testing.assert_allclose(np.asarray(fin.ref_index), [1.5, 1.0])

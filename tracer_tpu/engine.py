@@ -73,6 +73,8 @@ class BounceRecord:
     absorbed: jnp.ndarray   # (N,)
     backside: jnp.ndarray   # (N,) bool
     alive_in: jnp.ndarray   # (N,) bool — slot carried a live ray this bounce
+    # energy-splitting mode only: (mask, secondary energy, reflected dir)
+    split: Optional[tuple] = None
 
 
 @dataclasses.dataclass
@@ -129,11 +131,11 @@ def _account(scene: SceneTable, accum: TraceAccum, sid, hit, escaped,
 
 @functools.partial(jax.jit,
                    static_argnames=("min_energy", "t_eps", "disc_eps", "block",
-                                    "count_hits", "need_local"))
+                                    "count_hits", "need_local", "split_mode"))
 def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
                  key: jax.Array, min_energy: float, t_eps, disc_eps: float,
                  block: int, count_hits: bool = True,
-                 need_local: bool = True):
+                 need_local: bool = True, split_mode: bool = False):
     """One bounce: intersect, shade, account. Returns (bundle', accum', rec).
 
     With volumetric media in the scene ("volumetric" feature), a scattering
@@ -247,7 +249,7 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
     res = shade(scene, sid, t, bundle.pos, bundle.dir, bundle.energy,
                 bundle.wavelength, bundle.ref_index, key,
                 medium=(bundle.att_coeff, bundle.scat_coeff, bundle.scat_g),
-                aux=aux)
+                aux=aux, split_mode=split_mode)
 
     e_in = jnp.where(hit, bundle.energy, 0.0)
     e_out = jnp.where(hit, res.out_energy, 0.0)
@@ -288,11 +290,16 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
             alive=new_bundle.alive | scattered,
         )
 
+    rec_split = None
+    if res.split is not None:
+        s_rows, s_e, s_dir = res.split
+        s_mask = hit & alive & s_rows
+        rec_split = (s_mask, jnp.where(s_mask, s_e, 0.0), s_dir)
     rec = BounceRecord(
         sid=sid, t=t, hit=res.out_pos, local=res.local_pt,
         dir_in=bundle.dir, dir_out=res.out_dir,
         e_in=e_in, e_out=e_out, absorbed=absorbed_ray,
-        backside=res.backside & hit, alive_in=alive,
+        backside=res.backside & hit, alive_in=alive, split=rec_split,
     )
     return new_bundle, accum, rec
 
@@ -401,12 +408,21 @@ class TracerEngine:
         accum = TraceAccum.zeros(self.scene.num_rows, dtype=bundle.pos.dtype)
         records: List[BounceRecord] = []
         source = bundle
+        # energy-splitting interfaces (F_SPLIT): host-stepped tracing is the
+        # path that honors them — the bundle grows between reps like the
+        # reference's concatenated outgoing bundles (optics_callables.py:718)
+        use_split = "split" in self.scene.features
         for b in range(opts.max_bounces):
             key, sub = jax.random.split(key)
+            prev = bundle
             bundle, accum, rec = _bounce_step(
                 self.scene, bundle, accum, sub,
                 min_energy=opts.min_energy, t_eps=opts.t_eps,
-                disc_eps=opts.disc_eps, block=opts.block)
+                disc_eps=opts.disc_eps, block=opts.block,
+                split_mode=use_split)
+            if use_split and rec.split is not None:
+                bundle, accum = _append_split_rays(bundle, prev, rec, accum,
+                                                   opts.min_energy)
             if opts.record:
                 records.append(jax.device_get(rec))
             # host check: stop when the bundle dies (like ref :277-280)
@@ -417,6 +433,40 @@ class TracerEngine:
                              source=source)
         self.tree = result
         return result
+
+
+def _append_split_rays(bundle: RayBundle, prev: RayBundle,
+                       rec: BounceRecord, accum: TraceAccum,
+                       min_energy: float):
+    """Append the reflected branch of energy-splitting interfaces as new
+    rays (host side). New rays start at the hit point in the incidence
+    medium, with parent = the originating slot; the bundle grows, so later
+    reps recompile at the new size — the price of true splitting, same as
+    the reference's bundle concatenation (optics_callables.py:718-722)."""
+    mask, sec_e, sec_dir = (np.asarray(a) for a in rec.split)
+    keep = mask & (sec_e > min_energy)
+    lost = float(sec_e[mask & ~keep].sum())
+    if lost > 0.0:
+        accum = accum.replace(culled=accum.culled + lost)
+    if not keep.any():
+        return bundle, accum
+    idx = np.where(keep)[0]
+    dt = bundle.pos.dtype
+    sec = RayBundle(
+        pos=jnp.asarray(np.asarray(rec.hit)[idx], dtype=dt),
+        dir=jnp.asarray(sec_dir[idx], dtype=dt),
+        energy=jnp.asarray(sec_e[idx], dtype=dt),
+        wavelength=jnp.asarray(np.asarray(prev.wavelength)[idx], dtype=dt),
+        ref_index=jnp.asarray(np.asarray(prev.ref_index)[idx], dtype=dt),
+        att_coeff=jnp.asarray(np.asarray(prev.att_coeff)[idx], dtype=dt),
+        scat_coeff=jnp.asarray(np.asarray(prev.scat_coeff)[idx], dtype=dt),
+        scat_g=jnp.asarray(np.asarray(prev.scat_g)[idx], dtype=dt),
+        alive=jnp.ones((len(idx),), dtype=bool),
+        parent=jnp.asarray(idx, dtype=jnp.int32),
+    )
+    merged = jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), bundle, sec)
+    return merged, accum
 
 
 @functools.partial(
@@ -430,6 +480,11 @@ def trace_fused(scene: SceneTable, bundle: RayBundle, key: jax.Array,
 
     Returns (final_bundle, accum). This is the unit of work that shards over
     a device mesh (see parallel.py) and the benchmark path.
+
+    F_SPLIT (energy-splitting) interfaces fall back to Russian roulette
+    here: the fixed-size while-loop carry cannot grow the ray population.
+    Both estimators are unbiased with identical expectations; use
+    TracerEngine.ray_tracer for true per-ray splitting.
     """
     # Derive the zeros from bundle data so they inherit shard_map's
     # varying-axis tags (a bare jnp.zeros would mismatch the loop carry

@@ -17,7 +17,7 @@ the reference's global numpy RNG, which makes traces reproducible per shard.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +37,8 @@ class ShadeResult(NamedTuple):
     local_pt: jnp.ndarray      # (N,3) hit point in surface-local coords
     normal: jnp.ndarray        # (N,3) shading normal (global, against ray)
     backside: jnp.ndarray      # (N,) bool, hit arrived along local +Z
+    split: Optional[tuple] = None  # energy-splitting interfaces only:
+    #   (mask (N,) bool, secondary energy (N,), reflected dir (N,3))
 
 
 _SELECT_GATHER_MAX = 64
@@ -83,7 +85,7 @@ _EXTENDED_PARAM_KINDS = {M.K_LAMBERTIAN_SPECULAR, M.K_REFLECT_SPECTRAL,
 def shade(scene, sid: jnp.ndarray, t: jnp.ndarray, pos: jnp.ndarray,
           dirs: jnp.ndarray, energy: jnp.ndarray, wavelength: jnp.ndarray,
           ref_index: jnp.ndarray, key: jax.Array,
-          medium=None, aux=None) -> ShadeResult:
+          medium=None, aux=None, split_mode: bool = False) -> ShadeResult:
     """Shade all rays against their hit surfaces (sid >= 0 assumed valid;
     escaped rays get arbitrary-but-finite outputs which the engine masks).
 
@@ -245,6 +247,7 @@ def shade(scene, sid: jnp.ndarray, t: jnp.ndarray, pos: jnp.ndarray,
                                 d_semi, out_dir)
 
     out_ref_index = ref_index
+    split_rows = None
     if medium is None:
         zero = jnp.zeros_like(ref_index)
         medium = (zero, zero, zero)
@@ -286,6 +289,16 @@ def shade(scene, sid: jnp.ndarray, t: jnp.ndarray, pos: jnp.ndarray,
         R = jnp.where(refr_ok, R, 1.0)
         go_reflect = u_choice <= R
         is_refr = kind == M.K_REFRACTIVE
+        if split_mode and "split" in features:
+            # energy-splitting interfaces (F_SPLIT): the primary lane takes
+            # the refracted branch at (1-R) E; the reflected branch is
+            # returned via .split for the engine to append as new rays (ref
+            # Refractive single_ray=False, optics_callables.py:732, which
+            # concatenates both outgoing bundles at :718-722)
+            split_rows = is_refr & ((flags.astype(jnp.int32)
+                                     & M.F_SPLIT) != 0)
+            go_reflect = go_reflect & ~split_rows
+            R_split = R
         crossed = is_refr & ~go_reflect
         out_dir = jnp.where(crossed[:, None], d_refract, out_dir)
         keep_energy = keep_energy | is_refr
@@ -355,6 +368,14 @@ def shade(scene, sid: jnp.ndarray, t: jnp.ndarray, pos: jnp.ndarray,
 
     absorbed = energy - out_energy
 
+    split_info = None
+    if split_rows is not None:
+        # reflected branch of splitting interfaces: R E leaves on a new ray,
+        # nothing extra is absorbed (carved out AFTER absorbed above)
+        sec_e = jnp.where(split_rows, out_energy * R_split, 0.0)
+        out_energy = out_energy - sec_e
+        split_info = (split_rows, sec_e, d_reflect)
+
     return ShadeResult(out_pos, out_dir, out_energy, out_ref_index,
                        (out_att, out_scat, out_g), absorbed, p_l, ns,
-                       backside)
+                       backside, split_info)

@@ -343,6 +343,8 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
             features.add("one_sided")
         if opt.flags & M.F_BIVAR:
             features.add("bivar")
+        if opt.flags & M.F_SPLIT:
+            features.add("split")
         if opt.kind == M.K_REFLECT_SPECTRAL:
             features.add("spectral")
         if opt.kind == M.K_REFRACTIVE and opt.spectral_table is not None:
