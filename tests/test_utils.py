@@ -143,3 +143,54 @@ def test_cut_round_fluxmap_uniform():
     fl, bins = fluxmap(g, e, local, resolution=10)
     inner = fl[1:-1, :][fl[1:-1, :] > 0]
     np.testing.assert_allclose(inner.mean(), 1.0, atol=0.05)
+
+
+def test_bdrf_distribution_lambertian():
+    """Constant bdrf rho/pi: DHR == rho, cos(theta) mean 2/3, phi uniform."""
+    from tracer_tpu.sampling import BDRFDistribution
+    rho = 0.8
+    th = np.linspace(0, np.pi / 2, 46)
+    ph = np.linspace(0, 2 * np.pi, 37)
+    d = BDRFDistribution(th, ph, np.full((46, 37), rho / np.pi))
+    np.testing.assert_allclose(float(d.dhr(0.3)), rho, rtol=2e-3)
+    t, p = d.sample(jax.random.PRNGKey(0), ns=100_000)
+    t, p = np.asarray(t), np.asarray(p)
+    np.testing.assert_allclose(np.cos(t).mean(), 2.0 / 3.0, atol=0.005)
+    np.testing.assert_allclose(p.mean(), np.pi, atol=0.03)
+    h = np.histogram(p, bins=12, range=(0, 2 * np.pi))[0]
+    assert h.min() > 0.8 * h.mean()
+
+
+def test_bdrf_distribution_incidence_dependent():
+    """(Ti,Tr,Pr) table: DHR interpolates between incidence rows and the
+    sampled phi marginal follows the table's phi profile at each row."""
+    from tracer_tpu.sampling import BDRFDistribution
+    th = np.linspace(0, np.pi / 2, 16)
+    ph = np.linspace(0, 2 * np.pi, 33)
+    ti = np.array([0.0, np.pi / 2])
+    # row 0: isotropic in phi; row 1: forward-heavy phi lobe
+    b = np.zeros((2, 16, 33))
+    b[0] = 1.0
+    b[1] = 0.2 + np.cos(ph / 2.0)[None, :] ** 2  # peaked at phi=0/2pi
+    d = BDRFDistribution(th, ph, b, thetas_i=ti)
+    dhr0, dhr1 = float(d.dhr(0.0)), float(d.dhr(np.pi / 2))
+    # row-0 DHR vs the same trapezoid quadrature of the table (∫1·cos·sin
+    # dθ ∫dφ -> ~π, up to the 16-point grid's discretization)
+    expect0 = np.trapezoid(np.cos(th) * np.sin(th), th) * 2 * np.pi
+    np.testing.assert_allclose(dhr0, expect0, rtol=2e-3)
+    mid = float(d.dhr(np.pi / 4))
+    np.testing.assert_allclose(mid, 0.5 * (dhr0 + dhr1), rtol=1e-6)
+    # at row 1 incidence, sampled phi concentrates near 0/2pi
+    t1, p1 = d.sample(jax.random.PRNGKey(1),
+                      theta_i=np.full(50_000, np.pi / 2))
+    p1 = np.asarray(p1)
+    frac_forward = ((p1 < np.pi / 2) | (p1 > 3 * np.pi / 2)).mean()
+    # analytic: ∫ lobe over the forward quarter-circles / total
+    # ∫(0.2+cos²(φ/2))dφ = 0.2φ + φ/2 + sin(φ)/2
+    expect = (0.7 * np.pi + 1.0) / (1.4 * np.pi)
+    np.testing.assert_allclose(frac_forward, expect, atol=0.01)
+    # at row 0 incidence, phi stays uniform
+    _, p0 = d.sample(jax.random.PRNGKey(2), theta_i=np.zeros(50_000))
+    np.testing.assert_allclose(
+        ((np.asarray(p0) < np.pi / 2) | (np.asarray(p0) > 3 * np.pi / 2)).mean(),
+        0.5, atol=0.01)

@@ -360,3 +360,135 @@ def lambertian_directions_sampling(key, ns: int, normals=None,
     if normals is not None:
         dirs = rotate_to_normal(dirs, jnp.asarray(normals))
     return dirs
+
+
+def _cumtrapz(y, x):
+    dx = np.diff(x)
+    return np.concatenate([[0.0], np.cumsum(0.5 * (y[1:] + y[:-1]) * dx)])
+
+
+def _invert_density(xs, ys, n_inv, refine):
+    """Dense inverse CDF of a piecewise-linear density ys(xs) >= 0
+    (host-side). Returns (inverse table (n_inv+1,), total integral)."""
+    xf = np.linspace(xs[0], xs[-1], refine * (len(xs) - 1) + 1)
+    yf = np.interp(xf, xs, ys)
+    c = _cumtrapz(yf, xf)
+    tot = float(c[-1])
+    if tot <= 0.0:
+        return np.full(n_inv + 1, xs[0]), 0.0
+    q = np.linspace(0.0, 1.0, n_inv + 1) * tot
+    return np.interp(q, c, xf), tot
+
+
+def _bilerp(tab, fi, fj):
+    """tab (A,B); fi,fj fractional indices (n,). 4-gather bilinear."""
+    A, B = tab.shape
+    i0 = jnp.clip(jnp.floor(fi).astype(jnp.int32), 0, A - 2)
+    j0 = jnp.clip(jnp.floor(fj).astype(jnp.int32), 0, B - 2)
+    wi = jnp.clip(fi - i0, 0.0, 1.0)
+    wj = jnp.clip(fj - j0, 0.0, 1.0)
+    flat = tab.reshape(-1)
+    g = lambda ii, jj: jnp.take(flat, ii * B + jj)
+    return ((1 - wi) * (1 - wj) * g(i0, j0) + (1 - wi) * wj * g(i0, j0 + 1)
+            + wi * (1 - wj) * g(i0 + 1, j0) + wi * wj * g(i0 + 1, j0 + 1))
+
+
+def _trilerp(tab, fi, fj, fk):
+    """tab (A,B,C); fractional indices (n,). 8-gather trilinear."""
+    A, B, C = tab.shape
+    i0 = jnp.clip(jnp.floor(fi).astype(jnp.int32), 0, max(A - 2, 0))
+    j0 = jnp.clip(jnp.floor(fj).astype(jnp.int32), 0, max(B - 2, 0))
+    k0 = jnp.clip(jnp.floor(fk).astype(jnp.int32), 0, C - 2)
+    wi = jnp.clip(fi - i0, 0.0, 1.0) if A > 1 else jnp.zeros_like(fi)
+    wj = jnp.clip(fj - j0, 0.0, 1.0) if B > 1 else jnp.zeros_like(fj)
+    wk = jnp.clip(fk - k0, 0.0, 1.0)
+    i1 = jnp.minimum(i0 + 1, A - 1)
+    j1 = jnp.minimum(j0 + 1, B - 1)
+    flat = tab.reshape(-1)
+    g = lambda ii, jj, kk: jnp.take(flat, (ii * B + jj) * C + kk)
+    out = 0.0
+    for ii, wii in ((i0, 1 - wi), (i1, wi)):
+        for jj, wjj in ((j0, 1 - wj), (j1, wj)):
+            out = out + wii * wjj * ((1 - wk) * g(ii, jj, k0)
+                                     + wk * g(ii, jj, k0 + 1))
+    return out
+
+
+class BDRFDistribution:
+    """Generic tabulated BDRF over reflected (theta_r, phi_r), optionally
+    resolved in incidence angle theta_i (axisymmetric incidence) —
+    capability parity with the reference's BDRF_distribution /
+    BDRF_distribution_noinc (ray_trace_utils/sampling.py:170-274).
+
+    bdrf - (Tr, Pr) array (incidence-independent) or (Ti, Tr, Pr) together
+    with thetas_i. The sampled density is bdrf(th, phi) cos(th) sin(th).
+
+    TPU redesign: the reference importance-samples the table per ray in a
+    Python loop with correction weights; here each incidence row's theta_r
+    marginal and the per-theta_r phi conditionals are inverted ONCE on the
+    host into dense inverse-CDF tables, so device sampling is a handful of
+    gathers + lerps per ray, draws are exact (weights == 1), and the
+    directional-hemispherical reflectance DHR(theta_i) — the reflected
+    energy factor — falls out of the same integration. Between incidence
+    grid rows the inverse CDFs are interpolated linearly (distributional
+    interpolation; exact on the grid rows)."""
+
+    def __init__(self, thetas_r, phis_r, bdrf, thetas_i=None,
+                 n_inv: int = 256, refine: int = 8):
+        th = np.asarray(thetas_r, dtype=float)
+        ph = np.asarray(phis_r, dtype=float)
+        B = np.asarray(bdrf, dtype=float)
+        if B.ndim == 2:
+            B = B[None]
+            ti = np.zeros(1)
+        else:
+            ti = np.asarray(thetas_i, dtype=float)
+        Ti, Tr, Pr = B.shape
+        if (Ti, Tr, Pr) != (len(ti), len(th), len(ph)):
+            raise ValueError("bdrf shape does not match the angle grids")
+        thr_inv = np.zeros((Ti, n_inv + 1))
+        phi_inv = np.zeros((Ti, Tr, n_inv + 1))
+        dhr = np.zeros(Ti)
+        for i in range(Ti):
+            f_th = np.array([_cumtrapz(B[i, j], ph)[-1] for j in range(Tr)])
+            thr_inv[i], dhr[i] = _invert_density(
+                th, f_th * np.cos(th) * np.sin(th), n_inv, refine)
+            for j in range(Tr):
+                phi_inv[i, j], _ = _invert_density(ph, B[i, j], n_inv, refine)
+        self.thetas_i = jnp.asarray(ti)
+        self.thetas_r = jnp.asarray(th)
+        self._thr_inv = jnp.asarray(thr_inv)
+        self._phi_inv = jnp.asarray(phi_inv)
+        self._dhr = jnp.asarray(dhr)
+        self._n_inv = n_inv
+
+    def dhr(self, theta_i):
+        """Directional-hemispherical reflectance at incidence theta_i (the
+        energy factor of reflected rays; ref BDRF_distribution.DHR :245)."""
+        theta_i = jnp.asarray(theta_i)
+        if self._dhr.shape[0] == 1:
+            return jnp.broadcast_to(self._dhr[0], theta_i.shape)
+        return jnp.interp(theta_i, self.thetas_i, self._dhr)
+
+    def sample(self, key, theta_i=0.0, ns: int = None):
+        """Draw reflected (theta_r, phi_r). theta_i is a scalar (with ns
+        draws) or a per-ray array. Exact inverse-CDF draws: no weights."""
+        theta_i = jnp.asarray(theta_i, dtype=self._thr_inv.dtype)
+        if theta_i.ndim == 0:
+            theta_i = jnp.full((ns,), theta_i)
+        n = theta_i.shape[0]
+        k1, k2 = jax.random.split(key)
+        u1 = jax.random.uniform(k1, (n,), dtype=theta_i.dtype)
+        u2 = jax.random.uniform(k2, (n,), dtype=theta_i.dtype)
+        Ti = self._thr_inv.shape[0]
+        if Ti > 1:
+            fi = jnp.interp(theta_i, self.thetas_i,
+                            jnp.arange(Ti, dtype=theta_i.dtype))
+        else:
+            fi = jnp.zeros((n,), dtype=theta_i.dtype)
+        th = _bilerp(self._thr_inv, fi, u1 * self._n_inv)
+        Tr = self.thetas_r.shape[0]
+        fj = jnp.interp(th, self.thetas_r,
+                        jnp.arange(Tr, dtype=theta_i.dtype))
+        phi = _trilerp(self._phi_inv, fi, fj, u2 * self._n_inv)
+        return th, phi
