@@ -438,3 +438,16 @@ class TwoNParametersCavityRTVF(RTVFBase):
             opts=TraceOptions(max_bounces=1, min_energy=1e-10))
         emitted = float(np.asarray(bund.energy).sum())
         return self._bin_absorbed(res) / emitted
+
+
+class FourParametersCavityRTVF(TwoNParametersCavityRTVF):
+    """4-parameter cavity (aperture radius/depth + cone radius/depth)
+    wrapper around the 2N driver (ref Four_parameters_cavity_RTVF,
+    view_factors_3D.py:677; "Open cavity receiver geometry influence on
+    radiative losses", DOI:10.13140/2.1.3845.5048)."""
+
+    def __init__(self, apertureRadius, apertureDepth, coneRadius, coneDepth,
+                 el_FRU, el_CON, num_rays=10000, precision=0.01, **kw):
+        TwoNParametersCavityRTVF.__init__(
+            self, apertureRadius, [coneRadius], [apertureDepth], coneDepth,
+            el_FRU, el_CON, num_rays=num_rays, precision=precision, **kw)
