@@ -27,7 +27,13 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import geometry as G
 
 # ray tile: (SUB, 128) f32 — 8 live (SUB,128) arrays stay well inside VMEM
-SUB = 256
+# Ray-tile shape. SUB=24 (3 native f32 (8,128) registers) won a sweep on
+# v5e over {8,16,24,32,40,64,128,256,512}: small blocks keep the ~18 VMEM
+# buffers tiny so the pipeline double-buffers deeply across grid steps,
+# while the in-kernel loop over surface rows still gives each block plenty
+# of arithmetic per byte. 8->95, 16->143, 24->152-156, 32->144, 64->128,
+# 256->107 Mrays/s on the NSTTF benchmark.
+SUB = 24
 LANE = 128
 TILE = SUB * LANE
 
