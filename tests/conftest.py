@@ -3,18 +3,48 @@
 The sandbox presets JAX_PLATFORMS=axon (real TPU tunnel) and ignores env
 overrides once the plugin registers, so we must switch platforms through the
 config API before any backend initialization.
+
+Two modes:
+  * default — CPU, float64, 8 virtual devices. Tests marked ``tpu`` are
+    skipped.
+  * ``TRACER_TESTS_TPU=1`` — real TPU, float32. ONLY tests marked ``tpu``
+    run (these exercise the Pallas fast paths and the f32-vs-f64 physics
+    oracles on hardware): ``TRACER_TESTS_TPU=1 pytest tests/ -m tpu``.
 """
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+import pytest
+
+TPU_MODE = os.environ.get("TRACER_TESTS_TPU", "") == "1"
+
+if not TPU_MODE:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 # persistent compilation cache: the sandbox has one CPU core
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: needs real TPU hardware (run with TRACER_TESTS_TPU=1)")
+
+
+def pytest_collection_modifyitems(config, items):
+    skip_tpu = pytest.mark.skip(
+        reason="TPU-only: run with TRACER_TESTS_TPU=1 on hardware")
+    skip_cpu = pytest.mark.skip(reason="CPU-mode test skipped in TPU mode")
+    for item in items:
+        is_tpu = "tpu" in item.keywords
+        if is_tpu and not TPU_MODE:
+            item.add_marker(skip_tpu)
+        elif TPU_MODE and not is_tpu:
+            item.add_marker(skip_cpu)

@@ -1,0 +1,133 @@
+"""TPU-hardware tests for the fused Pallas bounce kernel
+(kernels/pallas_intersect.bounce_reflect_pallas).
+
+Run with ``TRACER_TESTS_TPU=1 python -m pytest tests/ -m tpu`` on a machine
+with a TPU. These exercise exactly the code paths the CPU suite cannot: the
+Mosaic-compiled megakernel's flag-bit handling and per-lane slope-error
+model selection.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tracer_tpu import geometry as G
+from tracer_tpu import materials as M
+from tracer_tpu.scene import Assembly, AssembledObject, Surface, compile_scene
+from tracer_tpu import spatial
+
+pytestmark = pytest.mark.tpu
+
+
+def _bounce(table, pos, dirs, e, bivar, one_sided, slope, seed=0):
+    from tracer_tpu.kernels.intersect import default_t_eps
+    from tracer_tpu.kernels.pallas_intersect import (bounce_reflect_pallas,
+                                                     pack_rows)
+    rows = pack_rows(table)
+    seed_a = jnp.asarray([seed], dtype=jnp.int32)
+    te = default_t_eps(jnp.float32)
+    return bounce_reflect_pallas(
+        rows, seed_a, pos.astype(jnp.float32), dirs.astype(jnp.float32),
+        e.astype(jnp.float32), table.groups, te,
+        bivar=bivar, one_sided=one_sided, slope=slope)
+
+
+def test_two_sided_bivar_mirror_survives_backside():
+    """Regression: F_ONE_SIDED is bit 0 of the flags word. A two-sided
+    mirror whose flags word is F_BIVAR (== 2) must NOT have its back-face
+    hits killed just because the scene also contains a one-sided surface
+    (which enables the static one_sided epilogue)."""
+    mirror = Surface(G.rect_plate(4.0, 4.0),
+                     M.reflective(0.1, sigma=1e-4, bi_var=True),
+                     name="mirror")
+    recv = Surface(G.rect_plate(4.0, 4.0), M.absorber(one_sided=True),
+                   location=[0.0, 0.0, 3.0], name="recv")
+    asm = Assembly([AssembledObject([mirror, recv])])
+    table, meta = compile_scene(asm, dtype=jnp.float32)
+    assert "one_sided" in table.features
+
+    n = 3072
+    pos = jnp.tile(jnp.array([0.3, -0.2, -1.0]), (n, 1))
+    dirs = jnp.tile(jnp.array([0.0, 0.0, 1.0]), (n, 1))  # backside approach
+    e = jnp.ones((n,))
+    new_pos, new_dir, new_e, sid, absorbed = _bounce(
+        table, pos, dirs, e, bivar="mixed", one_sided=True, slope=True)
+
+    mirror_rows = np.nonzero(np.asarray(meta.row_logical)
+                             == meta.index_of("mirror"))[0]
+    assert np.all(np.isin(np.asarray(sid), mirror_rows))
+    # two-sided: the hit reflects with absorptivity applied, NOT killed
+    np.testing.assert_allclose(np.asarray(new_e), 0.9, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(absorbed), 0.1, rtol=1e-5)
+    # reflected back down (sigma tiny)
+    assert np.all(np.asarray(new_dir)[:, 2] < -0.99)
+
+
+def test_one_sided_receiver_still_kills_backside():
+    """The one-sided receiver itself (flags bit 0 set) must still absorb
+    the full energy of back-face arrivals."""
+    recv = Surface(G.rect_plate(4.0, 4.0),
+                   M.reflective(0.1, one_sided=True), name="recv")
+    # any bivar surface in the scene to force the mixed/one-sided epilogue
+    mirror = Surface(G.rect_plate(4.0, 4.0),
+                     M.reflective(0.1, sigma=1e-4, bi_var=True),
+                     location=[0.0, 0.0, 5.0], name="mirror")
+    asm = Assembly([AssembledObject([recv, mirror])])
+    table, meta = compile_scene(asm, dtype=jnp.float32)
+
+    n = 3072
+    pos = jnp.tile(jnp.array([0.0, 0.0, -1.0]), (n, 1))
+    dirs = jnp.tile(jnp.array([0.0, 0.0, 1.0]), (n, 1))  # backside of recv
+    e = jnp.ones((n,))
+    _, _, new_e, sid, absorbed = _bounce(
+        table, pos, dirs, e, bivar="mixed", one_sided=True, slope=True)
+
+    recv_rows = np.nonzero(np.asarray(meta.row_logical)
+                           == meta.index_of("recv"))[0]
+    assert np.all(np.isin(np.asarray(sid), recv_rows))
+    np.testing.assert_allclose(np.asarray(new_e), 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(absorbed), 1.0, rtol=1e-6)
+
+
+def test_mixed_slope_error_models_per_lane():
+    """A scene mixing radial-error and bivariate-error mirrors must apply
+    the right model per surface on the fused path (ADVICE round 1): at
+    normal incidence the mean-square ray deviation is 4 sigma^2 for the
+    radial model and 8 sigma^2 for the bivariate one."""
+    sigma = 0.02
+    rad = Surface(G.rect_plate(1.0, 1.0), M.reflective(0.0, sigma=sigma),
+                  location=[-1.0, 0.0, 0.0], name="rad")
+    biv = Surface(G.rect_plate(1.0, 1.0),
+                  M.reflective(0.0, sigma=sigma, bi_var=True),
+                  location=[1.0, 0.0, 0.0], name="biv")
+    asm = Assembly([AssembledObject([rad, biv])])
+    table, meta = compile_scene(asm, dtype=jnp.float32)
+
+    from tracer_tpu.engine import _bivar_mode
+    assert _bivar_mode(table) == "mixed"
+
+    n = 1 << 17
+    key = jax.random.PRNGKey(3)
+    xy = jax.random.uniform(key, (n, 2), minval=-0.45, maxval=0.45)
+    half = n // 2
+    cx = jnp.where(jnp.arange(n) < half, -1.0, 1.0)
+    pos = jnp.stack([xy[:, 0] + cx, xy[:, 1], jnp.ones((n,))], axis=1)
+    dirs = jnp.tile(jnp.array([0.0, 0.0, -1.0]), (n, 1))
+    e = jnp.ones((n,))
+    _, new_dir, new_e, sid, _ = _bounce(
+        table, pos, dirs, e, bivar="mixed", one_sided=False, slope=True,
+        seed=11)
+
+    nd = np.asarray(new_dir)
+    sid = np.asarray(sid)
+    rad_rows = np.nonzero(np.asarray(meta.row_logical)
+                          == meta.index_of("rad"))[0]
+    on_rad = np.isin(sid, rad_rows)
+    on_biv = (sid >= 0) & ~on_rad
+    assert on_rad.sum() > n // 4 and on_biv.sum() > n // 4
+    msd_rad = float(np.mean(np.sum(nd[on_rad, :2] ** 2, axis=1)))
+    msd_biv = float(np.mean(np.sum(nd[on_biv, :2] ** 2, axis=1)))
+    s2 = sigma ** 2
+    assert 3.5 * s2 < msd_rad < 4.5 * s2, msd_rad
+    assert 7.0 * s2 < msd_biv < 9.0 * s2, msd_biv
+    assert 1.7 < msd_biv / msd_rad < 2.3

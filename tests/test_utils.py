@@ -40,6 +40,41 @@ def test_pw_lincossin_weights():
     np.testing.assert_allclose(m, 2.0 / 3.0, atol=0.01)
 
 
+def test_pw_samplers_traceable_under_jit():
+    """The PW samplers must be jit-safe (ADVICE round 1: np.asarray on
+    traced arrays raised TracerError) and their weighted estimates must
+    match the eager results."""
+    from tracer_tpu.sampling import (PWBilinearDistribution,
+                                     PWLinCosDistribution,
+                                     pw_linear_importance_sampling)
+    xs = np.linspace(0.0, np.pi / 2 - 0.05, 16)
+    ys = 1.0 + 0.3 * xs
+    dcos = PWLinCosDistribution(xs, ys)
+    x_j, w_j = jax.jit(lambda k: dcos.sample(k, 20_000))(jax.random.PRNGKey(5))
+    x_e, w_e = dcos.sample(jax.random.PRNGKey(5), 20_000)
+    np.testing.assert_allclose(np.asarray(x_j), np.asarray(x_e), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(w_j), np.asarray(w_e), rtol=1e-6)
+
+    zb = np.outer(1.0 + 0.5 * np.linspace(0, 1, 8),
+                  2.0 - np.linspace(0, 1, 9))
+    db = PWBilinearDistribution(np.linspace(0, 1, 8),
+                                np.linspace(0, 2, 9), zb)
+    xb, yb, wb = jax.jit(lambda k: db.sample(k, 50_000))(jax.random.PRNGKey(6))
+    # weighted mean of x must match the marginal's analytic mean
+    xs_f = np.linspace(0, 1, 2001)
+    px = np.array([db.dist_x.pdf(v) for v in xs_f])
+    mean_ref = np.trapezoid(xs_f * px, xs_f)
+    m = float(np.sum(np.asarray(xb) * np.asarray(wb)) / np.sum(np.asarray(wb)))
+    np.testing.assert_allclose(m, mean_ref, atol=0.01)
+
+    x_i, w_i = jax.jit(
+        lambda k: pw_linear_importance_sampling(dcos, k, 20_000))(
+            jax.random.PRNGKey(7))
+    assert np.all(np.isfinite(np.asarray(w_i)))
+    np.testing.assert_allclose(float(np.mean(np.asarray(w_i))), 1.0,
+                               rtol=1e-5)
+
+
 def test_henyey_greenstein_mean_cosine():
     g = 0.6
     hg = HenyeyGreenstein(g)

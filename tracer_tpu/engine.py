@@ -87,6 +87,24 @@ class TraceOptions:
     record: bool = True
 
 
+def _bivar_mode(scene: SceneTable):
+    """Static slope-error model for the fused Pallas path: True when every
+    slope-error surface carries F_BIVAR, False when none does, "mixed" when
+    both kinds of mirror coexist (the kernel then selects per lane from the
+    carried flags, exactly like shade.py's per-surface `flags & F_BIVAR`).
+    Only sigma>0 rows vote (slope_flags_present): surfaces without slope
+    error are model-indifferent, so they must not force the mixed kernel."""
+    from . import materials as _M
+    bv = [bool(f & _M.F_BIVAR) for f in scene.slope_flags_present]
+    if not bv:
+        return False  # no slope-error surfaces: slope gate is off anyway
+    if all(bv):
+        return True
+    if not any(bv):
+        return False
+    return "mixed"
+
+
 def _account(scene: SceneTable, accum: TraceAccum, sid, hit, escaped,
              absorbed_ray, energy, count_hits: bool) -> TraceAccum:
     """Per-surface energy accounting for one bounce.
@@ -171,7 +189,7 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
         new_pos, new_dir, new_e, sid, absorbed_f = bounce_reflect_pallas(
             pack_rows(scene), seed, bundle.pos, bundle.dir, bundle.energy,
             scene.groups, te, disc_eps,
-            bivar=any(f & _M.F_BIVAR for f in scene.flags_present),
+            bivar=_bivar_mode(scene),
             one_sided="one_sided" in scene.features,
             slope="slope_error" in scene.features)
         sid = jnp.where(alive, sid, -1)
@@ -637,7 +655,7 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
         return _trace_streaming_megakernel(
             scene, spec, key, total_rays, n, max_rounds, max_path,
             min_energy, t_eps, disc_eps,
-            bivar=any(f & _M.F_BIVAR for f in scene.flags_present),
+            bivar=_bivar_mode(scene),
             one_sided="one_sided" in scene.features,
             slope="slope_error" in scene.features)
 

@@ -28,17 +28,21 @@ def save_hist_data_csv(hist, bins, hist_label, bins_label, info_header,
             lx, ly = bins_label
         else:
             bx, lx = bins, bins_label
+        # trailing separator on value lines: the reference's loader
+        # (simulation_data_io.py) slices split(separator)[:-1], so files
+        # must end each line with the separator to round-trip through both
+        # loaders (ours tolerates the resulting empty field)
         fo.write("bins_x:" + separator + lx + "\n")
-        fo.write(separator.join(str(e) for e in bx) + "\n")
+        fo.write("".join(str(e) + separator for e in bx) + "\n")
         if hist.ndim == 2:
             fo.write("bins_y:" + separator + ly + "\n")
-            fo.write(separator.join(str(e) for e in by) + "\n")
+            fo.write("".join(str(e) + separator for e in by) + "\n")
         fo.write("data:" + separator + hist_label + "\n")
         if hist.ndim == 2:
             for row in hist:
-                fo.write(separator.join(str(v) for v in row) + "\n")
+                fo.write("".join(str(v) + separator for v in row) + "\n")
         else:
-            fo.write(separator.join(str(v) for v in hist) + "\n")
+            fo.write("".join(str(v) + separator for v in hist) + "\n")
 
 
 def load_hist_data_csv(path, separator=","):

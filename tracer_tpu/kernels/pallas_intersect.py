@@ -371,9 +371,14 @@ def nearest_hit_pallas(rows: jnp.ndarray, pos: jnp.ndarray,
 # static kinds_present). RNG comes from the per-core Pallas PRNG.
 # ---------------------------------------------------------------------------
 
-def _make_shade_epilogue(bivar: bool, one_sided: bool, slope: bool):
+def _make_shade_epilogue(bivar, one_sided: bool, slope: bool):
     """Reflect + slope error + one-sided kill on the carried winner data.
-    The per-core PRNG must already be seeded by the caller."""
+    The per-core PRNG must already be seeded by the caller.
+
+    ``bivar`` is three-state: True (every slope-error surface uses the
+    bivariate tan-Gaussian model), False (all radial), or "mixed" — the
+    error model is then selected per lane from the carried flags word
+    (F_BIVAR bit), matching shade.py:205's per-surface selection."""
     def epilogue(t_b, ng_x, ng_y, ng_z, upd_b, kf_b, q0_b, q1_b,
                  px, py, pz, dx, dy, dz, e_in):
         hit = jnp.isfinite(t_b)
@@ -402,19 +407,30 @@ def _make_shade_epilogue(bivar: bool, one_sided: bool, slope: bool):
             ang = 2.0 * np.pi * u2
             nrm1 = rr * jnp.cos(ang)
             sigma = q1_b
-            if bivar:
+            if bivar in (True, "mixed"):
                 nrm2 = rr * jnp.sin(ang)
                 tx = jnp.tan(nrm1 * sigma)
                 ty = jnp.tan(nrm2 * sigma)
-                ez = jax.lax.rsqrt(1.0 + tx * tx + ty * ty)
-                ex, ey = tx * ez, ty * ez
-            else:
+                bvz = jax.lax.rsqrt(1.0 + tx * tx + ty * ty)
+                bvx, bvy = tx * bvz, ty * bvz
+            if bivar in (False, "mixed"):
                 u3 = uniform()
                 th = nrm1 * sigma
                 phi = 2.0 * np.pi * u3
                 s_th = jnp.sin(th)
-                ex, ey, ez = (s_th * jnp.cos(phi), s_th * jnp.sin(phi),
-                              jnp.cos(th))
+                rdx, rdy, rdz = (s_th * jnp.cos(phi), s_th * jnp.sin(phi),
+                                 jnp.cos(th))
+            if bivar == "mixed":
+                # per-lane error model from the carried flags word:
+                # F_BIVAR is bit 1, so (kf mod 4) >= 2 tests exactly it
+                is_bv = jnp.mod(kf_b, 4.0) >= 2.0
+                ex = jnp.where(is_bv, bvx, rdx)
+                ey = jnp.where(is_bv, bvy, rdy)
+                ez = jnp.where(is_bv, bvz, rdz)
+            elif bivar:
+                ex, ey, ez = bvx, bvy, bvz
+            else:
+                ex, ey, ez = rdx, rdy, rdz
             # rotate the error vector into the frame whose z is the normal
             pn = jnp.sqrt(jnp.maximum(nx * nx + ny * ny, 1e-30))
             sing = pn < 1e-6
@@ -438,7 +454,12 @@ def _make_shade_epilogue(bivar: bool, one_sided: bool, slope: bool):
 
         e_out = e_in * (1.0 - q0_b)
         if one_sided:
-            kill = ((kf_b % 1024.0) >= 1.0) & (upd_b > 0.0)
+            # F_ONE_SIDED is bit 0 of the flags word (kind*1024 + flags,
+            # 1024 even): (kf mod 2) >= 1 extracts exactly that bit, so
+            # two-sided surfaces with other flags set (e.g. F_BIVAR) are
+            # NOT killed on back-face hits (matches shade.py's
+            # `flags & M.F_ONE_SIDED` test)
+            kill = (jnp.mod(kf_b, 2.0) >= 1.0) & (upd_b > 0.0)
             e_out = jnp.where(kill, 0.0, e_out)
         absorbed = jnp.where(hit, e_in - e_out, 0.0)
 

@@ -6,7 +6,7 @@ instead of per-surface Python callables, each surface carries an integer
 (kernels/shade.py) computes every interaction branchlessly and selects by
 kind. Accounting (the reference's "accountant" system) is configured per
 surface via record flags and realized by the engine's per-bounce records
-(see engine.py / analysis/accountant.py).
+(engine.BounceRecord / TraceResult.hits_of).
 
 The generated-class-name API of the reference (ReflectiveReceiver,
 OneSidedRealReflectiveDetector, ...) is kept as a thin compatibility layer in

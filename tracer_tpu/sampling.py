@@ -59,11 +59,28 @@ class PWLinearDistribution:
         return np.clip(np.searchsorted(self.xs, x, side="right") - 1,
                        0, len(self.xs) - 2)
 
+    def _slice_jnp(self, x):
+        """Traceable interval index (device-side twin of _slice). The node
+        tables are tiny, so the searchsorted is over a constant array."""
+        return jnp.clip(
+            jnp.searchsorted(jnp.asarray(self.xs), x, side="right") - 1,
+            0, len(self.xs) - 2)
+
+    def _pdf_jnp(self, x):
+        """Traceable PW-linear density (normalized)."""
+        loc = self._slice_jnp(x)
+        return (jnp.asarray(self.a)[loc] * x
+                + jnp.asarray(self.b)[loc]) / self.tot_integ
+
     def __call__(self, x):
+        if isinstance(x, jax.core.Tracer):
+            return self._pdf_jnp(x) * self.tot_integ
         loc = self._slice(x)
         return self.a[loc] * np.asarray(x) + self.b[loc]
 
     def pdf(self, x):
+        if isinstance(x, jax.core.Tracer):
+            return self._pdf_jnp(x)
         return self(x) / self.tot_integ
 
     def cdf(self, x):
@@ -110,9 +127,14 @@ class PWLinCosDistribution(PWLinearDistribution):
         return self.f(x) / self.tot_integ_cos
 
     def sample(self, key, ns: int):
+        """Fully traceable: the importance ratio is evaluated with jnp
+        gathers over the (tiny) node tables, so this works inside jit."""
         x, w = super().sample(key, ns)
-        xh = np.asarray(x)
-        w = w * jnp.asarray(self.pdf_cos(xh) / np.maximum(self.pdf(xh), 1e-300))
+        loc = self._slice_jnp(x)
+        f_cos = (jnp.asarray(self.a_cos)[loc] * x
+                 + jnp.asarray(self.b_cos)[loc]) * jnp.cos(x)
+        pdf_cos = f_cos / self.tot_integ_cos
+        w = w * pdf_cos / jnp.maximum(self._pdf_jnp(x), 1e-300)
         w = w * ns / jnp.sum(w)
         return x, w
 
@@ -141,10 +163,14 @@ class PWLinCosSinDistribution(PWLinearDistribution):
         return self.f(x) / self.tot_integ_cs
 
     def sample(self, key, ns: int):
+        """Fully traceable (see PWLinCosDistribution.sample)."""
         x, w = super().sample(key, ns)
-        xh = np.asarray(x)
-        w = w * jnp.asarray(self.pdf_cossin(xh)
-                            / np.maximum(self.pdf(xh), 1e-300))
+        loc = self._slice_jnp(x)
+        f_cs = ((jnp.asarray(self.a_cs)[loc] * x
+                 + jnp.asarray(self.b_cs)[loc])
+                * jnp.cos(x) * jnp.sin(x))
+        pdf_cs = f_cs / self.tot_integ_cs
+        w = w * pdf_cs / jnp.maximum(self._pdf_jnp(x), 1e-300)
         w = w * ns / jnp.sum(w)
         return x, w
 
@@ -196,29 +222,36 @@ class PWBilinearDistribution:
 
     def sample(self, key, ns: int):
         """Returns (x, y, weights) — importance weights from the conditional
-        approximation, like the reference."""
+        approximation, like the reference. Fully traceable: every density
+        evaluation is a jnp gather over the precomputed coefficient grids."""
         kx, ky = jax.random.split(key)
         x, _ = self.dist_x.sample(kx, ns)
-        xh = np.asarray(x)
-        i = np.clip(np.searchsorted(self.xu, xh, side="right") - 1,
-                    0, len(self.xu) - 2)
+        xu, yu = jnp.asarray(self.xu), jnp.asarray(self.yu)
+        i = jnp.clip(jnp.searchsorted(xu, x, side="right") - 1,
+                     0, len(self.xu) - 2)
         r = jax.random.uniform(ky, (ns,))
         u = r * _INV_N
         j0 = jnp.clip(u.astype(jnp.int32), 0, _INV_N - 1)
         frac = u - j0.astype(u.dtype)
-        inv = self._y_inv[jnp.asarray(i)]
+        inv = self._y_inv[i]
         y = jnp.take_along_axis(inv, j0[:, None], axis=1)[:, 0] * (1 - frac) \
             + jnp.take_along_axis(inv, j0[:, None] + 1, axis=1)[:, 0] * frac
-        yh = np.asarray(y)
-        p_cond = self.pdf(xh, yh) / np.maximum(self.dist_x.pdf(xh), 1e-300)
-        # vectorized sampling-density evaluation: per-interval PW coeffs
-        a_c = np.stack([d.a for d in self._y_dists])        # (nx-1, ny-1)
-        b_c = np.stack([d.b for d in self._y_dists])
-        tot_c = np.array([d.tot_integ for d in self._y_dists])
-        j = np.clip(np.searchsorted(self.yu, yh, side="right") - 1,
-                    0, len(self.yu) - 2)
-        p_sample = (a_c[i, j] * yh + b_c[i, j]) / tot_c[i]
-        w = jnp.asarray(p_cond / np.maximum(p_sample, 1e-300))
+        # conditional density p(y|x) = bilinear z(x,y)/tot / p_x(x)
+        j = jnp.clip(jnp.searchsorted(yu, y, side="right") - 1,
+                     0, len(self.yu) - 2)
+        wx = (x - xu[i]) / (xu[i + 1] - xu[i])
+        wy = (y - yu[j]) / (yu[j + 1] - yu[j])
+        zs = jnp.asarray(self.zs)
+        z = (zs[i, j] * (1 - wx) * (1 - wy) + zs[i + 1, j] * wx * (1 - wy)
+             + zs[i, j + 1] * (1 - wx) * wy + zs[i + 1, j + 1] * wx * wy)
+        p_x = self.dist_x._pdf_jnp(x)
+        p_cond = (z / self.tot_integ) / jnp.maximum(p_x, 1e-300)
+        # sampling density: the per-x-interval midpoint conditional
+        a_c = jnp.asarray(np.stack([d.a for d in self._y_dists]))
+        b_c = jnp.asarray(np.stack([d.b for d in self._y_dists]))
+        tot_c = jnp.asarray(np.array([d.tot_integ for d in self._y_dists]))
+        p_sample = (a_c[i, j] * y + b_c[i, j]) / tot_c[i]
+        w = p_cond / jnp.maximum(p_sample, 1e-300)
         return x, y, w
 
 
@@ -248,11 +281,16 @@ class HenyeyGreenstein:
 
 def pw_linear_importance_sampling(dist, key, ns: int):
     """Sample a nonlinear 1D density through its PW-linear approximation
-    with importance weights (ref pw_linear_importance_sampling :275)."""
+    with importance weights (ref pw_linear_importance_sampling :275).
+
+    The weight is the ratio dist.pdf / sampling.pdf (the reference's inverse-
+    PDF sample weights times dist.PDF), renormalized to mean 1. Traceable
+    whenever ``dist.pdf`` is written in jnp; a numpy-only dist.pdf still
+    works outside jit."""
     sampling = PWLinearDistribution(dist.xs, dist(dist.xs))
     x, w = sampling.sample(key, ns)
-    xh = np.asarray(x)
-    w = w * jnp.asarray(dist.pdf(xh))
+    w = w * jnp.asarray(dist.pdf(x)) \
+        / jnp.maximum(sampling._pdf_jnp(x), 1e-300)
     w = w / (jnp.sum(w) / ns)
     return x, w
 

@@ -190,6 +190,10 @@ class SceneTable:
     kinds_present: tuple = struct.field(pytree_node=False, default=())
     # sorted tuple of flag bits in use (F_ONE_SIDED etc.)
     flags_present: tuple = struct.field(pytree_node=False, default=())
+    # flag words of rows that actually have slope error (sigma > 0): the
+    # fused kernel's error-model specialization votes over these only —
+    # sigma==0 surfaces are model-indifferent
+    slope_flags_present: tuple = struct.field(pytree_node=False, default=())
     # static feature tags ("slope_error", "iam", "one_sided", "bivar",
     # "spectral") used to prune unused shading code paths
     features: tuple = struct.field(pytree_node=False, default=())
@@ -331,12 +335,14 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
 
     from . import materials as M
     features = set()
+    slope_flags = set()
     for g, frame, lid, opt in rows:
         sigma_slot = 1 if opt.kind == M.K_REFLECT else 2
         if opt.kind in (M.K_REFLECT, M.K_REFLECT_SPECTRAL,
                         M.K_LAMBERTIAN_SPECULAR, M.K_REFRACTIVE) \
                 and opt.params[sigma_slot] > 0:
             features.add("slope_error")
+            slope_flags.add(opt.flags)
         if opt.flags & M.F_IAM:
             features.add("iam")
         if opt.flags & M.F_ONE_SIDED:
@@ -368,6 +374,7 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
         groups=tuple(groups),
         kinds_present=kinds_present,
         flags_present=flags_present,
+        slope_flags_present=tuple(sorted(slope_flags)),
         features=features,
     )
     names = [s.name or f"surface_{k}" for k, s in enumerate(logical_surfaces)]
