@@ -22,11 +22,18 @@ from tracer_tpu.sources import buie_sunshape
 
 
 def nsttf_positions(n: int = 218) -> np.ndarray:
-    """Radial-stagger north field with ~n heliostats, 60..230 m from the
+    """Radial-stagger north field with n heliostats, starting 60 m from the
     tower (approximates the NSTTF footprint; spacing chosen so 6.1 m
-    mirrors never interpenetrate)."""
-    pos = radial_stagger(np.pi / 2 - 0.9, np.pi / 2 + 0.9,
-                         az_space=0.115, rmin=60.0, rmax=240.0, r_space=12.2)
+    mirrors never interpenetrate). The field ring grows outward until it
+    holds n positions, so scaling studies can ask for 1000+ heliostats."""
+    rmax = 240.0
+    while True:
+        pos = radial_stagger(np.pi / 2 - 0.9, np.pi / 2 + 0.9,
+                             az_space=0.115, rmin=60.0, rmax=rmax,
+                             r_space=12.2)
+        if len(pos) >= n:
+            break
+        rmax *= 1.5
     pos = pos[np.argsort(np.hypot(pos[:, 0], pos[:, 1]))][:n]
     return np.concatenate([pos, np.zeros((len(pos), 1))], axis=1)
 

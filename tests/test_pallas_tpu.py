@@ -89,6 +89,93 @@ def test_one_sided_receiver_still_kills_backside():
     np.testing.assert_allclose(np.asarray(absorbed), 1.0, rtol=1e-6)
 
 
+def _closure_of(accum, source_e):
+    ab = np.asarray(accum.absorbed)
+    return (float(source_e) - ab.sum() - float(accum.escaped)
+            - float(accum.culled) - float(accum.medium)
+            - float(accum.residual)) / float(source_e)
+
+
+def test_culling_on_off_equivalence():
+    """The accel-on/off harness of the reference
+    (examples/accel_tree_example.py:55-101), TPU edition: the relevancy-
+    culled streaming trace must reproduce the brute-force streaming trace's
+    absorbed energies to MC tolerance — culling changes cost, not physics."""
+    from benchmarks.nsttf import build_scene, make_source_fn
+    from tracer_tpu.culling import build_block_culling
+    from tracer_tpu.engine import trace_streaming
+    from tracer_tpu.kernels.pallas_intersect import TILE
+
+    slab = 114 * TILE
+    total = 8 * slab
+    table, meta, info = build_scene()
+    source_fn = make_source_fn(info, slab)
+    culling = build_block_culling(table, meta, source_fn.pallas_spec, slab)
+    assert culling.stats["reduction"] > 3.0
+
+    key = jax.random.PRNGKey(7)
+    a_on, em_on, se_on = jax.block_until_ready(trace_streaming(
+        table, source_fn, key, total_rays=total, max_rounds=500,
+        max_path=8, culling=culling))
+    a_off, em_off, se_off = jax.block_until_ready(trace_streaming(
+        table, source_fn, key, total_rays=total, max_rounds=500,
+        max_path=8))
+
+    assert abs(_closure_of(a_on, se_on)) < 1e-4
+    assert abs(_closure_of(a_off, se_off)) < 1e-4
+    ab_on = np.asarray(a_on.absorbed) / float(se_on)
+    ab_off = np.asarray(a_off.absorbed) / float(se_off)
+    # receiver (largest row) and total mirror loss within MC noise
+    rec_on, rec_off = ab_on.max(), ab_off.max()
+    assert abs(rec_on - rec_off) / rec_off < 0.015, (rec_on, rec_off)
+    mir_on, mir_off = ab_on.sum() - rec_on, ab_off.sum() - rec_off
+    assert abs(mir_on - mir_off) / mir_off < 0.03, (mir_on, mir_off)
+    # escaped fraction too (the bulk of the energy)
+    esc_on = float(a_on.escaped) / float(se_on)
+    esc_off = float(a_off.escaped) / float(se_off)
+    assert abs(esc_on - esc_off) / esc_off < 0.005
+
+
+def test_culled_trace_scales_sublinearly_in_surface_count():
+    """Quadrupling the heliostat count must cost far less than 4x per ray
+    on the culled path (VERDICT round 1: prove sub-linear cost in surface
+    count; brute force is exactly linear)."""
+    import time
+    from benchmarks.nsttf import build_scene, make_source_fn
+    from tracer_tpu.culling import build_block_culling
+    from tracer_tpu.engine import trace_streaming
+    from tracer_tpu.kernels.pallas_intersect import TILE
+
+    slab = 114 * TILE
+    total = 8 * slab
+
+    def measure(n_heliostats):
+        table, meta, info = build_scene(n_heliostats=n_heliostats)
+        source_fn = make_source_fn(info, slab)
+        culling = build_block_culling(table, meta, source_fn.pallas_spec,
+                                      slab)
+
+        def step(key):
+            return trace_streaming(table, source_fn, key, total_rays=total,
+                                   max_rounds=500, max_path=8,
+                                   culling=culling)
+
+        step_j = jax.jit(step)
+        jax.block_until_ready(step_j(jax.random.PRNGKey(0)))  # warm
+        best = float("inf")
+        for i in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(step_j(jax.random.fold_in(
+                jax.random.PRNGKey(0), i)))
+            best = min(best, time.perf_counter() - t0)
+        return best, culling.stats
+
+    t_250, s_250 = measure(250)
+    t_1000, s_1000 = measure(1000)
+    # 4x surfaces must cost < 2.5x (brute force would be ~4x)
+    assert t_1000 / t_250 < 2.5, (t_250, t_1000, s_250, s_1000)
+
+
 def test_mixed_slope_error_models_per_lane():
     """A scene mixing radial-error and bivariate-error mirrors must apply
     the right model per surface on the fused path (ADVICE round 1): at

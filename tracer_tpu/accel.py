@@ -29,22 +29,31 @@ import numpy as np
 def row_aabbs(meta, resolution: int = 8, pad: float = 1e-9) -> np.ndarray:
     """(S, 2, 3) world AABBs of every scene-table row, from meshed surface
     points (the analog of per-object BoundaryBox AABBs, accel_tree.py:59)."""
-    from .viz.render import mesh_of
     boxes = []
-    row = 0
-    for surf in meta.surfaces:
-        for g in surf.geometries:
-            frame = meta.frames[row]
-            row += 1
-            x, y, z = mesh_of(g, resolution)
-            pts = np.stack([x, y, z], axis=-1).reshape(-1, 3)
-            if g.frame is not None:
-                pts = pts @ np.eye(3)  # mesh_of is already in g's local frame
-            pts = pts @ frame[:3, :3].T + frame[:3, 3]
-            lo = pts.min(axis=0) - pad
-            hi = pts.max(axis=0) + pad
-            boxes.append(np.stack([lo, hi]))
+    for g, frame in zip(_row_geometries(meta), meta.frames):
+        pts = _row_points(g, frame, resolution)
+        lo = pts.min(axis=0) - pad
+        hi = pts.max(axis=0) + pad
+        boxes.append(np.stack([lo, hi]))
     return np.stack(boxes)
+
+
+def _row_geometries(meta) -> list:
+    """Per-row geometry handles in TABLE ORDER. compile_scene sorts rows by
+    aperture signature, so iterating meta.surfaces does NOT give row order;
+    use the recorded row_geoms (older pickled metas fall back to the
+    iteration order, correct only for single-group scenes)."""
+    if getattr(meta, "row_geoms", None) is not None:
+        return meta.row_geoms
+    return [g for surf in meta.surfaces for g in surf.geometries]
+
+
+def _row_points(g, frame, resolution: int = 8) -> np.ndarray:
+    """World-space sample points of one row's surface patch."""
+    from .viz.render import mesh_of
+    x, y, z = mesh_of(g, resolution)
+    pts = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+    return pts @ frame[:3, :3].T + frame[:3, 3]
 
 
 class Node:

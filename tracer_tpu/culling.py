@@ -1,0 +1,268 @@
+"""Per-block relevancy culling for the fused streaming megakernel.
+
+This is the TPU answer to the reference's per-bounce relevancy culling
+(tracer/tracer_engine.py:251-264 `surfaces_for_next_iteration` +
+tracer/object.py own_rays) and to running its Kd-tree inside the bounce
+loop (tracer/accel_tree.py:213-312): instead of re-deriving candidate sets
+per bounce on the host (a device sync per bounce), the source disk is
+partitioned into equal-area (r, theta) cells, one per Pallas grid block,
+and a *static* per-block candidate list is computed once, before the trace,
+that provably covers every surface a ray born in that cell can hit while it
+remains on the fast path.
+
+Soundness invariant
+-------------------
+A ray emitted from cell b with at most ``age_cap - 1`` completed specular
+bounces, all of them off non-demoted surfaces, can only hit surfaces in
+``lists[b]``. This holds because
+
+  * the cell's emission beam (cell bounding sphere swept along the source
+    direction cone) conservatively covers every first segment, and
+  * the candidate set is closed under specular reflection: for every
+    candidate with outgoing energy, the reflected direction cone (incident
+    cone mirrored about the surface's normal cone, widened by ``k_sigma``
+    standard deviations of its slope error) is swept from its bounding
+    sphere and the surfaces met are added, breadth-first up to
+    ``age_cap`` bounces.
+
+Surfaces whose reflected cone cannot be kept narrow (normal spread + slope
+error wider than ``w_cap``) are *demoted*: the engine parks their surviving
+rays and re-traces them against the full surface list in a drain phase, so
+the fast path never needs their (arbitrarily wide) corridors. Rays older
+than ``age_cap`` are parked the same way. Gaussian slope error is unbounded,
+so strict closure is impossible; ``k_sigma = 5`` bounds the per-bounce
+escape probability below ~1e-6, far under float32/MC noise.
+
+The analysis is geometry-only (bounding spheres and direction cones), so
+fat margins cost list length, never correctness of the accounting.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import numpy as np
+
+from .accel import _row_geometries, _row_points
+from . import materials as M
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockCulling:
+    """Static per-block candidate lists for the culled megakernel.
+
+    lists   (nb, L_max) int32 global row ids, padded by repeating entry 0
+    counts  (nb,) int32 number of valid entries per block
+    nr, nth cell grid factorization (nb == nr * nth)
+    age_cap rays are parked after this many bounces on the fast path
+    demote_rows rows whose surviving rays are parked (wide scatterers)
+    """
+
+    lists: np.ndarray
+    counts: np.ndarray
+    nr: int
+    nth: int
+    age_cap: int
+    demote_rows: tuple
+    stats: dict
+
+
+def cell_grid(nb: int) -> tuple:
+    """Factor nb into (nr, nth) rings x sectors, nr the largest divisor
+    <= sqrt(nb) (equal-area cells need an exact factorization)."""
+    nr = 1
+    for d in range(1, int(math.isqrt(nb)) + 1):
+        if nb % d == 0:
+            nr = d
+    return nr, nb // nr
+
+
+def _row_spheres(meta, resolution: int = 8) -> np.ndarray:
+    """(S, 4) world bounding spheres [cx, cy, cz, r] of every table row."""
+    out = []
+    for g, frame in zip(_row_geometries(meta), meta.frames):
+        pts = _row_points(g, frame, resolution)
+        c = 0.5 * (pts.min(axis=0) + pts.max(axis=0))
+        r = float(np.linalg.norm(pts - c, axis=1).max())
+        out.append([c[0], c[1], c[2], r])
+    return np.asarray(out)
+
+
+def _row_normal_cones(table, meta, resolution: int = 8) -> tuple:
+    """Per-row mean world normal and angular spread (axis (S,3), beta (S,)).
+    Normals come from the quadric gradient at mesh sample points pushed
+    through the row frame — exact (beta = 0) for planes."""
+    quads = np.asarray(table.quadric)
+    axes = np.zeros((len(meta.frames), 3))
+    betas = np.zeros(len(meta.frames))
+    from .viz.render import mesh_of
+    for i, (g, frame) in enumerate(zip(_row_geometries(meta), meta.frames)):
+        q = quads[i]
+        A = np.array([[q[0], q[3], q[4]],
+                      [q[3], q[1], q[5]],
+                      [q[4], q[5], q[2]]])
+        b = q[6:9]
+        x, y, z = mesh_of(g, resolution)
+        pts = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+        grad = pts @ A.T + b  # 0.5 * gradient; direction is all that matters
+        nrm = np.linalg.norm(grad, axis=1, keepdims=True)
+        grad = grad / np.where(nrm > 0, nrm, 1.0)
+        world = grad @ frame[:3, :3].T
+        mean = world.mean(axis=0)
+        mn = np.linalg.norm(mean)
+        if mn < 1e-12:  # closed surface (e.g. full sphere): no mean normal
+            axes[i] = np.array([0.0, 0.0, 1.0])
+            betas[i] = np.pi
+            continue
+        mean /= mn
+        cosd = np.clip(world @ mean, -1.0, 1.0)
+        axes[i] = mean
+        betas[i] = float(np.arccos(cosd.min()))
+    return axes, betas
+
+
+def _reflect(d: np.ndarray, n: np.ndarray) -> np.ndarray:
+    r = d - 2.0 * np.dot(d, n) * n
+    nr = np.linalg.norm(r)
+    return r / (nr if nr > 0 else 1.0)
+
+
+def _cone_sweep_hits(spheres: np.ndarray, c0, r0: float, axis, alpha: float,
+                     margin: float) -> np.ndarray:
+    """Which bounding spheres intersect the volume swept by a direction
+    cone (axis, half-angle alpha) from a start sphere (c0, r0). Exact for
+    spheres up to the tan() linearization; conservative by margin."""
+    d = spheres[:, :3] - np.asarray(c0)
+    t = d @ np.asarray(axis)
+    lat = np.linalg.norm(d - t[:, None] * np.asarray(axis), axis=1)
+    reach = (r0 + np.maximum(t, 0.0) * math.tan(min(alpha, 1.4))
+             + spheres[:, 3] + margin)
+    ahead = t + spheres[:, 3] + margin >= 0.0
+    return ahead & (lat <= reach)
+
+
+def _cell_sphere(center, rot, radius: float, nr: int, nth: int,
+                 i: int, j: int) -> tuple:
+    """World bounding sphere of equal-area disk cell (ring i, sector j)."""
+    r0 = radius * math.sqrt(i / nr)
+    r1 = radius * math.sqrt((i + 1) / nr)
+    th = 2.0 * np.pi * (j + np.linspace(0.0, 1.0, 9)) / nth
+    rr = np.concatenate([np.full_like(th, r0), np.full_like(th, r1)])
+    tt = np.concatenate([th, th])
+    loc = np.stack([rr * np.cos(tt), rr * np.sin(tt), np.zeros_like(rr)],
+                   axis=1)
+    R = np.asarray(rot).reshape(3, 3)
+    pts = loc @ R.T + np.asarray(center)
+    c = pts.mean(axis=0)
+    return c, float(np.linalg.norm(pts - c, axis=1).max())
+
+
+def build_block_culling(table, meta, source_spec, slab: int, *,
+                        tile: Optional[int] = None, k_sigma: float = 5.0,
+                        w_cap: float = 0.15, age_cap: int = 4,
+                        margin: float = 0.5,
+                        resolution: int = 8) -> BlockCulling:
+    """Build per-block candidate lists for a disk source described by a
+    ``buie_sunshape_pallas_spec`` tuple (kernels/pallas_intersect consumes
+    the same spec for in-kernel regeneration).
+
+    slab must be a whole number of ray tiles; nb = slab / TILE blocks each
+    own one equal-area (r, theta) cell of the source disk.
+    """
+    from .kernels.pallas_intersect import TILE
+    tile = tile or TILE
+    if slab % tile != 0:
+        raise ValueError(f"slab {slab} not a multiple of the ray tile {tile}")
+    nb = slab // tile
+    nr, nth = cell_grid(nb)
+
+    (cx, cy, cz, rot, radius, _e_ray, _coeffs, _disc_end, gamma, _kappa,
+     _integ, theta_tot, theta_dni) = source_spec
+    center = np.array([cx, cy, cz])
+    R = np.asarray(rot).reshape(3, 3)
+    d0 = R[:, 2]  # source local +z in world coords
+    theta_src = float(theta_tot if gamma is not None else theta_dni)
+
+    spheres = _row_spheres(meta, resolution)
+    n_axis, n_beta = _row_normal_cones(table, meta, resolution)
+
+    kinds = np.asarray(table.opt_kind)
+    prm = np.asarray(table.opt_params)
+    S = len(spheres)
+    # per-row slope-error sigma (same slot logic as the scene compiler)
+    sigma = np.where(kinds == M.K_REFLECT, prm[:, 1],
+                     np.where(np.isin(kinds, (M.K_REFLECT_SPECTRAL,
+                                              M.K_LAMBERTIAN_SPECULAR,
+                                              M.K_REFRACTIVE)),
+                              prm[:, 2], 0.0))
+    widen = 2.0 * (n_beta + k_sigma * math.sqrt(2.0) * sigma)
+    absorptivity = prm[:, 0]
+    terminal = absorptivity >= 1.0 - 1e-6   # no outgoing energy, ever
+    # wide scatterers cannot keep the closure narrow -> demote (their
+    # surviving rays leave the fast path and drain against the full list)
+    demote = (~terminal) & ((widen > w_cap) | (kinds != M.K_REFLECT))
+
+    lists = []
+    counts = []
+    expandable = np.nonzero(~terminal & ~demote)[0]
+    expandable_set = set(expandable.tolist())
+    for b in range(nb):
+        i, j = b // nth, b % nth
+        c0, r0 = _cell_sphere(center, rot, radius, nr, nth, i, j)
+        first = np.nonzero(_cone_sweep_hits(spheres, c0, r0, d0, theta_src,
+                                            margin))[0]
+        cand = set(first.tolist())
+        # breadth-first closure under specular reflection
+        frontier = [(int(s), d0, theta_src, 1) for s in first
+                    if int(s) in expandable_set]
+        seen = {}   # row -> list of (axis, alpha) cones already expanded
+
+        def dominated(s, axis, alpha):
+            """True if an already-expanded cone at s contains this one
+            (angle between axes + new half-angle <= old half-angle) —
+            skipping is then sound because the old sweep was wider."""
+            for old_axis, old_alpha in seen.get(s, ()):
+                gap = math.acos(float(np.clip(np.dot(old_axis, axis),
+                                              -1.0, 1.0)))
+                if gap + alpha <= old_alpha + 1e-9:
+                    return True
+            return False
+
+        while frontier:
+            s, in_axis, in_alpha, depth = frontier.pop()
+            if depth >= age_cap:
+                continue
+            in_axis = np.asarray(in_axis)
+            if dominated(s, in_axis, in_alpha):
+                continue
+            seen.setdefault(s, []).append((in_axis, in_alpha))
+            out_axis = _reflect(in_axis, n_axis[s])
+            out_alpha = in_alpha + widen[s]
+            hits = np.nonzero(_cone_sweep_hits(
+                spheres, spheres[s, :3], spheres[s, 3], out_axis, out_alpha,
+                margin))[0]
+            for c in hits.tolist():
+                cand.add(c)
+                if c in expandable_set:
+                    frontier.append((c, out_axis, out_alpha, depth + 1))
+        rows_b = sorted(cand)
+        lists.append(rows_b)
+        counts.append(len(rows_b))
+
+    L_max = max(1, max(counts))
+    arr = np.zeros((nb, L_max), dtype=np.int32)
+    for b, rows_b in enumerate(lists):
+        if rows_b:
+            arr[b, :len(rows_b)] = rows_b
+            arr[b, len(rows_b):] = rows_b[0]  # harmless repeat padding
+    counts = np.asarray(counts, dtype=np.int32)
+    stats = dict(nb=nb, L_max=int(L_max),
+                 L_mean=float(counts.mean()), n_rows=S,
+                 n_demoted=int(demote.sum()),
+                 reduction=float(S / max(counts.mean(), 1.0)))
+    return BlockCulling(lists=arr, counts=counts, nr=nr, nth=nth,
+                        age_cap=age_cap,
+                        demote_rows=tuple(int(r) for r in
+                                          np.nonzero(demote)[0]),
+                        stats=stats)

@@ -40,6 +40,9 @@ class TraceAccum:
     escaped: jnp.ndarray    # () energy that left the scene
     culled: jnp.ndarray     # () energy dropped by the min_energy threshold
     medium: jnp.ndarray     # () energy absorbed by participating media
+    residual: jnp.ndarray = None  # () energy still on live rays at exit
+    # (streaming drivers account it so closure is exact even when
+    # max_rounds exits early — ref tracer_engine.py:292-294 only warns)
 
     @classmethod
     def zeros(cls, n_rows: int, dtype=jnp.float32) -> "TraceAccum":
@@ -47,7 +50,8 @@ class TraceAccum:
                    hits=jnp.zeros((n_rows,), dtype=dtype),
                    escaped=jnp.zeros((), dtype=dtype),
                    culled=jnp.zeros((), dtype=dtype),
-                   medium=jnp.zeros((), dtype=dtype))
+                   medium=jnp.zeros((), dtype=dtype),
+                   residual=jnp.zeros((), dtype=dtype))
 
     def __add__(self, other: "TraceAccum") -> "TraceAccum":
         return jax.tree_util.tree_map(lambda a, b: a + b, self, other)
@@ -380,7 +384,8 @@ class TraceResult:
         absorbed = float(np.asarray(self.accum.absorbed).sum())
         escaped = float(np.asarray(self.accum.escaped))
         culled = float(np.asarray(self.accum.culled))
-        residual = float(np.asarray(self.final.total_energy()))
+        residual = float(np.asarray(self.final.total_energy())) \
+            + float(np.asarray(self.accum.residual))
         medium = float(np.asarray(self.accum.medium))
         return dict(source=src, absorbed=absorbed, escaped=escaped,
                     culled=culled, medium=medium, residual=residual,
@@ -511,7 +516,7 @@ def trace_fused(scene: SceneTable, bundle: RayBundle, key: jax.Array,
     accum0 = TraceAccum(
         absorbed=jnp.zeros((scene.num_rows,), dtype=bundle.pos.dtype) + zero,
         hits=jnp.zeros((scene.num_rows,), dtype=bundle.pos.dtype) + zero,
-        escaped=zero, culled=zero, medium=zero)
+        escaped=zero, culled=zero, medium=zero, residual=zero)
 
     def cond(state):
         i, bundle, accum, key = state
@@ -604,18 +609,164 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
     st = (z32, pos0, dir0, e0, age0, accum0, key, z32,
           jnp.zeros((), dtype=jnp.float32))
     st = jax.lax.while_loop(cond, body, st)
-    _, _, _, _, _, accum, _, emitted, source_e = st
+    _, _, _, e, _, accum, _, emitted, source_e = st
+    # exact closure even on a max_rounds exit: still-alive energy is
+    # accounted, not silently dropped (cf. ref tracer_engine.py:292-294)
+    accum = accum.replace(residual=accum.residual + jnp.sum(e))
     return accum, emitted, source_e
 
 
 @functools.partial(
-    jax.jit, static_argnames=("source_fn", "total_rays", "max_rounds",
-                              "max_path", "min_energy", "t_eps", "disc_eps",
-                              "block"))
+    jax.jit, static_argnames=("source_spec", "total_rays", "slab",
+                              "max_rounds", "max_path", "min_energy",
+                              "t_eps", "disc_eps", "bivar", "one_sided",
+                              "slope", "nr", "nth", "age_cap",
+                              "demote_rows"))
+def _trace_streaming_megakernel_culled(
+        scene: SceneTable, key, lists, counts, source_spec,
+        total_rays: int, slab: int, max_rounds: int, max_path: int,
+        min_energy: float, t_eps, disc_eps: float, bivar, one_sided: bool,
+        slope: bool, nr: int, nth: int, age_cap: int, demote_rows: tuple):
+    """Relevancy-culled streaming megakernel (see culling.py): each grid
+    block owns one equal-area source cell and intersects only its static
+    candidate list; per-block quotas keep the stratified emission unbiased.
+
+    Rays that survive a bounce off a demoted surface, or reach ``age_cap``
+    bounces, are *parked* (state frozen, excluded from accounting) and
+    re-traced exactly against the full surface list in a drain phase after
+    the main loop, so culling never changes the physics — only the cost.
+    Per-block emission quotas are ceil(total_rays/nb); the final emission
+    round per block may overshoot by up to one ray tile (counted exactly
+    in the returned ``emitted``/``source_e``)."""
+    from .kernels.intersect import default_t_eps
+    from .kernels.pallas_intersect import (TILE, bounce_reflect_culled_pallas,
+                                           bounce_reflect_pallas, pack_rows)
+
+    nb = nr * nth
+    assert slab == nb * TILE, "culled path needs ray count == nb * TILE"
+    e_ray = source_spec[5]
+    rows = pack_rows(scene)
+    te = default_t_eps(jnp.float32) if t_eps is None else t_eps
+    quota = -(-total_rays // nb)   # per-block emission budget (ceil)
+
+    pos0 = jnp.zeros((slab, 3), dtype=jnp.float32)
+    dir0 = jnp.zeros((slab, 3), dtype=jnp.float32).at[:, 2].set(1.0)
+    e0 = jnp.zeros((slab,), dtype=jnp.float32)
+    age0 = jnp.zeros((slab,), dtype=jnp.int32)
+    parked0 = jnp.zeros((slab,), dtype=bool)
+    emitted0 = jnp.zeros((nb,), dtype=jnp.int32)
+    accum0 = TraceAccum.zeros(scene.num_rows)
+    z32 = jnp.array(0, dtype=jnp.int32)
+
+    def cond(st):
+        i, pos, dirs, e, age, parked, accum, key, emitted_b, source_e = st
+        live = (e > 0.0) & ~parked
+        return (i < max_rounds) & (jnp.any(emitted_b < quota)
+                                   | jnp.any(live))
+
+    def body(st):
+        i, pos, dirs, e, age, parked, accum, key, emitted_b, source_e = st
+        key, ks = jax.random.split(key)
+        seed = jax.random.randint(ks, (1,), 0, jnp.iinfo(jnp.int32).max,
+                                  dtype=jnp.int32)
+        # EXACT per-block quota enforcement: block b refills min(remaining,
+        # dead) lanes, in row-major dead-lane rank order (the kernel ranks
+        # them — see _dead_lane_rank). Equal-area cells must emit exactly
+        # equal counts: letting the final round overshoot would correlate
+        # emission with local survival rate and bias the spatial source
+        # density by up to TILE/quota.
+        remaining_b = jnp.maximum(quota - emitted_b, 0)
+        dead = e <= 0.0
+        dead_b = jnp.sum(dead.reshape(nb, TILE).astype(jnp.int32), axis=1)
+        n_new = jnp.minimum(dead_b, remaining_b)
+        emitted_b = emitted_b + n_new
+        source_e = source_e + jnp.sum(n_new).astype(jnp.float32) * e_ray
+        # the engine-side twin of the kernel's rank gate, for e_before/age
+        rank = (jnp.cumsum(dead.reshape(nb, TILE).astype(jnp.int32), axis=1)
+                - 1)
+        reborn = (dead.reshape(nb, TILE)
+                  & (rank < remaining_b[:, None])).reshape(slab)
+        e_before = jnp.where(reborn, e_ray, e)
+        age = jnp.where(reborn, 0, age)
+
+        npos, ndirs, ne, sid, absorbed = bounce_reflect_culled_pallas(
+            rows, lists, counts, seed, remaining_b, pos, dirs, e,
+            scene.groups, te, disc_eps, bivar=bivar, one_sided=one_sided,
+            slope=slope, source_spec=source_spec, nr=nr, nth=nth)
+
+        # parked lanes are frozen: the kernel still traces them (cheaper
+        # than masking SIMD lanes) but results are discarded and nothing
+        # is accounted for them until the drain phase
+        sid = jnp.where(parked, -1, sid)
+        absorbed = jnp.where(parked, 0.0, absorbed)
+        hit = sid >= 0
+        escaped = ~parked & (e_before > 0.0) & ~hit
+        accum = _account(scene, accum, sid, hit, escaped, absorbed,
+                         e_before, count_hits=False)
+        low = hit & (ne <= min_energy)
+        accum = accum.replace(
+            culled=accum.culled + jnp.sum(jnp.where(low, ne, 0.0)))
+        ne = jnp.where(hit & ~low, ne, 0.0)
+        age = jnp.where(~parked & (e_before > 0.0), age + 1, age)
+        # park survivors of demoted rows and rays at the fast-path age cap
+        demote_hit = jnp.zeros_like(hit)
+        for r in demote_rows:
+            demote_hit = demote_hit | (sid == r)
+        newly = ~parked & (ne > 0.0) & (demote_hit | (age >= age_cap))
+        pos = jnp.where(parked[:, None], pos, npos)
+        dirs = jnp.where(parked[:, None], dirs, ndirs)
+        e = jnp.where(parked, e, ne)
+        parked = parked | newly
+        return (i + 1, pos, dirs, e, age, parked, accum, key, emitted_b,
+                source_e)
+
+    st = (z32, pos0, dir0, e0, age0, parked0, accum0, key, emitted0,
+          jnp.zeros((), dtype=jnp.float32))
+    st = jax.lax.while_loop(cond, body, st)
+    _, pos, dirs, e, age, parked, accum, key, emitted_b, source_e = st
+
+    # ---- drain: re-trace parked rays (and any max_rounds leftovers)
+    # against the FULL surface list — always sound, so culling cannot
+    # change the accounted physics
+    def dcond(st):
+        i, pos, dirs, e, age, accum, key = st
+        return (i < max_rounds) & jnp.any(e > 0.0)
+
+    def dbody(st):
+        i, pos, dirs, e, age, accum, key = st
+        key, ks = jax.random.split(key)
+        seed = jax.random.randint(ks, (1,), 0, jnp.iinfo(jnp.int32).max,
+                                  dtype=jnp.int32)
+        pos, dirs, ne, sid, absorbed = bounce_reflect_pallas(
+            rows, seed, pos, dirs, e, scene.groups, te, disc_eps,
+            bivar=bivar, one_sided=one_sided, slope=slope)
+        hit = sid >= 0
+        escaped = (e > 0.0) & ~hit
+        accum = _account(scene, accum, sid, hit, escaped, absorbed, e,
+                         count_hits=False)
+        low = hit & (ne <= min_energy)
+        accum = accum.replace(
+            culled=accum.culled + jnp.sum(jnp.where(low, ne, 0.0)))
+        ne = jnp.where(hit & ~low, ne, 0.0)
+        age = jnp.where(e > 0.0, age + 1, age)
+        over = (ne > 0.0) & (age >= max_path)
+        accum = accum.replace(
+            culled=accum.culled + jnp.sum(jnp.where(over, ne, 0.0)))
+        ne = jnp.where(over, 0.0, ne)
+        return (i + 1, pos, dirs, ne, age, accum, key)
+
+    dst = (z32, pos, dirs, e, age, accum, key)
+    dst = jax.lax.while_loop(dcond, dbody, dst)
+    _, _, _, e, _, accum, _ = dst
+    accum = accum.replace(residual=accum.residual + jnp.sum(e))
+    return accum, jnp.sum(emitted_b), source_e
+
+
 def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
                     total_rays: int, max_rounds: int = 10_000,
                     max_path: int = 100, min_energy: float = 1e-6,
-                    t_eps=None, disc_eps: float = 1e-6, block: int = 64):
+                    t_eps=None, disc_eps: float = 1e-6, block: int = 64,
+                    culling=None):
     """Streaming wavefront trace with on-device ray regeneration.
 
     The reference (and trace_fused) lets the ray population decay across
@@ -633,10 +784,19 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     their energy accounted, which bounds the straggler tail that would
     otherwise keep the whole slab looping for rare long paths.
 
-    Returns (accum, emitted): energy accumulators (escaped/culled/absorbed
-    cover every emitted ray; residual energy of still-alive rays at exit is
-    NOT accounted — make total_rays >> slab for <0.1% bias, or read it from
-    the returned accumulator difference) and the number of rays emitted.
+    Returns (accum, emitted, source_e): energy accumulators, rays emitted,
+    total energy emitted. escaped/culled/absorbed/residual cover every
+    emitted ray exactly — residual energy of rays still alive at a
+    max_rounds exit is drained into ``accum.residual``, so
+    source_e == absorbed + escaped + culled + medium + residual to dtype
+    tolerance, regardless of slab size or round limits.
+
+    With a ``culling`` argument (a culling.BlockCulling built for this
+    scene/source/slab) and a megakernel-eligible scene, each grid block
+    intersects only its per-block candidate list — the relevancy-culling
+    fast path (the TPU answer to ref tracer_engine.py:251-264 and to its
+    in-loop Kd-tree). Physics is unchanged (see culling.py soundness
+    notes); only the cost per bounce drops.
     """
     # Megakernel dispatch: if the source carries a bakeable Pallas spec and
     # the scene qualifies for the fused reflect bounce, regeneration happens
@@ -646,24 +806,65 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     spec = getattr(source_fn, "pallas_spec", None)
     probe = source_fn(key)
     n = probe.num_rays
-    if (spec is not None
-            and scene.kinds_present == (_M.K_REFLECT,)
-            and "volumetric" not in scene.features
-            and "iam" not in scene.features
-            and len(scene.groups) == 1
-            and _use_pallas(probe.pos)):
+    fusable = (spec is not None
+               and scene.kinds_present == (_M.K_REFLECT,)
+               and "volumetric" not in scene.features
+               and "iam" not in scene.features
+               and len(scene.groups) == 1
+               and _use_pallas(probe.pos))
+    if fusable and culling is not None:
+        from .kernels.pallas_intersect import TILE
+        nb = culling.nr * culling.nth
+        if n != nb * TILE:
+            raise ValueError(
+                f"culling was built for {nb * TILE} rays (nb={nb} blocks "
+                f"x TILE={TILE}) but the source slab is {n}")
+        return _trace_streaming_megakernel_culled(
+            scene, key, jnp.asarray(culling.lists),
+            jnp.asarray(culling.counts), source_spec=spec,
+            total_rays=total_rays, slab=n, max_rounds=max_rounds,
+            max_path=max_path, min_energy=min_energy, t_eps=t_eps,
+            disc_eps=disc_eps, bivar=_bivar_mode(scene),
+            one_sided="one_sided" in scene.features,
+            slope="slope_error" in scene.features,
+            nr=culling.nr, nth=culling.nth, age_cap=culling.age_cap,
+            demote_rows=culling.demote_rows)
+    if culling is not None:
+        import logging
+        logging.getLogger("tracer_tpu").warning(
+            "culling ignored: scene/source not megakernel-eligible "
+            "(kinds=%s features=%s groups=%d pallas=%s)",
+            scene.kinds_present, scene.features, len(scene.groups),
+            _use_pallas(probe.pos))
+    if fusable:
         return _trace_streaming_megakernel(
             scene, spec, key, total_rays, n, max_rounds, max_path,
             min_energy, t_eps, disc_eps,
             bivar=_bivar_mode(scene),
             one_sided="one_sided" in scene.features,
             slope="slope_error" in scene.features)
+    return _trace_streaming_general(
+        scene, source_fn, key, total_rays, max_rounds, max_path,
+        min_energy, t_eps, disc_eps, block)
 
+
+@functools.partial(
+    jax.jit, static_argnames=("source_fn", "total_rays", "max_rounds",
+                              "max_path", "min_energy", "t_eps", "disc_eps",
+                              "block"))
+def _trace_streaming_general(scene: SceneTable, source_fn, key: jax.Array,
+                             total_rays: int, max_rounds: int,
+                             max_path: int, min_energy: float,
+                             t_eps, disc_eps: float, block: int):
+    """General streaming path (any optics, any backend): jnp regeneration
+    around the per-bounce kernels. See trace_streaming."""
+    probe = source_fn(key)
+    n = probe.num_rays
     zero = jnp.sum(probe.energy) * 0.0
     accum0 = TraceAccum(
         absorbed=jnp.zeros((scene.num_rows,), dtype=probe.pos.dtype) + zero,
         hits=jnp.zeros((scene.num_rows,), dtype=probe.pos.dtype) + zero,
-        escaped=zero, culled=zero, medium=zero)
+        escaped=zero, culled=zero, medium=zero, residual=zero)
     source0 = zero   # total energy emitted
 
     def regenerate(bundle, age, key, emitted, source_e):
@@ -721,4 +922,7 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
              jnp.array(0, dtype=jnp.int32) + zero_i, source0)
     _, bundle, _, accum, _, emitted, source_e = jax.lax.while_loop(
         cond, body, state)
+    # exact closure on early (max_rounds) exit: account live-ray energy
+    accum = accum.replace(residual=accum.residual + jnp.sum(
+        jnp.where(bundle.alive, bundle.energy, 0.0)))
     return accum, emitted, source_e

@@ -122,19 +122,24 @@ def _ap_ok_static(sig, rp, x, y, z):
 
 
 def _surface_body(sig, base_sid, t_eps, disc_eps, flat, need_local,
-                  rows_ref, rays):
+                  rows_ref, rays, lists_ref=None, block=None):
     """Per-surface fori body shared by the plain and fused group kernels:
     running (t, sid) min plus the winner's shading data (global geometric
     normal, optionally local hit point, up-component, optics
     kind*1024+flags and first two params) — carrying these removes the
     per-ray surface-row gather from the shade pass (~12 ms/Mray for random
     gathers of 34-float rows). ``flat`` groups (plane z=0) skip the quadric
-    solve entirely — t = -v_z/d_z — about 3x fewer flops."""
+    solve entirely — t = -v_z/d_z — about 3x fewer flops.
+
+    With ``lists_ref`` (+ ``block``), the loop index is indirected through
+    the per-block candidate list (SMEM): s = lists_ref[block, i] — the
+    relevancy-culling fast path (culling.build_block_culling)."""
     px, py, pz, dx, dy, dz = rays
     big = jnp.float32(np.inf)
 
     if True:
-        def body(s, carry):
+        def body(s_i, carry):
+            s = lists_ref[block, s_i] if lists_ref is not None else s_i
             if need_local:
                 (t_best, sid_best, ngx_b, ngy_b, ngz_b, plx_b, ply_b,
                  plz_b, upd_b, kf_b, q0_b, q1_b) = carry
@@ -483,16 +488,27 @@ def _kernel_uniform(shape):
             * (1.0 / (1 << 24)) + 1e-12)
 
 
-def _sample_disk_buie(spec, shape):
+def _sample_disk_buie(spec, shape, cell=None):
     """In-kernel disk + Buie-sunshape source sampling (all parameters are
     static Python floats baked into the kernel; cf. sources.buie_sunshape).
-    Returns the 6 fresh ray components."""
+    Returns the 6 fresh ray components.
+
+    With ``cell = (block_id, nr, nth)`` the position is stratified to this
+    grid block's equal-area (r, theta) cell of the disk — the basis of
+    per-block relevancy culling (every ray in block b starts in cell b)."""
     (cx, cy, cz, rot, radius, e_ray, coeffs, disc_end,
      gamma, kappa, integ_sum, theta_tot, theta_dni) = spec
     u1, u2, u3, u4 = (_kernel_uniform(shape) for _ in range(4))
-    # position on the source disc
-    rr = radius * jnp.sqrt(u1)
-    phv = 2.0 * np.pi * u2
+    # position on the source disc (or this block's cell of it)
+    if cell is not None:
+        b, nr, nth = cell
+        ring = (b // nth).astype(jnp.float32)
+        sect = (b % nth).astype(jnp.float32)
+        rr = radius * jnp.sqrt((ring + u1) * (1.0 / nr))
+        phv = 2.0 * np.pi * (sect + u2) * (1.0 / nth)
+    else:
+        rr = radius * jnp.sqrt(u1)
+        phv = 2.0 * np.pi * u2
     lx, ly = rr * jnp.cos(phv), rr * jnp.sin(phv)
     fpx = rot[0] * lx + rot[1] * ly + cx
     fpy = rot[3] * lx + rot[4] * ly + cy
@@ -645,3 +661,158 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
     sid = flat_outs[7]
     absorbed = flat_outs[8]
     return new_pos, new_dir, new_e, sid, absorbed
+
+
+# ---------------------------------------------------------------------------
+# Relevancy-culled fused bounce kernel: like bounce_reflect_pallas, but each
+# grid block (a) regenerates its dead lanes from ITS OWN equal-area source
+# cell up to its exact outstanding quota, and (b) intersects only the
+# surfaces in its static candidate list (SMEM indirection), computed by
+# culling.build_block_culling to provably cover every reachable surface.
+# This is the TPU replacement for running the reference's Kd-tree inside
+# the bounce loop (accel_tree.py:213) and its per-bounce relevancy culling
+# (tracer_engine.py:251-264): candidate sets are static, so no host sync.
+# ---------------------------------------------------------------------------
+
+def _dead_lane_rank(dead_f):
+    """Exclusive row-major rank of each dead lane within its (SUB, LANE)
+    tile: # dead lanes strictly before it. Built from two triangular
+    matmuls — counts are small integers, exact on the bf16-rounded MXU."""
+    sub, lane = dead_f.shape
+    jj = jax.lax.broadcasted_iota(jnp.int32, (lane, lane), 0)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (lane, lane), 1)
+    tri_excl = (jj < kk).astype(jnp.float32)      # strictly-lower triangle
+    intra = jnp.dot(dead_f, tri_excl, preferred_element_type=jnp.float32)
+    row_tot = jnp.sum(dead_f, axis=1, keepdims=True)        # (SUB, 1)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
+    ll = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
+    tri_rows = (ii < ll).astype(jnp.float32)
+    row_pref = jnp.dot(row_tot.reshape(1, sub), tri_rows,
+                       preferred_element_type=jnp.float32).reshape(sub, 1)
+    return intra + row_pref
+
+
+def _make_fused_kernel_culled(sig, t_eps, disc_eps, flat, bivar, one_sided,
+                              slope, source_spec, nr: int, nth: int):
+    """Culled group kernel: per-block candidate-list fori + per-block
+    cell-stratified regeneration with EXACT emission budgets + reflect
+    epilogue. remaining_ref[b] is this block's outstanding quota: only the
+    first remaining_ref[b] dead lanes (row-major) regenerate, so every
+    equal-area source cell emits exactly its quota — per-block overshoot
+    would otherwise correlate with local survival rate and bias the
+    spatial emission density by up to TILE/quota."""
+    epi = _make_shade_epilogue(bivar, one_sided, slope)
+
+    def kernel(seed_ref, remaining_ref, lists_ref, counts_ref, rows_ref,
+               px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref, e_ref,
+               npx_ref, npy_ref, npz_ref, ndx_ref, ndy_ref, ndz_ref,
+               ne_ref, sid_ref, abs_ref):
+        b = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + b)
+        px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        e = e_ref[:]
+
+        dead = e <= 0.0
+        rank = _dead_lane_rank(dead.astype(jnp.float32))
+        do = dead & (rank < remaining_ref[b].astype(jnp.float32))
+        f = _sample_disk_buie(source_spec, px.shape, cell=(b, nr, nth))
+        e_ray = jnp.float32(source_spec[5])
+        px = jnp.where(do, f[0], px)
+        py = jnp.where(do, f[1], py)
+        pz = jnp.where(do, f[2], pz)
+        dx = jnp.where(do, f[3], dx)
+        dy = jnp.where(do, f[4], dy)
+        dz = jnp.where(do, f[5], dz)
+        e = jnp.where(do, e_ray, e)
+
+        rays = (px, py, pz, dx, dy, dz)
+        big = jnp.float32(np.inf)
+        zero = jnp.zeros_like(px)
+        init = (jnp.full_like(px, big),
+                jnp.full_like(px, -1, dtype=jnp.int32),
+                zero, zero, zero, zero, zero, zero, zero)
+        body = _surface_body(sig, 0, t_eps, disc_eps, flat, False,
+                             rows_ref, rays, lists_ref=lists_ref, block=b)
+        carry = jax.lax.fori_loop(0, counts_ref[b], body, init)
+        (t_b, sid_b, ngx, ngy, ngz, upd_b, kf_b, q0_b, q1_b) = carry
+
+        outs = epi(t_b, ngx, ngy, ngz, upd_b, kf_b, q0_b,
+                   q1_b, px, py, pz, dx, dy, dz, e)
+        npx, npy, npz, ndx, ndy, ndz, ne, absorbed = outs
+        npx_ref[:] = npx
+        npy_ref[:] = npy
+        npz_ref[:] = npz
+        ndx_ref[:] = ndx
+        ndy_ref[:] = ndy
+        ndz_ref[:] = ndz
+        ne_ref[:] = ne
+        live = e > 0.0
+        sid_ref[:] = jnp.where(jnp.isfinite(t_b) & live, sid_b, -1)
+        abs_ref[:] = jnp.where(live, absorbed, 0.0)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("groups", "t_eps", "disc_eps", "bivar",
+                                    "one_sided", "slope", "source_spec",
+                                    "nr", "nth"))
+def bounce_reflect_culled_pallas(rows, lists, counts, seed, remaining,
+                                 pos, dirs, energy, groups, t_eps: float,
+                                 disc_eps: float = 1e-6, bivar=True,
+                                 one_sided: bool = True, slope: bool = True,
+                                 source_spec=None, nr: int = 1, nth: int = 1):
+    """Relevancy-culled fused bounce (single-group pure-specular scenes).
+
+    rows      packed (S, K) surface table (pack_rows) — ALL rows
+    lists     (nb, L) int32 per-block candidate row ids (culling module)
+    counts    (nb,) int32 valid entries per block
+    remaining (nb,) int32 outstanding emission quota per block; exactly
+              min(remaining[b], #dead lanes) rays regenerate in block b
+
+    The ray count must be exactly nb * TILE (block b <-> source cell b)."""
+    assert len(groups) == 1, "culled fast path requires a single group"
+    (start, end, sig, tag) = groups[0]
+    assert start == 0 and end == rows.shape[0]
+    n = pos.shape[0]
+    nb = lists.shape[0]
+    if n != nb * TILE:
+        raise ValueError(f"ray count {n} != nb*TILE = {nb * TILE}")
+
+    comps = []
+    for a in (pos, dirs):
+        for k in range(3):
+            comps.append(a[:, k].reshape(n // LANE, LANE))
+    comps.append(energy.reshape(n // LANE, LANE))
+
+    def ray_idx(i, seed_ref, remaining_ref, lists_ref, counts_ref,
+                rows_ref):
+        return (i, 0)
+
+    ray_spec = pl.BlockSpec((SUB, LANE), ray_idx, memory_space=pltpu.VMEM)
+    kernel = _make_fused_kernel_culled(sig, t_eps, disc_eps,
+                                       flat=(tag == "flat"), bivar=bivar,
+                                       one_sided=one_sided, slope=slope,
+                                       source_spec=source_spec,
+                                       nr=nr, nth=nth)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,  # seed, remaining quotas, lists, counts, rows
+        grid=(nb,),
+        in_specs=[ray_spec] * 7,
+        out_specs=tuple([ray_spec] * 9),
+    )
+    shape2 = (n // LANE, LANE)
+    out_shapes = tuple([jax.ShapeDtypeStruct(shape2, jnp.float32)] * 7
+                       + [jax.ShapeDtypeStruct(shape2, jnp.int32),
+                          jax.ShapeDtypeStruct(shape2, jnp.float32)])
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+    )(seed, remaining, lists, counts, rows, *comps)
+
+    flat_outs = [a.reshape(n) for a in outs]
+    new_pos = jnp.stack(flat_outs[0:3], axis=1)
+    new_dir = jnp.stack(flat_outs[3:6], axis=1)
+    return new_pos, new_dir, flat_outs[6], flat_outs[7], flat_outs[8]

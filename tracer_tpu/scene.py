@@ -217,6 +217,10 @@ class SceneMeta:
     names: List[str]
     row_logical: np.ndarray          # (S,) logical id per table row
     frames: np.ndarray               # (S,4,4) global frames (host copy)
+    # per-ROW geometry handles in table order (rows are sorted by aperture
+    # signature at compile time, so meta.surfaces iteration order is NOT row
+    # order in general — anything needing per-row geometry must use this)
+    row_geoms: Optional[list] = None
 
     def index_of(self, name: str) -> int:
         return self.names.index(name)
@@ -379,5 +383,6 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
     )
     names = [s.name or f"surface_{k}" for k, s in enumerate(logical_surfaces)]
     meta = SceneMeta(surfaces=logical_surfaces, names=names,
-                     row_logical=logical, frames=frames)
+                     row_logical=logical, frames=frames,
+                     row_geoms=[g for g, *_ in rows])
     return table, meta
