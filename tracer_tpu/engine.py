@@ -157,7 +157,8 @@ def _account(scene: SceneTable, accum: TraceAccum, sid, hit, escaped,
 def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
                  key: jax.Array, min_energy: float, t_eps, disc_eps: float,
                  block: int, count_hits: bool = True,
-                 need_local: bool = True, split_mode: bool = False):
+                 need_local: bool = True, split_mode: bool = False,
+                 cand=None):
     """One bounce: intersect, shade, account. Returns (bundle', accum', rec).
 
     With volumetric media in the scene ("volumetric" feature), a scattering
@@ -177,7 +178,8 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
     # in one Pallas kernel, one HBM round trip of the ray state per bounce.
     from . import materials as _M
     from .kernels.intersect import _use_pallas, default_t_eps
-    use_fused = (not need_local
+    use_fused = (cand is None
+                 and not need_local
                  and scene.kinds_present == (_M.K_REFLECT,)
                  and "volumetric" not in scene.features
                  and "iam" not in scene.features
@@ -221,9 +223,17 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
             backside=jnp.zeros_like(hit), alive_in=alive)
         return new_bundle, accum, rec
 
-    t, sid, aux = nearest_hit_aux(scene, bundle.pos, bundle.dir,
-                                  t_eps=t_eps, disc_eps=disc_eps, block=block,
-                                  need_local=need_local)
+    if cand is not None:
+        # Kd-accelerated path: each ray tests only its traversal candidates
+        # (ref 'lightweight' accel mode, tracer_engine.py:195-207)
+        from .kernels.intersect import nearest_hit_candidates
+        t, sid = nearest_hit_candidates(scene, cand, bundle.pos, bundle.dir,
+                                        t_eps=t_eps, disc_eps=disc_eps)
+        aux = None
+    else:
+        t, sid, aux = nearest_hit_aux(scene, bundle.pos, bundle.dir,
+                                      t_eps=t_eps, disc_eps=disc_eps,
+                                      block=block, need_local=need_local)
     sid = jnp.where(alive, sid, -1)
 
     volumetric = "volumetric" in scene.features
@@ -424,38 +434,99 @@ class TracerEngine:
 
     def ray_tracer(self, bundle: RayBundle, reps: int = 100,
                    min_energy: float = 1e-6, key: Optional[jax.Array] = None,
-                   opts: Optional[TraceOptions] = None) -> TraceResult:
+                   opts: Optional[TraceOptions] = None,
+                   accel=None) -> TraceResult:
+        """Host-stepped trace with per-bounce records.
+
+        accel: None for the brute-force group kernels; "lightweight" (or
+        True) builds a Kd-tree over the scene rows (accel.KdTree, the ref's
+        tracer/accel_tree.py) and, per bounce, traverses it on the host to
+        get per-ray candidate lists that the intersect kernel then tests
+        exclusively — the reference's accel-tree trace mode. Results are
+        identical to accel=None (same RNG stream, sound candidate sets);
+        only the per-bounce cost changes.
+        """
+        import logging
+        import time as _time
+        log = logging.getLogger("tracer_tpu")
         opts = opts or TraceOptions(max_bounces=reps, min_energy=min_energy)
         if key is None:
             key = jax.random.PRNGKey(0)
         accum = TraceAccum.zeros(self.scene.num_rows, dtype=bundle.pos.dtype)
         records: List[BounceRecord] = []
         source = bundle
+        tree = None
+        if accel:
+            if self.meta is None:
+                raise ValueError("accel needs a SceneMeta (row geometry)")
+            from .accel import KdTree
+            t0 = _time.perf_counter()
+            tree = KdTree(self.meta)
+            log.info("kdtree build: %d rows, %d nodes, %.3f s",
+                     self.scene.num_rows, len(tree.nodes),
+                     _time.perf_counter() - t0)
         # energy-splitting interfaces (F_SPLIT): host-stepped tracing is the
         # path that honors them — the bundle grows between reps like the
         # reference's concatenated outgoing bundles (optics_callables.py:718)
         use_split = "split" in self.scene.features
         for b in range(opts.max_bounces):
+            t0 = _time.perf_counter()
             key, sub = jax.random.split(key)
             prev = bundle
+            cand = None
+            if tree is not None:
+                cand = self._candidates(tree, bundle)
             bundle, accum, rec = _bounce_step(
                 self.scene, bundle, accum, sub,
                 min_energy=opts.min_energy, t_eps=opts.t_eps,
                 disc_eps=opts.disc_eps, block=opts.block,
-                split_mode=use_split)
+                split_mode=use_split, cand=cand)
             if use_split and rec.split is not None:
                 bundle, accum = _append_split_rays(bundle, prev, rec, accum,
                                                    opts.min_energy)
             if opts.record:
                 records.append(jax.device_get(rec))
             # host check: stop when the bundle dies (like ref :277-280)
-            if not bool(jnp.any(bundle.alive)):
+            n_alive = int(jnp.sum(bundle.alive))
+            if log.isEnabledFor(logging.INFO):
+                # per-bounce observability (ref tracer_engine.py:282-286)
+                dt = _time.perf_counter() - t0
+                log.info("bounce %d: trace time %.4f s, %d/%d rays alive"
+                         "%s", b, dt, n_alive, bundle.num_rays,
+                         f", {cand.shape[1]} candidates/ray"
+                         if cand is not None else "")
+            if n_alive == 0:
                 break
         result = TraceResult(scene=self.scene, meta=self.meta, final=bundle,
                              accum=jax.device_get(accum), records=records,
                              source=source)
+        residual = float(np.asarray(result.final.total_energy()))
+        if residual > 0.0:
+            # ref tracer_engine.py:292-294 residual-energy audit
+            log.warning("%.3g energy (%.2f%% of source) still alive after "
+                        "%d bounces", residual,
+                        100.0 * residual
+                        / max(float(np.asarray(source.total_energy())),
+                              1e-300),
+                        opts.max_bounces)
         self.tree = result
         return result
+
+    @staticmethod
+    def _candidates(tree, bundle) -> jnp.ndarray:
+        """Per-ray candidate rows from a host Kd traversal, padded to a
+        bucketed width (limits jit recompiles across bounces)."""
+        pos = np.asarray(bundle.pos)
+        dirs = np.asarray(bundle.dir)
+        mask = tree.traversal(pos, dirs)            # (S, N)
+        mask[:, ~np.asarray(bundle.alive)] = False
+        per_ray = mask.sum(axis=0)
+        k = max(int(per_ray.max()), 1)
+        k = 1 << (k - 1).bit_length()               # bucket to powers of 2
+        order = np.argsort(~mask, axis=0, kind="stable")[:k]   # hits first
+        valid = np.take_along_axis(mask, order, axis=0)
+        cand = np.where(valid, order, -1).T.astype(np.int32)   # (N, k)
+        return jnp.asarray(cand)
 
 
 def _append_split_rays(bundle: RayBundle, prev: RayBundle,

@@ -162,6 +162,116 @@ def _use_pallas(pos) -> bool:
             and jax.default_backend() not in ("cpu",))
 
 
+def _aperture_mask_dynamic(ap_type, ap_params, pt):
+    """ANDed aperture constraints with PER-RAY constraint types: evaluates
+    every predicate and selects by type id. Used by the Kd-accelerated
+    candidate path, where each ray tests its own surface row so the
+    signature cannot be specialized statically. ap_type (N,C) int,
+    ap_params (N,C,6), pt (N,3)."""
+    x, y, z = pt[..., 0], pt[..., 1], pt[..., 2]
+    ok = jnp.ones(x.shape, dtype=bool)
+    for c in range(ap_type.shape[1]):
+        tid = ap_type[:, c]
+        p = ap_params[:, c]
+        sel = jnp.ones(x.shape, dtype=bool)
+        for kind in (G.AP_RECT, G.AP_RADIAL, G.AP_ZRANGE, G.AP_ANGRANGE,
+                     G.AP_XCUT, G.AP_HEX, G.AP_TRIANGLE, G.AP_TRIANGLE_HOLE,
+                     G.AP_RECT_HOLE, G.AP_CIRC_HOLE, G.AP_CIRC, G.AP_SPHERE,
+                     G.AP_ABS_HALFPLANE):
+            pred = _constraint_pred(kind, p, x, y, z)
+            sel = jnp.where(tid == kind, pred, sel)
+        ok = ok & sel
+    return ok
+
+
+@functools.partial(jax.jit, static_argnames=("t_eps", "disc_eps"))
+def _candidate_t(scene, rows, pos, dirs, t_eps: float, disc_eps: float):
+    """Hit distance of each ray against ITS OWN candidate row (rows (N,)
+    int32, -1 = no candidate -> +inf). Per-ray row data is gathered, the
+    quadric solved with per-ray coefficients, apertures evaluated
+    dynamically. This is the building block of the Kd-accelerated path:
+    ray i only ever pays for the surfaces its traversal returned."""
+    s = jnp.maximum(rows, 0)
+    invf = jnp.take(scene.inv_frame, s, axis=0)
+    quad = jnp.take(scene.quadric, s, axis=0)
+    ap_t = jnp.take(scene.ap_type, s, axis=0)
+    ap_p = jnp.take(scene.ap_params, s, axis=0)
+
+    rot = invf[:, :3, :3]
+    trn = invf[:, :3, 3]
+    v = apply_rot(rot, pos) + trn
+    d = apply_rot(rot, dirs)
+    t_min = t_eps * (1.0 + jnp.sqrt(jnp.sum(v * v, axis=-1)))
+
+    q = [quad[:, i] for i in range(10)]
+    axx, ayy, azz, axy, axz, ayz, bx, by, bz, c0 = q
+
+    def q_form(p, r2):
+        return (axx * p[..., 0] * r2[..., 0] + ayy * p[..., 1] * r2[..., 1]
+                + azz * p[..., 2] * r2[..., 2]
+                + axy * (p[..., 0] * r2[..., 1] + p[..., 1] * r2[..., 0])
+                + axz * (p[..., 0] * r2[..., 2] + p[..., 2] * r2[..., 0])
+                + ayz * (p[..., 1] * r2[..., 2] + p[..., 2] * r2[..., 1]))
+
+    def b_dot(p):
+        return bx * p[..., 0] + by * p[..., 1] + bz * p[..., 2]
+
+    A = q_form(d, d)
+    B = 2.0 * (q_form(d, v) + b_dot(d))
+    C = q_form(v, v) + 2.0 * b_dot(v) + c0
+
+    inf = jnp.array(jnp.inf, dtype=pos.dtype)
+    is_linear = A == 0.0
+    is_b0 = B == 0.0
+    disc = B * B - 4.0 * A * C
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    signB = jnp.where(B >= 0.0, 1.0, -1.0)
+    qq = -0.5 * (B + signB * sq)
+    safeA = jnp.where(is_linear, 1.0, A)
+    safeq = jnp.where(qq == 0.0, 1.0, qq)
+    mCA = -C / safeA
+    sqrt_mCA = jnp.sqrt(jnp.maximum(mCA, 0.0))
+    safeB = jnp.where(is_b0, 1.0, B)
+    t_lin = -C / safeB
+    t0 = jnp.where(is_linear, t_lin,
+                   jnp.where(is_b0, -sqrt_mCA, qq / safeA))
+    t1 = jnp.where(is_linear, t_lin,
+                   jnp.where(is_b0, sqrt_mCA, C / safeq))
+    root_ok = jnp.where(is_linear, jnp.abs(B) > 1e-7,
+                        jnp.where(is_b0, mCA >= 0.0, disc >= disc_eps))
+
+    def root_t(t):
+        ok = root_ok & (t > t_min) & jnp.isfinite(t)
+        pt = v + t[..., None] * d
+        ok = ok & _aperture_mask_dynamic(ap_t, ap_p, pt)
+        return jnp.where(ok, t, inf)
+
+    t = jnp.minimum(root_t(t0), root_t(t1))
+    return jnp.where(rows >= 0, t, inf)
+
+
+@functools.partial(jax.jit, static_argnames=("t_eps", "disc_eps"))
+def nearest_hit_candidates(scene, cand, pos, dirs,
+                           t_eps: Optional[float] = None,
+                           disc_eps: float = 1e-6):
+    """Nearest hit over PER-RAY candidate lists (the Kd-tree accelerated
+    path, analog of the reference's 'lightweight' accel mode consumed at
+    tracer/tracer_engine.py:195-207). cand (N, K) int32 rows per ray,
+    padded with -1. Returns (t, sid) like nearest_hit."""
+    if t_eps is None:
+        t_eps = default_t_eps(pos.dtype)
+    t_best = jnp.full_like(pos[:, 0], jnp.inf)
+    sid_best = jnp.full_like(pos[:, 0], -1, dtype=jnp.int32)
+    for k in range(cand.shape[1]):
+        rows = cand[:, k]
+        t = _candidate_t(scene, rows, pos, dirs, t_eps, disc_eps)
+        upd = t < t_best
+        t_best = jnp.where(upd, t, t_best)
+        sid_best = jnp.where(upd, rows, sid_best)
+    sid_best = jnp.where(jnp.isfinite(t_best), sid_best, -1)
+    return t_best, sid_best
+
+
 def nearest_hit_aux(scene, pos, dirs, t_eps=None, disc_eps: float = 1e-6,
                     block=None, need_local: bool = True):
     """Like nearest_hit, but on the Pallas path also returns the winner's
