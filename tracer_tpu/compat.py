@@ -21,19 +21,66 @@ _BASES = {
                                   one_sided=True),
     "OneSidedReflective": lambda absorptivity=0.0:
         M.reflective(absorptivity, one_sided=True),
+    "RealReflective_IAM": lambda absorptivity, sigma, a_r, c=1.0,
+        bi_var=True: M.iam(M.reflective(absorptivity, sigma, bi_var), a_r, c),
     "RealReflective": lambda absorptivity=0.0, sigma=0.0, bi_var=True:
         M.reflective(absorptivity, sigma, bi_var),
     "ReflectiveSpectral": lambda absorptances, wavelengths:
         M.reflective_spectral(absorptances, wavelengths),
+    "Reflective_spectral": lambda absorptances, wavelengths:
+        M.reflective_spectral(absorptances, wavelengths),
+    "Reflective_IAM": lambda absorptivity, a_r, c=1.0:
+        M.iam(M.reflective(absorptivity), a_r, c),
     "Reflective": lambda absorptivity=0.0: M.reflective(absorptivity),
+    "BDRF_Cook_Torrance_isotropic": lambda alpha, m_n, m_k, R_Lam=1.0:
+        M.bdrf_cook_torrance(alpha, m_n, m_k, R_Lam),
+    "Lambertian_piecewise_Specular_directional_axisymmetric_piecewise":
+        lambda thetas, absorptance_th, specularity_th:
+        M.lambertian_directional_piecewise(thetas, absorptance_th,
+                                           specularity_th),
+    "LambertianSpecular_directional_axisymmetric_piecewise":
+        lambda thetas, absorptance_th, specularity=0.0:
+        M.lambertian_directional_piecewise(thetas, absorptance_th,
+                                           specularity),
+    "Lambertian_directional_axisymmetric_piecewise_spectral":
+        lambda thetas, absorptance, wavelengths:
+        M.lambertian_directional_spectral_piecewise(thetas, wavelengths,
+                                                    absorptance),
+    "Lambertian_directional_axisymmetric_piecewise":
+        lambda thetas, absorptance_th, specularity=0.0:
+        M.lambertian_directional_piecewise(thetas, absorptance_th),
     "LambertianSpecular": lambda absorptivity=0.0, specularity=0.5:
         M.lambertian_specular(absorptivity, specularity),
+    "Lambertian_IAM": lambda absorptivity, a_r, c=1.0:
+        M.iam(M.lambertian(absorptivity), a_r, c),
+    "LambertianAbsorbant": lambda absorptivity=0.0,
+        attenuation_coefficient=0.0, ang_range=1.5707963, scaling=1.0:
+        M.lambertian(absorptivity, ang_range),
     "SemiLambertian": lambda absorptivity=0.0, angular_range=None, **kw:
         M.semi_lambertian(absorptivity, angular_range or 1.5707963),
     "Lambertian": lambda absorptivity=0.0, ang_range=1.5707963:
         M.lambertian(absorptivity, ang_range),
+    "RefractiveTransmissiveHomogenous": lambda n1, n2,
+        attenuation_coefficients, single_ray=True, sigma=None:
+        M.refractive_transmissive_homogenous(n1, n2,
+                                             attenuation_coefficients,
+                                             single_ray, sigma or 0.0),
+    "RefractiveAbsorbantHomogenous": lambda n1, n2, att1=0.0, att2=0.0,
+        single_ray=True, sigma=None:
+        M.refractive_absorbant_homogenous(n1, n2, att1, att2, single_ray,
+                                          sigma or 0.0),
+    "RefractiveScatteringHomogenous": lambda n1, n2, s_c1, s_c2, g_HG_1,
+        g_HG_2, single_ray=True, sigma=None:
+        M.refractive_homogenous(n1, n2, single_ray, sigma or 0.0,
+                                scat1=s_c1, scat2=s_c2, g1=g_HG_1, g2=g_HG_2),
     "RefractiveHomogenous": lambda n1=1.0, n2=1.5, single_ray=True,
         sigma=0.0: M.refractive_homogenous(n1, n2, single_ray, sigma or 0.0),
+    "FresnelConductorHomogenous": lambda n1, material:
+        M.fresnel_conductor_homogenous(n1, material),
+    "Absorbant": lambda attenuation_coefficients=0.0, scaling=1.0, n=1.0:
+        M.absorbant_interface(attenuation_coefficients, n),
+    "Scattering": lambda s_c=0.0, g_HG=0.0, n=1.0:
+        M.scattering_interface(s_c, g_HG, n=n),
     "PeriodicBoundary": lambda period: M.periodic_boundary(period),
     "Transparent": lambda: M.transparent(),
 }

@@ -79,7 +79,39 @@ def _interp_segment(x, start, length, tab_x, tab_y):
 # restricted to the others can run entirely from the intersect kernel's
 # carried aux data (no per-ray row gather at all)
 _EXTENDED_PARAM_KINDS = {M.K_LAMBERTIAN_SPECULAR, M.K_REFLECT_SPECTRAL,
-                         M.K_REFRACTIVE, M.K_COOK_TORRANCE}
+                         M.K_REFRACTIVE, M.K_COOK_TORRANCE,
+                         M.K_FRESNEL_CONDUCTOR, M.K_LAMBERTIAN_PIECEWISE}
+
+
+def _interp2_segment(th, wl, th_start, T, wl_start, W, grid_start,
+                     tab_x, tab_y):
+    """Per-ray bilinear interpolation on a (T, W) grid packed into the
+    shared table: axis values live in tab_x at [th_start, th_start+T) and
+    [wl_start, wl_start+W); grid values row-major in tab_y from
+    grid_start. All starts/lengths are per-ray."""
+    def axis_locate(x, start, length):
+        start = start.astype(jnp.int32)
+        length = jnp.maximum(length.astype(jnp.int32), 1)
+        idx = jnp.arange(tab_x.shape[0])
+        in_seg = ((idx[None, :] >= start[:, None])
+                  & (idx[None, :] < (start + length)[:, None]))
+        xs = jnp.where(in_seg, tab_x[None, :], jnp.inf)
+        k = jnp.sum(xs <= x[:, None], axis=1)
+        lo = jnp.clip(start + k - 1, start, start + length - 2)
+        x0, x1 = tab_x[lo], tab_x[lo + 1]
+        w = jnp.where(x1 == x0, 0.0,
+                      (x - x0) / jnp.where(x1 == x0, 1.0, x1 - x0))
+        return lo - start, jnp.clip(w, 0.0, 1.0), length
+
+    i, wt, T_i = axis_locate(th, th_start, T)
+    j, ww, W_i = axis_locate(wl, wl_start, W)
+    base = grid_start.astype(jnp.int32) + i * W_i + j
+    g00 = tab_y[base]
+    g01 = tab_y[base + 1]
+    g10 = tab_y[base + W_i]
+    g11 = tab_y[base + W_i + 1]
+    return ((1 - wt) * ((1 - ww) * g00 + ww * g01)
+            + wt * ((1 - ww) * g10 + ww * g11))
 
 
 def shade(scene, sid: jnp.ndarray, t: jnp.ndarray, pos: jnp.ndarray,
@@ -157,8 +189,10 @@ def shade(scene, sid: jnp.ndarray, t: jnp.ndarray, pos: jnp.ndarray,
     ns = jnp.where(cos_geom[:, None] > 0.0, -n_geom, n_geom)
 
     needs_diffuse = bool(kinds & {M.K_LAMBERTIAN, M.K_LAMBERTIAN_SPECULAR,
-                                  M.K_SEMI_LAMBERTIAN})
-    needs_choice = bool(kinds & {M.K_LAMBERTIAN_SPECULAR, M.K_REFRACTIVE})
+                                  M.K_SEMI_LAMBERTIAN,
+                                  M.K_LAMBERTIAN_PIECEWISE})
+    needs_choice = bool(kinds & {M.K_LAMBERTIAN_SPECULAR, M.K_REFRACTIVE,
+                                 M.K_LAMBERTIAN_PIECEWISE})
     needs_slope = "slope_error" in features
     needs_phi = needs_diffuse or needs_slope
 
@@ -343,6 +377,56 @@ def shade(scene, sid: jnp.ndarray, t: jnp.ndarray, pos: jnp.ndarray,
         is_ct = kind == M.K_COOK_TORRANCE
         out_dir = jnp.where(is_ct[:, None], d_ct, out_dir)
         absorptivity = jnp.where(is_ct, 1.0 - w_ct, absorptivity)
+
+    if M.K_FRESNEL_CONDUCTOR in kinds:
+        # conductor interface: specular reflection with randomly-polarized
+        # Fresnel reflectance at the ray's wavelength; the transmitted
+        # fraction is absorbed in the skin depth (ref
+        # FresnelConductorHomogenous optics_callables.py:1523)
+        from ..optics import fresnel_to_attenuating
+        st_fc, L_fc = prm[:, 1], prm[:, 2]
+        n2_fc = _interp_segment(wavelength, st_fc, L_fc,
+                                scene.spectral_wl, scene.spectral_ab)
+        k2_fc = _interp_segment(wavelength, st_fc + L_fc, L_fc,
+                                scene.spectral_wl, scene.spectral_ab)
+        th1 = jnp.arccos(jnp.clip(cos_aoi, 0.0, 1.0))
+        n1_fc = jnp.where(prm[:, 0] > 0.0, prm[:, 0], 1.0)
+        R_p, R_s, _ = fresnel_to_attenuating(n1_fc, n2_fc + 1j * k2_fc, th1)
+        R_fc = jnp.clip(0.5 * (R_p + R_s), 0.0, 1.0)
+        is_fc = kind == M.K_FRESNEL_CONDUCTOR
+        absorptivity = jnp.where(is_fc, 1.0 - R_fc, absorptivity)
+        # direction: the default specular d_reflect
+
+    if M.K_LAMBERTIAN_PIECEWISE in kinds:
+        # piecewise directional (and optionally spectral) diffuse
+        # absorptance with constant or directional specularity (ref
+        # optics_callables.py:331-491 family)
+        th_in = jnp.arccos(jnp.clip(cos_aoi, 0.0, 1.0))
+        abs_pw = _interp_segment(th_in, prm[:, 0], prm[:, 1],
+                                 scene.spectral_wl, scene.spectral_ab)
+        if "lambertian_piecewise_spectral" in features:
+            abs_2d = _interp2_segment(th_in, wavelength, prm[:, 0],
+                                      prm[:, 1], prm[:, 4], prm[:, 5],
+                                      prm[:, 6], scene.spectral_wl,
+                                      scene.spectral_ab)
+            abs_pw = jnp.where(prm[:, 5] > 0.0, abs_2d, abs_pw)
+        is_lpw = kind == M.K_LAMBERTIAN_PIECEWISE
+        absorptivity = jnp.where(is_lpw, abs_pw, absorptivity)
+        # specular probability: constant (p2) or interpolated over theta
+        # from its own chunk (p3 >= 0)
+        spec_p = prm[:, 2]
+        if "lambertian_piecewise_dirspec" in features:
+            spec_tab = _interp_segment(th_in, prm[:, 3], prm[:, 1],
+                                       scene.spectral_wl, scene.spectral_ab)
+            spec_p = jnp.where(prm[:, 3] >= 0.0, spec_tab, spec_p)
+        # full-hemisphere diffuse branch (ref pillbox ang_range = pi/2)
+        sh_pw = jnp.sqrt(u1)
+        d_hemi_pw = rotate_to_normal(
+            jnp.stack([jnp.cos(phi) * sh_pw, jnp.sin(phi) * sh_pw,
+                       jnp.sqrt(jnp.maximum(1.0 - sh_pw**2, 0.0))], axis=1),
+            ns)
+        d_lpw = jnp.where((u_choice < spec_p)[:, None], d_reflect, d_hemi_pw)
+        out_dir = jnp.where(is_lpw[:, None], d_lpw, out_dir)
 
     out_pos = hit_g
     if M.K_PERIODIC in kinds:

@@ -31,6 +31,9 @@ K_REFRACTIVE = 6       # homogenous-media Fresnel interface (:1186)
 K_PERIODIC = 7         # periodic boundary teleport (:690)
 K_ABSORBER = 8         # perfect absorber (Reflective with abs=1 shortcut)
 K_COOK_TORRANCE = 9    # microfacet BDRF (:630); analytic Beckmann sampling
+K_FRESNEL_CONDUCTOR = 10  # complex-index conductor interface (:1523)
+K_LAMBERTIAN_PIECEWISE = 11  # piecewise directional/spectral diffuse
+                             # absorptance family (:331-491)
 
 N_OPT_PARAMS = 12
 
@@ -212,6 +215,117 @@ def scattering_interface(scat_inside: float, g: float = 0.0,
     return refractive_homogenous(n, n, att1=0.0, att2=att_inside,
                                  scat1=0.0, scat2=scat_inside,
                                  g1=0.0, g2=g)
+
+
+def refractive_transmissive_homogenous(n1: float, n2: float,
+                                       attenuation_coefficients,
+                                       single_ray: bool = True,
+                                       sigma: float = 0.0) -> OpticsSpec:
+    """Refractive interface between homogenous media with Beer-Lambert
+    attenuation along the traversed path (ref RefractiveTransmissiveHomogenous
+    optics_callables.py:1326, which composes RefractiveHomogenous with
+    Absorbant :861 — attenuation only, no Fresnel-coefficient coupling).
+    ``attenuation_coefficients`` is a scalar (both media) or an (a1, a2)
+    pair, in 1/m. The engine attenuates each segment by exp(-a*d) with the
+    per-ray coefficient toggled at every crossing."""
+    ac = np.atleast_1d(np.asarray(attenuation_coefficients, dtype=float))
+    a1, a2 = (ac[0], ac[0]) if len(ac) == 1 else (ac[0], ac[1])
+    return refractive_homogenous(n1, n2, single_ray, sigma,
+                                 att1=float(a1), att2=float(a2))
+
+
+def fresnel_conductor_homogenous(n1: float, material,
+                                 wl_range=(300e-9, 2500e-9),
+                                 n_samples: int = 64) -> OpticsSpec:
+    """Conductor interface: specular reflection with the randomly-polarized
+    Fresnel-conductor reflectance R(theta, n2 + i k2) at each ray's
+    wavelength; the transmitted fraction is absorbed in the skin depth (ref
+    FresnelConductorHomogenous optics_callables.py:1523 — valid for
+    k2 >> 1, no refracted ray is traced).
+
+    ``material`` is an optical_constants material (anything with .m(wl)
+    returning a complex index), an explicit (wavelengths, n, k) triple, or
+    a complex constant. n(lambda) and k(lambda) are packed as one chunk of
+    the scene's shared spectral table; params = (n1, start, L)."""
+    if hasattr(material, "m"):
+        wls = np.linspace(wl_range[0], wl_range[1], n_samples)
+        m = np.atleast_1d(material.m(wls))
+        ok = np.isfinite(m)
+        wls, m = wls[ok], m[ok]
+        if len(wls) == 0:
+            raise ValueError("material has no data inside wl_range")
+        ns, ks = np.real(m), np.imag(m)
+    elif np.isscalar(material):
+        m = complex(material)
+        wls, ns, ks = np.array([0.0]), np.array([m.real]), np.array([m.imag])
+    else:
+        wls, ns, ks = (np.asarray(v, dtype=float) for v in material)
+    # one chunk: L rows of (wl -> n) then L rows of (wl -> k)
+    table = np.concatenate([np.stack([wls, ns], axis=1),
+                            np.stack([wls, ks], axis=1)], axis=0)
+    spec = OpticsSpec(K_FRESNEL_CONDUCTOR, _params(n1, 0.0, float(len(wls))))
+    spec.pack_tables = [(table, 1)]   # chunk start written into params[1]
+    return spec
+
+
+def lambertian_directional_piecewise(thetas, absorptance,
+                                     specularity=0.0) -> OpticsSpec:
+    """Diffuse (or partly specular) opaque surface whose axisymmetric
+    absorptance is piecewise-linearly interpolated over the incidence angle
+    (ref Lambertian_directional_axisymmetric_piecewise :331,
+    LambertianSpecular_...:431 and Lambertian_piecewise_Specular_...:460).
+
+    thetas      increasing angles to the normal in [0, pi/2]
+    absorptance absorptance at each theta
+    specularity scalar probability of a specular bounce, or a per-theta
+                table (interpolated like the absorptance)
+
+    The diffuse branch samples the full hemisphere (the reference's
+    pillbox with ang_range = pi/2)."""
+    thetas = np.asarray(thetas, dtype=float)
+    absorptance = np.asarray(absorptance, dtype=float)
+    abs_tab = np.stack([thetas, absorptance], axis=1)
+    spec_tab = None
+    if np.ndim(specularity) == 0:
+        p = _params(0.0, float(len(thetas)), float(specularity), -1.0)
+    else:
+        spec_tab = np.stack([thetas, np.asarray(specularity, dtype=float)],
+                            axis=1)
+        p = _params(0.0, float(len(thetas)), 0.0, 0.0)
+    out = OpticsSpec(K_LAMBERTIAN_PIECEWISE, p)
+    out.pack_tables = [(abs_tab, 0)]
+    if spec_tab is not None:
+        out.pack_tables.append((spec_tab, 3))
+    return out
+
+
+def lambertian_directional_spectral_piecewise(thetas, wavelengths,
+                                              absorptance) -> OpticsSpec:
+    """Diffuse opaque surface whose absorptance is bilinearly interpolated
+    over (incidence angle, wavelength) (ref
+    Lambertian_directional_axisymmetric_piecewise_spectral :363; the
+    Polychromatic variant :393 is subsumed — instead of carrying dense
+    per-ray spectra, sample ray wavelengths from the source spectrum and
+    the MC estimate converges to the same spectrally-integrated power).
+
+    absorptance is (len(thetas), len(wavelengths))."""
+    thetas = np.unique(np.asarray(thetas, dtype=float))
+    wavelengths = np.unique(np.asarray(wavelengths, dtype=float))
+    if len(thetas) < 2 or len(wavelengths) < 2:
+        raise ValueError("need >= 2 thetas and >= 2 wavelengths "
+                         "(bilinear grid)")
+    grid = np.reshape(np.asarray(absorptance, dtype=float),
+                      (len(thetas), len(wavelengths)))
+    # chunks: theta axis (values in x), wavelength axis, then the grid
+    # row-major in the y column
+    th_tab = np.stack([thetas, np.zeros_like(thetas)], axis=1)
+    wl_tab = np.stack([wavelengths, np.zeros_like(wavelengths)], axis=1)
+    grid_tab = np.stack([np.zeros(grid.size), grid.reshape(-1)], axis=1)
+    p = _params(0.0, float(len(thetas)), 0.0, -1.0,
+                0.0, float(len(wavelengths)), 0.0)
+    out = OpticsSpec(K_LAMBERTIAN_PIECEWISE, p)
+    out.pack_tables = [(th_tab, 0), (wl_tab, 4), (grid_tab, 6)]
+    return out
 
 
 def bifacial(front: OpticsSpec, back: OpticsSpec) -> OpticsSpec:

@@ -312,6 +312,13 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
                 opt_params[i, 1] = len(opt.spectral_table)
             spectral_chunks.append(opt.spectral_table)
             spectral_len += len(opt.spectral_table)
+        # generic multi-chunk packing: each (table, start_slot) chunk goes
+        # into the shared table with its start offset written to the given
+        # param slot (lengths are already in the factory's params)
+        for tab, slot in getattr(opt, "pack_tables", ()):
+            opt_params[i, slot] = spectral_len
+            spectral_chunks.append(tab)
+            spectral_len += len(tab)
         logical[i] = lid
 
     if spectral_chunks:
@@ -357,6 +364,14 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
             features.add("split")
         if opt.kind == M.K_REFLECT_SPECTRAL:
             features.add("spectral")
+        if opt.kind == M.K_FRESNEL_CONDUCTOR:
+            features.add("fresnel_conductor")
+        if opt.kind == M.K_LAMBERTIAN_PIECEWISE:
+            features.add("lambertian_piecewise")
+            if opt.params[5] > 0:
+                features.add("lambertian_piecewise_spectral")
+            if opt.params[3] >= 0:
+                features.add("lambertian_piecewise_dirspec")
         if opt.kind == M.K_REFRACTIVE and opt.spectral_table is not None:
             features.add("dispersive")
         if opt.kind == M.K_REFRACTIVE and np.any(opt.params[6:12] != 0.0):
