@@ -77,8 +77,15 @@ class BounceRecord:
     absorbed: jnp.ndarray   # (N,)
     backside: jnp.ndarray   # (N,) bool
     alive_in: jnp.ndarray   # (N,) bool — slot carried a live ray this bounce
+    wavelength: jnp.ndarray = None  # (N,) per-hit ray wavelength
+    #   (ref SpectralAccountant optics_callables.py:1801 /
+    #    PolychromaticAccountant :1825)
+    normal: jnp.ndarray = None      # (N,3) shading normal at the hit
+    #   (ref NormalAccountant :1773)
     # energy-splitting mode only: (mask, secondary energy, reflected dir)
     split: Optional[tuple] = None
+    bounce: Optional[int] = None    # bounce index (set by the engine; lets
+    #   tag-gated record lists stay sparse without losing the genealogy)
 
 
 @dataclasses.dataclass
@@ -88,7 +95,14 @@ class TraceOptions:
     t_eps: float = None  # None -> dtype default (intersect.default_t_eps)
     disc_eps: float = 1e-6
     block: int = 64          # surfaces per intersection scan step
-    record: bool = True
+    # True: keep full per-bounce records (debug/genealogy mode).
+    # "tags": record ONLY hits on surfaces whose OpticsSpec carries record
+    #   tags (materials.with_accounting / receiver() / detector()), and
+    #   skip the device->host transfer entirely for bounces in which no
+    #   tagged surface was hit — the reference's per-surface accountant
+    #   configuration, actually gating capture.
+    # False: no records.
+    record: object = True
 
 
 def _bivar_mode(scene: SceneTable):
@@ -220,7 +234,8 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
             sid=sid, t=jnp.where(hit, 0.0, jnp.inf), hit=new_pos,
             local=zeros3, dir_in=bundle.dir, dir_out=new_dir, e_in=e_in,
             e_out=e_out, absorbed=absorbed_ray,
-            backside=jnp.zeros_like(hit), alive_in=alive)
+            backside=jnp.zeros_like(hit), alive_in=alive,
+            wavelength=bundle.wavelength, normal=zeros3)
         return new_bundle, accum, rec
 
     if cand is not None:
@@ -331,7 +346,8 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
         sid=sid, t=t, hit=res.out_pos, local=res.local_pt,
         dir_in=bundle.dir, dir_out=res.out_dir,
         e_in=e_in, e_out=e_out, absorbed=absorbed_ray,
-        backside=res.backside & hit, alive_in=alive, split=rec_split,
+        backside=res.backside & hit, alive_in=alive,
+        wavelength=bundle.wavelength, normal=res.normal, split=rec_split,
     )
     return new_bundle, accum, rec
 
@@ -359,10 +375,15 @@ class TraceResult:
     def hits_of(self, surface):
         """All hits on a logical surface across bounces, as a dict of numpy
         arrays: global/local hit points, absorbed & incident energy,
-        incoming directions, bounce index. The reference's get_all_hits."""
+        incoming directions, per-hit wavelength and shading normal, bounce
+        index. This is the query surface of the reference's accountant
+        classes — Location/Absorption/Direction (optics_callables.py:1597+),
+        Spectral (:1801) via ``wavelength`` and Normal (:1773) via
+        ``normal``."""
         rows = set(self._rows_of(surface).tolist())
         out = dict(hit=[], local=[], absorbed=[], e_in=[], e_out=[],
-                   dir_in=[], bounce=[], backside=[])
+                   dir_in=[], bounce=[], backside=[], wavelength=[],
+                   normal=[])
         for b, rec in enumerate(self.records):
             sid = np.asarray(rec.sid)
             mask = np.isin(sid, list(rows)) & np.asarray(rec.alive_in)
@@ -375,7 +396,10 @@ class TraceResult:
             out["e_out"].append(np.asarray(rec.e_out)[mask])
             out["dir_in"].append(np.asarray(rec.dir_in)[mask])
             out["backside"].append(np.asarray(rec.backside)[mask])
-            out["bounce"].append(np.full(mask.sum(), b))
+            out["wavelength"].append(np.asarray(rec.wavelength)[mask])
+            out["normal"].append(np.asarray(rec.normal)[mask])
+            out["bounce"].append(np.full(
+                mask.sum(), b if rec.bounce is None else int(rec.bounce)))
         return {k: (np.concatenate(v) if v else np.empty((0,)))
                 for k, v in out.items()}
 
@@ -465,6 +489,13 @@ class TracerEngine:
             log.info("kdtree build: %d rows, %d nodes, %.3f s",
                      self.scene.num_rows, len(tree.nodes),
                      _time.perf_counter() - t0)
+        recording_rows: tuple = ()
+        if opts.record == "tags":
+            if self.meta is None:
+                raise ValueError("record='tags' needs a SceneMeta")
+            tagged = [bool(self.meta.surfaces[int(lid)].optics.record)
+                      for lid in self.meta.row_logical]
+            recording_rows = tuple(int(r) for r, t in enumerate(tagged) if t)
         # energy-splitting interfaces (F_SPLIT): host-stepped tracing is the
         # path that honors them — the bundle grows between reps like the
         # reference's concatenated outgoing bundles (optics_callables.py:718)
@@ -484,8 +515,19 @@ class TracerEngine:
             if use_split and rec.split is not None:
                 bundle, accum = _append_split_rays(bundle, prev, rec, accum,
                                                    opts.min_energy)
-            if opts.record:
-                records.append(jax.device_get(rec))
+            if opts.record == "tags":
+                if recording_rows:
+                    mask = rec.sid == recording_rows[0]
+                    for r in recording_rows[1:]:
+                        mask = mask | (rec.sid == r)
+                    # one scalar sync; the full record transfers only when
+                    # a tagged surface was actually hit this bounce
+                    if int(jnp.sum(mask)):
+                        records.append(jax.device_get(
+                            rec.replace(sid=jnp.where(mask, rec.sid, -1),
+                                        bounce=b)))
+            elif opts.record:
+                records.append(jax.device_get(rec.replace(bounce=b)))
             # host check: stop when the bundle dies (like ref :277-280)
             n_alive = int(jnp.sum(bundle.alive))
             if log.isEnabledFor(logging.INFO):
