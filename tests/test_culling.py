@@ -27,7 +27,7 @@ def _cell_rays(rng, spec, nr, nth, b, n, k_sigma_pad=0.0):
     """Numpy twin of the kernel's cell-stratified sampling: uniform
     positions in cell b, directions uniform inside the full source cone."""
     (cx, cy, cz, rot, radius, _e, _c, _de, gamma, _k, _i,
-     theta_tot, theta_dni) = spec
+     theta_tot, theta_dni) = spec[:13]
     theta_max = theta_tot if gamma is not None else theta_dni
     R = np.asarray(rot).reshape(3, 3)
     i, j = b // nth, b % nth

@@ -176,6 +176,109 @@ def test_culled_trace_scales_sublinearly_in_surface_count():
     assert t_1000 / t_250 < 2.5, (t_250, t_1000, s_250, s_1000)
 
 
+def test_spectral_megakernel_matches_general_path():
+    """The spectral streaming megakernel (per-lane wavelengths, in-kernel
+    table interpolation, ambient Beer-Lambert) must reproduce the general
+    path's per-surface/medium/escaped fractions to MC tolerance."""
+    from tracer_tpu.engine import trace_streaming
+    from tracer_tpu.kernels.pallas_intersect import TILE
+    from tracer_tpu.sources import buie_sunshape, buie_sunshape_pallas_spec
+    from tracer_tpu.scene import compile_scene
+
+    wls = np.linspace(300e-9, 2500e-9, 16)
+    abss = 0.05 + 0.4 * (wls - wls[0]) / (wls[-1] - wls[0])
+    mirror = Surface(G.round_plate(1.0),
+                     M.reflective_spectral(abss, wls, sigma=1e-3),
+                     rotation=spatial.rotx(-np.pi / 8)[:3, :3],
+                     name="mirror")
+    refl = np.array([0.0, np.sin(np.pi / 4), np.cos(np.pi / 4)])
+    rec = Surface(G.round_plate(0.6), M.absorber(), name="rec",
+                  location=(1.6 * refl).tolist(),
+                  rotation=spatial.rotation_to_z(-refl))
+    asm = Assembly([AssembledObject([mirror, rec])])
+    table, meta = compile_scene(asm, dtype=jnp.float32,
+                                extra_features=("volumetric",))
+    assert "spectral" in table.features
+
+    slab = 20 * TILE
+    total = 6 * slab
+    band, att = (350e-9, 2.4e-6), 0.3
+
+    def source_fn(key):
+        k1, k2 = jax.random.split(key)
+        b = buie_sunshape(k1, slab, center=[0, 0, 2.0],
+                          direction=[0, 0, -1.0], radius=0.95, CSR=0.02,
+                          flux=1000.0)
+        wl = jax.random.uniform(k2, (slab,), minval=band[0], maxval=band[1])
+        return b.replace(wavelength=wl, att_coeff=jnp.full((slab,), att))
+
+    def run(with_spec):
+        fn = lambda key: source_fn(key)   # noqa: E731
+        if with_spec:
+            fn.pallas_spec = buie_sunshape_pallas_spec(
+                slab, [0, 0, 2.0], [0, 0, -1.0], 0.95, 0.02, 1000.0,
+                wl_band=band, ambient_att=att)
+        return jax.block_until_ready(trace_streaming(
+            table, fn, jax.random.PRNGKey(0), total_rays=total,
+            max_rounds=200, max_path=8))
+
+    a1, _, se1 = run(True)
+    a0, _, se0 = run(False)
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    f0 = np.asarray(a0.absorbed) / float(se0)
+    np.testing.assert_allclose(f1, f0, rtol=0.02)
+    np.testing.assert_allclose(float(a1.medium) / float(se1),
+                               float(a0.medium) / float(se0), rtol=0.01)
+    np.testing.assert_allclose(float(a1.escaped) / float(se1),
+                               float(a0.escaped) / float(se0), rtol=0.01)
+    for a, se in ((a1, se1), (a0, se0)):
+        ab = np.asarray(a.absorbed)
+        cl = (float(se) - ab.sum() - float(a.escaped) - float(a.culled)
+              - float(a.medium) - float(a.residual)) / float(se)
+        assert abs(cl) < 1e-5
+
+
+def test_lambertian_megakernel_matches_general_path():
+    """Multi-group scene (quadric dish + flat Lambertian receiver) on the
+    fused path vs the host-stepped general path."""
+    from tracer_tpu.engine import TracerEngine, TraceOptions, trace_streaming
+    from tracer_tpu.kernels.pallas_intersect import TILE
+    from tracer_tpu.scene import compile_scene
+    from tracer_tpu.sources import disk_bundle, disk_pillbox_pallas_spec
+
+    dish = Surface(G.parabolic_dish(2.0, 1.5),
+                   M.reflective(0.1, sigma=2e-3, bi_var=True,
+                                one_sided=True), name="dish")
+    rec = Surface(G.round_plate(0.10), M.lambertian(0.9, one_sided=True),
+                  name="rec", location=[0.0, 0.0, 1.5],
+                  rotation=spatial.rotx(np.pi)[:3, :3])
+    asm = Assembly([AssembledObject([dish, rec])])
+    table, meta = compile_scene(asm, dtype=jnp.float32)
+    assert len(table.groups) == 2
+
+    slab = 20 * TILE
+
+    def source_fn(key):
+        return disk_bundle(key, slab, center=[0, 0, 3.0],
+                           direction=[0, 0, -1.0], radius=1.05,
+                           ang_range=4.65e-3, flux=1000.0)
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0, 0, 3.0], [0, 0, -1.0], 1.05, 4.65e-3, 1000.0)
+
+    a1, _, se1 = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(0), total_rays=8 * slab,
+        max_rounds=200, max_path=20))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+
+    eng = TracerEngine(table, meta)
+    b = source_fn(jax.random.PRNGKey(1))
+    res = eng.ray_tracer(b, reps=20, key=jax.random.PRNGKey(2),
+                         opts=TraceOptions(max_bounces=20, record=False))
+    f0 = (np.asarray(res.accum.absorbed)
+          / float(np.asarray(b.energy).sum()))
+    np.testing.assert_allclose(f1, f0, rtol=0.02)
+
+
 def test_mixed_slope_error_models_per_lane():
     """A scene mixing radial-error and bivariate-error mirrors must apply
     the right model per surface on the fused path (ADVICE round 1): at

@@ -178,7 +178,7 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
     nr, nth = cell_grid(nb)
 
     (cx, cy, cz, rot, radius, _e_ray, _coeffs, _disc_end, gamma, _kappa,
-     _integ, theta_tot, theta_dni) = source_spec
+     _integ, theta_tot, theta_dni) = source_spec[:13]
     center = np.array([cx, cy, cz])
     R = np.asarray(rot).reshape(3, 3)
     d0 = R[:, 2]  # source local +z in world coords

@@ -192,12 +192,12 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
     # in one Pallas kernel, one HBM round trip of the ray state per bounce.
     from . import materials as _M
     from .kernels.intersect import _use_pallas, default_t_eps
+    fusable_kinds = {_M.K_REFLECT, _M.K_LAMBERTIAN}
     use_fused = (cand is None
                  and not need_local
-                 and scene.kinds_present == (_M.K_REFLECT,)
+                 and set(scene.kinds_present) <= fusable_kinds
                  and "volumetric" not in scene.features
                  and "iam" not in scene.features
-                 and len(scene.groups) == 1
                  and _use_pallas(bundle.pos))
     if use_fused:
         from .kernels.pallas_intersect import (bounce_reflect_pallas,
@@ -211,7 +211,8 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
             scene.groups, te, disc_eps,
             bivar=_bivar_mode(scene),
             one_sided="one_sided" in scene.features,
-            slope="slope_error" in scene.features)
+            slope="slope_error" in scene.features,
+            lambertian=_M.K_LAMBERTIAN in scene.kinds_present)
         sid = jnp.where(alive, sid, -1)
         hit = sid >= 0
         escaped = alive & ~hit
@@ -651,12 +652,15 @@ def trace_fused(scene: SceneTable, bundle: RayBundle, key: jax.Array,
 @functools.partial(
     jax.jit, static_argnames=("source_spec", "total_rays", "max_rounds",
                               "max_path", "min_energy", "t_eps", "disc_eps",
-                              "slab", "bivar", "one_sided", "slope"))
+                              "slab", "bivar", "one_sided", "slope",
+                              "lambertian", "spectral"))
 def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                                 total_rays: int, slab: int,
                                 max_rounds: int, max_path: int,
                                 min_energy: float, t_eps, disc_eps: float,
-                                bivar: bool, one_sided: bool, slope: bool):
+                                bivar: bool, one_sided: bool, slope: bool,
+                                lambertian: bool = False,
+                                spectral: bool = False):
     """Streaming trace where regeneration happens INSIDE the fused bounce
     kernel (single-group pure-specular scenes with a bakeable source): the
     ray state makes exactly one HBM round trip per bounce. The emission
@@ -666,22 +670,26 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
     from .kernels.pallas_intersect import bounce_reflect_pallas, pack_rows
 
     e_ray = source_spec[5]
+    ambient_att = float(source_spec[14]) if len(source_spec) > 14 else 0.0
     rows = pack_rows(scene)
+    spectral_tab = (jnp.stack([scene.spectral_wl, scene.spectral_ab], axis=1)
+                    .astype(jnp.float32) if spectral else None)
     te = default_t_eps(jnp.float32) if t_eps is None else t_eps
 
     pos0 = jnp.zeros((slab, 3), dtype=jnp.float32)
     dir0 = jnp.zeros((slab, 3), dtype=jnp.float32).at[:, 2].set(1.0)
     e0 = jnp.zeros((slab,), dtype=jnp.float32)
+    wl0 = jnp.zeros((slab,), dtype=jnp.float32)
     age0 = jnp.zeros((slab,), dtype=jnp.int32)
     accum0 = TraceAccum.zeros(scene.num_rows)
     z32 = jnp.array(0, dtype=jnp.int32)
 
     def cond(st):
-        i, pos, dirs, e, age, accum, key, emitted, source_e = st
+        i, pos, dirs, e, wl, age, accum, key, emitted, source_e = st
         return (i < max_rounds) & ((emitted < total_rays) | jnp.any(e > 0.0))
 
     def body(st):
-        i, pos, dirs, e, age, accum, key, emitted, source_e = st
+        i, pos, dirs, e, wl, age, accum, key, emitted, source_e = st
         key, ks = jax.random.split(key)
         seed = jax.random.randint(ks, (1,), 0, jnp.iinfo(jnp.int32).max,
                                   dtype=jnp.int32)
@@ -698,15 +706,26 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
         e_before = jnp.where(reborn, e_ray, e)
         age = jnp.where(reborn, 0, age)  # fresh rays restart their budget
 
-        pos, dirs, e_new, sid, absorbed = bounce_reflect_pallas(
+        outs = bounce_reflect_pallas(
             rows, seed, pos, dirs, e, scene.groups, te, disc_eps,
             bivar=bivar, one_sided=one_sided, slope=slope,
-            source_spec=source_spec, regen=regen)
+            lambertian=lambertian, source_spec=source_spec, regen=regen,
+            wavelength=wl if spectral else None,
+            spectral_tab=spectral_tab, ambient_att=ambient_att)
+        if spectral:
+            pos, dirs, e_new, sid, absorbed, wl = outs
+        else:
+            pos, dirs, e_new, sid, absorbed = outs
 
         hit = sid >= 0
         escaped = (e_before > 0.0) & ~hit
         accum = _account(scene, accum, sid, hit, escaped, absorbed,
                          e_before, count_hits=False)
+        if ambient_att > 0.0:
+            # kernel reports surface absorption only; the ambient medium
+            # took the rest of each hit segment's loss
+            med = jnp.where(hit, e_before - absorbed - e_new, 0.0)
+            accum = accum.replace(medium=accum.medium + jnp.sum(med))
         low = hit & (e_new <= min_energy)
         accum = accum.replace(
             culled=accum.culled + jnp.sum(jnp.where(low, e_new, 0.0)))
@@ -717,12 +736,13 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
         accum = accum.replace(
             culled=accum.culled + jnp.sum(jnp.where(over, e_new, 0.0)))
         e_new = jnp.where(over, 0.0, e_new)
-        return (i + 1, pos, dirs, e_new, age, accum, key, emitted, source_e)
+        return (i + 1, pos, dirs, e_new, wl, age, accum, key, emitted,
+                source_e)
 
-    st = (z32, pos0, dir0, e0, age0, accum0, key, z32,
+    st = (z32, pos0, dir0, e0, wl0, age0, accum0, key, z32,
           jnp.zeros((), dtype=jnp.float32))
     st = jax.lax.while_loop(cond, body, st)
-    _, _, _, e, _, accum, _, emitted, source_e = st
+    _, _, _, e, _, _, accum, _, emitted, source_e = st
     # exact closure even on a max_rounds exit: still-alive energy is
     # accounted, not silently dropped (cf. ref tracer_engine.py:292-294)
     accum = accum.replace(residual=accum.residual + jnp.sum(e))
@@ -733,13 +753,14 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
     jax.jit, static_argnames=("source_spec", "total_rays", "slab",
                               "max_rounds", "max_path", "min_energy",
                               "t_eps", "disc_eps", "bivar", "one_sided",
-                              "slope", "nr", "nth", "age_cap",
+                              "slope", "lambertian", "nr", "nth", "age_cap",
                               "demote_rows"))
 def _trace_streaming_megakernel_culled(
         scene: SceneTable, key, lists, counts, source_spec,
         total_rays: int, slab: int, max_rounds: int, max_path: int,
         min_energy: float, t_eps, disc_eps: float, bivar, one_sided: bool,
-        slope: bool, nr: int, nth: int, age_cap: int, demote_rows: tuple):
+        slope: bool, nr: int, nth: int, age_cap: int, demote_rows: tuple,
+        lambertian: bool = False):
     """Relevancy-culled streaming megakernel (see culling.py): each grid
     block owns one equal-area source cell and intersects only its static
     candidate list; per-block quotas keep the stratified emission unbiased.
@@ -805,7 +826,8 @@ def _trace_streaming_megakernel_culled(
         npos, ndirs, ne, sid, absorbed = bounce_reflect_culled_pallas(
             rows, lists, counts, seed, remaining_b, pos, dirs, e,
             scene.groups, te, disc_eps, bivar=bivar, one_sided=one_sided,
-            slope=slope, source_spec=source_spec, nr=nr, nth=nth)
+            slope=slope, lambertian=lambertian, source_spec=source_spec,
+            nr=nr, nth=nth)
 
         # parked lanes are frozen: the kernel still traces them (cheaper
         # than masking SIMD lanes) but results are discarded and nothing
@@ -852,7 +874,8 @@ def _trace_streaming_megakernel_culled(
                                   dtype=jnp.int32)
         pos, dirs, ne, sid, absorbed = bounce_reflect_pallas(
             rows, seed, pos, dirs, e, scene.groups, te, disc_eps,
-            bivar=bivar, one_sided=one_sided, slope=slope)
+            bivar=bivar, one_sided=one_sided, slope=slope,
+            lambertian=lambertian)
         hit = sid >= 0
         escaped = (e > 0.0) & ~hit
         accum = _account(scene, accum, sid, hit, escaped, absorbed, e,
@@ -919,13 +942,28 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     spec = getattr(source_fn, "pallas_spec", None)
     probe = source_fn(key)
     n = probe.num_rays
+    spec_band = spec[13] if spec is not None and len(spec) > 13 else None
+    spec_att = (float(spec[14])
+                if spec is not None and len(spec) > 14 else 0.0)
+    spectral_scene = _M.K_REFLECT_SPECTRAL in scene.kinds_present
+    # ambient volumetric media are fusable when the source spec declares
+    # the (absorption-only) coefficient; interface-toggled media are not
+    vol_ok = ("volumetric" not in scene.features) or (
+        spec_att > 0.0 and "dispersive" not in scene.features)
     fusable = (spec is not None
-               and scene.kinds_present == (_M.K_REFLECT,)
-               and "volumetric" not in scene.features
+               and set(scene.kinds_present) <= {_M.K_REFLECT,
+                                                _M.K_LAMBERTIAN,
+                                                _M.K_REFLECT_SPECTRAL}
+               and (not spectral_scene or spec_band is not None)
+               and vol_ok
                and "iam" not in scene.features
-               and len(scene.groups) == 1
                and _use_pallas(probe.pos))
-    if fusable and culling is not None:
+    # the culled kernel additionally needs a single aperture-signature
+    # group (its candidate loop is specialized on one signature) and has
+    # no spectral/ambient support yet
+    cullable = (fusable and len(scene.groups) == 1
+                and not spectral_scene and spec_att == 0.0)
+    if cullable and culling is not None:
         from .kernels.pallas_intersect import TILE
         nb = culling.nr * culling.nth
         if n != nb * TILE:
@@ -940,6 +978,7 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             disc_eps=disc_eps, bivar=_bivar_mode(scene),
             one_sided="one_sided" in scene.features,
             slope="slope_error" in scene.features,
+            lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
             nr=culling.nr, nth=culling.nth, age_cap=culling.age_cap,
             demote_rows=culling.demote_rows)
     if culling is not None:
@@ -955,7 +994,9 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             min_energy, t_eps, disc_eps,
             bivar=_bivar_mode(scene),
             one_sided="one_sided" in scene.features,
-            slope="slope_error" in scene.features)
+            slope="slope_error" in scene.features,
+            lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
+            spectral=spectral_scene)
     return _trace_streaming_general(
         scene, source_fn, key, total_rays, max_rounds, max_path,
         min_energy, t_eps, disc_eps, block)

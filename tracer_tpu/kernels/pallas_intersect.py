@@ -42,9 +42,9 @@ ROW_INV_ROT = 0      # 9 floats, row-major R^T
 ROW_INV_TRN = 9      # 3 floats
 ROW_QUAD = 12        # 10 floats
 ROW_KIND = 22        # optics kind*1024 + flags (as float; both small ints)
-ROW_P0 = 23          # first two optics params
-ROW_AP = 25          # C*6 floats of aperture params
-ROW_F = 25           # + 6*C
+ROW_P0 = 23          # first THREE optics params (p2 = spectral-row sigma)
+ROW_AP = 26          # C*6 floats of aperture params
+ROW_F = 26           # + 6*C
 
 # carried per-ray state: t, sid, global normal (3), local hit point (3),
 # up-component of ray dir, optics kind*1024+flags, p0, p1 of the winner.
@@ -64,7 +64,7 @@ def pack_rows(scene) -> "jnp.ndarray":
         scene.quadric,
         (scene.opt_kind * 1024 + scene.opt_flags)[:, None]
         .astype(jnp.float32),
-        scene.opt_params[:, 0:2],
+        scene.opt_params[:, 0:3],
         scene.ap_params.reshape(S, -1),
     ], axis=1).astype(jnp.float32)
 
@@ -121,8 +121,36 @@ def _ap_ok_static(sig, rp, x, y, z):
     return ok
 
 
+def _interp_row_table(wl, start, length, tabx_ref, taby_ref, n_tab: int):
+    """Exact gather-free piecewise-linear interpolation of one row's chunk
+    [start, start+length) of the shared spectral table (SMEM), evaluated
+    per lane: one pass over the (small, static-length) table with scalar
+    in-segment guards — Mosaic has no per-lane gathers, but accumulating
+    masked segment contributions is pure VPU math. Out-of-range clamps to
+    the chunk edges (same semantics as shade._interp_segment)."""
+    lo_i = start
+    hi_i = start + length - 1
+    x_lo, y_lo = tabx_ref[lo_i], taby_ref[lo_i]
+    x_hi, y_hi = tabx_ref[hi_i], taby_ref[hi_i]
+    acc = jnp.where(wl < x_lo, y_lo, jnp.where(wl >= x_hi, y_hi, 0.0))
+
+    def seg(k, acc):
+        in_seg = (k >= lo_i) & (k < hi_i)          # scalar guard
+        x0, x1 = tabx_ref[k], tabx_ref[k + 1]
+        y0, y1 = taby_ref[k], taby_ref[k + 1]
+        m = (wl >= x0) & (wl < x1)
+        w = (wl - x0) / jnp.where(x1 == x0, 1.0, x1 - x0)
+        val = y0 + jnp.clip(w, 0.0, 1.0) * (y1 - y0)
+        g = jnp.where(in_seg, 1.0, 0.0)
+        return acc + g * jnp.where(m, val, 0.0)
+
+    return jax.lax.fori_loop(0, n_tab - 1, seg, acc)
+
+
 def _surface_body(sig, base_sid, t_eps, disc_eps, flat, need_local,
-                  rows_ref, rays, lists_ref=None, block=None):
+                  rows_ref, rays, lists_ref=None, block=None,
+                  spectral=False, wl=None, tabx_ref=None, taby_ref=None,
+                  n_tab=0):
     """Per-surface fori body shared by the plain and fused group kernels:
     running (t, sid) min plus the winner's shading data (global geometric
     normal, optionally local hit point, up-component, optics
@@ -255,8 +283,25 @@ def _surface_body(sig, base_sid, t_eps, disc_eps, flat, need_local,
             ngz_b = jnp.where(upd, gz, ngz_b)
             upd_b = jnp.where(upd, ddz, upd_b)
             kf_b = jnp.where(upd, r[ROW_KIND], kf_b)
-            q0_b = jnp.where(upd, r[ROW_P0], q0_b)
-            q1_b = jnp.where(upd, r[ROW_P0 + 1], q1_b)
+            if spectral:
+                # q0 carries the EFFECTIVE absorptivity: exact per-lane
+                # wavelength interpolation for K_REFLECT_SPECTRAL rows
+                # (whose p0/p1 are table start/len, sigma in p2), the
+                # constant p0 otherwise. q1 carries the row's sigma.
+                is_spec = jnp.floor(r[ROW_KIND] * (1.0 / 1024.0)) == 5.0
+                start = r[ROW_P0].astype(jnp.int32)
+                length = r[ROW_P0 + 1].astype(jnp.int32)
+                q0_new = jax.lax.cond(
+                    is_spec,
+                    lambda: _interp_row_table(wl, start, length,
+                                              tabx_ref, taby_ref, n_tab),
+                    lambda: jnp.full_like(px, r[ROW_P0]))
+                q1_new = jnp.where(is_spec, r[ROW_P0 + 2], r[ROW_P0 + 1])
+                q0_b = jnp.where(upd, q0_new, q0_b)
+                q1_b = jnp.where(upd, q1_new, q1_b)
+            else:
+                q0_b = jnp.where(upd, r[ROW_P0], q0_b)
+                q1_b = jnp.where(upd, r[ROW_P0 + 1], q1_b)
             if need_local:
                 plx_b = jnp.where(upd, hx, plx_b)
                 ply_b = jnp.where(upd, hy, ply_b)
@@ -376,14 +421,25 @@ def nearest_hit_pallas(rows: jnp.ndarray, pos: jnp.ndarray,
 # static kinds_present). RNG comes from the per-core Pallas PRNG.
 # ---------------------------------------------------------------------------
 
-def _make_shade_epilogue(bivar, one_sided: bool, slope: bool):
+def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
+                         lambertian: bool = False,
+                         ambient_att: float = 0.0):
     """Reflect + slope error + one-sided kill on the carried winner data.
     The per-core PRNG must already be seeded by the caller.
 
     ``bivar`` is three-state: True (every slope-error surface uses the
     bivariate tan-Gaussian model), False (all radial), or "mixed" — the
     error model is then selected per lane from the carried flags word
-    (F_BIVAR bit), matching shade.py:205's per-surface selection."""
+    (F_BIVAR bit), matching shade.py:205's per-surface selection.
+
+    ``lambertian`` additionally compiles the diffuse branch: lanes whose
+    winner kind is K_LAMBERTIAN leave in a cosine-weighted direction about
+    the (unperturbed) shading normal, within the surface's ang_range
+    (carried as q1), matching shade.py's d_lambert.
+
+    ``ambient_att`` > 0 compiles Beer-Lambert attenuation of every hit
+    segment in a homogeneous ambient medium (the engine recovers the
+    medium loss from e_before - absorbed - e_out, so no extra output)."""
     def epilogue(t_b, ng_x, ng_y, ng_z, upd_b, kf_b, q0_b, q1_b,
                  px, py, pz, dx, dy, dz, e_in):
         hit = jnp.isfinite(t_b)
@@ -398,6 +454,24 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool):
         cos_g = dx * ng_x + dy * ng_y + dz * ng_z
         flip = jnp.where(cos_g > 0.0, -rinv, rinv)
         nx, ny, nz = ng_x * flip, ng_y * flip, ng_z * flip
+        n0x, n0y, n0z = nx, ny, nz   # pre-slope-error shading normal
+
+        def rot_about(ax_x, ax_y, ax_z, ex, ey, ez):
+            """Rotate a +Z-sampled vector into the frame whose Z is the
+            given axis (branchless rotation_to_z)."""
+            pn = jnp.sqrt(jnp.maximum(ax_x * ax_x + ax_y * ax_y, 1e-30))
+            sing = pn < 1e-6
+            perp_x = jnp.where(sing, 1.0, ax_y / pn)
+            perp_y = jnp.where(sing, 0.0, -ax_x / pn)
+            yc_x = -ax_z * perp_y
+            yc_y = ax_z * perp_x
+            yc_z = ax_x * perp_y - ax_y * perp_x
+            mx = ex * perp_x + ey * yc_x + ez * ax_x
+            my = ex * perp_y + ey * yc_y + ez * ax_y
+            mz = ey * yc_z + ez * ax_z
+            mr = jax.lax.rsqrt(jnp.maximum(mx * mx + my * my + mz * mz,
+                                           1e-30))
+            return mx * mr, my * mr, mz * mr
 
         if slope:
             def uniform():
@@ -412,6 +486,11 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool):
             ang = 2.0 * np.pi * u2
             nrm1 = rr * jnp.cos(ang)
             sigma = q1_b
+            if lambertian:
+                # Lambertian lanes carry ang_range in q1, not a slope
+                # sigma; their direction is replaced below anyway
+                is_lam_s = jnp.floor(kf_b * (1.0 / 1024.0)) == 2.0
+                sigma = jnp.where(is_lam_s, 0.0, sigma)
             if bivar in (True, "mixed"):
                 nrm2 = rr * jnp.sin(ang)
                 tx = jnp.tan(nrm1 * sigma)
@@ -437,27 +516,35 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool):
             else:
                 ex, ey, ez = rdx, rdy, rdz
             # rotate the error vector into the frame whose z is the normal
-            pn = jnp.sqrt(jnp.maximum(nx * nx + ny * ny, 1e-30))
-            sing = pn < 1e-6
-            perp_x = jnp.where(sing, 1.0, ny / pn)
-            perp_y = jnp.where(sing, 0.0, -nx / pn)
-            # ycol = n x perp
-            yc_x = ny * 0.0 - nz * perp_y
-            yc_y = nz * perp_x - nx * 0.0
-            yc_z = nx * perp_y - ny * perp_x
-            mx = ex * perp_x + ey * yc_x + ez * nx
-            my = ex * perp_y + ey * yc_y + ez * ny
-            mz = ey * yc_z + ez * nz
-            mr = jax.lax.rsqrt(jnp.maximum(mx * mx + my * my + mz * mz,
-                                           1e-30))
-            nx, ny, nz = mx * mr, my * mr, mz * mr
+            nx, ny, nz = rot_about(nx, ny, nz, ex, ey, ez)
 
         dn = dx * nx + dy * ny + dz * nz
         rx = dx - 2.0 * dn * nx
         ry = dy - 2.0 * dn * ny
         rz = dz - 2.0 * dn * nz
 
-        e_out = e_in * (1.0 - q0_b)
+        if lambertian:
+            # cosine-weighted diffuse about the unperturbed normal within
+            # ang_range (shade.py d_lambert; ref Lambertian :143)
+            ul1 = _kernel_uniform(px.shape)
+            ul2 = _kernel_uniform(px.shape)
+            sinsq = jnp.sin(q1_b) * jnp.sqrt(ul1)
+            phl = 2.0 * np.pi * ul2
+            lz = jnp.sqrt(jnp.maximum(1.0 - sinsq * sinsq, 0.0))
+            ldx, ldy, ldz = rot_about(n0x, n0y, n0z,
+                                      sinsq * jnp.cos(phl),
+                                      sinsq * jnp.sin(phl), lz)
+            is_lam = jnp.floor(kf_b * (1.0 / 1024.0)) == 2.0
+            rx = jnp.where(is_lam, ldx, rx)
+            ry = jnp.where(is_lam, ldy, ry)
+            rz = jnp.where(is_lam, ldz, rz)
+
+        e_att = e_in
+        if ambient_att > 0.0:
+            e_att = jnp.where(hit,
+                              e_in * jnp.exp(-jnp.float32(ambient_att)
+                                             * t_safe), e_in)
+        e_out = e_att * (1.0 - q0_b)
         if one_sided:
             # F_ONE_SIDED is bit 0 of the flags word (kind*1024 + flags,
             # 1024 even): (kf mod 2) >= 1 extracts exactly that bit, so
@@ -466,7 +553,9 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool):
             # `flags & M.F_ONE_SIDED` test)
             kill = (jnp.mod(kf_b, 2.0) >= 1.0) & (upd_b > 0.0)
             e_out = jnp.where(kill, 0.0, e_out)
-        absorbed = jnp.where(hit, e_in - e_out, 0.0)
+        # surface absorption only; ambient loss = e_in - e_att stays
+        # implicit (engine: medium = e_before - absorbed - e_out on hits)
+        absorbed = jnp.where(hit, e_att - e_out, 0.0)
 
         npx = jnp.where(hit, hx, px)
         npy = jnp.where(hit, hy, py)
@@ -495,9 +584,16 @@ def _sample_disk_buie(spec, shape, cell=None):
 
     With ``cell = (block_id, nr, nth)`` the position is stratified to this
     grid block's equal-area (r, theta) cell of the disk — the basis of
-    per-block relevancy culling (every ray in block b starts in cell b)."""
+    per-block relevancy culling (every ray in block b starts in cell b).
+
+    Specs may carry two optional trailing fields (see
+    sources.buie_sunshape_pallas_spec): a (wl_lo, wl_hi) band — a 7th
+    returned component then samples per-ray wavelengths uniformly in the
+    band — and the ambient attenuation coefficient (consumed by the
+    epilogue, not here)."""
     (cx, cy, cz, rot, radius, e_ray, coeffs, disc_end,
-     gamma, kappa, integ_sum, theta_tot, theta_dni) = spec
+     gamma, kappa, integ_sum, theta_tot, theta_dni) = spec[:13]
+    wl_band = spec[13] if len(spec) > 13 else None
     u1, u2, u3, u4 = (_kernel_uniform(shape) for _ in range(4))
     # position on the source disc (or this block's cell of it)
     if cell is not None:
@@ -533,25 +629,46 @@ def _sample_disk_buie(spec, shape, cell=None):
     fdx = rot[0] * ax + rot[1] * ay + rot[2] * az
     fdy = rot[3] * ax + rot[4] * ay + rot[5] * az
     fdz = rot[6] * ax + rot[7] * ay + rot[8] * az
+    if wl_band is not None:
+        u5 = _kernel_uniform(shape)
+        wl = wl_band[0] + u5 * (wl_band[1] - wl_band[0])
+        return fpx, fpy, fpz, fdx, fdy, fdz, wl
     return fpx, fpy, fpz, fdx, fdy, fdz
 
 
-def _make_fused_kernel(sig, n_surf, base_sid, t_eps, disc_eps, flat,
-                       bivar, one_sided, slope, source_spec=None):
-    """Group kernel + reflect epilogue, for single-group pure-specular
-    scenes: one HBM round trip of the ray state per bounce. With a
+def _make_fused_kernel(groups, t_eps, disc_eps,
+                       bivar, one_sided, slope, lambertian=False,
+                       source_spec=None, spectral=False, n_tab=0,
+                       ambient_att=0.0):
+    """Fused intersect + shade-epilogue kernel: one HBM round trip of the
+    ray state per bounce. Runs one specialized fori per aperture-signature
+    group over the shared (t, sid, winner) carry, so multi-group scenes
+    (e.g. quadric dish + flat receiver) stay on the fast path. With a
     source_spec, dead lanes (energy <= 0) are regenerated from the source
-    in-kernel when the regen flag (2nd scalar prefetch) is set."""
-    epi = _make_shade_epilogue(bivar, one_sided, slope)
+    in-kernel when the regen flag (2nd scalar prefetch) is set.
 
-    def kernel(seed_ref, regen_ref, rows_ref, px_ref, py_ref, pz_ref,
-               dx_ref, dy_ref, dz_ref, e_ref,
-               npx_ref, npy_ref, npz_ref, ndx_ref, ndy_ref, ndz_ref,
-               ne_ref, sid_ref, abs_ref):
+    ``spectral`` additionally threads a per-lane wavelength through the
+    kernel (8th ray component, sampled from the source band at regen) and
+    evaluates K_REFLECT_SPECTRAL rows' absorptance by exact piecewise-
+    linear interpolation of the shared spectral table (SMEM prefetch).
+    ``ambient_att`` compiles Beer-Lambert attenuation of each hit segment."""
+    epi = _make_shade_epilogue(bivar, one_sided, slope, lambertian,
+                               ambient_att)
+
+    def kernel(seed_ref, regen_ref, tabx_ref, taby_ref, rows_ref, *io):
+        if spectral:
+            (px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref, e_ref, wl_ref,
+             npx_ref, npy_ref, npz_ref, ndx_ref, ndy_ref, ndz_ref,
+             ne_ref, nwl_ref, sid_ref, abs_ref) = io
+        else:
+            (px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref, e_ref,
+             npx_ref, npy_ref, npz_ref, ndx_ref, ndy_ref, ndz_ref,
+             ne_ref, sid_ref, abs_ref) = io
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         e = e_ref[:]
+        wl = wl_ref[:] if spectral else None
 
         if source_spec is not None:
             do = (e <= 0.0) & (regen_ref[0] > 0)
@@ -564,16 +681,22 @@ def _make_fused_kernel(sig, n_surf, base_sid, t_eps, disc_eps, flat,
             dy = jnp.where(do, f[4], dy)
             dz = jnp.where(do, f[5], dz)
             e = jnp.where(do, e_ray, e)
+            if spectral and len(f) > 6:
+                wl = jnp.where(do, f[6], wl)
 
         rays = (px, py, pz, dx, dy, dz)
         big = jnp.float32(np.inf)
         zero = jnp.zeros_like(px)
-        init = (jnp.full_like(px, big),
-                jnp.full_like(px, -1, dtype=jnp.int32),
-                zero, zero, zero, zero, zero, zero, zero)
-        body = _surface_body(sig, base_sid, t_eps, disc_eps, flat,
-                             False, rows_ref, rays)
-        carry = jax.lax.fori_loop(0, n_surf, body, init)
+        carry = (jnp.full_like(px, big),
+                 jnp.full_like(px, -1, dtype=jnp.int32),
+                 zero, zero, zero, zero, zero, zero, zero)
+        for (start, end, sig, tag) in groups:
+            body = _surface_body(sig, 0, t_eps, disc_eps,
+                                 tag == "flat", False, rows_ref, rays,
+                                 spectral=spectral, wl=wl,
+                                 tabx_ref=tabx_ref, taby_ref=taby_ref,
+                                 n_tab=n_tab)
+            carry = jax.lax.fori_loop(start, end, body, carry)
         (t_b, sid_b, ngx, ngy, ngz, upd_b, kf_b, q0_b, q1_b) = carry
 
         outs = epi(t_b, ngx, ngy, ngz, upd_b, kf_b, q0_b,
@@ -586,6 +709,8 @@ def _make_fused_kernel(sig, n_surf, base_sid, t_eps, disc_eps, flat,
         ndy_ref[:] = ndy
         ndz_ref[:] = ndz
         ne_ref[:] = ne
+        if spectral:
+            nwl_ref[:] = wl
         # mask stale lanes: only lanes carrying energy report hits
         live = e > 0.0
         sid_ref[:] = jnp.where(jnp.isfinite(t_b) & live, sid_b, -1)
@@ -596,19 +721,26 @@ def _make_fused_kernel(sig, n_surf, base_sid, t_eps, disc_eps, flat,
 
 @functools.partial(jax.jit,
                    static_argnames=("groups", "t_eps", "disc_eps", "bivar",
-                                    "one_sided", "slope", "source_spec"))
+                                    "one_sided", "slope", "lambertian",
+                                    "source_spec", "ambient_att"))
 def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                           t_eps: float, disc_eps: float = 1e-6,
                           bivar: bool = True, one_sided: bool = True,
-                          slope: bool = True, source_spec=None, regen=None):
-    """Fused intersect+reflect bounce for single-group K_REFLECT scenes.
+                          slope: bool = True, lambertian: bool = False,
+                          source_spec=None, regen=None,
+                          wavelength=None, spectral_tab=None,
+                          ambient_att: float = 0.0):
+    """Fused intersect+shade bounce for K_REFLECT / K_LAMBERTIAN /
+    K_REFLECT_SPECTRAL scenes (any number of aperture-signature groups).
 
-    Returns (new_pos, new_dir, new_energy, sid, absorbed); non-hit lanes
-    pass their state through unchanged (the engine masks them). With a
-    static source_spec and a regen flag array (1,), dead lanes are
-    refilled from the source before intersecting (streaming megakernel)."""
-    assert len(groups) == 1
-    (start, end, sig, tag) = groups[0]
+    Returns (new_pos, new_dir, new_energy, sid, absorbed[, new_wavelength]);
+    non-hit lanes pass their state through unchanged (the engine masks
+    them). With a static source_spec and a regen flag array (1,), dead
+    lanes are refilled from the source before intersecting (streaming
+    megakernel). Passing ``wavelength`` (N,) and ``spectral_tab`` (L, 2)
+    enables the spectral mode: per-lane wavelengths thread through the
+    kernel and spectral rows interpolate their absorptance exactly."""
+    spectral = wavelength is not None
     n = pos.shape[0]
     n_pad = -(-n // TILE) * TILE
     pad = n_pad - n
@@ -624,40 +756,57 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
     if pad:
         e = jnp.pad(e, (0, pad))
     comps.append(e.reshape(n_pad // LANE, LANE))
+    if spectral:
+        w = wavelength
+        if pad:
+            w = jnp.pad(w, (0, pad))
+        comps.append(w.reshape(n_pad // LANE, LANE))
 
     nb = n_pad // TILE
 
-    def ray_idx(i, seed_ref, regen_ref, rows_ref):
+    def ray_idx(i, seed_ref, regen_ref, tabx_ref, taby_ref, rows_ref):
         return (i, 0)
 
     if regen is None:
         regen = jnp.zeros((1,), dtype=jnp.int32)
+    if spectral_tab is None:
+        tabx = jnp.zeros((2,), dtype=jnp.float32)
+        taby = jnp.zeros((2,), dtype=jnp.float32)
+    else:
+        tabx = spectral_tab[:, 0].astype(jnp.float32)
+        taby = spectral_tab[:, 1].astype(jnp.float32)
 
+    n_io = 8 if spectral else 7
     ray_spec = pl.BlockSpec((SUB, LANE), ray_idx, memory_space=pltpu.VMEM)
-    kernel = _make_fused_kernel(sig, end - start, start, t_eps, disc_eps,
-                                flat=(tag == "flat"), bivar=bivar,
+    kernel = _make_fused_kernel(groups, t_eps, disc_eps, bivar=bivar,
                                 one_sided=one_sided, slope=slope,
-                                source_spec=source_spec)
+                                lambertian=lambertian,
+                                source_spec=source_spec,
+                                spectral=spectral, n_tab=tabx.shape[0],
+                                ambient_att=ambient_att)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,   # seed, regen flag, surface rows (SMEM)
+        num_scalar_prefetch=5,   # seed, regen, spectral table x/y, rows
         grid=(nb,),
-        in_specs=[ray_spec] * 7,
-        out_specs=tuple([ray_spec] * 9),
+        in_specs=[ray_spec] * n_io,
+        out_specs=tuple([ray_spec] * (n_io + 2)),
     )
     shape2 = (n_pad // LANE, LANE)
-    out_shapes = tuple([jax.ShapeDtypeStruct(shape2, jnp.float32)] * 7
+    out_shapes = tuple([jax.ShapeDtypeStruct(shape2, jnp.float32)] * n_io
                        + [jax.ShapeDtypeStruct(shape2, jnp.int32),
                           jax.ShapeDtypeStruct(shape2, jnp.float32)])
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-    )(seed, regen, rows, *comps)
+    )(seed, regen, tabx, taby, rows, *comps)
 
     flat_outs = [a.reshape(n_pad)[:n] for a in outs]
     new_pos = jnp.stack(flat_outs[0:3], axis=1)
     new_dir = jnp.stack(flat_outs[3:6], axis=1)
     new_e = flat_outs[6]
+    if spectral:
+        new_wl, sid, absorbed = flat_outs[7], flat_outs[8], flat_outs[9]
+        return new_pos, new_dir, new_e, sid, absorbed, new_wl
     sid = flat_outs[7]
     absorbed = flat_outs[8]
     return new_pos, new_dir, new_e, sid, absorbed
@@ -693,7 +842,8 @@ def _dead_lane_rank(dead_f):
 
 
 def _make_fused_kernel_culled(sig, t_eps, disc_eps, flat, bivar, one_sided,
-                              slope, source_spec, nr: int, nth: int):
+                              slope, source_spec, nr: int, nth: int,
+                              lambertian: bool = False):
     """Culled group kernel: per-block candidate-list fori + per-block
     cell-stratified regeneration with EXACT emission budgets + reflect
     epilogue. remaining_ref[b] is this block's outstanding quota: only the
@@ -701,7 +851,7 @@ def _make_fused_kernel_culled(sig, t_eps, disc_eps, flat, bivar, one_sided,
     equal-area source cell emits exactly its quota — per-block overshoot
     would otherwise correlate with local survival rate and bias the
     spatial emission density by up to TILE/quota."""
-    epi = _make_shade_epilogue(bivar, one_sided, slope)
+    epi = _make_shade_epilogue(bivar, one_sided, slope, lambertian)
 
     def kernel(seed_ref, remaining_ref, lists_ref, counts_ref, rows_ref,
                px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref, e_ref,
@@ -756,12 +906,13 @@ def _make_fused_kernel_culled(sig, t_eps, disc_eps, flat, bivar, one_sided,
 
 @functools.partial(jax.jit,
                    static_argnames=("groups", "t_eps", "disc_eps", "bivar",
-                                    "one_sided", "slope", "source_spec",
-                                    "nr", "nth"))
+                                    "one_sided", "slope", "lambertian",
+                                    "source_spec", "nr", "nth"))
 def bounce_reflect_culled_pallas(rows, lists, counts, seed, remaining,
                                  pos, dirs, energy, groups, t_eps: float,
                                  disc_eps: float = 1e-6, bivar=True,
                                  one_sided: bool = True, slope: bool = True,
+                                 lambertian: bool = False,
                                  source_spec=None, nr: int = 1, nth: int = 1):
     """Relevancy-culled fused bounce (single-group pure-specular scenes).
 
@@ -795,7 +946,8 @@ def bounce_reflect_culled_pallas(rows, lists, counts, seed, remaining,
                                        flat=(tag == "flat"), bivar=bivar,
                                        one_sided=one_sided, slope=slope,
                                        source_spec=source_spec,
-                                       nr=nr, nth=nth)
+                                       nr=nr, nth=nth,
+                                       lambertian=lambertian)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,  # seed, remaining quotas, lists, counts, rows
         grid=(nb,),

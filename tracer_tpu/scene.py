@@ -227,8 +227,15 @@ class SceneMeta:
 
 
 def compile_scene(assembly: Assembly, dtype=jnp.float32,
-                  max_constraints: Optional[int] = None):
-    """Flatten an Assembly into (SceneTable, SceneMeta)."""
+                  max_constraints: Optional[int] = None,
+                  extra_features: Sequence[str] = ()):
+    """Flatten an Assembly into (SceneTable, SceneMeta).
+
+    extra_features: additional static feature tags to compile in. The main
+    use is ("volumetric",) for scenes traced in an ambient participating
+    medium set on the ray bundle (att_coeff/scat_coeff) rather than entered
+    through a refractive/absorbant interface — without the tag the engine
+    prunes the volumetric code path."""
     pairs = list(assembly._walk(np.eye(4)))
     if not pairs:
         raise ValueError("empty scene")
@@ -376,6 +383,7 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
             features.add("dispersive")
         if opt.kind == M.K_REFRACTIVE and np.any(opt.params[6:12] != 0.0):
             features.add("volumetric")
+    features.update(extra_features)
     features = tuple(sorted(features))
 
     table = SceneTable(

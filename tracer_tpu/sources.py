@@ -183,21 +183,56 @@ def buie_directions(key, num_rays: int, CSR: float,
 
 def buie_sunshape_pallas_spec(num_rays: int, center, direction,
                               radius: float, CSR: float, flux: float,
-                              pre_process_CSR: bool = True) -> tuple:
+                              pre_process_CSR: bool = True,
+                              wl_band=None, ambient_att: float = 0.0) -> tuple:
     """Static (hashable) parameter tuple describing a buie_sunshape source
     for in-kernel regeneration by the fused streaming megakernel
     (kernels/pallas_intersect._sample_disk_buie). Energies and geometry
-    match buie_sunshape with rays_direction == direction."""
+    match buie_sunshape with rays_direction == direction.
+
+    wl_band - optional (wl_lo, wl_hi): fresh rays get uniformly sampled
+        per-ray wavelengths, enabling the spectral megakernel mode.
+    ambient_att - homogeneous ambient attenuation coefficient [1/m] the
+        trace runs in (the kernel Beer-Lamberts every hit segment); the
+        source_fn's bundles must carry the same att_coeff so the general
+        path agrees."""
     tb = _buie_tables(CSR, pre_process_CSR)
     coeffs = tuple(float(c) for c in _buie_inverse_poly(tb))
     center = _as_row3(center)
     rot = spatial.rotation_to_z(_as_row3(direction)).reshape(-1)
     e_ray = float(flux * np.pi * radius**2 / num_rays)
     gamma = float(tb["gamma"]) if tb["csr"] > 0.0 else None
+    band = (None if wl_band is None
+            else (float(wl_band[0]), float(wl_band[1])))
     return (float(center[0]), float(center[1]), float(center[2]),
             tuple(float(r) for r in rot), float(radius), e_ray, coeffs,
             float(tb["cdf"][-1]), gamma, float(tb["kappa"]),
-            float(tb["integ_sum"]), float(_THETA_TOT), float(_THETA_DNI))
+            float(tb["integ_sum"]), float(_THETA_TOT), float(_THETA_DNI),
+            band, float(ambient_att))
+
+
+def disk_pillbox_pallas_spec(num_rays: int, center, direction,
+                             radius: float, ang_range: float,
+                             flux: float, wl_band=None,
+                             ambient_att: float = 0.0) -> tuple:
+    """Static spec for in-kernel regeneration of a plain pillbox disk
+    source (disk_bundle with default options). Reuses the Buie sampler's
+    polynomial-inverse-CDF slot: for a pillbox, theta(u) =
+    arcsin(sin(ang_range) * sqrt(u)), so theta/sqrt(u) is fitted the same
+    way (max error ~1e-8 rad); there is no aureole (gamma=None), so the
+    kernel's Buie branch reduces to exactly this sampling."""
+    u = np.linspace(1e-9, 1.0, 4097)
+    f = np.arcsin(np.sin(ang_range) * np.sqrt(u)) / np.sqrt(u)
+    coeffs = tuple(float(c) for c in np.polyfit(u, f, _BUIE_POLY_DEG))
+    center = _as_row3(center)
+    rot = spatial.rotation_to_z(_as_row3(direction)).reshape(-1)
+    e_ray = float(flux * np.pi * radius**2 / num_rays)
+    band = (None if wl_band is None
+            else (float(wl_band[0]), float(wl_band[1])))
+    return (float(center[0]), float(center[1]), float(center[2]),
+            tuple(float(r) for r in rot), float(radius), e_ray, coeffs,
+            1.0, None, 0.0, 0.0, float(ang_range), float(ang_range),
+            band, float(ambient_att))
 
 
 def sunshape_to_ray_directions(key, angles, norm_intensity,
