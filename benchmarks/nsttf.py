@@ -22,10 +22,13 @@ from tracer_tpu.sources import buie_sunshape
 
 
 def nsttf_positions(n: int = 218) -> np.ndarray:
-    """Radial-stagger north field with n heliostats, starting 60 m from the
-    tower (approximates the NSTTF footprint; spacing chosen so 6.1 m
-    mirrors never interpenetrate). The field ring grows outward until it
-    holds n positions, so scaling studies can ask for 1000+ heliostats."""
+    """Heliostat positions for the benchmark field. Up to 218 heliostats,
+    the REAL as-built NSTTF pad coordinates are used
+    (models.heliostat_field.load_heliostat_positions); larger scaling
+    studies extend a radial-stagger north field of matching density."""
+    from tracer_tpu.models.heliostat_field import load_heliostat_positions
+    if n <= 218:
+        return load_heliostat_positions()[:n]
     rmax = 240.0
     while True:
         pos = radial_stagger(np.pi / 2 - 0.9, np.pi / 2 + 0.9,

@@ -52,6 +52,21 @@ def radial_stagger(start_ang: float, end_ang: float, az_space: float,
                      np.concatenate([ys1, ys2])], axis=1)
 
 
+def load_heliostat_positions(path: Optional[str] = None) -> np.ndarray:
+    """Heliostat positions (n, 3) from a site CSV with one ``x,y,z`` row
+    per heliostat (the format of the reference's
+    examples/sandia_hstat_coordinates.csv). With no path, returns the
+    bundled real Sandia NSTTF field: the 218 as-built heliostat pad
+    coordinates of the National Solar Thermal Test Facility
+    (Albuquerque, NM) — public facility data."""
+    if path is not None:
+        return np.loadtxt(path, delimiter=",", dtype=float).reshape(-1, 3)
+    import os
+    data = np.load(os.path.join(os.path.dirname(__file__), "..", "data",
+                                "sandia_nsttf_field.npz"))
+    return data["positions"]
+
+
 class HeliostatField(Assembly):
     """A field of rectangular one-sided mirrors (flat, parabolic or general
     quadric) on two-axis trackers (ref HeliostatField :28)."""
