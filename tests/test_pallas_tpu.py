@@ -279,6 +279,43 @@ def test_lambertian_megakernel_matches_general_path():
     np.testing.assert_allclose(f1, f0, rtol=0.02)
 
 
+def test_culled_sharded_streaming_matches_unsharded():
+    """The mesh-sharded culled megakernel (cell grid split over devices,
+    psum-merged accounting) reproduces the unsharded culled trace to MC
+    tolerance. Runs on a 1-device mesh here (one real chip); the CPU
+    suite covers multi-device shard semantics on the general path."""
+    from benchmarks.nsttf import build_scene, make_source_fn
+    from tracer_tpu.culling import build_block_culling
+    from tracer_tpu.engine import trace_streaming
+    from tracer_tpu.kernels.pallas_intersect import TILE
+    from tracer_tpu.parallel import default_mesh, trace_streaming_sharded
+
+    slab = 114 * TILE
+    total = 8 * slab
+    table, meta, info = build_scene()
+    source_fn = make_source_fn(info, slab)
+    culling = build_block_culling(table, meta, source_fn.pallas_spec, slab)
+    mesh = default_mesh(1)
+
+    a_s, em_s, se_s = jax.block_until_ready(trace_streaming_sharded(
+        table, source_fn, jax.random.PRNGKey(0), total, mesh,
+        max_rounds=500, max_path=8, culling=culling))
+    assert int(em_s) == 114 * 8 * TILE   # exact per-cell quotas
+    a_u, em_u, se_u = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(1), total_rays=total,
+        max_rounds=500, max_path=8, culling=culling))
+
+    f_s = np.asarray(a_s.absorbed) / float(se_s)
+    f_u = np.asarray(a_u.absorbed) / float(se_u)
+    assert abs(f_s.max() - f_u.max()) / f_u.max() < 0.02   # receiver
+    esc_s = float(a_s.escaped) / float(se_s)
+    esc_u = float(a_u.escaped) / float(se_u)
+    assert abs(esc_s - esc_u) / esc_u < 0.01
+    tot = (np.asarray(a_s.absorbed).sum() + float(a_s.escaped)
+           + float(a_s.culled) + float(a_s.medium) + float(a_s.residual))
+    np.testing.assert_allclose(tot, float(se_s), rtol=1e-5)
+
+
 def test_mixed_slope_error_models_per_lane():
     """A scene mixing radial-error and bivariate-error mirrors must apply
     the right model per surface on the fused path (ADVICE round 1): at

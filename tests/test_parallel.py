@@ -53,3 +53,44 @@ def test_sharded_energy_conservation():
     total = (float(np.asarray(accum.absorbed).sum()) + float(accum.escaped)
              + float(accum.culled) + float(jnp.sum(final.energy)))
     np.testing.assert_allclose(total, src, rtol=1e-12)
+
+
+def test_streaming_sharded_closure_and_agreement():
+    """Sharded streaming (each device runs its own regeneration loop,
+    psum-merged accounting) closes exactly and agrees with the
+    single-device streaming estimate to MC tolerance."""
+    from tracer_tpu import spatial as sp
+    from tracer_tpu.engine import trace_streaming
+    from tracer_tpu.parallel import trace_streaming_sharded
+    from tracer_tpu.sources import disk_bundle
+
+    mirror = Surface(G.rect_plate(3.0, 3.0), M.reflective(0.2, sigma=2e-3))
+    rec = Surface(G.rect_plate(3.0, 3.0), M.absorber(),
+                  location=[0.0, 0.0, 2.0],
+                  rotation=sp.rotx(np.pi)[:3, :3], name="rec")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([mirror, rec])]), dtype=jnp.float64)
+
+    slab = 512   # per-device
+
+    def source_fn(key):
+        return disk_bundle(key, slab, center=[0.0, 0.0, 1.0],
+                           direction=[0.0, 0.0, -1.0], radius=1.2,
+                           ang_range=2e-3, flux=1000.0)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("rays",))
+    total = 8 * slab * 4
+    a_s, em_s, se_s = trace_streaming_sharded(
+        table, source_fn, jax.random.PRNGKey(3), total, mesh,
+        max_rounds=100, max_path=10)
+    assert int(em_s) == total
+    tot = (float(np.asarray(a_s.absorbed).sum()) + float(a_s.escaped)
+           + float(a_s.culled) + float(a_s.medium) + float(a_s.residual))
+    np.testing.assert_allclose(tot, float(se_s), rtol=1e-12)
+
+    a_1, em_1, se_1 = trace_streaming(
+        table, source_fn, jax.random.PRNGKey(4), total_rays=total,
+        max_rounds=400, max_path=10)
+    f_s = np.asarray(a_s.absorbed) / float(se_s)
+    f_1 = np.asarray(a_1.absorbed) / float(se_1)
+    np.testing.assert_allclose(f_s, f_1, rtol=0.05)

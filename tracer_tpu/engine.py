@@ -756,7 +756,7 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                               "slope", "lambertian", "nr", "nth", "age_cap",
                               "demote_rows"))
 def _trace_streaming_megakernel_culled(
-        scene: SceneTable, key, lists, counts, source_spec,
+        scene: SceneTable, key, lists, counts, cells, source_spec,
         total_rays: int, slab: int, max_rounds: int, max_path: int,
         min_energy: float, t_eps, disc_eps: float, bivar, one_sided: bool,
         slope: bool, nr: int, nth: int, age_cap: int, demote_rows: tuple,
@@ -769,19 +769,23 @@ def _trace_streaming_megakernel_culled(
     bounces, are *parked* (state frozen, excluded from accounting) and
     re-traced exactly against the full surface list in a drain phase after
     the main loop, so culling never changes the physics — only the cost.
-    Per-block emission quotas are ceil(total_rays/nb); the final emission
-    round per block may overshoot by up to one ray tile (counted exactly
-    in the returned ``emitted``/``source_e``)."""
+    Emission quotas are exactly ceil(total_rays / (nr*nth)) per cell.
+
+    ``lists``/``counts``/``cells`` may be a SHARD of the global per-cell
+    arrays (parallel.trace_streaming_sharded): the local block count is
+    lists.shape[0], cell ids come from ``cells``, and ``total_rays`` is
+    the GLOBAL budget (each cell's quota is derived from the global cell
+    count nr*nth)."""
     from .kernels.intersect import default_t_eps
     from .kernels.pallas_intersect import (TILE, bounce_reflect_culled_pallas,
                                            bounce_reflect_pallas, pack_rows)
 
-    nb = nr * nth
+    nb = lists.shape[0]            # LOCAL blocks (may be a mesh shard)
     assert slab == nb * TILE, "culled path needs ray count == nb * TILE"
     e_ray = source_spec[5]
     rows = pack_rows(scene)
     te = default_t_eps(jnp.float32) if t_eps is None else t_eps
-    quota = -(-total_rays // nb)   # per-block emission budget (ceil)
+    quota = -(-total_rays // (nr * nth))   # per-CELL emission budget (ceil)
 
     pos0 = jnp.zeros((slab, 3), dtype=jnp.float32)
     dir0 = jnp.zeros((slab, 3), dtype=jnp.float32).at[:, 2].set(1.0)
@@ -824,7 +828,7 @@ def _trace_streaming_megakernel_culled(
         age = jnp.where(reborn, 0, age)
 
         npos, ndirs, ne, sid, absorbed = bounce_reflect_culled_pallas(
-            rows, lists, counts, seed, remaining_b, pos, dirs, e,
+            rows, lists, counts, cells, seed, remaining_b, pos, dirs, e,
             scene.groups, te, disc_eps, bivar=bivar, one_sided=one_sided,
             slope=slope, lambertian=lambertian, source_spec=source_spec,
             nr=nr, nth=nth)
@@ -970,9 +974,11 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             raise ValueError(
                 f"culling was built for {nb * TILE} rays (nb={nb} blocks "
                 f"x TILE={TILE}) but the source slab is {n}")
+        nb_all = culling.nr * culling.nth
         return _trace_streaming_megakernel_culled(
             scene, key, jnp.asarray(culling.lists),
-            jnp.asarray(culling.counts), source_spec=spec,
+            jnp.asarray(culling.counts),
+            jnp.arange(nb_all, dtype=jnp.int32), source_spec=spec,
             total_rays=total_rays, slab=n, max_rounds=max_rounds,
             max_path=max_path, min_energy=min_energy, t_eps=t_eps,
             disc_eps=disc_eps, bivar=_bivar_mode(scene),

@@ -853,12 +853,14 @@ def _make_fused_kernel_culled(sig, t_eps, disc_eps, flat, bivar, one_sided,
     spatial emission density by up to TILE/quota."""
     epi = _make_shade_epilogue(bivar, one_sided, slope, lambertian)
 
-    def kernel(seed_ref, remaining_ref, lists_ref, counts_ref, rows_ref,
+    def kernel(seed_ref, remaining_ref, lists_ref, counts_ref, cells_ref,
+               rows_ref,
                px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref, e_ref,
                npx_ref, npy_ref, npz_ref, ndx_ref, ndy_ref, ndz_ref,
                ne_ref, sid_ref, abs_ref):
         b = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] + b)
+        cell = cells_ref[b]   # global cell id (blocks shard over devices)
+        pltpu.prng_seed(seed_ref[0] + cell)
         px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         e = e_ref[:]
@@ -866,7 +868,7 @@ def _make_fused_kernel_culled(sig, t_eps, disc_eps, flat, bivar, one_sided,
         dead = e <= 0.0
         rank = _dead_lane_rank(dead.astype(jnp.float32))
         do = dead & (rank < remaining_ref[b].astype(jnp.float32))
-        f = _sample_disk_buie(source_spec, px.shape, cell=(b, nr, nth))
+        f = _sample_disk_buie(source_spec, px.shape, cell=(cell, nr, nth))
         e_ray = jnp.float32(source_spec[5])
         px = jnp.where(do, f[0], px)
         py = jnp.where(do, f[1], py)
@@ -908,7 +910,8 @@ def _make_fused_kernel_culled(sig, t_eps, disc_eps, flat, bivar, one_sided,
                    static_argnames=("groups", "t_eps", "disc_eps", "bivar",
                                     "one_sided", "slope", "lambertian",
                                     "source_spec", "nr", "nth"))
-def bounce_reflect_culled_pallas(rows, lists, counts, seed, remaining,
+def bounce_reflect_culled_pallas(rows, lists, counts, cells, seed,
+                                 remaining,
                                  pos, dirs, energy, groups, t_eps: float,
                                  disc_eps: float = 1e-6, bivar=True,
                                  one_sided: bool = True, slope: bool = True,
@@ -919,6 +922,9 @@ def bounce_reflect_culled_pallas(rows, lists, counts, seed, remaining,
     rows      packed (S, K) surface table (pack_rows) — ALL rows
     lists     (nb, L) int32 per-block candidate row ids (culling module)
     counts    (nb,) int32 valid entries per block
+    cells     (nb,) int32 GLOBAL source-cell id of each block — arange(nb)
+              single-device; a shard of the global arange when the cell
+              grid is sharded over a mesh (parallel.py)
     remaining (nb,) int32 outstanding emission quota per block; exactly
               min(remaining[b], #dead lanes) rays regenerate in block b
 
@@ -938,7 +944,7 @@ def bounce_reflect_culled_pallas(rows, lists, counts, seed, remaining,
     comps.append(energy.reshape(n // LANE, LANE))
 
     def ray_idx(i, seed_ref, remaining_ref, lists_ref, counts_ref,
-                rows_ref):
+                cells_ref, rows_ref):
         return (i, 0)
 
     ray_spec = pl.BlockSpec((SUB, LANE), ray_idx, memory_space=pltpu.VMEM)
@@ -949,7 +955,7 @@ def bounce_reflect_culled_pallas(rows, lists, counts, seed, remaining,
                                        nr=nr, nth=nth,
                                        lambertian=lambertian)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,  # seed, remaining quotas, lists, counts, rows
+        num_scalar_prefetch=6,  # seed, quotas, lists, counts, cells, rows
         grid=(nb,),
         in_specs=[ray_spec] * 7,
         out_specs=tuple([ray_spec] * 9),
@@ -962,7 +968,7 @@ def bounce_reflect_culled_pallas(rows, lists, counts, seed, remaining,
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-    )(seed, remaining, lists, counts, rows, *comps)
+    )(seed, remaining, lists, counts, cells, rows, *comps)
 
     flat_outs = [a.reshape(n) for a in outs]
     new_pos = jnp.stack(flat_outs[0:3], axis=1)

@@ -62,6 +62,91 @@ def trace_sharded(scene, bundle: RayBundle, key: jax.Array, mesh: Mesh,
     return fn(scene, bundle, key)
 
 
+def trace_streaming_sharded(scene, source_fn, key: jax.Array,
+                            total_rays: int, mesh: Mesh,
+                            max_rounds: int = 10_000, max_path: int = 100,
+                            min_energy: float = 1e-6, t_eps=None,
+                            disc_eps: float = 1e-6, block: int = 64,
+                            culling=None):
+    """Streaming wavefront trace sharded over a device mesh: every device
+    runs its own regeneration loop on a private slab (source_fn's bundle
+    size is the PER-DEVICE slab) with an independent folded key, and the
+    accumulators/counters come back psum-merged.
+
+    With ``culling``, the equal-area source-cell grid itself is sharded:
+    device d owns cells [d*nb/D, (d+1)*nb/D) with their candidate lists,
+    so the relevancy-culled megakernel scales over ICI with zero
+    cross-device traffic until the final psum. Requires nb % D == 0 and a
+    megakernel-eligible scene (same gates as trace_streaming).
+
+    Returns (accum [replicated totals], emitted, source_e).
+    """
+    from .engine import (_bivar_mode, _trace_streaming_megakernel_culled,
+                         trace_streaming)
+    n_dev = mesh.devices.size
+
+    if culling is None:
+        per_dev = -(-total_rays // n_dev)
+
+        def worker(scene, key):
+            key = jax.random.fold_in(key, jax.lax.axis_index("rays"))
+            accum, emitted, source_e = trace_streaming(
+                scene, source_fn, key, per_dev, max_rounds=max_rounds,
+                max_path=max_path, min_energy=min_energy, t_eps=t_eps,
+                disc_eps=disc_eps, block=block)
+            return (jax.tree_util.tree_map(
+                        lambda a: jax.lax.psum(a, "rays"), accum),
+                    jax.lax.psum(emitted, "rays"),
+                    jax.lax.psum(source_e, "rays"))
+
+        # check_vma=False: the Pallas megakernel's out_shapes carry no
+        # varying-axis metadata (everything here is per-shard private
+        # until the final psum, so the check adds nothing)
+        fn = jax.shard_map(worker, mesh=mesh, in_specs=(P(), P()),
+                           out_specs=(P(), P(), P()), check_vma=False)
+        return fn(scene, key)
+
+    from .kernels.pallas_intersect import TILE
+    nb = culling.nr * culling.nth
+    if nb % n_dev:
+        raise ValueError(f"{nb} source cells not divisible by {n_dev} "
+                         "devices; choose a slab with a composite block "
+                         "count")
+    spec = getattr(source_fn, "pallas_spec", None)
+    if spec is None:
+        raise ValueError("culled sharded streaming needs a source with a "
+                         "pallas_spec")
+
+    lists = jnp.asarray(culling.lists)
+    counts = jnp.asarray(culling.counts)
+    cells = jnp.arange(nb, dtype=jnp.int32)
+    slab_local = (nb // n_dev) * TILE
+
+    from . import materials as _M
+
+    def worker(scene, lists, counts, cells, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index("rays"))
+        accum, emitted, source_e = _trace_streaming_megakernel_culled(
+            scene, key, lists, counts, cells, source_spec=spec,
+            total_rays=total_rays, slab=slab_local, max_rounds=max_rounds,
+            max_path=max_path, min_energy=min_energy, t_eps=t_eps,
+            disc_eps=disc_eps, bivar=_bivar_mode(scene),
+            one_sided="one_sided" in scene.features,
+            slope="slope_error" in scene.features,
+            lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
+            nr=culling.nr, nth=culling.nth, age_cap=culling.age_cap,
+            demote_rows=culling.demote_rows)
+        return (jax.tree_util.tree_map(
+                    lambda a: jax.lax.psum(a, "rays"), accum),
+                jax.lax.psum(emitted, "rays"),
+                jax.lax.psum(source_e, "rays"))
+
+    fn = jax.shard_map(worker, mesh=mesh,
+                       in_specs=(P(), P("rays"), P("rays"), P("rays"), P()),
+                       out_specs=(P(), P(), P()), check_vma=False)
+    return fn(scene, lists, counts, cells, key)
+
+
 def multi_ray_sim(scene, bundles, key: jax.Array, mesh: Optional[Mesh] = None,
                   **trace_kw):
     """API-parity helper for the reference's TracerEngineMP.multi_ray_sim
