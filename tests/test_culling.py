@@ -10,7 +10,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from tracer_tpu.culling import build_block_culling, cell_grid
+from tracer_tpu.culling import build_block_culling, disk_cells
 from tracer_tpu.kernels.intersect import nearest_hit
 from tracer_tpu.kernels.pallas_intersect import TILE
 
@@ -23,17 +23,18 @@ def _small_field(n=40):
     return table, meta, info, source_fn, slab
 
 
-def _cell_rays(rng, spec, nr, nth, b, n, k_sigma_pad=0.0):
+def _cell_rays(rng, spec, bounds, n, k_sigma_pad=0.0):
     """Numpy twin of the kernel's cell-stratified sampling: uniform
-    positions in cell b, directions uniform inside the full source cone."""
+    positions in the cell with the given [a0, a1, th0, th1] bounds,
+    directions uniform inside the full source cone."""
     (cx, cy, cz, rot, radius, _e, _c, _de, gamma, _k, _i,
      theta_tot, theta_dni) = spec[:13]
     theta_max = theta_tot if gamma is not None else theta_dni
     R = np.asarray(rot).reshape(3, 3)
-    i, j = b // nth, b % nth
+    a0, a1, th0, th1 = (float(v) for v in bounds)
     u1, u2 = rng.random(n), rng.random(n)
-    rr = radius * np.sqrt((i + u1) / nr)
-    th = 2.0 * np.pi * (j + u2) / nth
+    rr = radius * np.sqrt(a0 + u1 * (a1 - a0))
+    th = th0 + u2 * (th1 - th0)
     loc = np.stack([rr * np.cos(th), rr * np.sin(th), np.zeros(n)], axis=1)
     pos = loc @ R.T + np.array([cx, cy, cz])
     t = theta_max * np.sqrt(rng.random(n))
@@ -44,11 +45,36 @@ def _cell_rays(rng, spec, nr, nth, b, n, k_sigma_pad=0.0):
     return pos, dirs
 
 
-def test_cell_grid_factors():
-    assert cell_grid(342) == (18, 19)
-    assert cell_grid(512) == (16, 32)
-    nr, nth = cell_grid(257)   # prime: degenerates to thin sectors
-    assert nr * nth == 257
+def test_disk_cells_partition():
+    """disk_cells must tile the unit disk exactly (equal areas, no gaps)
+    with near-square cells for ANY nb — including primes, which the old
+    (nr, nth) factorization degenerated into full-radius pie wedges."""
+    for nb in (12, 257, 342, 512):
+        cells = disk_cells(nb)
+        assert cells.shape == (nb, 4)
+        a0, a1, th0, th1 = cells.T
+        areas = (a1 - a0) * (th1 - th0) / (2.0 * np.pi)
+        np.testing.assert_allclose(areas, 1.0 / nb, rtol=1e-5)
+        # rings tile radially: cells group into rings covering [0, 1]
+        rings = {}
+        for c in cells:
+            rings.setdefault((round(float(c[0]), 6), round(float(c[1]), 6)),
+                             []).append((float(c[2]), float(c[3])))
+        lo = sorted(rings)[0][0]
+        assert lo == 0.0
+        hi = max(k[1] for k in rings)
+        assert abs(hi - 1.0) < 1e-5
+        for (ra0, ra1), sectors in rings.items():
+            sectors.sort()
+            assert abs(sectors[0][0]) < 1e-5
+            assert abs(sectors[-1][1] - 2.0 * np.pi) < 1e-4
+            for (s0, s1), (t0, t1) in zip(sectors, sectors[1:]):
+                assert abs(s1 - t0) < 1e-5
+            # aspect ratio: arc / radial width stays near 1 (within 4x)
+            r0, r1 = np.sqrt(ra0), np.sqrt(ra1)
+            arc = (sectors[0][1] - sectors[0][0]) * 0.5 * (r0 + r1)
+            width = r1 - r0
+            assert arc / width < 4.0, (nb, ra0, ra1, arc / width)
 
 
 def test_first_bounce_lists_cover_brute_force():
@@ -56,12 +82,12 @@ def test_first_bounce_lists_cover_brute_force():
     lists[b] (checked against the float64 brute-force intersector)."""
     table, meta, info, source_fn, slab = _small_field()
     bc = build_block_culling(table, meta, source_fn.pallas_spec, slab)
-    nb = bc.nr * bc.nth
+    nb = bc.nb
     rng = np.random.default_rng(0)
     n = 4000
     for b in range(nb):
-        pos, dirs = _cell_rays(rng, source_fn.pallas_spec, bc.nr, bc.nth,
-                               b, n)
+        pos, dirs = _cell_rays(rng, source_fn.pallas_spec,
+                               bc.cell_bounds[b], n)
         t, sid = nearest_hit(table, jnp.asarray(pos), jnp.asarray(dirs))
         sid = np.asarray(sid)
         hit_rows = np.unique(sid[sid >= 0])
@@ -76,14 +102,14 @@ def test_second_bounce_closure_covers_reflections():
     the closure property the fast path relies on."""
     table, meta, info, source_fn, slab = _small_field()
     bc = build_block_culling(table, meta, source_fn.pallas_spec, slab)
-    nb = bc.nr * bc.nth
+    nb = bc.nb
     sigma = float(np.asarray(table.opt_params)[:, 1].max())
     rng = np.random.default_rng(1)
     n = 4000
     checked = 0
-    for b in range(0, nb, 2):
-        pos, dirs = _cell_rays(rng, source_fn.pallas_spec, bc.nr, bc.nth,
-                               b, n)
+    for b in range(nb):
+        pos, dirs = _cell_rays(rng, source_fn.pallas_spec,
+                               bc.cell_bounds[b], n)
         t, sid = nearest_hit(table, jnp.asarray(pos), jnp.asarray(dirs))
         t, sid = np.asarray(t), np.asarray(sid)
         hit = (sid >= 0) & ~np.isin(sid, bc.demote_rows)

@@ -54,28 +54,60 @@ class BlockCulling:
 
     lists   (nb, L_max) int32 global row ids, padded by repeating entry 0
     counts  (nb,) int32 number of valid entries per block
-    nr, nth cell grid factorization (nb == nr * nth)
+    cell_bounds (nb, 4) float32 equal-area source-disk cell of each block:
+            [a0, a1, th0, th1] with a = (r/R)^2 the area fraction (sample
+            r = R*sqrt(a0 + u*(a1-a0))) and th the polar angle bounds
     age_cap rays are parked after this many bounces on the fast path
     demote_rows rows whose surviving rays are parked (wide scatterers)
     """
 
     lists: np.ndarray
     counts: np.ndarray
-    nr: int
-    nth: int
+    cell_bounds: np.ndarray
     age_cap: int
     demote_rows: tuple
     stats: dict
 
+    @property
+    def nb(self) -> int:
+        return self.lists.shape[0]
 
-def cell_grid(nb: int) -> tuple:
-    """Factor nb into (nr, nth) rings x sectors, nr the largest divisor
-    <= sqrt(nb) (equal-area cells need an exact factorization)."""
-    nr = 1
-    for d in range(1, int(math.isqrt(nb)) + 1):
-        if nb % d == 0:
-            nr = d
-    return nr, nb // nr
+
+def disk_cells(nb: int) -> np.ndarray:
+    """Equal-area partition of the unit disk into ``nb`` annular-sector
+    cells of near-unit aspect ratio, for ANY nb (no factorization needed —
+    a prime nb must not degenerate into full-radius pie wedges, whose huge
+    bounding spheres would destroy the corridor analysis).
+
+    Rings are chosen greedily: each ring takes the sector count k that
+    makes its cells closest to square (arc length = radial width), i.e.
+    k = (r0 + r1) * sqrt(nb * pi); a small leftover is absorbed into the
+    final ring. Returns (nb, 4) float32 rows [a0, a1, th0, th1] with
+    a = r^2 the cumulative area fraction."""
+    cells = []
+    done = 0
+    r0 = 0.0
+    while done < nb:
+        remaining = nb - done
+        # aspect(k) = arc/width = pi*(r0+r1)^2*nb/k^2 with r1 = r1(k);
+        # solve aspect = 1 by fixed point (r1 depends weakly on k)
+        k = max(1, remaining if done == 0 and remaining <= 3 else 1)
+        for _ in range(8):
+            r1 = math.sqrt((done + k) / nb)
+            k_new = max(1, round((r0 + r1) * math.sqrt(nb * math.pi)))
+            if k_new == k:
+                break
+            k = min(k_new, remaining)
+        k = min(k, remaining)
+        if 0 < remaining - k <= max(2, k // 4):
+            k = remaining  # absorb a tiny leftover into this ring
+        r1 = math.sqrt((done + k) / nb)
+        for j in range(k):
+            cells.append((r0 * r0, r1 * r1,
+                          2.0 * np.pi * j / k, 2.0 * np.pi * (j + 1) / k))
+        done += k
+        r0 = r1
+    return np.asarray(cells, dtype=np.float32)
 
 
 def _row_spheres(meta, resolution: int = 8) -> np.ndarray:
@@ -142,12 +174,13 @@ def _cone_sweep_hits(spheres: np.ndarray, c0, r0: float, axis, alpha: float,
     return ahead & (lat <= reach)
 
 
-def _cell_sphere(center, rot, radius: float, nr: int, nth: int,
-                 i: int, j: int) -> tuple:
-    """World bounding sphere of equal-area disk cell (ring i, sector j)."""
-    r0 = radius * math.sqrt(i / nr)
-    r1 = radius * math.sqrt((i + 1) / nr)
-    th = 2.0 * np.pi * (j + np.linspace(0.0, 1.0, 9)) / nth
+def _cell_sphere(center, rot, radius: float, bounds) -> tuple:
+    """World bounding sphere of one equal-area disk cell
+    (bounds = [a0, a1, th0, th1], a the area fraction)."""
+    a0, a1, th0, th1 = (float(v) for v in bounds)
+    r0 = radius * math.sqrt(a0)
+    r1 = radius * math.sqrt(a1)
+    th = th0 + (th1 - th0) * np.linspace(0.0, 1.0, 9)
     rr = np.concatenate([np.full_like(th, r0), np.full_like(th, r1)])
     tt = np.concatenate([th, th])
     loc = np.stack([rr * np.cos(tt), rr * np.sin(tt), np.zeros_like(rr)],
@@ -160,8 +193,8 @@ def _cell_sphere(center, rot, radius: float, nr: int, nth: int,
 
 def build_block_culling(table, meta, source_spec, slab: int, *,
                         tile: Optional[int] = None, k_sigma: float = 5.0,
-                        w_cap: float = 0.15, age_cap: int = 4,
-                        margin: float = 0.5,
+                        w_cap: float = 0.15, age_cap: int = 3,
+                        margin: float = 0.25,
                         resolution: int = 8) -> BlockCulling:
     """Build per-block candidate lists for a disk source described by a
     ``buie_sunshape_pallas_spec`` tuple (kernels/pallas_intersect consumes
@@ -175,7 +208,7 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
     if slab % tile != 0:
         raise ValueError(f"slab {slab} not a multiple of the ray tile {tile}")
     nb = slab // tile
-    nr, nth = cell_grid(nb)
+    cell_bounds = disk_cells(nb)
 
     (cx, cy, cz, rot, radius, _e_ray, _coeffs, _disc_end, gamma, _kappa,
      _integ, theta_tot, theta_dni) = source_spec[:13]
@@ -208,8 +241,7 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
     expandable = np.nonzero(~terminal & ~demote)[0]
     expandable_set = set(expandable.tolist())
     for b in range(nb):
-        i, j = b // nth, b % nth
-        c0, r0 = _cell_sphere(center, rot, radius, nr, nth, i, j)
+        c0, r0 = _cell_sphere(center, rot, radius, cell_bounds[b])
         first = np.nonzero(_cone_sweep_hits(spheres, c0, r0, d0, theta_src,
                                             margin))[0]
         cand = set(first.tolist())
@@ -261,7 +293,7 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
                  L_mean=float(counts.mean()), n_rows=S,
                  n_demoted=int(demote.sum()),
                  reduction=float(S / max(counts.mean(), 1.0)))
-    return BlockCulling(lists=arr, counts=counts, nr=nr, nth=nth,
+    return BlockCulling(lists=arr, counts=counts, cell_bounds=cell_bounds,
                         age_cap=age_cap,
                         demote_rows=tuple(int(r) for r in
                                           np.nonzero(demote)[0]),

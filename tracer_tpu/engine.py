@@ -753,13 +753,14 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
     jax.jit, static_argnames=("source_spec", "total_rays", "slab",
                               "max_rounds", "max_path", "min_energy",
                               "t_eps", "disc_eps", "bivar", "one_sided",
-                              "slope", "lambertian", "nr", "nth", "age_cap",
+                              "slope", "lambertian", "n_cells", "age_cap",
                               "demote_rows"))
 def _trace_streaming_megakernel_culled(
-        scene: SceneTable, key, lists, counts, cells, source_spec,
+        scene: SceneTable, key, lists, counts, cells, cell_bounds,
+        source_spec,
         total_rays: int, slab: int, max_rounds: int, max_path: int,
         min_energy: float, t_eps, disc_eps: float, bivar, one_sided: bool,
-        slope: bool, nr: int, nth: int, age_cap: int, demote_rows: tuple,
+        slope: bool, n_cells: int, age_cap: int, demote_rows: tuple,
         lambertian: bool = False):
     """Relevancy-culled streaming megakernel (see culling.py): each grid
     block owns one equal-area source cell and intersects only its static
@@ -771,11 +772,11 @@ def _trace_streaming_megakernel_culled(
     the main loop, so culling never changes the physics — only the cost.
     Emission quotas are exactly ceil(total_rays / (nr*nth)) per cell.
 
-    ``lists``/``counts``/``cells`` may be a SHARD of the global per-cell
-    arrays (parallel.trace_streaming_sharded): the local block count is
-    lists.shape[0], cell ids come from ``cells``, and ``total_rays`` is
-    the GLOBAL budget (each cell's quota is derived from the global cell
-    count nr*nth)."""
+    ``lists``/``counts``/``cells``/``cell_bounds`` may be a SHARD of the
+    global per-cell arrays (parallel.trace_streaming_sharded): the local
+    block count is lists.shape[0], cell ids come from ``cells``, and
+    ``total_rays`` is the GLOBAL budget (each cell's quota is derived from
+    the global cell count ``n_cells``)."""
     from .kernels.intersect import default_t_eps
     from .kernels.pallas_intersect import (TILE, bounce_reflect_culled_pallas,
                                            bounce_reflect_pallas, pack_rows)
@@ -785,7 +786,7 @@ def _trace_streaming_megakernel_culled(
     e_ray = source_spec[5]
     rows = pack_rows(scene)
     te = default_t_eps(jnp.float32) if t_eps is None else t_eps
-    quota = -(-total_rays // (nr * nth))   # per-CELL emission budget (ceil)
+    quota = -(-total_rays // n_cells)   # per-CELL emission budget (ceil)
 
     pos0 = jnp.zeros((slab, 3), dtype=jnp.float32)
     dir0 = jnp.zeros((slab, 3), dtype=jnp.float32).at[:, 2].set(1.0)
@@ -828,10 +829,10 @@ def _trace_streaming_megakernel_culled(
         age = jnp.where(reborn, 0, age)
 
         npos, ndirs, ne, sid, absorbed = bounce_reflect_culled_pallas(
-            rows, lists, counts, cells, seed, remaining_b, pos, dirs, e,
-            scene.groups, te, disc_eps, bivar=bivar, one_sided=one_sided,
-            slope=slope, lambertian=lambertian, source_spec=source_spec,
-            nr=nr, nth=nth)
+            rows, lists, counts, cells, cell_bounds, seed, remaining_b,
+            pos, dirs, e, scene.groups, te, disc_eps, bivar=bivar,
+            one_sided=one_sided, slope=slope, lambertian=lambertian,
+            source_spec=source_spec)
 
         # parked lanes are frozen: the kernel still traces them (cheaper
         # than masking SIMD lanes) but results are discarded and nothing
@@ -969,23 +970,23 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
                 and not spectral_scene and spec_att == 0.0)
     if cullable and culling is not None:
         from .kernels.pallas_intersect import TILE
-        nb = culling.nr * culling.nth
+        nb = culling.nb
         if n != nb * TILE:
             raise ValueError(
                 f"culling was built for {nb * TILE} rays (nb={nb} blocks "
                 f"x TILE={TILE}) but the source slab is {n}")
-        nb_all = culling.nr * culling.nth
         return _trace_streaming_megakernel_culled(
             scene, key, jnp.asarray(culling.lists),
             jnp.asarray(culling.counts),
-            jnp.arange(nb_all, dtype=jnp.int32), source_spec=spec,
+            jnp.arange(nb, dtype=jnp.int32),
+            jnp.asarray(culling.cell_bounds), source_spec=spec,
             total_rays=total_rays, slab=n, max_rounds=max_rounds,
             max_path=max_path, min_energy=min_energy, t_eps=t_eps,
             disc_eps=disc_eps, bivar=_bivar_mode(scene),
             one_sided="one_sided" in scene.features,
             slope="slope_error" in scene.features,
             lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
-            nr=culling.nr, nth=culling.nth, age_cap=culling.age_cap,
+            n_cells=nb, age_cap=culling.age_cap,
             demote_rows=culling.demote_rows)
     if culling is not None:
         import logging

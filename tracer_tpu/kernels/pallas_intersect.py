@@ -582,9 +582,10 @@ def _sample_disk_buie(spec, shape, cell=None):
     static Python floats baked into the kernel; cf. sources.buie_sunshape).
     Returns the 6 fresh ray components.
 
-    With ``cell = (block_id, nr, nth)`` the position is stratified to this
-    grid block's equal-area (r, theta) cell of the disk — the basis of
-    per-block relevancy culling (every ray in block b starts in cell b).
+    With ``cell = (a0, a1, th0, th1)`` (scalar area-fraction and angle
+    bounds, culling.disk_cells) the position is stratified to this grid
+    block's equal-area cell of the disk — the basis of per-block relevancy
+    culling (every ray in block b starts in cell b).
 
     Specs may carry two optional trailing fields (see
     sources.buie_sunshape_pallas_spec): a (wl_lo, wl_hi) band — a 7th
@@ -597,11 +598,9 @@ def _sample_disk_buie(spec, shape, cell=None):
     u1, u2, u3, u4 = (_kernel_uniform(shape) for _ in range(4))
     # position on the source disc (or this block's cell of it)
     if cell is not None:
-        b, nr, nth = cell
-        ring = (b // nth).astype(jnp.float32)
-        sect = (b % nth).astype(jnp.float32)
-        rr = radius * jnp.sqrt((ring + u1) * (1.0 / nr))
-        phv = 2.0 * np.pi * (sect + u2) * (1.0 / nth)
+        a0, a1, th0, th1 = cell
+        rr = radius * jnp.sqrt(a0 + u1 * (a1 - a0))
+        phv = th0 + u2 * (th1 - th0)
     else:
         rr = radius * jnp.sqrt(u1)
         phv = 2.0 * np.pi * u2
@@ -842,7 +841,7 @@ def _dead_lane_rank(dead_f):
 
 
 def _make_fused_kernel_culled(sig, t_eps, disc_eps, flat, bivar, one_sided,
-                              slope, source_spec, nr: int, nth: int,
+                              slope, source_spec,
                               lambertian: bool = False):
     """Culled group kernel: per-block candidate-list fori + per-block
     cell-stratified regeneration with EXACT emission budgets + reflect
@@ -854,7 +853,7 @@ def _make_fused_kernel_culled(sig, t_eps, disc_eps, flat, bivar, one_sided,
     epi = _make_shade_epilogue(bivar, one_sided, slope, lambertian)
 
     def kernel(seed_ref, remaining_ref, lists_ref, counts_ref, cells_ref,
-               rows_ref,
+               cellb_ref, rows_ref,
                px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref, e_ref,
                npx_ref, npy_ref, npz_ref, ndx_ref, ndy_ref, ndz_ref,
                ne_ref, sid_ref, abs_ref):
@@ -868,7 +867,9 @@ def _make_fused_kernel_culled(sig, t_eps, disc_eps, flat, bivar, one_sided,
         dead = e <= 0.0
         rank = _dead_lane_rank(dead.astype(jnp.float32))
         do = dead & (rank < remaining_ref[b].astype(jnp.float32))
-        f = _sample_disk_buie(source_spec, px.shape, cell=(cell, nr, nth))
+        bounds = (cellb_ref[b, 0], cellb_ref[b, 1],
+                  cellb_ref[b, 2], cellb_ref[b, 3])
+        f = _sample_disk_buie(source_spec, px.shape, cell=bounds)
         e_ray = jnp.float32(source_spec[5])
         px = jnp.where(do, f[0], px)
         py = jnp.where(do, f[1], py)
@@ -909,14 +910,14 @@ def _make_fused_kernel_culled(sig, t_eps, disc_eps, flat, bivar, one_sided,
 @functools.partial(jax.jit,
                    static_argnames=("groups", "t_eps", "disc_eps", "bivar",
                                     "one_sided", "slope", "lambertian",
-                                    "source_spec", "nr", "nth"))
-def bounce_reflect_culled_pallas(rows, lists, counts, cells, seed,
-                                 remaining,
+                                    "source_spec"))
+def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
+                                 seed, remaining,
                                  pos, dirs, energy, groups, t_eps: float,
                                  disc_eps: float = 1e-6, bivar=True,
                                  one_sided: bool = True, slope: bool = True,
                                  lambertian: bool = False,
-                                 source_spec=None, nr: int = 1, nth: int = 1):
+                                 source_spec=None):
     """Relevancy-culled fused bounce (single-group pure-specular scenes).
 
     rows      packed (S, K) surface table (pack_rows) — ALL rows
@@ -925,6 +926,8 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, seed,
     cells     (nb,) int32 GLOBAL source-cell id of each block — arange(nb)
               single-device; a shard of the global arange when the cell
               grid is sharded over a mesh (parallel.py)
+    cell_bounds (nb, 4) f32 per-block source-disk cell [a0, a1, th0, th1]
+              (culling.disk_cells; the same shard as lists/cells)
     remaining (nb,) int32 outstanding emission quota per block; exactly
               min(remaining[b], #dead lanes) rays regenerate in block b
 
@@ -944,7 +947,7 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, seed,
     comps.append(energy.reshape(n // LANE, LANE))
 
     def ray_idx(i, seed_ref, remaining_ref, lists_ref, counts_ref,
-                cells_ref, rows_ref):
+                cells_ref, cellb_ref, rows_ref):
         return (i, 0)
 
     ray_spec = pl.BlockSpec((SUB, LANE), ray_idx, memory_space=pltpu.VMEM)
@@ -952,10 +955,10 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, seed,
                                        flat=(tag == "flat"), bivar=bivar,
                                        one_sided=one_sided, slope=slope,
                                        source_spec=source_spec,
-                                       nr=nr, nth=nth,
                                        lambertian=lambertian)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,  # seed, quotas, lists, counts, cells, rows
+        # seed, quotas, lists, counts, cell ids, cell bounds, rows
+        num_scalar_prefetch=7,
         grid=(nb,),
         in_specs=[ray_spec] * 7,
         out_specs=tuple([ray_spec] * 9),
@@ -968,7 +971,7 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, seed,
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-    )(seed, remaining, lists, counts, cells, rows, *comps)
+    )(seed, remaining, lists, counts, cells, cell_bounds, rows, *comps)
 
     flat_outs = [a.reshape(n) for a in outs]
     new_pos = jnp.stack(flat_outs[0:3], axis=1)

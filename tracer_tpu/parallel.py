@@ -107,10 +107,10 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
         return fn(scene, key)
 
     from .kernels.pallas_intersect import TILE
-    nb = culling.nr * culling.nth
+    nb = culling.nb
     if nb % n_dev:
         raise ValueError(f"{nb} source cells not divisible by {n_dev} "
-                         "devices; choose a slab with a composite block "
+                         "devices; choose a slab with a divisible block "
                          "count")
     spec = getattr(source_fn, "pallas_spec", None)
     if spec is None:
@@ -120,21 +120,22 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
     lists = jnp.asarray(culling.lists)
     counts = jnp.asarray(culling.counts)
     cells = jnp.arange(nb, dtype=jnp.int32)
+    cell_bounds = jnp.asarray(culling.cell_bounds)
     slab_local = (nb // n_dev) * TILE
 
     from . import materials as _M
 
-    def worker(scene, lists, counts, cells, key):
+    def worker(scene, lists, counts, cells, cell_bounds, key):
         key = jax.random.fold_in(key, jax.lax.axis_index("rays"))
         accum, emitted, source_e = _trace_streaming_megakernel_culled(
-            scene, key, lists, counts, cells, source_spec=spec,
+            scene, key, lists, counts, cells, cell_bounds, source_spec=spec,
             total_rays=total_rays, slab=slab_local, max_rounds=max_rounds,
             max_path=max_path, min_energy=min_energy, t_eps=t_eps,
             disc_eps=disc_eps, bivar=_bivar_mode(scene),
             one_sided="one_sided" in scene.features,
             slope="slope_error" in scene.features,
             lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
-            nr=culling.nr, nth=culling.nth, age_cap=culling.age_cap,
+            n_cells=nb, age_cap=culling.age_cap,
             demote_rows=culling.demote_rows)
         return (jax.tree_util.tree_map(
                     lambda a: jax.lax.psum(a, "rays"), accum),
@@ -142,9 +143,10 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
                 jax.lax.psum(source_e, "rays"))
 
     fn = jax.shard_map(worker, mesh=mesh,
-                       in_specs=(P(), P("rays"), P("rays"), P("rays"), P()),
+                       in_specs=(P(), P("rays"), P("rays"), P("rays"),
+                                 P("rays"), P()),
                        out_specs=(P(), P(), P()), check_vma=False)
-    return fn(scene, lists, counts, cells, key)
+    return fn(scene, lists, counts, cells, cell_bounds, key)
 
 
 def multi_ray_sim(scene, bundles, key: jax.Array, mesh: Optional[Mesh] = None,
