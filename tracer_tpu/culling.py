@@ -52,7 +52,7 @@ from . import materials as M
 class BlockCulling:
     """Static per-block candidate lists for the culled megakernel.
 
-    lists   (nb, L_max) int32 global row ids, padded by repeating entry 0
+    lists   (nb, L_max) int32 global row ids, padded with -1
     counts  (nb,) int32 number of valid entries per block
     cell_bounds (nb, 4) float32 equal-area source-disk cell of each block:
             [a0, a1, th0, th1] with a = (r/R)^2 the area fraction (sample
@@ -283,11 +283,11 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
         counts.append(len(rows_b))
 
     L_max = max(1, max(counts))
-    arr = np.zeros((nb, L_max), dtype=np.int32)
+    # padding is -1: the kernel's fori never reads past counts[b], and the
+    # engine's slot-histogram accounting needs padding that matches no sid
+    arr = np.full((nb, L_max), -1, dtype=np.int32)
     for b, rows_b in enumerate(lists):
-        if rows_b:
-            arr[b, :len(rows_b)] = rows_b
-            arr[b, len(rows_b):] = rows_b[0]  # harmless repeat padding
+        arr[b, :len(rows_b)] = rows_b
     counts = np.asarray(counts, dtype=np.int32)
     stats = dict(nb=nb, L_max=int(L_max),
                  L_mean=float(counts.mean()), n_rows=S,

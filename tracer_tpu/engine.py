@@ -794,17 +794,20 @@ def _trace_streaming_megakernel_culled(
     age0 = jnp.zeros((slab,), dtype=jnp.int32)
     parked0 = jnp.zeros((slab,), dtype=bool)
     emitted0 = jnp.zeros((nb,), dtype=jnp.int32)
+    hist0 = jnp.zeros(lists.shape, dtype=jnp.float32)
     accum0 = TraceAccum.zeros(scene.num_rows)
     z32 = jnp.array(0, dtype=jnp.int32)
 
     def cond(st):
-        i, pos, dirs, e, age, parked, accum, key, emitted_b, source_e = st
+        (i, pos, dirs, e, age, parked, accum, hist, key, emitted_b,
+         source_e) = st
         live = (e > 0.0) & ~parked
         return (i < max_rounds) & (jnp.any(emitted_b < quota)
                                    | jnp.any(live))
 
     def body(st):
-        i, pos, dirs, e, age, parked, accum, key, emitted_b, source_e = st
+        (i, pos, dirs, e, age, parked, accum, hist, key, emitted_b,
+         source_e) = st
         key, ks = jax.random.split(key)
         seed = jax.random.randint(ks, (1,), 0, jnp.iinfo(jnp.int32).max,
                                   dtype=jnp.int32)
@@ -841,8 +844,20 @@ def _trace_streaming_megakernel_culled(
         absorbed = jnp.where(parked, 0.0, absorbed)
         hit = sid >= 0
         escaped = ~parked & (e_before > 0.0) & ~hit
-        accum = _account(scene, accum, sid, hit, escaped, absorbed,
-                         e_before, count_hits=False)
+        # absorbed energy goes into a per-(block, slot) histogram against
+        # the SHORT candidate list (L_max-wide one-hot, ~15x cheaper than
+        # the (S, N) one-hot _account builds); it scatters to surface rows
+        # once, after the loop. Missed/parked lanes carry absorbed == 0,
+        # so the -1 padding slots accumulate exactly nothing.
+        onehot = (sid.reshape(nb, TILE)[:, :, None]
+                  == lists[:, None, :]).astype(jnp.bfloat16)
+        hist = hist + jnp.einsum(
+            "btl,bt->bl", onehot,
+            absorbed.reshape(nb, TILE).astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+        accum = accum.replace(
+            escaped=accum.escaped + jnp.sum(jnp.where(escaped, e_before,
+                                                      0.0)))
         low = hit & (ne <= min_energy)
         accum = accum.replace(
             culled=accum.culled + jnp.sum(jnp.where(low, ne, 0.0)))
@@ -857,13 +872,19 @@ def _trace_streaming_megakernel_culled(
         dirs = jnp.where(parked[:, None], dirs, ndirs)
         e = jnp.where(parked, e, ne)
         parked = parked | newly
-        return (i + 1, pos, dirs, e, age, parked, accum, key, emitted_b,
-                source_e)
+        return (i + 1, pos, dirs, e, age, parked, accum, hist, key,
+                emitted_b, source_e)
 
-    st = (z32, pos0, dir0, e0, age0, parked0, accum0, key, emitted0,
+    st = (z32, pos0, dir0, e0, age0, parked0, accum0, hist0, key, emitted0,
           jnp.zeros((), dtype=jnp.float32))
     st = jax.lax.while_loop(cond, body, st)
-    _, pos, dirs, e, age, parked, accum, key, emitted_b, source_e = st
+    (_, pos, dirs, e, age, parked, accum, hist, key, emitted_b,
+     source_e) = st
+    # fold the slot histogram into per-row absorbed energy (one scatter)
+    rows_flat = jnp.maximum(lists.reshape(-1), 0)
+    vals_flat = jnp.where(lists.reshape(-1) >= 0, hist.reshape(-1), 0.0)
+    accum = accum.replace(absorbed=accum.absorbed.at[rows_flat].add(
+        vals_flat))
 
     # ---- drain: re-trace parked rays (and any max_rounds leftovers)
     # against the FULL surface list — always sound, so culling cannot
