@@ -300,7 +300,10 @@ def test_culled_sharded_streaming_matches_unsharded():
     a_s, em_s, se_s = jax.block_until_ready(trace_streaming_sharded(
         table, source_fn, jax.random.PRNGKey(0), total, mesh,
         max_rounds=500, max_path=8, culling=culling))
-    assert int(em_s) == 114 * 8 * TILE   # exact per-cell quotas
+    # exact per-block quotas: every cell emits exactly its equal-area
+    # budget (ceil rounding may add < n_cells rays beyond the request)
+    assert int(em_s) == int(culling.block_quota(total).sum())
+    assert total <= int(em_s) < total + culling.n_cells
     a_u, em_u, se_u = jax.block_until_ready(trace_streaming(
         table, source_fn, jax.random.PRNGKey(1), total_rays=total,
         max_rounds=500, max_path=8, culling=culling))

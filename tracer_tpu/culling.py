@@ -57,6 +57,12 @@ class BlockCulling:
     cell_bounds (nb, 4) float32 equal-area source-disk cell of each block:
             [a0, a1, th0, th1] with a = (r/R)^2 the area fraction (sample
             r = R*sqrt(a0 + u*(a1-a0))) and th the polar angle bounds
+    cell_of_block (nb,) int32 which of the n_cells cells each block serves
+            (several blocks may share one cell — load balancing: cells
+            whose rays survive bounces emit their quota more slowly, so
+            they get proportionally more blocks; blocks of one cell sample
+            identical bounds with independent PRNG streams)
+    n_cells number of distinct equal-area cells (<= nb)
     age_cap rays are parked after this many bounces on the fast path
     demote_rows rows whose surviving rays are parked (wide scatterers)
     """
@@ -64,6 +70,8 @@ class BlockCulling:
     lists: np.ndarray
     counts: np.ndarray
     cell_bounds: np.ndarray
+    cell_of_block: np.ndarray
+    n_cells: int
     age_cap: int
     demote_rows: tuple
     stats: dict
@@ -71,6 +79,21 @@ class BlockCulling:
     @property
     def nb(self) -> int:
         return self.lists.shape[0]
+
+    def block_quota(self, total_rays: int) -> np.ndarray:
+        """Exact per-block emission budgets: each cell's equal-area quota
+        ceil(total / n_cells), split across its blocks (first blocks take
+        the remainder). Uniform source density holds exactly because every
+        cell emits exactly its quota regardless of how many blocks feed
+        it."""
+        cell_quota = -(-total_rays // self.n_cells)
+        q = np.zeros(self.nb, dtype=np.int64)
+        for c in range(self.n_cells):
+            blocks = np.nonzero(self.cell_of_block == c)[0]
+            base, rem = divmod(cell_quota, len(blocks))
+            q[blocks] = base
+            q[blocks[:rem]] += 1
+        return q.astype(np.int32)
 
 
 def disk_cells(nb: int) -> np.ndarray:
@@ -191,61 +214,16 @@ def _cell_sphere(center, rot, radius: float, bounds) -> tuple:
     return c, float(np.linalg.norm(pts - c, axis=1).max())
 
 
-def build_block_culling(table, meta, source_spec, slab: int, *,
-                        tile: Optional[int] = None, k_sigma: float = 5.0,
-                        w_cap: float = 0.15, age_cap: int = 3,
-                        margin: float = 0.25,
-                        resolution: int = 8) -> BlockCulling:
-    """Build per-block candidate lists for a disk source described by a
-    ``buie_sunshape_pallas_spec`` tuple (kernels/pallas_intersect consumes
-    the same spec for in-kernel regeneration).
-
-    slab must be a whole number of ray tiles; nb = slab / TILE blocks each
-    own one equal-area (r, theta) cell of the source disk.
-    """
-    from .kernels.pallas_intersect import TILE
-    tile = tile or TILE
-    if slab % tile != 0:
-        raise ValueError(f"slab {slab} not a multiple of the ray tile {tile}")
-    nb = slab // tile
-    cell_bounds = disk_cells(nb)
-
-    (cx, cy, cz, rot, radius, _e_ray, _coeffs, _disc_end, gamma, _kappa,
-     _integ, theta_tot, theta_dni) = source_spec[:13]
-    center = np.array([cx, cy, cz])
-    R = np.asarray(rot).reshape(3, 3)
-    d0 = R[:, 2]  # source local +z in world coords
-    theta_src = float(theta_tot if gamma is not None else theta_dni)
-
-    spheres = _row_spheres(meta, resolution)
-    n_axis, n_beta = _row_normal_cones(table, meta, resolution)
-
-    kinds = np.asarray(table.opt_kind)
-    prm = np.asarray(table.opt_params)
-    S = len(spheres)
-    # per-row slope-error sigma (same slot logic as the scene compiler)
-    sigma = np.where(kinds == M.K_REFLECT, prm[:, 1],
-                     np.where(np.isin(kinds, (M.K_REFLECT_SPECTRAL,
-                                              M.K_LAMBERTIAN_SPECULAR,
-                                              M.K_REFRACTIVE)),
-                              prm[:, 2], 0.0))
-    widen = 2.0 * (n_beta + k_sigma * math.sqrt(2.0) * sigma)
-    absorptivity = prm[:, 0]
-    terminal = absorptivity >= 1.0 - 1e-6   # no outgoing energy, ever
-    # wide scatterers cannot keep the closure narrow -> demote (their
-    # surviving rays leave the fast path and drain against the full list)
-    demote = (~terminal) & ((widen > w_cap) | (kinds != M.K_REFLECT))
-
+def _cell_lists(cell_bounds, center, rot, radius, theta_src, spheres,
+                n_axis, widen, expandable_set, age_cap, margin, d0):
+    """Candidate row lists for each source cell: first-segment cone sweep
+    + breadth-first closure under specular reflection (see module doc)."""
     lists = []
-    counts = []
-    expandable = np.nonzero(~terminal & ~demote)[0]
-    expandable_set = set(expandable.tolist())
-    for b in range(nb):
-        c0, r0 = _cell_sphere(center, rot, radius, cell_bounds[b])
+    for bounds in cell_bounds:
+        c0, r0 = _cell_sphere(center, rot, radius, bounds)
         first = np.nonzero(_cone_sweep_hits(spheres, c0, r0, d0, theta_src,
                                             margin))[0]
         cand = set(first.tolist())
-        # breadth-first closure under specular reflection
         frontier = [(int(s), d0, theta_src, 1) for s in first
                     if int(s) in expandable_set]
         seen = {}   # row -> list of (axis, alpha) cones already expanded
@@ -278,22 +256,144 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
                 cand.add(c)
                 if c in expandable_set:
                     frontier.append((c, out_axis, out_alpha, depth + 1))
-        rows_b = sorted(cand)
-        lists.append(rows_b)
-        counts.append(len(rows_b))
+        lists.append(sorted(cand))
+    return lists
 
-    L_max = max(1, max(counts))
+
+def _pilot_survival(table, cell_bounds, center, rot, radius, theta_dni,
+                    n_rays: int, seed: int = 0) -> np.ndarray:
+    """Per-cell survival estimate: fraction of pilot rays that hit a
+    surface, weighted by the row's (1 - absorptivity). Used only for
+    LOAD BALANCING (block multiplicity) — never affects soundness. Pilot
+    directions sample the solar disc only (98%+ of Buie energy)."""
+    import jax.numpy as jnp
+    from .kernels.intersect import nearest_hit
+    rng = np.random.default_rng(seed)
+    nc = len(cell_bounds)
+    a0, a1, th0, th1 = (np.repeat(cell_bounds[:, k], n_rays)
+                        for k in range(4))
+    u1 = rng.random(nc * n_rays)
+    u2 = rng.random(nc * n_rays)
+    rr = radius * np.sqrt(a0 + u1 * (a1 - a0))
+    th = th0 + u2 * (th1 - th0)
+    loc = np.stack([rr * np.cos(th), rr * np.sin(th), np.zeros_like(rr)],
+                   axis=1)
+    R = np.asarray(rot).reshape(3, 3)
+    pos = loc @ R.T + np.asarray(center)
+    t = theta_dni * np.sqrt(rng.random(nc * n_rays))
+    p = 2.0 * np.pi * rng.random(nc * n_rays)
+    ld = np.stack([np.sin(t) * np.cos(p), np.sin(t) * np.sin(p),
+                   np.cos(t)], axis=1)
+    dirs = ld @ R.T
+    _, sid = nearest_hit(table, jnp.asarray(pos, dtype=jnp.float32),
+                         jnp.asarray(dirs, dtype=jnp.float32))
+    sid = np.asarray(sid).reshape(nc, n_rays)
+    absorb = np.asarray(table.opt_params)[:, 0]
+    surv = np.where(sid >= 0, 1.0 - absorb[np.maximum(sid, 0)], 0.0)
+    return surv.mean(axis=1)
+
+
+def build_block_culling(table, meta, source_spec, slab: int, *,
+                        tile: Optional[int] = None, k_sigma: float = 5.0,
+                        w_cap: float = 0.15, age_cap: int = 3,
+                        margin: float = 0.25, resolution: int = 8,
+                        balance: bool = True,
+                        pilot_rays: int = 256) -> BlockCulling:
+    """Build per-block candidate lists for a disk source described by a
+    ``buie_sunshape_pallas_spec`` tuple (kernels/pallas_intersect consumes
+    the same spec for in-kernel regeneration).
+
+    slab must be a whole number of ray tiles; the nb = slab / TILE blocks
+    serve equal-area cells of the source disk. With ``balance`` (default),
+    a cheap pilot trace estimates each region's bounce-survival rate and
+    cells over dense optics get MULTIPLE blocks (quota split between
+    them): otherwise those cells' slow emission (refill only replaces dead
+    lanes) sets the round count for the whole grid."""
+    from .kernels.pallas_intersect import TILE
+    tile = tile or TILE
+    if slab % tile != 0:
+        raise ValueError(f"slab {slab} not a multiple of the ray tile {tile}")
+    nb = slab // tile
+
+    (cx, cy, cz, rot, radius, _e_ray, _coeffs, _disc_end, gamma, _kappa,
+     _integ, theta_tot, theta_dni) = source_spec[:13]
+    center = np.array([cx, cy, cz])
+    R = np.asarray(rot).reshape(3, 3)
+    d0 = R[:, 2]  # source local +z in world coords
+    theta_src = float(theta_tot if gamma is not None else theta_dni)
+
+    spheres = _row_spheres(meta, resolution)
+    n_axis, n_beta = _row_normal_cones(table, meta, resolution)
+
+    kinds = np.asarray(table.opt_kind)
+    prm = np.asarray(table.opt_params)
+    S = len(spheres)
+    # per-row slope-error sigma (same slot logic as the scene compiler)
+    sigma = np.where(kinds == M.K_REFLECT, prm[:, 1],
+                     np.where(np.isin(kinds, (M.K_REFLECT_SPECTRAL,
+                                              M.K_LAMBERTIAN_SPECULAR,
+                                              M.K_REFRACTIVE)),
+                              prm[:, 2], 0.0))
+    widen = 2.0 * (n_beta + k_sigma * math.sqrt(2.0) * sigma)
+    absorptivity = prm[:, 0]
+    terminal = absorptivity >= 1.0 - 1e-6   # no outgoing energy, ever
+    # wide scatterers cannot keep the closure narrow -> demote (their
+    # surviving rays leave the fast path and drain against the full list)
+    demote = (~terminal) & ((widen > w_cap) | (kinds != M.K_REFLECT))
+    expandable = np.nonzero(~terminal & ~demote)[0]
+    expandable_set = set(expandable.tolist())
+
+    # ---- load balancing: pick n_cells <= nb and block multiplicities so
+    # every block finishes its quota in about the same number of rounds
+    # (a block refills only its dead lanes, so a cell with survival h
+    # emits ~ (1 - h) * TILE rays per round)
+    # minimax over candidate partitions: the round count of the whole grid
+    # is max_c quota/(m_c (1-h_c)) with quota = total/n_cells, so score
+    # each candidate by max_c(w_c / m_c) / n_cells after greedy allocation
+    n_cells = nb
+    mult = np.ones(nb, dtype=np.int64)
+    if balance and nb > 1:
+        best = None
+        tried = set()
+        for div in (1.0, 1.1, 1.2, 1.35, 1.5, 1.7, 2.0):
+            nc = int(np.clip(round(nb / div), 1, nb))
+            if nc in tried:
+                continue
+            tried.add(nc)
+            h = _pilot_survival(table, disk_cells(nc), center, rot, radius,
+                                float(theta_dni), pilot_rays)
+            w = 1.0 / np.maximum(1.0 - h, 0.1)
+            m = np.ones(nc, dtype=np.int64)
+            for _ in range(nb - nc):
+                m[np.argmax(w / m)] += 1
+            score = float((w / m).max()) / nc
+            if best is None or score < best[0]:
+                best = (score, nc, m)
+        _, n_cells, mult = best
+    cells = disk_cells(n_cells)
+
+    cl = _cell_lists(cells, center, rot, radius, theta_src, spheres,
+                     n_axis, widen, expandable_set, age_cap, margin, d0)
+
+    cell_of_block = np.repeat(np.arange(n_cells), mult).astype(np.int32)
+    assert len(cell_of_block) == nb
+    lists = [cl[c] for c in cell_of_block]
+    counts = np.asarray([len(r) for r in lists], dtype=np.int32)
+    cell_bounds = cells[cell_of_block]
+
+    L_max = max(1, int(counts.max()))
     # padding is -1: the kernel's fori never reads past counts[b], and the
     # engine's slot-histogram accounting needs padding that matches no sid
     arr = np.full((nb, L_max), -1, dtype=np.int32)
     for b, rows_b in enumerate(lists):
         arr[b, :len(rows_b)] = rows_b
-    counts = np.asarray(counts, dtype=np.int32)
-    stats = dict(nb=nb, L_max=int(L_max),
+    stats = dict(nb=nb, n_cells=n_cells, mult_max=int(mult.max()),
+                 L_max=int(L_max),
                  L_mean=float(counts.mean()), n_rows=S,
                  n_demoted=int(demote.sum()),
                  reduction=float(S / max(counts.mean(), 1.0)))
     return BlockCulling(lists=arr, counts=counts, cell_bounds=cell_bounds,
+                        cell_of_block=cell_of_block, n_cells=n_cells,
                         age_cap=age_cap,
                         demote_rows=tuple(int(r) for r in
                                           np.nonzero(demote)[0]),

@@ -750,33 +750,34 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("source_spec", "total_rays", "slab",
+    jax.jit, static_argnames=("source_spec", "slab",
                               "max_rounds", "max_path", "min_energy",
                               "t_eps", "disc_eps", "bivar", "one_sided",
-                              "slope", "lambertian", "n_cells", "age_cap",
+                              "slope", "lambertian", "age_cap",
                               "demote_rows"))
 def _trace_streaming_megakernel_culled(
-        scene: SceneTable, key, lists, counts, cells, cell_bounds,
+        scene: SceneTable, key, lists, counts, cells, cell_bounds, quota_b,
         source_spec,
-        total_rays: int, slab: int, max_rounds: int, max_path: int,
+        slab: int, max_rounds: int, max_path: int,
         min_energy: float, t_eps, disc_eps: float, bivar, one_sided: bool,
-        slope: bool, n_cells: int, age_cap: int, demote_rows: tuple,
+        slope: bool, age_cap: int, demote_rows: tuple,
         lambertian: bool = False):
     """Relevancy-culled streaming megakernel (see culling.py): each grid
     block owns one equal-area source cell and intersects only its static
-    candidate list; per-block quotas keep the stratified emission unbiased.
+    candidate list; per-block quotas keep the stratified emission unbiased
+    (``quota_b`` = culling.block_quota(total_rays): each cell's equal-area
+    budget, split across the blocks serving it for load balance).
 
     Rays that survive a bounce off a demoted surface, or reach ``age_cap``
     bounces, are *parked* (state frozen, excluded from accounting) and
     re-traced exactly against the full surface list in a drain phase after
     the main loop, so culling never changes the physics — only the cost.
-    Emission quotas are exactly ceil(total_rays / (nr*nth)) per cell.
 
-    ``lists``/``counts``/``cells``/``cell_bounds`` may be a SHARD of the
-    global per-cell arrays (parallel.trace_streaming_sharded): the local
-    block count is lists.shape[0], cell ids come from ``cells``, and
-    ``total_rays`` is the GLOBAL budget (each cell's quota is derived from
-    the global cell count ``n_cells``)."""
+    ``lists``/``counts``/``cells``/``cell_bounds``/``quota_b`` may be a
+    SHARD of the global per-block arrays
+    (parallel.trace_streaming_sharded): the local block count is
+    lists.shape[0] and ``cells`` carries global block ids (independent
+    PRNG streams per block, invariant to device placement)."""
     from .kernels.intersect import default_t_eps
     from .kernels.pallas_intersect import (TILE, bounce_reflect_culled_pallas,
                                            bounce_reflect_pallas, pack_rows)
@@ -786,7 +787,6 @@ def _trace_streaming_megakernel_culled(
     e_ray = source_spec[5]
     rows = pack_rows(scene)
     te = default_t_eps(jnp.float32) if t_eps is None else t_eps
-    quota = -(-total_rays // n_cells)   # per-CELL emission budget (ceil)
 
     pos0 = jnp.zeros((slab, 3), dtype=jnp.float32)
     dir0 = jnp.zeros((slab, 3), dtype=jnp.float32).at[:, 2].set(1.0)
@@ -802,7 +802,7 @@ def _trace_streaming_megakernel_culled(
         (i, pos, dirs, e, age, parked, accum, hist, key, emitted_b,
          source_e) = st
         live = (e > 0.0) & ~parked
-        return (i < max_rounds) & (jnp.any(emitted_b < quota)
+        return (i < max_rounds) & (jnp.any(emitted_b < quota_b)
                                    | jnp.any(live))
 
     def body(st):
@@ -817,7 +817,7 @@ def _trace_streaming_megakernel_culled(
         # equal counts: letting the final round overshoot would correlate
         # emission with local survival rate and bias the spatial source
         # density by up to TILE/quota.
-        remaining_b = jnp.maximum(quota - emitted_b, 0)
+        remaining_b = jnp.maximum(quota_b - emitted_b, 0)
         dead = e <= 0.0
         dead_b = jnp.sum(dead.reshape(nb, TILE).astype(jnp.int32), axis=1)
         n_new = jnp.minimum(dead_b, remaining_b)
@@ -1000,14 +1000,15 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             scene, key, jnp.asarray(culling.lists),
             jnp.asarray(culling.counts),
             jnp.arange(nb, dtype=jnp.int32),
-            jnp.asarray(culling.cell_bounds), source_spec=spec,
-            total_rays=total_rays, slab=n, max_rounds=max_rounds,
+            jnp.asarray(culling.cell_bounds),
+            jnp.asarray(culling.block_quota(total_rays)), source_spec=spec,
+            slab=n, max_rounds=max_rounds,
             max_path=max_path, min_energy=min_energy, t_eps=t_eps,
             disc_eps=disc_eps, bivar=_bivar_mode(scene),
             one_sided="one_sided" in scene.features,
             slope="slope_error" in scene.features,
             lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
-            n_cells=nb, age_cap=culling.age_cap,
+            age_cap=culling.age_cap,
             demote_rows=culling.demote_rows)
     if culling is not None:
         import logging

@@ -858,7 +858,10 @@ def _make_fused_kernel_culled(sig, t_eps, disc_eps, flat, bivar, one_sided,
                npx_ref, npy_ref, npz_ref, ndx_ref, ndy_ref, ndz_ref,
                ne_ref, sid_ref, abs_ref):
         b = pl.program_id(0)
-        cell = cells_ref[b]   # global cell id (blocks shard over devices)
+        # global block id: distinct PRNG stream per block, invariant to
+        # how blocks shard over devices (several blocks may serve the
+        # same source cell — load balancing — so streams key on the block)
+        cell = cells_ref[b]
         pltpu.prng_seed(seed_ref[0] + cell)
         px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -923,9 +926,9 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
     rows      packed (S, K) surface table (pack_rows) — ALL rows
     lists     (nb, L) int32 per-block candidate row ids (culling module)
     counts    (nb,) int32 valid entries per block
-    cells     (nb,) int32 GLOBAL source-cell id of each block — arange(nb)
-              single-device; a shard of the global arange when the cell
-              grid is sharded over a mesh (parallel.py)
+    cells     (nb,) int32 GLOBAL block id of each block (PRNG stream key) —
+              arange(nb) single-device; a shard of the global arange when
+              the block grid is sharded over a mesh (parallel.py)
     cell_bounds (nb, 4) f32 per-block source-disk cell [a0, a1, th0, th1]
               (culling.disk_cells; the same shard as lists/cells)
     remaining (nb,) int32 outstanding emission quota per block; exactly
