@@ -1,0 +1,88 @@
+"""Field-size scaling study: throughput vs heliostat count.
+
+``python -m benchmarks.scaling`` traces radial-stagger north fields of
+growing size (the 218-heliostat real NSTTF site extended at matching
+density, benchmarks/nsttf.py) with the relevancy-culled streaming
+megakernel and prints one JSON line per size.
+
+This is the scaling regime the reference cannot reach: its per-bounce
+Kd traversal is a per-ray Python loop (tracer/accel_tree.py:241-308).
+Here the per-block candidate lists keep the kernel's row loop near
+constant while the field grows ~25x.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+
+def run_size(n_heliostats: int, slab_tiles: int | None = None,
+             reps: int = 4) -> dict:
+    from benchmarks.nsttf import build_scene, make_source_fn
+    from tracer_tpu.culling import build_block_culling
+    from tracer_tpu.engine import trace_streaming
+    from tracer_tpu.kernels.pallas_intersect import TILE
+
+    table, meta, info = build_scene(n_heliostats=n_heliostats)
+    base_tiles = (1 << 20) // TILE + 1
+    if slab_tiles is None:
+        # cell area, not cell count, sets the candidate-list length: scale
+        # the block grid with the field footprint so cells stay NSTTF-sized
+        pos = info["positions"][:, :2]
+        r = float(np.hypot(*(pos - pos.mean(axis=0)).T).max()) + 10.0
+        slab_tiles = int(np.clip(round(base_tiles * (r / 152.0) ** 2),
+                                 base_tiles, 8 * base_tiles))
+    slab = slab_tiles * TILE
+    total = 32 * base_tiles * TILE   # same emission budget for every size
+    source_fn = make_source_fn(info, slab)
+    t0 = time.perf_counter()
+    try:
+        culling = build_block_culling(table, meta, source_fn.pallas_spec,
+                                      slab)
+    except ValueError as exc:
+        # single-chip SMEM wall: candidate lists for this field no longer
+        # fit next to the rows table (shard over a mesh to split them) —
+        # fall back to the unculled streaming megakernel
+        print(f"# n={n_heliostats}: culling infeasible on one chip "
+              f"({exc}); timing the unculled megakernel")
+        culling = None
+    t_build = time.perf_counter() - t0
+
+    @jax.jit
+    def step(key):
+        return trace_streaming(table, source_fn, key, total_rays=total,
+                               max_rounds=600, max_path=8, culling=culling)
+
+    accum, emitted, se = jax.block_until_ready(step(jax.random.PRNGKey(0)))
+    ab = np.asarray(accum.absorbed)
+    se = float(se)
+    closure = (se - ab.sum() - float(accum.escaped) - float(accum.culled)
+               - float(accum.medium) - float(accum.residual)) / se
+    assert abs(closure) < 5e-3, closure
+    best = float("inf")
+    for i in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(step(jax.random.fold_in(jax.random.PRNGKey(0),
+                                                      i)))
+        best = min(best, time.perf_counter() - t0)
+    return dict(metric="field_scaling", n_heliostats=n_heliostats,
+                n_rows=int(table.num_rows), slab_tiles=slab_tiles,
+                value=round(float(emitted) / best / 1e6, 1),
+                unit="Mrays/s/chip", culled=culling is not None,
+                L_mean=(round(culling.stats["L_mean"], 1)
+                        if culling is not None else None),
+                build_s=round(t_build, 1),
+                receiver_frac=round(float(ab.max()) / se, 4),
+                closure=float(closure))
+
+
+def main():
+    for n in (218, 500, 1000, 2000):
+        print(json.dumps(run_size(n)))
+
+
+if __name__ == "__main__":
+    main()

@@ -63,7 +63,9 @@ class BlockCulling:
             they get proportionally more blocks; blocks of one cell sample
             identical bounds with independent PRNG streams)
     n_cells number of distinct equal-area cells (<= nb)
-    age_cap rays are parked after this many bounces on the fast path
+    age_caps (nb,) int32 per-block corridor depth: a block's rays park
+            after this many bounces on the fast path (cells degraded by
+            the SMEM width cap park earlier)
     demote_rows rows whose surviving rays are parked (wide scatterers)
     """
 
@@ -72,13 +74,17 @@ class BlockCulling:
     cell_bounds: np.ndarray
     cell_of_block: np.ndarray
     n_cells: int
-    age_cap: int
+    age_caps: np.ndarray
     demote_rows: tuple
     stats: dict
 
     @property
     def nb(self) -> int:
         return self.lists.shape[0]
+
+    @property
+    def age_cap(self) -> int:
+        return int(self.age_caps.max())
 
     def block_quota(self, total_rays: int) -> np.ndarray:
         """Exact per-block emission budgets: each cell's equal-area quota
@@ -148,7 +154,8 @@ def _row_normal_cones(table, meta, resolution: int = 8) -> tuple:
     """Per-row mean world normal and angular spread (axis (S,3), beta (S,)).
     Normals come from the quadric gradient at mesh sample points pushed
     through the row frame — exact (beta = 0) for planes."""
-    quads = np.asarray(table.quadric)
+    quads = (meta.host_quadric if meta.host_quadric is not None
+             else np.asarray(table.quadric))
     axes = np.zeros((len(meta.frames), 3))
     betas = np.zeros(len(meta.frames))
     from .viz.render import mesh_of
@@ -214,60 +221,86 @@ def _cell_sphere(center, rot, radius: float, bounds) -> tuple:
     return c, float(np.linalg.norm(pts - c, axis=1).max())
 
 
+def _one_cell_list(bounds, center, rot, radius, theta_src, spheres,
+                   n_axis, widen, expandable_set, age_cap, margin, d0):
+    """Candidate row list for one source cell: first-segment cone sweep +
+    breadth-first closure under specular reflection up to ``age_cap``
+    bounces (see module doc)."""
+    c0, r0 = _cell_sphere(center, rot, radius, bounds)
+    first = np.nonzero(_cone_sweep_hits(spheres, c0, r0, d0, theta_src,
+                                        margin))[0]
+    cand = set(first.tolist())
+    frontier = [(int(s), d0, theta_src, 1) for s in first
+                if int(s) in expandable_set]
+    seen = {}   # row -> list of (axis, alpha) cones already expanded
+
+    def dominated(s, axis, alpha):
+        """True if an already-expanded cone at s contains this one
+        (angle between axes + new half-angle <= old half-angle) —
+        skipping is then sound because the old sweep was wider."""
+        for old_axis, old_alpha in seen.get(s, ()):
+            gap = math.acos(float(np.clip(np.dot(old_axis, axis),
+                                          -1.0, 1.0)))
+            if gap + alpha <= old_alpha + 1e-9:
+                return True
+        return False
+
+    while frontier:
+        s, in_axis, in_alpha, depth = frontier.pop()
+        if depth >= age_cap:
+            continue
+        in_axis = np.asarray(in_axis)
+        if dominated(s, in_axis, in_alpha):
+            continue
+        seen.setdefault(s, []).append((in_axis, in_alpha))
+        out_axis = _reflect(in_axis, n_axis[s])
+        out_alpha = in_alpha + widen[s]
+        hits = np.nonzero(_cone_sweep_hits(
+            spheres, spheres[s, :3], spheres[s, 3], out_axis, out_alpha,
+            margin))[0]
+        for c in hits.tolist():
+            cand.add(c)
+            if c in expandable_set:
+                frontier.append((c, out_axis, out_alpha, depth + 1))
+    return sorted(cand)
+
+
 def _cell_lists(cell_bounds, center, rot, radius, theta_src, spheres,
                 n_axis, widen, expandable_set, age_cap, margin, d0):
-    """Candidate row lists for each source cell: first-segment cone sweep
-    + breadth-first closure under specular reflection (see module doc)."""
-    lists = []
-    for bounds in cell_bounds:
-        c0, r0 = _cell_sphere(center, rot, radius, bounds)
-        first = np.nonzero(_cone_sweep_hits(spheres, c0, r0, d0, theta_src,
-                                            margin))[0]
-        cand = set(first.tolist())
-        frontier = [(int(s), d0, theta_src, 1) for s in first
-                    if int(s) in expandable_set]
-        seen = {}   # row -> list of (axis, alpha) cones already expanded
-
-        def dominated(s, axis, alpha):
-            """True if an already-expanded cone at s contains this one
-            (angle between axes + new half-angle <= old half-angle) —
-            skipping is then sound because the old sweep was wider."""
-            for old_axis, old_alpha in seen.get(s, ()):
-                gap = math.acos(float(np.clip(np.dot(old_axis, axis),
-                                              -1.0, 1.0)))
-                if gap + alpha <= old_alpha + 1e-9:
-                    return True
-            return False
-
-        while frontier:
-            s, in_axis, in_alpha, depth = frontier.pop()
-            if depth >= age_cap:
-                continue
-            in_axis = np.asarray(in_axis)
-            if dominated(s, in_axis, in_alpha):
-                continue
-            seen.setdefault(s, []).append((in_axis, in_alpha))
-            out_axis = _reflect(in_axis, n_axis[s])
-            out_alpha = in_alpha + widen[s]
-            hits = np.nonzero(_cone_sweep_hits(
-                spheres, spheres[s, :3], spheres[s, 3], out_axis, out_alpha,
-                margin))[0]
-            for c in hits.tolist():
-                cand.add(c)
-                if c in expandable_set:
-                    frontier.append((c, out_axis, out_alpha, depth + 1))
-        lists.append(sorted(cand))
-    return lists
+    """Candidate row lists for each source cell (see _one_cell_list)."""
+    return [_one_cell_list(bounds, center, rot, radius, theta_src, spheres,
+                           n_axis, widen, expandable_set, age_cap, margin,
+                           d0)
+            for bounds in cell_bounds]
 
 
-def _pilot_survival(table, cell_bounds, center, rot, radius, theta_dni,
-                    n_rays: int, seed: int = 0) -> np.ndarray:
-    """Per-cell survival estimate: fraction of pilot rays that hit a
-    surface, weighted by the row's (1 - absorptivity). Used only for
-    LOAD BALANCING (block multiplicity) — never affects soundness. Pilot
+def _row_fill(meta, spheres, resolution: int = 8) -> np.ndarray:
+    """Per-row fill factor: surface area / bounding-sphere cross-section
+    (pi r^2). Measures how much of a sphere hit is actually surface."""
+    from .viz.render import mesh_of
+    out = np.ones(len(spheres))
+    for i, g in enumerate(_row_geometries(meta)):
+        x, y, z = mesh_of(g, resolution)
+        pts = np.stack([x, y, z], axis=-1)
+        e1 = pts[1:, :-1] - pts[:-1, :-1]
+        e2 = pts[:-1, 1:] - pts[:-1, :-1]
+        area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1).sum() * 2.0
+        denom = np.pi * spheres[i, 3] ** 2
+        out[i] = min(area / max(denom, 1e-30), 1.0)
+    return out
+
+
+def _pilot_survival(cell_bounds, center, rot, radius, theta_dni,
+                    n_rays: int, spheres, n_axis, fill, absorb,
+                    seed: int = 0) -> np.ndarray:
+    """Per-cell survival estimate: expected (1 - absorptivity) weight of a
+    pilot ray's first interaction, from a pure-NumPy bounding-sphere
+    intersect weighted by each row's fill factor x incidence cosine.
+    Used ONLY for load balancing (block multiplicity) — never affects
+    soundness — so the sphere approximation is fine, and it avoids a
+    device-compiler round trip entirely (an exact jnp pilot costs one
+    ~minutes-long remote compile per scene on tunneled TPU hosts). Pilot
     directions sample the solar disc only (98%+ of Buie energy)."""
-    import jax.numpy as jnp
-    from .kernels.intersect import nearest_hit
     rng = np.random.default_rng(seed)
     nc = len(cell_bounds)
     a0, a1, th0, th1 = (np.repeat(cell_bounds[:, k], n_rays)
@@ -279,18 +312,53 @@ def _pilot_survival(table, cell_bounds, center, rot, radius, theta_dni,
     loc = np.stack([rr * np.cos(th), rr * np.sin(th), np.zeros_like(rr)],
                    axis=1)
     R = np.asarray(rot).reshape(3, 3)
-    pos = loc @ R.T + np.asarray(center)
+    pos = (loc @ R.T + np.asarray(center)).astype(np.float32)
     t = theta_dni * np.sqrt(rng.random(nc * n_rays))
     p = 2.0 * np.pi * rng.random(nc * n_rays)
     ld = np.stack([np.sin(t) * np.cos(p), np.sin(t) * np.sin(p),
                    np.cos(t)], axis=1)
-    dirs = ld @ R.T
-    _, sid = nearest_hit(table, jnp.asarray(pos, dtype=jnp.float32),
-                         jnp.asarray(dirs, dtype=jnp.float32))
-    sid = np.asarray(sid).reshape(nc, n_rays)
-    absorb = np.asarray(table.opt_params)[:, 0]
-    surv = np.where(sid >= 0, 1.0 - absorb[np.maximum(sid, 0)], 0.0)
-    return surv.mean(axis=1)
+    dirs = (ld @ R.T).astype(np.float32)
+
+    c = spheres[:, :3].astype(np.float32)
+    r2 = (spheres[:, 3] ** 2).astype(np.float32)
+    # first interaction weight = (1-a) * fill * |cos| of the nearest
+    # sphere the ray pierces (chunked: N x S intermediates)
+    surv = np.zeros(nc * n_rays, dtype=np.float32)
+    w_row = ((1.0 - absorb) * fill).astype(np.float32)
+    cosr = np.abs(dirs @ n_axis.T.astype(np.float32))       # (N, S)
+    chunk = max(1, (1 << 22) // max(len(c), 1))
+    for i0 in range(0, len(pos), chunk):
+        P = pos[i0:i0 + chunk]
+        D = dirs[i0:i0 + chunk]
+        b = c[None, :, :] - P[:, None, :]
+        tt = np.einsum("nsk,nk->ns", b, D)
+        miss = (tt < 0.0) | ((b * b).sum(-1) - tt * tt > r2[None, :])
+        tt = np.where(miss, np.inf, tt)
+        s = np.argmin(tt, axis=1)
+        hit = np.isfinite(tt[np.arange(len(P)), s])
+        surv[i0:i0 + chunk] = np.where(
+            hit, w_row[s] * cosr[i0:i0 + chunk][np.arange(len(P)), s], 0.0)
+    return surv.reshape(nc, n_rays).mean(axis=1)
+
+
+def _aggregate_survival(fine_cells, fine_h, coarse_cells) -> np.ndarray:
+    """Area-weighted survival of a coarse equal-area partition from a
+    fine partition's estimates: each fine cell's center lands in exactly
+    one coarse cell, and all fine cells have equal area, so the coarse h
+    is the plain mean of its member fine cells (empty coarse cells keep
+    the global mean)."""
+    a_mid = 0.5 * (fine_cells[:, 0] + fine_cells[:, 1])
+    th_mid = 0.5 * (fine_cells[:, 2] + fine_cells[:, 3])
+    out = np.full(len(coarse_cells), float(fine_h.mean()))
+    counts = np.zeros(len(coarse_cells), dtype=np.int64)
+    sums = np.zeros(len(coarse_cells))
+    for c, (a0, a1, th0, th1) in enumerate(coarse_cells):
+        m = (a_mid >= a0) & (a_mid < a1) & (th_mid >= th0) & (th_mid < th1)
+        counts[c] = m.sum()
+        sums[c] = fine_h[m].sum()
+    nz = counts > 0
+    out[nz] = sums[nz] / counts[nz]
+    return out
 
 
 def build_block_culling(table, meta, source_spec, slab: int, *,
@@ -325,8 +393,10 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
     spheres = _row_spheres(meta, resolution)
     n_axis, n_beta = _row_normal_cones(table, meta, resolution)
 
-    kinds = np.asarray(table.opt_kind)
-    prm = np.asarray(table.opt_params)
+    kinds = (meta.host_opt_kind if meta.host_opt_kind is not None
+             else np.asarray(table.opt_kind))
+    prm = (meta.host_opt_params if meta.host_opt_params is not None
+           else np.asarray(table.opt_params))
     S = len(spheres)
     # per-row slope-error sigma (same slot logic as the scene compiler)
     sigma = np.where(kinds == M.K_REFLECT, prm[:, 1],
@@ -353,6 +423,12 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
     n_cells = nb
     mult = np.ones(nb, dtype=np.int64)
     if balance and nb > 1:
+        # ONE pilot on the finest grid; candidate partitions aggregate it
+        fine = disk_cells(nb)
+        fill = _row_fill(meta, spheres, resolution)
+        fine_h = _pilot_survival(fine, center, rot, radius,
+                                 float(theta_dni), pilot_rays,
+                                 spheres, n_axis, fill, absorptivity)
         best = None
         tried = set()
         for div in (1.0, 1.1, 1.2, 1.35, 1.5, 1.7, 2.0):
@@ -360,13 +436,24 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
             if nc in tried:
                 continue
             tried.add(nc)
-            h = _pilot_survival(table, disk_cells(nc), center, rot, radius,
-                                float(theta_dni), pilot_rays)
+            cand = disk_cells(nc)
+            h = (fine_h if nc == nb
+                 else _aggregate_survival(fine, fine_h, cand))
             w = 1.0 / np.maximum(1.0 - h, 0.1)
             m = np.ones(nc, dtype=np.int64)
             for _ in range(nb - nc):
                 m[np.argmax(w / m)] += 1
-            score = float((w / m).max()) / nc
+            # total cost ~ rounds x per-round cost. Rounds ~ max_c of
+            # quota/(m_c (1-h_c)) ~ max(w/m)/nc. Per-round cost has a
+            # fixed part and a candidate-loop part that grows with cell
+            # area (estimated by the first-segment sweep count of a mid
+            # ring cell; the closure roughly doubles it). Measured on
+            # v5e: fixed ~ 1.0 ms/round, ~0.045 ms per candidate row.
+            mid = cand[len(cand) // 2]
+            c0, r0 = _cell_sphere(center, rot, radius, mid)
+            L1 = int(_cone_sweep_hits(spheres, c0, r0, d0, theta_src,
+                                      margin).sum())
+            score = (float((w / m).max()) / nc) * (1.0 + 0.09 * L1)
             if best is None or score < best[0]:
                 best = (score, nc, m)
         _, n_cells, mult = best
@@ -375,11 +462,51 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
     cl = _cell_lists(cells, center, rot, radius, theta_src, spheres,
                      n_axis, widen, expandable_set, age_cap, margin, d0)
 
+    # ---- SMEM width cap: the lists ride in SMEM transposed (L_max, nb),
+    # padded to (L_max, ceil(nb/128)*128) int32, alongside the (K, S)
+    # rows table in the 1 MB scalar memory. Degrade the worst cells to a
+    # shallower corridor depth until everything fits: their blocks park
+    # survivors earlier (per-block age caps) and drain exactly against
+    # the full surface list — cost shifts, physics never changes.
+    def _pad128(x: int) -> int:
+        return -(-x // 128) * 128
+    K = 26 + 6 * table.ap_params.shape[1]
+    S_rows = table.ap_params.shape[0]
+    rows_bytes = K * _pad128(S_rows) * 4
+    misc_bytes = 8 * _pad128(nb) * 4 + 32 * 1024   # bounds/ids/quotas+slack
+    l_budget = 1048576 - rows_bytes - misc_bytes
+    if l_budget <= 0:
+        raise ValueError(
+            f"scene too large for the culled megakernel's SMEM rows table "
+            f"({S_rows} rows x {K} floats); shard the scene or use the "
+            "general streaming path")
+    L_cap = max(1, l_budget // (_pad128(nb) * 4))
+    cell_depth = np.full(n_cells, age_cap, dtype=np.int64)
+    for c in range(n_cells):
+        while len(cl[c]) > L_cap and cell_depth[c] > 1:
+            cell_depth[c] -= 1
+            cl[c] = _one_cell_list(cells[c], center, rot, radius,
+                                   theta_src, spheres, n_axis, widen,
+                                   expandable_set, int(cell_depth[c]),
+                                   margin, d0)
+        if len(cl[c]) > L_cap:
+            raise ValueError(
+                f"cell {c}'s first-segment candidate list ({len(cl[c])}) "
+                f"exceeds the SMEM width budget ({L_cap}); increase the "
+                "slab (smaller cells) or shard the scene")
+
     cell_of_block = np.repeat(np.arange(n_cells), mult).astype(np.int32)
     assert len(cell_of_block) == nb
     lists = [cl[c] for c in cell_of_block]
     counts = np.asarray([len(r) for r in lists], dtype=np.int32)
     cell_bounds = cells[cell_of_block]
+    age_caps = cell_depth[cell_of_block].astype(np.int32)
+    if (age_caps == 1).any():
+        import logging
+        logging.getLogger("tracer_tpu").warning(
+            "%d blocks degraded to corridor depth 1 (SMEM cap): every "
+            "bounce survivor there parks for the drain phase",
+            int((age_caps == 1).sum()))
 
     L_max = max(1, int(counts.max()))
     # padding is -1: the kernel's fori never reads past counts[b], and the
@@ -394,7 +521,7 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
                  reduction=float(S / max(counts.mean(), 1.0)))
     return BlockCulling(lists=arr, counts=counts, cell_bounds=cell_bounds,
                         cell_of_block=cell_of_block, n_cells=n_cells,
-                        age_cap=age_cap,
+                        age_caps=age_caps,
                         demote_rows=tuple(int(r) for r in
                                           np.nonzero(demote)[0]),
                         stats=stats)

@@ -753,14 +753,14 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
     jax.jit, static_argnames=("source_spec", "slab",
                               "max_rounds", "max_path", "min_energy",
                               "t_eps", "disc_eps", "bivar", "one_sided",
-                              "slope", "lambertian", "age_cap",
+                              "slope", "lambertian",
                               "demote_rows"))
 def _trace_streaming_megakernel_culled(
         scene: SceneTable, key, lists, counts, cells, cell_bounds, quota_b,
-        source_spec,
+        age_caps, source_spec,
         slab: int, max_rounds: int, max_path: int,
         min_energy: float, t_eps, disc_eps: float, bivar, one_sided: bool,
-        slope: bool, age_cap: int, demote_rows: tuple,
+        slope: bool, demote_rows: tuple,
         lambertian: bool = False):
     """Relevancy-culled streaming megakernel (see culling.py): each grid
     block owns one equal-area source cell and intersects only its static
@@ -768,8 +768,9 @@ def _trace_streaming_megakernel_culled(
     (``quota_b`` = culling.block_quota(total_rays): each cell's equal-area
     budget, split across the blocks serving it for load balance).
 
-    Rays that survive a bounce off a demoted surface, or reach ``age_cap``
-    bounces, are *parked* (state frozen, excluded from accounting) and
+    Rays that survive a bounce off a demoted surface, or reach their
+    block's corridor depth ``age_caps[b]``, are *parked* (state frozen,
+    excluded from accounting) and
     re-traced exactly against the full surface list in a drain phase after
     the main loop, so culling never changes the physics — only the cost.
 
@@ -867,7 +868,8 @@ def _trace_streaming_megakernel_culled(
         demote_hit = jnp.zeros_like(hit)
         for r in demote_rows:
             demote_hit = demote_hit | (sid == r)
-        newly = ~parked & (ne > 0.0) & (demote_hit | (age >= age_cap))
+        age_cap_lane = jnp.repeat(age_caps, TILE)
+        newly = ~parked & (ne > 0.0) & (demote_hit | (age >= age_cap_lane))
         pos = jnp.where(parked[:, None], pos, npos)
         dirs = jnp.where(parked[:, None], dirs, ndirs)
         e = jnp.where(parked, e, ne)
@@ -888,7 +890,13 @@ def _trace_streaming_megakernel_culled(
 
     # ---- drain: re-trace parked rays (and any max_rounds leftovers)
     # against the FULL surface list — always sound, so culling cannot
-    # change the accounted physics
+    # change the accounted physics. Live lanes are sparse by now, while a
+    # full-slab brute-force round costs slab*S row tests (~0.2 s at 8M
+    # lanes x 1000 rows), so the survivors are first COMPACTED into a
+    # small buffer with one top_k (their energies are the only positive
+    # entries); an outer loop repeats if more than CAP survived.
+    cap = min(slab, 64 * TILE)
+
     def dcond(st):
         i, pos, dirs, e, age, accum, key = st
         return (i < max_rounds) & jnp.any(e > 0.0)
@@ -917,10 +925,30 @@ def _trace_streaming_megakernel_culled(
         ne = jnp.where(over, 0.0, ne)
         return (i + 1, pos, dirs, ne, age, accum, key)
 
-    dst = (z32, pos, dirs, e, age, accum, key)
-    dst = jax.lax.while_loop(dcond, dbody, dst)
-    _, _, _, e, _, accum, _ = dst
-    accum = accum.replace(residual=accum.residual + jnp.sum(e))
+    if cap == slab:
+        dst = (z32, pos, dirs, e, age, accum, key)
+        dst = jax.lax.while_loop(dcond, dbody, dst)
+        _, _, _, e, _, accum, _ = dst
+        accum = accum.replace(residual=accum.residual + jnp.sum(e))
+        return accum, jnp.sum(emitted_b), source_e
+
+    def ccond(st):
+        pos, dirs, e, age, accum, key = st
+        return jnp.any(e > 0.0)
+
+    def cbody(st):
+        pos, dirs, e, age, accum, key = st
+        ce, idx = jax.lax.top_k(e, cap)
+        cpos, cdirs, cage = pos[idx], dirs[idx], age[idx]
+        e = e.at[idx].set(0.0)
+        dst = (z32, cpos, cdirs, ce, cage, accum, key)
+        dst = jax.lax.while_loop(dcond, dbody, dst)
+        _, _, _, ce, _, accum, key = dst
+        accum = accum.replace(residual=accum.residual + jnp.sum(ce))
+        return pos, dirs, e, age, accum, key
+
+    st2 = jax.lax.while_loop(ccond, cbody, (pos, dirs, e, age, accum, key))
+    accum = st2[4]
     return accum, jnp.sum(emitted_b), source_e
 
 
@@ -1001,14 +1029,14 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             jnp.asarray(culling.counts),
             jnp.arange(nb, dtype=jnp.int32),
             jnp.asarray(culling.cell_bounds),
-            jnp.asarray(culling.block_quota(total_rays)), source_spec=spec,
+            jnp.asarray(culling.block_quota(total_rays)),
+            jnp.asarray(culling.age_caps), source_spec=spec,
             slab=n, max_rounds=max_rounds,
             max_path=max_path, min_energy=min_energy, t_eps=t_eps,
             disc_eps=disc_eps, bivar=_bivar_mode(scene),
             one_sided="one_sided" in scene.features,
             slope="slope_error" in scene.features,
             lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
-            age_cap=culling.age_cap,
             demote_rows=culling.demote_rows)
     if culling is not None:
         import logging

@@ -158,8 +158,14 @@ def _surface_t(inv_frame, quad, ap_params, pos, dirs, t_eps, disc_eps, sig):
 
 
 def _use_pallas(pos) -> bool:
-    return (pos.dtype == jnp.float32
-            and jax.default_backend() not in ("cpu",))
+    if pos.dtype != jnp.float32:
+        return False
+    # honor a jax.default_device(cpu) context (e.g. the culling pilot on a
+    # TPU host): Pallas kernels only lower on accelerator backends
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return getattr(dd, "platform", str(dd)) not in ("cpu",)
+    return jax.default_backend() not in ("cpu",)
 
 
 def _aperture_mask_dynamic(ap_type, ap_params, pt):

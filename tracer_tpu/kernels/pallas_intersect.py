@@ -55,8 +55,11 @@ N_STATE_NOLOCAL = 9
 
 
 def pack_rows(scene) -> "jnp.ndarray":
-    """Pack per-surface data into one (S, ROW_F + 6*C) float array (traced;
-    XLA hoists it out of trace loops)."""
+    """Pack per-surface data into one (ROW_F + 6*C, S) float array (traced;
+    XLA hoists it out of trace loops). TRANSPOSED layout — surfaces on the
+    last axis: SMEM scalar-prefetch buffers pad the minor dimension to 128
+    elements, so an (S, K) table would cost S*512 bytes of the 1 MB SMEM
+    (OOM beyond ~1.5k surfaces) while (K, S) costs K*ceil(S, 128)*4."""
     S = scene.num_rows
     return jnp.concatenate([
         scene.inv_frame[:, :3, :3].reshape(S, 9),
@@ -66,7 +69,7 @@ def pack_rows(scene) -> "jnp.ndarray":
         .astype(jnp.float32),
         scene.opt_params[:, 0:3],
         scene.ap_params.reshape(S, -1),
-    ], axis=1).astype(jnp.float32)
+    ], axis=1).astype(jnp.float32).T
 
 
 def _ap_ok_static(sig, rp, x, y, z):
@@ -160,21 +163,21 @@ def _surface_body(sig, base_sid, t_eps, disc_eps, flat, need_local,
     solve entirely — t = -v_z/d_z — about 3x fewer flops.
 
     With ``lists_ref`` (+ ``block``), the loop index is indirected through
-    the per-block candidate list (SMEM): s = lists_ref[block, i] — the
+    the per-block candidate list (SMEM): s = lists_ref[i, block] — the
     relevancy-culling fast path (culling.build_block_culling)."""
     px, py, pz, dx, dy, dz = rays
     big = jnp.float32(np.inf)
 
     if True:
         def body(s_i, carry):
-            s = lists_ref[block, s_i] if lists_ref is not None else s_i
+            s = lists_ref[s_i, block] if lists_ref is not None else s_i
             if need_local:
                 (t_best, sid_best, ngx_b, ngy_b, ngz_b, plx_b, ply_b,
                  plz_b, upd_b, kf_b, q0_b, q1_b) = carry
             else:
                 (t_best, sid_best, ngx_b, ngy_b, ngz_b,
                  upd_b, kf_b, q0_b, q1_b) = carry
-            r = [rows_ref[s, k] for k in range(ROW_F + 6 * len(sig))]
+            r = [rows_ref[k, s] for k in range(ROW_F + 6 * len(sig))]
 
             vz = r[6] * px + r[7] * py + r[8] * pz + r[11]
             ddz = r[6] * dx + r[7] * dy + r[8] * dz
@@ -389,7 +392,7 @@ def nearest_hit_pallas(rows: jnp.ndarray, pos: jnp.ndarray,
             out_shape=tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
                             for a in state),
             input_output_aliases={7 + i: i for i in range(n_state)},
-        )(rows[start:end], *comps, *state))
+        )(rows[:, start:end], *comps, *state))
 
     flat = [a.reshape(n_pad)[:n] for a in state]
     t, sid = flat[0], flat[1]
@@ -870,8 +873,8 @@ def _make_fused_kernel_culled(sig, t_eps, disc_eps, flat, bivar, one_sided,
         dead = e <= 0.0
         rank = _dead_lane_rank(dead.astype(jnp.float32))
         do = dead & (rank < remaining_ref[b].astype(jnp.float32))
-        bounds = (cellb_ref[b, 0], cellb_ref[b, 1],
-                  cellb_ref[b, 2], cellb_ref[b, 3])
+        bounds = (cellb_ref[0, b], cellb_ref[1, b],
+                  cellb_ref[2, b], cellb_ref[3, b])
         f = _sample_disk_buie(source_spec, px.shape, cell=bounds)
         e_ray = jnp.float32(source_spec[5])
         px = jnp.where(do, f[0], px)
@@ -937,7 +940,7 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
     The ray count must be exactly nb * TILE (block b <-> source cell b)."""
     assert len(groups) == 1, "culled fast path requires a single group"
     (start, end, sig, tag) = groups[0]
-    assert start == 0 and end == rows.shape[0]
+    assert start == 0 and end == rows.shape[1]
     n = pos.shape[0]
     nb = lists.shape[0]
     if n != nb * TILE:
@@ -974,7 +977,7 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-    )(seed, remaining, lists, counts, cells, cell_bounds, rows, *comps)
+    )(seed, remaining, lists.T, counts, cells, cell_bounds.T, rows, *comps)
 
     flat_outs = [a.reshape(n) for a in outs]
     new_pos = jnp.stack(flat_outs[0:3], axis=1)

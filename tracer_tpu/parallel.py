@@ -122,22 +122,23 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
     cells = jnp.arange(nb, dtype=jnp.int32)
     cell_bounds = jnp.asarray(culling.cell_bounds)
     quota_b = jnp.asarray(culling.block_quota(total_rays))
+    age_caps = jnp.asarray(culling.age_caps)
     slab_local = (nb // n_dev) * TILE
 
     from . import materials as _M
 
-    def worker(scene, lists, counts, cells, cell_bounds, quota_b, key):
+    def worker(scene, lists, counts, cells, cell_bounds, quota_b,
+               age_caps, key):
         key = jax.random.fold_in(key, jax.lax.axis_index("rays"))
         accum, emitted, source_e = _trace_streaming_megakernel_culled(
             scene, key, lists, counts, cells, cell_bounds, quota_b,
-            source_spec=spec,
+            age_caps, source_spec=spec,
             slab=slab_local, max_rounds=max_rounds,
             max_path=max_path, min_energy=min_energy, t_eps=t_eps,
             disc_eps=disc_eps, bivar=_bivar_mode(scene),
             one_sided="one_sided" in scene.features,
             slope="slope_error" in scene.features,
             lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
-            age_cap=culling.age_cap,
             demote_rows=culling.demote_rows)
         return (jax.tree_util.tree_map(
                     lambda a: jax.lax.psum(a, "rays"), accum),
@@ -146,9 +147,10 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
 
     fn = jax.shard_map(worker, mesh=mesh,
                        in_specs=(P(), P("rays"), P("rays"), P("rays"),
-                                 P("rays"), P("rays"), P()),
+                                 P("rays"), P("rays"), P("rays"), P()),
                        out_specs=(P(), P(), P()), check_vma=False)
-    return fn(scene, lists, counts, cells, cell_bounds, quota_b, key)
+    return fn(scene, lists, counts, cells, cell_bounds, quota_b, age_caps,
+              key)
 
 
 def multi_ray_sim(scene, bundles, key: jax.Array, mesh: Optional[Mesh] = None,

@@ -221,6 +221,13 @@ class SceneMeta:
     # signature at compile time, so meta.surfaces iteration order is NOT row
     # order in general — anything needing per-row geometry must use this)
     row_geoms: Optional[list] = None
+    # host (numpy) copies of the table rows that build-time analyses need
+    # (culling, accel): a device->host fetch of even a tiny array through a
+    # tunneled TPU runtime can cost minutes, so never read them off the
+    # SceneTable on the host
+    host_quadric: Optional[np.ndarray] = None
+    host_opt_kind: Optional[np.ndarray] = None
+    host_opt_params: Optional[np.ndarray] = None
 
     def index_of(self, name: str) -> int:
         return self.names.index(name)
@@ -407,5 +414,9 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
     names = [s.name or f"surface_{k}" for k, s in enumerate(logical_surfaces)]
     meta = SceneMeta(surfaces=logical_surfaces, names=names,
                      row_logical=logical, frames=frames,
-                     row_geoms=[g for g, *_ in rows])
+                     row_geoms=[g for g, *_ in rows],
+                     host_quadric=np.asarray(quad, dtype=np.float64),
+                     host_opt_kind=np.asarray(opt_kind),
+                     host_opt_params=np.asarray(opt_params,
+                                                dtype=np.float64))
     return table, meta
