@@ -49,7 +49,7 @@ def test_disk_cells_partition():
     """disk_cells must tile the unit disk exactly (equal areas, no gaps)
     with near-square cells for ANY nb — including primes, which the old
     (nr, nth) factorization degenerated into full-radius pie wedges."""
-    for nb in (12, 257, 342, 512):
+    for nb in (1, 2, 5, 12, 31, 119, 209, 257, 342, 512):
         cells = disk_cells(nb)
         assert cells.shape == (nb, 4)
         a0, a1, th0, th1 = cells.T

@@ -136,6 +136,42 @@ def test_culling_on_off_equivalence():
     assert abs(esc_on - esc_off) / esc_off < 0.005
 
 
+def test_culled_quota_completes_under_park_starvation():
+    """Blocks whose corridor depth is 1 park EVERY bounce survivor, which
+    can freeze all of a block's lanes while its emission quota is unmet.
+    The emit->drain cycle must clear the parked lanes and resume until
+    every cell's equal-area quota is emitted EXACTLY — otherwise the
+    spatial source density is biased toward low-survival regions."""
+    import dataclasses
+    from benchmarks.nsttf import build_scene, make_source_fn
+    from tracer_tpu.culling import build_block_culling
+    from tracer_tpu.engine import trace_streaming
+    from tracer_tpu.kernels.pallas_intersect import TILE
+
+    slab = 24 * TILE
+    total = 12 * slab
+    table, meta, info = build_scene(n_heliostats=60)
+    source_fn = make_source_fn(info, slab)
+    culling = build_block_culling(table, meta, source_fn.pallas_spec, slab)
+    # force the pathological case: every block parks each bounce survivor
+    culling = dataclasses.replace(
+        culling, age_caps=np.ones_like(culling.age_caps))
+
+    accum, emitted, se = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(3), total_rays=total,
+        max_rounds=800, max_path=8, culling=culling))
+    assert int(emitted) == int(culling.block_quota(total).sum())
+    assert abs(_closure_of(accum, se)) < 1e-4
+    # physics must match the undegraded culled trace to MC tolerance
+    culling2 = build_block_culling(table, meta, source_fn.pallas_spec, slab)
+    a2, em2, se2 = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(3), total_rays=total,
+        max_rounds=800, max_path=8, culling=culling2))
+    rec = float(np.asarray(accum.absorbed).max()) / float(se)
+    rec2 = float(np.asarray(a2.absorbed).max()) / float(se2)
+    assert abs(rec - rec2) / rec2 < 0.03, (rec, rec2)
+
+
 def test_culled_trace_scales_sublinearly_in_surface_count():
     """Quadrupling the heliostat count must cost far less than 4x per ray
     on the culled path (VERDICT round 1: prove sub-linear cost in surface

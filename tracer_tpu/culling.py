@@ -108,34 +108,54 @@ def disk_cells(nb: int) -> np.ndarray:
     a prime nb must not degenerate into full-radius pie wedges, whose huge
     bounding spheres would destroy the corridor analysis).
 
-    Rings are chosen greedily: each ring takes the sector count k that
-    makes its cells closest to square (arc length = radial width), i.e.
-    k = (r0 + r1) * sqrt(nb * pi); a small leftover is absorbed into the
-    final ring. Returns (nb, 4) float32 rows [a0, a1, th0, th1] with
-    a = r^2 the cumulative area fraction."""
+    Searches over the ring count m: sectors are spread over m rings
+    proportionally to ring area (largest-remainder rounding, so cells stay
+    exactly equal-area via the cumulative-count boundaries), and the m
+    with the best worst-ring aspect (arc/width) wins. Returns (nb, 4)
+    float32 rows [a0, a1, th0, th1] with a = r^2 the cumulative area
+    fraction."""
+    def ring_counts(m: int):
+        w = np.arange(1, 2 * m, 2, dtype=np.float64)   # equal-width rings
+        ideal = nb * w / w.sum()
+        n = np.maximum(np.floor(ideal).astype(int), 1)
+        while n.sum() > nb:                            # min-1 overshoot
+            i = int(np.argmax(n - ideal))
+            if n[i] <= 1:
+                return None
+            n[i] -= 1
+        rem = nb - n.sum()
+        order = np.argsort(ideal - n)[::-1]
+        for i in order[:rem]:
+            n[i] += 1
+        return n
+
+    def worst_aspect(n):
+        c = np.concatenate([[0], np.cumsum(n)]) / nb
+        r = np.sqrt(c)
+        width = np.diff(r)
+        arc = 2.0 * np.pi * 0.5 * (r[:-1] + r[1:]) / n
+        a = np.maximum(arc, width) / np.maximum(np.minimum(arc, width),
+                                                1e-12)
+        return float(a.max())
+
+    best = None
+    for m in range(1, int(2 * math.sqrt(nb)) + 2):
+        n = ring_counts(m)
+        if n is None:
+            continue
+        a = worst_aspect(n)
+        if best is None or a < best[0]:
+            best = (a, n)
+    n = best[1]
     cells = []
     done = 0
-    r0 = 0.0
-    while done < nb:
-        remaining = nb - done
-        # aspect(k) = arc/width = pi*(r0+r1)^2*nb/k^2 with r1 = r1(k);
-        # solve aspect = 1 by fixed point (r1 depends weakly on k)
-        k = max(1, remaining if done == 0 and remaining <= 3 else 1)
-        for _ in range(8):
-            r1 = math.sqrt((done + k) / nb)
-            k_new = max(1, round((r0 + r1) * math.sqrt(nb * math.pi)))
-            if k_new == k:
-                break
-            k = min(k_new, remaining)
-        k = min(k, remaining)
-        if 0 < remaining - k <= max(2, k // 4):
-            k = remaining  # absorb a tiny leftover into this ring
-        r1 = math.sqrt((done + k) / nb)
+    for k in n:
+        a0 = done / nb
+        a1 = (done + k) / nb
         for j in range(k):
-            cells.append((r0 * r0, r1 * r1,
+            cells.append((a0, a1,
                           2.0 * np.pi * j / k, 2.0 * np.pi * (j + 1) / k))
         done += k
-        r0 = r1
     return np.asarray(cells, dtype=np.float32)
 
 
@@ -321,11 +341,12 @@ def _pilot_survival(cell_bounds, center, rot, radius, theta_dni,
 
     c = spheres[:, :3].astype(np.float32)
     r2 = (spheres[:, 3] ** 2).astype(np.float32)
+    na32 = n_axis.T.astype(np.float32)
     # first interaction weight = (1-a) * fill * |cos| of the nearest
-    # sphere the ray pierces (chunked: N x S intermediates)
+    # sphere the ray pierces (chunked: every N x S intermediate,
+    # including the cosine matrix, stays ~16 MB)
     surv = np.zeros(nc * n_rays, dtype=np.float32)
     w_row = ((1.0 - absorb) * fill).astype(np.float32)
-    cosr = np.abs(dirs @ n_axis.T.astype(np.float32))       # (N, S)
     chunk = max(1, (1 << 22) // max(len(c), 1))
     for i0 in range(0, len(pos), chunk):
         P = pos[i0:i0 + chunk]
@@ -335,9 +356,10 @@ def _pilot_survival(cell_bounds, center, rot, radius, theta_dni,
         miss = (tt < 0.0) | ((b * b).sum(-1) - tt * tt > r2[None, :])
         tt = np.where(miss, np.inf, tt)
         s = np.argmin(tt, axis=1)
-        hit = np.isfinite(tt[np.arange(len(P)), s])
-        surv[i0:i0 + chunk] = np.where(
-            hit, w_row[s] * cosr[i0:i0 + chunk][np.arange(len(P)), s], 0.0)
+        lane = np.arange(len(P))
+        hit = np.isfinite(tt[lane, s])
+        cosr = np.abs(np.einsum("nk,kn->n", D, na32[:, s]))
+        surv[i0:i0 + chunk] = np.where(hit, w_row[s] * cosr, 0.0)
     return surv.reshape(nc, n_rays).mean(axis=1)
 
 

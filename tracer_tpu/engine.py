@@ -802,9 +802,20 @@ def _trace_streaming_megakernel_culled(
     def cond(st):
         (i, pos, dirs, e, age, parked, accum, hist, key, emitted_b,
          source_e) = st
-        live = (e > 0.0) & ~parked
-        return (i < max_rounds) & (jnp.any(emitted_b < quota_b)
-                                   | jnp.any(live))
+        live_unparked = (e > 0.0) & ~parked
+        # a block whose lanes are ALL parked cannot refill even with quota
+        # remaining (parked lanes are frozen until the drain phase): when
+        # no block can make progress, exit so the outer emit->drain cycle
+        # can clear the parked lanes and resume emission — otherwise the
+        # loop would spin to max_rounds and under-emit those cells,
+        # biasing the spatial source density
+        dead_b = jnp.sum((e <= 0.0).reshape(nb, TILE).astype(jnp.int32),
+                         axis=1)
+        lu_b = jnp.sum(live_unparked.reshape(nb, TILE).astype(jnp.int32),
+                       axis=1)
+        can_emit = (emitted_b < quota_b) & ((dead_b > 0) | (lu_b > 0))
+        return (i < max_rounds) & (jnp.any(can_emit)
+                                   | jnp.any(live_unparked))
 
     def body(st):
         (i, pos, dirs, e, age, parked, accum, hist, key, emitted_b,
@@ -877,24 +888,13 @@ def _trace_streaming_megakernel_culled(
         return (i + 1, pos, dirs, e, age, parked, accum, hist, key,
                 emitted_b, source_e)
 
-    st = (z32, pos0, dir0, e0, age0, parked0, accum0, hist0, key, emitted0,
-          jnp.zeros((), dtype=jnp.float32))
-    st = jax.lax.while_loop(cond, body, st)
-    (_, pos, dirs, e, age, parked, accum, hist, key, emitted_b,
-     source_e) = st
-    # fold the slot histogram into per-row absorbed energy (one scatter)
-    rows_flat = jnp.maximum(lists.reshape(-1), 0)
-    vals_flat = jnp.where(lists.reshape(-1) >= 0, hist.reshape(-1), 0.0)
-    accum = accum.replace(absorbed=accum.absorbed.at[rows_flat].add(
-        vals_flat))
-
-    # ---- drain: re-trace parked rays (and any max_rounds leftovers)
-    # against the FULL surface list — always sound, so culling cannot
-    # change the accounted physics. Live lanes are sparse by now, while a
-    # full-slab brute-force round costs slab*S row tests (~0.2 s at 8M
-    # lanes x 1000 rows), so the survivors are first COMPACTED into a
-    # small buffer with one top_k (their energies are the only positive
-    # entries); an outer loop repeats if more than CAP survived.
+    # ---- drain: re-trace parked rays (and any leftovers) against the
+    # FULL surface list — always sound, so culling cannot change the
+    # accounted physics. Live lanes are sparse by then, while a full-slab
+    # brute-force round costs slab*S row tests (~0.2 s at 8M lanes x 1000
+    # rows), so the survivors are first COMPACTED into a small buffer
+    # with one top_k (their energies are the only positive entries); an
+    # outer loop repeats if more than ``cap`` survived.
     cap = min(slab, 64 * TILE)
 
     def dcond(st):
@@ -925,30 +925,66 @@ def _trace_streaming_megakernel_culled(
         ne = jnp.where(over, 0.0, ne)
         return (i + 1, pos, dirs, ne, age, accum, key)
 
-    if cap == slab:
-        dst = (z32, pos, dirs, e, age, accum, key)
-        dst = jax.lax.while_loop(dcond, dbody, dst)
-        _, _, _, e, _, accum, _ = dst
-        accum = accum.replace(residual=accum.residual + jnp.sum(e))
-        return accum, jnp.sum(emitted_b), source_e
+    def drain_all(pos, dirs, e, age, accum, key):
+        """Trace every live lane (parked or not) to death; returns the
+        zeroed energies so the main loop can resume emitting into them."""
+        if cap == slab:
+            dst = (z32, pos, dirs, e, age, accum, key)
+            dst = jax.lax.while_loop(dcond, dbody, dst)
+            _, _, _, de, _, accum, key = dst
+            accum = accum.replace(residual=accum.residual + jnp.sum(de))
+            return jnp.zeros_like(e), accum, key
 
-    def ccond(st):
-        pos, dirs, e, age, accum, key = st
-        return jnp.any(e > 0.0)
+        def ccond(st):
+            e, accum, key = st
+            return jnp.any(e > 0.0)
 
-    def cbody(st):
-        pos, dirs, e, age, accum, key = st
-        ce, idx = jax.lax.top_k(e, cap)
-        cpos, cdirs, cage = pos[idx], dirs[idx], age[idx]
-        e = e.at[idx].set(0.0)
-        dst = (z32, cpos, cdirs, ce, cage, accum, key)
-        dst = jax.lax.while_loop(dcond, dbody, dst)
-        _, _, _, ce, _, accum, key = dst
-        accum = accum.replace(residual=accum.residual + jnp.sum(ce))
-        return pos, dirs, e, age, accum, key
+        def cbody(st):
+            e, accum, key = st
+            ce, idx = jax.lax.top_k(e, cap)
+            cpos, cdirs, cage = pos[idx], dirs[idx], age[idx]
+            e = e.at[idx].set(0.0)
+            dst = (z32, cpos, cdirs, ce, cage, accum, key)
+            dst = jax.lax.while_loop(dcond, dbody, dst)
+            _, _, _, ce, _, accum, key = dst
+            accum = accum.replace(residual=accum.residual + jnp.sum(ce))
+            return e, accum, key
 
-    st2 = jax.lax.while_loop(ccond, cbody, (pos, dirs, e, age, accum, key))
-    accum = st2[4]
+        e, accum, key = jax.lax.while_loop(ccond, cbody, (e, accum, key))
+        return e, accum, key
+
+    # ---- emit->drain cycles: the main loop exits when no block can make
+    # progress (quota done, or every remaining block fully parked); the
+    # drain then clears the parked lanes so emission can resume. One
+    # cycle suffices unless parking starves a block's lanes (deep
+    # corridors degraded by the SMEM cap).
+    def outer_cond(st):
+        (i, pos, dirs, e, age, parked, accum, hist, key, emitted_b,
+         source_e) = st
+        return (i < max_rounds) & (jnp.any(emitted_b < quota_b)
+                                   | jnp.any(e > 0.0))
+
+    def outer_body(st):
+        st = jax.lax.while_loop(cond, body, st)
+        (i, pos, dirs, e, age, parked, accum, hist, key, emitted_b,
+         source_e) = st
+        e, accum, key = drain_all(pos, dirs, e, age, accum, key)
+        parked = jnp.zeros_like(parked)
+        return (i, pos, dirs, e, age, parked, accum, hist, key, emitted_b,
+                source_e)
+
+    st = (z32, pos0, dir0, e0, age0, parked0, accum0, hist0, key, emitted0,
+          jnp.zeros((), dtype=jnp.float32))
+    st = jax.lax.while_loop(outer_cond, outer_body, st)
+    (_, pos, dirs, e, age, parked, accum, hist, key, emitted_b,
+     source_e) = st
+    # max_rounds exhaustion can leave live lanes: account, don't drop
+    accum = accum.replace(residual=accum.residual + jnp.sum(e))
+    # fold the slot histogram into per-row absorbed energy (one scatter)
+    rows_flat = jnp.maximum(lists.reshape(-1), 0)
+    vals_flat = jnp.where(lists.reshape(-1) >= 0, hist.reshape(-1), 0.0)
+    accum = accum.replace(absorbed=accum.absorbed.at[rows_flat].add(
+        vals_flat))
     return accum, jnp.sum(emitted_b), source_e
 
 

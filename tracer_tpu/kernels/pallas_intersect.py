@@ -345,8 +345,9 @@ def _make_kernel(sig, n_surf: int, base_sid: int, t_eps: float,
 def nearest_hit_pallas(rows: jnp.ndarray, pos: jnp.ndarray,
                        dirs: jnp.ndarray, groups, t_eps: float,
                        disc_eps: float = 1e-6, need_local: bool = True):
-    """Nearest hit over all surface groups. rows is the packed (S, K) table
-    (pack_rows); groups a static tuple of (start, end, sig, tag). Rays
+    """Nearest hit over all surface groups. rows is the packed, transposed
+    (K, S) table (pack_rows); groups a static tuple of (start, end, sig,
+    tag). Rays
     (N,3) f32. Returns (t, sid, aux) with aux the winner's shading data:
     dict(normal (N,3) unnormalized global gradient, local (N,3), up_dot
     (N,), kind (N,) i32, flags (N,) i32, p0, p1)."""
@@ -926,7 +927,7 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
                                  source_spec=None):
     """Relevancy-culled fused bounce (single-group pure-specular scenes).
 
-    rows      packed (S, K) surface table (pack_rows) — ALL rows
+    rows      packed transposed (K, S) surface table (pack_rows) — ALL rows
     lists     (nb, L) int32 per-block candidate row ids (culling module)
     counts    (nb,) int32 valid entries per block
     cells     (nb,) int32 GLOBAL block id of each block (PRNG stream key) —
