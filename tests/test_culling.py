@@ -91,7 +91,7 @@ def test_first_bounce_lists_cover_brute_force():
         t, sid = nearest_hit(table, jnp.asarray(pos), jnp.asarray(dirs))
         sid = np.asarray(sid)
         hit_rows = np.unique(sid[sid >= 0])
-        listed = set(bc.lists[b, :bc.counts[b]].tolist())
+        listed = set(r for r in bc.lists[b].tolist() if r >= 0)
         missing = [r for r in hit_rows.tolist() if r not in listed]
         assert not missing, (b, missing, sorted(listed))
 
@@ -130,11 +130,72 @@ def test_second_bounce_closure_covers_reflections():
                                jnp.asarray(refl))
         sid2 = np.asarray(sid2)
         rows2 = np.unique(sid2[sid2 >= 0])
-        listed = set(bc.lists[b, :bc.counts[b]].tolist())
+        listed = set(r for r in bc.lists[b].tolist() if r >= 0)
         missing = [r for r in rows2.tolist() if r not in listed]
         assert not missing, (b, missing)
         checked += 1
     assert checked > 3
+
+
+def _curved_field(n=40):
+    """Curved-facet (slant-focused parabolic) heliostat field + receiver:
+    TWO aperture-signature groups (flat receiver + quadric mirrors)."""
+    from tracer_tpu.models.heliostat_field import HeliostatField
+    from tracer_tpu.models.one_sided_mirror import one_sided_receiver
+    from tracer_tpu.scene import Assembly, compile_scene
+    from benchmarks.nsttf import nsttf_positions, make_source_fn
+    import tracer_tpu.spatial as sp
+
+    pos = nsttf_positions(n)
+    slant = np.hypot(np.hypot(pos[:, 0], pos[:, 1]), 60.0)
+    f = HeliostatField(pos, width=6.1, height=6.1, absorptivity=0.1,
+                       sigma=1.5e-3, bi_var=True, focal_lengths=slant)
+    f.set_aim_height(60.0)
+    f.track_sun(azimuth=0.0, zenith=np.pi / 6)
+    _, rec = one_sided_receiver(11.0, 11.0)
+    center = pos.mean(axis=0)
+    aim = np.array([center[0], center[1], -45.0])
+    aim /= np.linalg.norm(aim)
+    rec.set_transform(sp.translate(0, 0, 60.0)
+                      @ sp._homog(sp.rotation_to_z(aim)))
+    asm = Assembly(objects=[rec], subassemblies=[f])
+    table, meta = compile_scene(asm, dtype=jnp.float32)
+    info = dict(positions=pos, sun=None)
+    slab = 12 * TILE
+    from benchmarks import nsttf as _n
+    source_fn = make_source_fn(dict(positions=pos,
+                                    sun=_n.solar_vector(0.0, np.pi / 6)),
+                               slab)
+    return table, meta, source_fn, slab
+
+
+def test_multigroup_first_bounce_coverage():
+    """Curved-facet field (quadric mirrors + flat receiver = 2 groups):
+    lists are partitioned per group, and every brute-force first hit of a
+    cell's rays is in that cell's combined list."""
+    table, meta, source_fn, slab = _curved_field()
+    assert len(table.groups) == 2
+    bc = build_block_culling(table, meta, source_fn.pallas_spec, slab)
+    assert len(bc.group_offsets) == 2
+    assert bc.counts.shape[1] == 2
+    # group segments hold only that group's rows
+    for g, (start, end, _sig, _tag) in enumerate(table.groups):
+        off = bc.group_offsets[g]
+        w = (bc.group_offsets[g + 1] if g + 1 < 2
+             else bc.lists.shape[1]) - off
+        seg = bc.lists[:, off:off + w]
+        valid = seg[seg >= 0]
+        assert ((valid >= start) & (valid < end)).all()
+    rng = np.random.default_rng(2)
+    for b in range(bc.nb):
+        pos, dirs = _cell_rays(rng, source_fn.pallas_spec,
+                               bc.cell_bounds[b], 3000)
+        t, sid = nearest_hit(table, jnp.asarray(pos), jnp.asarray(dirs))
+        sid = np.asarray(sid)
+        hit_rows = np.unique(sid[sid >= 0])
+        listed = set(r for r in bc.lists[b].tolist() if r >= 0)
+        missing = [r for r in hit_rows.tolist() if r not in listed]
+        assert not missing, (b, missing)
 
 
 def test_wide_scatterers_are_demoted():

@@ -136,6 +136,40 @@ def test_culling_on_off_equivalence():
     assert abs(esc_on - esc_off) / esc_off < 0.005
 
 
+def test_multigroup_culling_on_off_equivalence():
+    """Curved-facet heliostat field (quadric mirrors + flat receiver = 2
+    aperture-signature groups): the multi-group culled megakernel must
+    reproduce the unculled trace's physics — curved fields were
+    previously excluded from the fast path entirely."""
+    from tests.test_culling import _curved_field
+    from tracer_tpu.culling import build_block_culling
+    from tracer_tpu.engine import trace_streaming
+
+    table, meta, source_fn, slab = _curved_field(n=120)
+    assert len(table.groups) == 2
+    total = 8 * slab
+    culling = build_block_culling(table, meta, source_fn.pallas_spec, slab)
+    key = jax.random.PRNGKey(11)
+    a_on, em_on, se_on = jax.block_until_ready(trace_streaming(
+        table, source_fn, key, total_rays=total, max_rounds=500,
+        max_path=8, culling=culling))
+    a_off, em_off, se_off = jax.block_until_ready(trace_streaming(
+        table, source_fn, key, total_rays=total, max_rounds=500,
+        max_path=8))
+    assert abs(_closure_of(a_on, se_on)) < 1e-4
+    assert abs(_closure_of(a_off, se_off)) < 1e-4
+    ab_on = np.asarray(a_on.absorbed) / float(se_on)
+    ab_off = np.asarray(a_off.absorbed) / float(se_off)
+    rec_on, rec_off = ab_on.max(), ab_off.max()
+    # curved facets focus: the receiver fraction must be meaningful and
+    # agree across paths to MC tolerance
+    assert rec_off > 0.01
+    assert abs(rec_on - rec_off) / rec_off < 0.02, (rec_on, rec_off)
+    esc_on = float(a_on.escaped) / float(se_on)
+    esc_off = float(a_off.escaped) / float(se_off)
+    assert abs(esc_on - esc_off) / esc_off < 0.005
+
+
 def test_culled_quota_completes_under_park_starvation():
     """Blocks whose corridor depth is 1 park EVERY bounce survivor, which
     can freeze all of a block's lanes while its emission quota is unmet.

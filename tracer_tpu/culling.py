@@ -52,8 +52,11 @@ from . import materials as M
 class BlockCulling:
     """Static per-block candidate lists for the culled megakernel.
 
-    lists   (nb, L_max) int32 global row ids, padded with -1
-    counts  (nb,) int32 number of valid entries per block
+    lists   (nb, sum(W_g)) int32 global row ids, partitioned into static
+            per-group column segments [group_offsets[g], +W_g) so the
+            kernel's per-group specialized loops can index them; -1 pads
+    counts  (nb, G) int32 valid entries per block per group
+    group_offsets (G,) static column offset of each group's segment
     cell_bounds (nb, 4) float32 equal-area source-disk cell of each block:
             [a0, a1, th0, th1] with a = (r/R)^2 the area fraction (sample
             r = R*sqrt(a0 + u*(a1-a0))) and th the polar angle bounds
@@ -75,6 +78,7 @@ class BlockCulling:
     cell_of_block: np.ndarray
     n_cells: int
     age_caps: np.ndarray
+    group_offsets: tuple
     demote_rows: tuple
     stats: dict
 
@@ -504,23 +508,43 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
             "general streaming path")
     L_cap = max(1, l_budget // (_pad128(nb) * 4))
     cell_depth = np.full(n_cells, age_cap, dtype=np.int64)
-    for c in range(n_cells):
-        while len(cl[c]) > L_cap and cell_depth[c] > 1:
+    groups = table.groups
+    G = len(groups)
+
+    def _cell_group_counts():
+        out = np.zeros((n_cells, G), dtype=np.int64)
+        for c in range(n_cells):
+            for g, (start, end, _sig, _tag) in enumerate(groups):
+                out[c, g] = sum(1 for r in cl[c] if start <= r < end)
+        return out
+
+    # width-budget enforcement on the PARTITIONED layout (the lists array
+    # is one column segment per group, each padded to its own max): while
+    # the combined width exceeds the SMEM budget, degrade the cell that
+    # sets the binding group's width to a shallower corridor depth
+    cgc = _cell_group_counts()
+    while int(sum(cgc.max(axis=0))) > L_cap:
+        g_star = int(np.argmax(cgc.max(axis=0)))
+        cands = np.nonzero((cgc[:, g_star] == cgc[:, g_star].max())
+                           & (cell_depth > 1))[0]
+        if len(cands) == 0:
+            wmax = int(cgc[:, g_star].max())
+            raise ValueError(
+                f"first-segment candidate lists (group {g_star} width "
+                f"{wmax}, total {int(sum(cgc.max(axis=0)))}) exceed the "
+                f"SMEM width budget ({L_cap}); increase the slab (smaller "
+                "cells) or shard the scene")
+        for c in cands:
             cell_depth[c] -= 1
             cl[c] = _one_cell_list(cells[c], center, rot, radius,
                                    theta_src, spheres, n_axis, widen,
                                    expandable_set, int(cell_depth[c]),
                                    margin, d0)
-        if len(cl[c]) > L_cap:
-            raise ValueError(
-                f"cell {c}'s first-segment candidate list ({len(cl[c])}) "
-                f"exceeds the SMEM width budget ({L_cap}); increase the "
-                "slab (smaller cells) or shard the scene")
+        cgc = _cell_group_counts()
 
     cell_of_block = np.repeat(np.arange(n_cells), mult).astype(np.int32)
     assert len(cell_of_block) == nb
     lists = [cl[c] for c in cell_of_block]
-    counts = np.asarray([len(r) for r in lists], dtype=np.int32)
     cell_bounds = cells[cell_of_block]
     age_caps = cell_depth[cell_of_block].astype(np.int32)
     if (age_caps == 1).any():
@@ -530,20 +554,31 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
             "bounce survivor there parks for the drain phase",
             int((age_caps == 1).sum()))
 
-    L_max = max(1, int(counts.max()))
-    # padding is -1: the kernel's fori never reads past counts[b], and the
-    # engine's slot-histogram accounting needs padding that matches no sid
-    arr = np.full((nb, L_max), -1, dtype=np.int32)
-    for b, rows_b in enumerate(lists):
-        arr[b, :len(rows_b)] = rows_b
+    # ---- partition each block's list by APERTURE-SIGNATURE GROUP: the
+    # kernel runs one specialized fori per group (its aperture predicates
+    # and flat/quadric solver are compile-time), so a block's candidates
+    # land in static per-group column segments [off_g, off_g + W_g),
+    # padded with -1. counts is (nb, G).
+    per_group = [[sorted(r for r in rows_b if start <= r < end)
+                  for (start, end, _sig, _tag) in groups]
+                 for rows_b in lists]
+    counts = np.asarray([[len(gl) for gl in pg] for pg in per_group],
+                        dtype=np.int32)
+    widths = tuple(max(1, int(counts[:, g].max())) for g in range(G))
+    offsets = tuple(int(sum(widths[:g])) for g in range(G))
+    arr = np.full((nb, sum(widths)), -1, dtype=np.int32)
+    for b, pg in enumerate(per_group):
+        for g, gl in enumerate(pg):
+            arr[b, offsets[g]:offsets[g] + len(gl)] = gl
+    n_cand = counts.sum(axis=1)
     stats = dict(nb=nb, n_cells=n_cells, mult_max=int(mult.max()),
-                 L_max=int(L_max),
-                 L_mean=float(counts.mean()), n_rows=S,
+                 L_max=int(n_cand.max()), n_groups=G,
+                 L_mean=float(n_cand.mean()), n_rows=S,
                  n_demoted=int(demote.sum()),
-                 reduction=float(S / max(counts.mean(), 1.0)))
+                 reduction=float(S / max(n_cand.mean(), 1.0)))
     return BlockCulling(lists=arr, counts=counts, cell_bounds=cell_bounds,
                         cell_of_block=cell_of_block, n_cells=n_cells,
-                        age_caps=age_caps,
+                        age_caps=age_caps, group_offsets=offsets,
                         demote_rows=tuple(int(r) for r in
                                           np.nonzero(demote)[0]),
                         stats=stats)

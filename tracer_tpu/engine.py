@@ -750,14 +750,14 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("source_spec", "slab",
+    jax.jit, static_argnames=("source_spec", "group_offsets", "slab",
                               "max_rounds", "max_path", "min_energy",
                               "t_eps", "disc_eps", "bivar", "one_sided",
                               "slope", "lambertian",
                               "demote_rows"))
 def _trace_streaming_megakernel_culled(
         scene: SceneTable, key, lists, counts, cells, cell_bounds, quota_b,
-        age_caps, source_spec,
+        age_caps, source_spec, group_offsets,
         slab: int, max_rounds: int, max_path: int,
         min_energy: float, t_eps, disc_eps: float, bivar, one_sided: bool,
         slope: bool, demote_rows: tuple,
@@ -847,7 +847,8 @@ def _trace_streaming_megakernel_culled(
 
         npos, ndirs, ne, sid, absorbed = bounce_reflect_culled_pallas(
             rows, lists, counts, cells, cell_bounds, seed, remaining_b,
-            pos, dirs, e, scene.groups, te, disc_eps, bivar=bivar,
+            pos, dirs, e, scene.groups, group_offsets, te, disc_eps,
+            bivar=bivar,
             one_sided=one_sided, slope=slope, lambertian=lambertian,
             source_spec=source_spec)
 
@@ -1050,11 +1051,10 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
                and vol_ok
                and "iam" not in scene.features
                and _use_pallas(probe.pos))
-    # the culled kernel additionally needs a single aperture-signature
-    # group (its candidate loop is specialized on one signature) and has
-    # no spectral/ambient support yet
-    cullable = (fusable and len(scene.groups) == 1
-                and not spectral_scene and spec_att == 0.0)
+    # the culled kernel handles any number of aperture-signature groups
+    # (one specialized candidate loop per group) but has no
+    # spectral/ambient support yet
+    cullable = (fusable and not spectral_scene and spec_att == 0.0)
     if cullable and culling is not None:
         from .kernels.pallas_intersect import TILE
         nb = culling.nb
@@ -1069,6 +1069,7 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             jnp.asarray(culling.cell_bounds),
             jnp.asarray(culling.block_quota(total_rays)),
             jnp.asarray(culling.age_caps), source_spec=spec,
+            group_offsets=culling.group_offsets,
             slab=n, max_rounds=max_rounds,
             max_path=max_path, min_energy=min_energy, t_eps=t_eps,
             disc_eps=disc_eps, bivar=_bivar_mode(scene),
@@ -1080,8 +1081,8 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
         import logging
         logging.getLogger("tracer_tpu").warning(
             "culling ignored: scene/source not megakernel-eligible "
-            "(kinds=%s features=%s groups=%d pallas=%s)",
-            scene.kinds_present, scene.features, len(scene.groups),
+            "(kinds=%s features=%s pallas=%s)",
+            scene.kinds_present, scene.features,
             _use_pallas(probe.pos))
     if fusable:
         return _trace_streaming_megakernel(

@@ -152,6 +152,7 @@ def _interp_row_table(wl, start, length, tabx_ref, taby_ref, n_tab: int):
 
 def _surface_body(sig, base_sid, t_eps, disc_eps, flat, need_local,
                   rows_ref, rays, lists_ref=None, block=None,
+                  col_offset=0,
                   spectral=False, wl=None, tabx_ref=None, taby_ref=None,
                   n_tab=0):
     """Per-surface fori body shared by the plain and fused group kernels:
@@ -170,7 +171,8 @@ def _surface_body(sig, base_sid, t_eps, disc_eps, flat, need_local,
 
     if True:
         def body(s_i, carry):
-            s = lists_ref[s_i, block] if lists_ref is not None else s_i
+            s = (lists_ref[s_i + col_offset, block]
+                 if lists_ref is not None else s_i)
             if need_local:
                 (t_best, sid_best, ngx_b, ngy_b, ngz_b, plx_b, ply_b,
                  plz_b, upd_b, kf_b, q0_b, q1_b) = carry
@@ -844,12 +846,14 @@ def _dead_lane_rank(dead_f):
     return intra + row_pref
 
 
-def _make_fused_kernel_culled(sig, t_eps, disc_eps, flat, bivar, one_sided,
-                              slope, source_spec,
+def _make_fused_kernel_culled(group_specs, t_eps, disc_eps, bivar,
+                              one_sided, slope, source_spec,
                               lambertian: bool = False):
-    """Culled group kernel: per-block candidate-list fori + per-block
-    cell-stratified regeneration with EXACT emission budgets + reflect
-    epilogue. remaining_ref[b] is this block's outstanding quota: only the
+    """Culled group kernel: per-block candidate-list fori loops (one
+    specialized loop per aperture-signature group, group_specs =
+    ((sig, flat, col_offset), ...)) + per-block cell-stratified
+    regeneration with EXACT emission budgets + reflect epilogue.
+    remaining_ref[b] is this block's outstanding quota: only the
     first remaining_ref[b] dead lanes (row-major) regenerate, so every
     equal-area source cell emits exactly its quota — per-block overshoot
     would otherwise correlate with local survival rate and bias the
@@ -889,12 +893,14 @@ def _make_fused_kernel_culled(sig, t_eps, disc_eps, flat, bivar, one_sided,
         rays = (px, py, pz, dx, dy, dz)
         big = jnp.float32(np.inf)
         zero = jnp.zeros_like(px)
-        init = (jnp.full_like(px, big),
-                jnp.full_like(px, -1, dtype=jnp.int32),
-                zero, zero, zero, zero, zero, zero, zero)
-        body = _surface_body(sig, 0, t_eps, disc_eps, flat, False,
-                             rows_ref, rays, lists_ref=lists_ref, block=b)
-        carry = jax.lax.fori_loop(0, counts_ref[b], body, init)
+        carry = (jnp.full_like(px, big),
+                 jnp.full_like(px, -1, dtype=jnp.int32),
+                 zero, zero, zero, zero, zero, zero, zero)
+        for g, (sig, flat, off) in enumerate(group_specs):
+            body = _surface_body(sig, 0, t_eps, disc_eps, flat, False,
+                                 rows_ref, rays, lists_ref=lists_ref,
+                                 block=b, col_offset=off)
+            carry = jax.lax.fori_loop(0, counts_ref[g, b], body, carry)
         (t_b, sid_b, ngx, ngy, ngz, upd_b, kf_b, q0_b, q1_b) = carry
 
         outs = epi(t_b, ngx, ngy, ngz, upd_b, kf_b, q0_b,
@@ -915,21 +921,26 @@ def _make_fused_kernel_culled(sig, t_eps, disc_eps, flat, bivar, one_sided,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("groups", "t_eps", "disc_eps", "bivar",
+                   static_argnames=("groups", "group_offsets", "t_eps",
+                                    "disc_eps", "bivar",
                                     "one_sided", "slope", "lambertian",
                                     "source_spec"))
 def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
                                  seed, remaining,
-                                 pos, dirs, energy, groups, t_eps: float,
+                                 pos, dirs, energy, groups,
+                                 group_offsets, t_eps: float,
                                  disc_eps: float = 1e-6, bivar=True,
                                  one_sided: bool = True, slope: bool = True,
                                  lambertian: bool = False,
                                  source_spec=None):
-    """Relevancy-culled fused bounce (single-group pure-specular scenes).
+    """Relevancy-culled fused bounce (pure-specular/Lambertian scenes,
+    any number of aperture-signature groups — one specialized candidate
+    loop per group over its static column segment of ``lists``).
 
     rows      packed transposed (K, S) surface table (pack_rows) — ALL rows
-    lists     (nb, L) int32 per-block candidate row ids (culling module)
-    counts    (nb,) int32 valid entries per block
+    lists     (nb, sum(W_g)) int32 per-block candidate row ids, one column
+              segment per group starting at group_offsets[g] (culling)
+    counts    (nb, G) int32 valid entries per block per group
     cells     (nb,) int32 GLOBAL block id of each block (PRNG stream key) —
               arange(nb) single-device; a shard of the global arange when
               the block grid is sharded over a mesh (parallel.py)
@@ -939,9 +950,11 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
               min(remaining[b], #dead lanes) rays regenerate in block b
 
     The ray count must be exactly nb * TILE (block b <-> source cell b)."""
-    assert len(groups) == 1, "culled fast path requires a single group"
-    (start, end, sig, tag) = groups[0]
-    assert start == 0 and end == rows.shape[1]
+    assert groups[0][0] == 0 and groups[-1][1] == rows.shape[1]
+    assert len(group_offsets) == len(groups) == counts.shape[1]
+    group_specs = tuple(
+        (sig, tag == "flat", off)
+        for (start, end, sig, tag), off in zip(groups, group_offsets))
     n = pos.shape[0]
     nb = lists.shape[0]
     if n != nb * TILE:
@@ -958,8 +971,8 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
         return (i, 0)
 
     ray_spec = pl.BlockSpec((SUB, LANE), ray_idx, memory_space=pltpu.VMEM)
-    kernel = _make_fused_kernel_culled(sig, t_eps, disc_eps,
-                                       flat=(tag == "flat"), bivar=bivar,
+    kernel = _make_fused_kernel_culled(group_specs, t_eps, disc_eps,
+                                       bivar=bivar,
                                        one_sided=one_sided, slope=slope,
                                        source_spec=source_spec,
                                        lambertian=lambertian)
@@ -978,7 +991,8 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-    )(seed, remaining, lists.T, counts, cells, cell_bounds.T, rows, *comps)
+    )(seed, remaining, lists.T, counts.T, cells, cell_bounds.T, rows,
+      *comps)
 
     flat_outs = [a.reshape(n) for a in outs]
     new_pos = jnp.stack(flat_outs[0:3], axis=1)

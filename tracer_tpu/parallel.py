@@ -133,6 +133,7 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
         accum, emitted, source_e = _trace_streaming_megakernel_culled(
             scene, key, lists, counts, cells, cell_bounds, quota_b,
             age_caps, source_spec=spec,
+            group_offsets=culling.group_offsets,
             slab=slab_local, max_rounds=max_rounds,
             max_path=max_path, min_energy=min_energy, t_eps=t_eps,
             disc_eps=disc_eps, bivar=_bivar_mode(scene),
