@@ -170,6 +170,85 @@ def test_multigroup_culling_on_off_equivalence():
     assert abs(esc_on - esc_off) / esc_off < 0.005
 
 
+def test_spectral_ambient_culling_on_off_equivalence():
+    """Spectral-mirror field (wavelength-interpolated absorptance) under
+    an ambient attenuating medium: the culled megakernel (wavelength
+    threaded through regeneration, candidate loops and the drain) must
+    reproduce the unculled spectral trace."""
+    from benchmarks.nsttf import nsttf_positions, solar_vector
+    from tracer_tpu import geometry as G, materials as M
+    from tracer_tpu import spatial as sp
+    from tracer_tpu.culling import build_block_culling
+    from tracer_tpu.engine import trace_streaming
+    from tracer_tpu.kernels.pallas_intersect import TILE
+    from tracer_tpu.models.one_sided_mirror import one_sided_receiver
+    from tracer_tpu.models.heliostat_field import HeliostatField
+    from tracer_tpu.scene import Assembly, compile_scene
+    from tracer_tpu.sources import buie_sunshape_pallas_spec, buie_sunshape
+
+    pos = nsttf_positions(80)
+    wls = np.linspace(300e-9, 2500e-9, 16)
+    abss = 0.05 + 0.10 * (wls - wls[0]) / (wls[-1] - wls[0])
+    field = HeliostatField(pos, width=6.1, height=6.1,
+                           optics=M.reflective_spectral(abss, wls,
+                                                        sigma=1.5e-3,
+                                                        one_sided=True))
+    field.set_aim_height(60.0)
+    field.track_sun(azimuth=0.0, zenith=np.pi / 6)
+    _, rec = one_sided_receiver(11.0, 11.0)
+    center = pos.mean(axis=0)
+    aim = np.array([center[0], center[1], -45.0])
+    aim /= np.linalg.norm(aim)
+    rec.set_transform(sp.translate(0, 0, 60.0)
+                      @ sp._homog(sp.rotation_to_z(aim)))
+    table, meta = compile_scene(Assembly(objects=[rec],
+                                         subassemblies=[field]),
+                                dtype=jnp.float32,
+                                extra_features=("volumetric",))
+
+    sun = solar_vector(0.0, np.pi / 6)
+    extent = float(np.max(np.hypot(*(pos[:, :2]
+                                     - center[:2]).T))) + 10.0
+    src_c = center + sun * 300.0
+    slab = 12 * TILE
+    total = 8 * slab
+    wl_band = (350e-9, 2.4e-6)
+    att = 2e-4   # 1/m — noticeable over ~300 m flight paths
+
+    def source_fn(key):
+        k1, k2 = jax.random.split(key)
+        b = buie_sunshape(k1, slab, center=src_c, direction=-sun,
+                          radius=extent, CSR=0.02, flux=1000.0)
+        wl = jax.random.uniform(k2, (slab,), minval=wl_band[0],
+                                maxval=wl_band[1])
+        return b.replace(wavelength=wl,
+                         att_coeff=jnp.full((slab,), att))
+    source_fn.pallas_spec = buie_sunshape_pallas_spec(
+        slab, src_c, -sun, extent, 0.02, 1000.0, wl_band=wl_band,
+        ambient_att=att)
+
+    culling = build_block_culling(table, meta, source_fn.pallas_spec, slab)
+    assert culling.stats["reduction"] > 2.0
+    key = jax.random.PRNGKey(13)
+    a_on, em_on, se_on = jax.block_until_ready(trace_streaming(
+        table, source_fn, key, total_rays=total, max_rounds=500,
+        max_path=8, culling=culling))
+    a_off, em_off, se_off = jax.block_until_ready(trace_streaming(
+        table, source_fn, key, total_rays=total, max_rounds=500,
+        max_path=8))
+    assert abs(_closure_of(a_on, se_on)) < 1e-4
+    assert abs(_closure_of(a_off, se_off)) < 1e-4
+    # medium loss engaged and agrees
+    med_on = float(a_on.medium) / float(se_on)
+    med_off = float(a_off.medium) / float(se_off)
+    assert med_on > 0.002
+    assert abs(med_on - med_off) / med_off < 0.01, (med_on, med_off)
+    rec_on = float(np.asarray(a_on.absorbed).max()) / float(se_on)
+    rec_off = float(np.asarray(a_off.absorbed).max()) / float(se_off)
+    assert rec_off > 0.01
+    assert abs(rec_on - rec_off) / rec_off < 0.02, (rec_on, rec_off)
+
+
 def test_culled_quota_completes_under_park_starvation():
     """Blocks whose corridor depth is 1 park EVERY bounce survivor, which
     can freeze all of a block's lanes while its emission quota is unmet.

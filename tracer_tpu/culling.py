@@ -431,11 +431,17 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
                                               M.K_REFRACTIVE)),
                               prm[:, 2], 0.0))
     widen = 2.0 * (n_beta + k_sigma * math.sqrt(2.0) * sigma)
-    absorptivity = prm[:, 0]
-    terminal = absorptivity >= 1.0 - 1e-6   # no outgoing energy, ever
+    # p0 is the absorptivity for constant-absorptance kinds; spectral rows
+    # store a table index there, so they are conservatively non-terminal
+    absorptivity = np.where(kinds == M.K_REFLECT_SPECTRAL, 0.1,
+                            np.clip(prm[:, 0], 0.0, 1.0))
+    terminal = ((kinds != M.K_REFLECT_SPECTRAL)
+                & (prm[:, 0] >= 1.0 - 1e-6))   # no outgoing energy, ever
     # wide scatterers cannot keep the closure narrow -> demote (their
-    # surviving rays leave the fast path and drain against the full list)
-    demote = (~terminal) & ((widen > w_cap) | (kinds != M.K_REFLECT))
+    # surviving rays leave the fast path and drain against the full
+    # list); spectral mirrors reflect specularly, so they expand
+    specular = np.isin(kinds, (M.K_REFLECT, M.K_REFLECT_SPECTRAL))
+    demote = (~terminal) & ((widen > w_cap) | ~specular)
     expandable = np.nonzero(~terminal & ~demote)[0]
     expandable_set = set(expandable.tolist())
 

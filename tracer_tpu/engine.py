@@ -753,15 +753,16 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
     jax.jit, static_argnames=("source_spec", "group_offsets", "slab",
                               "max_rounds", "max_path", "min_energy",
                               "t_eps", "disc_eps", "bivar", "one_sided",
-                              "slope", "lambertian",
-                              "demote_rows"))
+                              "slope", "lambertian", "spectral",
+                              "ambient_att", "demote_rows"))
 def _trace_streaming_megakernel_culled(
         scene: SceneTable, key, lists, counts, cells, cell_bounds, quota_b,
         age_caps, source_spec, group_offsets,
         slab: int, max_rounds: int, max_path: int,
         min_energy: float, t_eps, disc_eps: float, bivar, one_sided: bool,
         slope: bool, demote_rows: tuple,
-        lambertian: bool = False):
+        lambertian: bool = False, spectral: bool = False,
+        ambient_att: float = 0.0):
     """Relevancy-culled streaming megakernel (see culling.py): each grid
     block owns one equal-area source cell and intersects only its static
     candidate list; per-block quotas keep the stratified emission unbiased
@@ -788,10 +789,14 @@ def _trace_streaming_megakernel_culled(
     e_ray = source_spec[5]
     rows = pack_rows(scene)
     te = default_t_eps(jnp.float32) if t_eps is None else t_eps
+    spectral_tab = (jnp.stack([scene.spectral_wl, scene.spectral_ab],
+                              axis=1).astype(jnp.float32)
+                    if spectral else None)
 
     pos0 = jnp.zeros((slab, 3), dtype=jnp.float32)
     dir0 = jnp.zeros((slab, 3), dtype=jnp.float32).at[:, 2].set(1.0)
     e0 = jnp.zeros((slab,), dtype=jnp.float32)
+    wl0 = jnp.zeros((slab,), dtype=jnp.float32)
     age0 = jnp.zeros((slab,), dtype=jnp.int32)
     parked0 = jnp.zeros((slab,), dtype=bool)
     emitted0 = jnp.zeros((nb,), dtype=jnp.int32)
@@ -800,7 +805,7 @@ def _trace_streaming_megakernel_culled(
     z32 = jnp.array(0, dtype=jnp.int32)
 
     def cond(st):
-        (i, pos, dirs, e, age, parked, accum, hist, key, emitted_b,
+        (i, pos, dirs, e, wl, age, parked, accum, hist, key, emitted_b,
          source_e) = st
         live_unparked = (e > 0.0) & ~parked
 
@@ -820,7 +825,7 @@ def _trace_streaming_megakernel_culled(
                                    | jnp.any(live_unparked))
 
     def body(st):
-        (i, pos, dirs, e, age, parked, accum, hist, key, emitted_b,
+        (i, pos, dirs, e, wl, age, parked, accum, hist, key, emitted_b,
          source_e) = st
         key, ks = jax.random.split(key)
         seed = jax.random.randint(ks, (1,), 0, jnp.iinfo(jnp.int32).max,
@@ -845,12 +850,19 @@ def _trace_streaming_megakernel_culled(
         e_before = jnp.where(reborn, e_ray, e)
         age = jnp.where(reborn, 0, age)
 
-        npos, ndirs, ne, sid, absorbed = bounce_reflect_culled_pallas(
+        outs = bounce_reflect_culled_pallas(
             rows, lists, counts, cells, cell_bounds, seed, remaining_b,
             pos, dirs, e, scene.groups, group_offsets, te, disc_eps,
             bivar=bivar,
             one_sided=one_sided, slope=slope, lambertian=lambertian,
-            source_spec=source_spec)
+            source_spec=source_spec,
+            wavelength=wl if spectral else None,
+            spectral_tab=spectral_tab, ambient_att=ambient_att)
+        if spectral:
+            npos, ndirs, ne, sid, absorbed, nwl = outs
+        else:
+            npos, ndirs, ne, sid, absorbed = outs
+            nwl = wl
 
         # parked lanes are frozen: the kernel still traces them (cheaper
         # than masking SIMD lanes) but results are discarded and nothing
@@ -873,6 +885,11 @@ def _trace_streaming_megakernel_culled(
         accum = accum.replace(
             escaped=accum.escaped + jnp.sum(jnp.where(escaped, e_before,
                                                       0.0)))
+        if ambient_att > 0.0:
+            # the kernel reports surface absorption only; the ambient
+            # medium took the rest of each (unparked) hit segment's loss
+            med = jnp.where(hit, e_before - absorbed - ne, 0.0)
+            accum = accum.replace(medium=accum.medium + jnp.sum(med))
         low = hit & (ne <= min_energy)
         accum = accum.replace(
             culled=accum.culled + jnp.sum(jnp.where(low, ne, 0.0)))
@@ -887,8 +904,9 @@ def _trace_streaming_megakernel_culled(
         pos = jnp.where(parked[:, None], pos, npos)
         dirs = jnp.where(parked[:, None], dirs, ndirs)
         e = jnp.where(parked, e, ne)
+        wl = jnp.where(parked, wl, nwl)
         parked = parked | newly
-        return (i + 1, pos, dirs, e, age, parked, accum, hist, key,
+        return (i + 1, pos, dirs, e, wl, age, parked, accum, hist, key,
                 emitted_b, source_e)
 
     # ---- drain: re-trace parked rays (and any leftovers) against the
@@ -901,22 +919,31 @@ def _trace_streaming_megakernel_culled(
     cap = min(slab, 64 * TILE)
 
     def dcond(st):
-        i, pos, dirs, e, age, accum, key = st
+        i, pos, dirs, e, wl, age, accum, key = st
         return (i < max_rounds) & jnp.any(e > 0.0)
 
     def dbody(st):
-        i, pos, dirs, e, age, accum, key = st
+        i, pos, dirs, e, wl, age, accum, key = st
         key, ks = jax.random.split(key)
         seed = jax.random.randint(ks, (1,), 0, jnp.iinfo(jnp.int32).max,
                                   dtype=jnp.int32)
-        pos, dirs, ne, sid, absorbed = bounce_reflect_pallas(
+        outs = bounce_reflect_pallas(
             rows, seed, pos, dirs, e, scene.groups, te, disc_eps,
             bivar=bivar, one_sided=one_sided, slope=slope,
-            lambertian=lambertian)
+            lambertian=lambertian,
+            wavelength=wl if spectral else None,
+            spectral_tab=spectral_tab, ambient_att=ambient_att)
+        if spectral:
+            pos, dirs, ne, sid, absorbed, wl = outs
+        else:
+            pos, dirs, ne, sid, absorbed = outs
         hit = sid >= 0
         escaped = (e > 0.0) & ~hit
         accum = _account(scene, accum, sid, hit, escaped, absorbed, e,
                          count_hits=False)
+        if ambient_att > 0.0:
+            med = jnp.where(hit, e - absorbed - ne, 0.0)
+            accum = accum.replace(medium=accum.medium + jnp.sum(med))
         low = hit & (ne <= min_energy)
         accum = accum.replace(
             culled=accum.culled + jnp.sum(jnp.where(low, ne, 0.0)))
@@ -926,15 +953,15 @@ def _trace_streaming_megakernel_culled(
         accum = accum.replace(
             culled=accum.culled + jnp.sum(jnp.where(over, ne, 0.0)))
         ne = jnp.where(over, 0.0, ne)
-        return (i + 1, pos, dirs, ne, age, accum, key)
+        return (i + 1, pos, dirs, ne, wl, age, accum, key)
 
-    def drain_all(pos, dirs, e, age, accum, key):
+    def drain_all(pos, dirs, e, wl, age, accum, key):
         """Trace every live lane (parked or not) to death; returns the
         zeroed energies so the main loop can resume emitting into them."""
         if cap == slab:
-            dst = (z32, pos, dirs, e, age, accum, key)
+            dst = (z32, pos, dirs, e, wl, age, accum, key)
             dst = jax.lax.while_loop(dcond, dbody, dst)
-            _, _, _, de, _, accum, key = dst
+            _, _, _, de, _, _, accum, key = dst
             accum = accum.replace(residual=accum.residual + jnp.sum(de))
             return jnp.zeros_like(e), accum, key
 
@@ -946,10 +973,11 @@ def _trace_streaming_megakernel_culled(
             e, accum, key = st
             ce, idx = jax.lax.top_k(e, cap)
             cpos, cdirs, cage = pos[idx], dirs[idx], age[idx]
+            cwl = wl[idx]
             e = e.at[idx].set(0.0)
-            dst = (z32, cpos, cdirs, ce, cage, accum, key)
+            dst = (z32, cpos, cdirs, ce, cwl, cage, accum, key)
             dst = jax.lax.while_loop(dcond, dbody, dst)
-            _, _, _, ce, _, accum, key = dst
+            _, _, _, ce, _, _, accum, key = dst
             accum = accum.replace(residual=accum.residual + jnp.sum(ce))
             return e, accum, key
 
@@ -962,24 +990,24 @@ def _trace_streaming_megakernel_culled(
     # cycle suffices unless parking starves a block's lanes (deep
     # corridors degraded by the SMEM cap).
     def outer_cond(st):
-        (i, pos, dirs, e, age, parked, accum, hist, key, emitted_b,
+        (i, pos, dirs, e, wl, age, parked, accum, hist, key, emitted_b,
          source_e) = st
         return (i < max_rounds) & (jnp.any(emitted_b < quota_b)
                                    | jnp.any(e > 0.0))
 
     def outer_body(st):
         st = jax.lax.while_loop(cond, body, st)
-        (i, pos, dirs, e, age, parked, accum, hist, key, emitted_b,
+        (i, pos, dirs, e, wl, age, parked, accum, hist, key, emitted_b,
          source_e) = st
-        e, accum, key = drain_all(pos, dirs, e, age, accum, key)
+        e, accum, key = drain_all(pos, dirs, e, wl, age, accum, key)
         parked = jnp.zeros_like(parked)
-        return (i, pos, dirs, e, age, parked, accum, hist, key, emitted_b,
-                source_e)
+        return (i, pos, dirs, e, wl, age, parked, accum, hist, key,
+                emitted_b, source_e)
 
-    st = (z32, pos0, dir0, e0, age0, parked0, accum0, hist0, key, emitted0,
-          jnp.zeros((), dtype=jnp.float32))
+    st = (z32, pos0, dir0, e0, wl0, age0, parked0, accum0, hist0, key,
+          emitted0, jnp.zeros((), dtype=jnp.float32))
     st = jax.lax.while_loop(outer_cond, outer_body, st)
-    (_, pos, dirs, e, age, parked, accum, hist, key, emitted_b,
+    (_, pos, dirs, e, wl, age, parked, accum, hist, key, emitted_b,
      source_e) = st
     # max_rounds exhaustion can leave live lanes: account, don't drop
     accum = accum.replace(residual=accum.residual + jnp.sum(e))
@@ -1052,9 +1080,9 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
                and "iam" not in scene.features
                and _use_pallas(probe.pos))
     # the culled kernel handles any number of aperture-signature groups
-    # (one specialized candidate loop per group) but has no
-    # spectral/ambient support yet
-    cullable = (fusable and not spectral_scene and spec_att == 0.0)
+    # (one specialized candidate loop per group), spectral scenes, and
+    # ambient attenuation — same eligibility as the plain megakernel
+    cullable = fusable
     if cullable and culling is not None:
         from .kernels.pallas_intersect import TILE
         nb = culling.nb
@@ -1076,6 +1104,7 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             one_sided="one_sided" in scene.features,
             slope="slope_error" in scene.features,
             lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
+            spectral=spectral_scene, ambient_att=spec_att,
             demote_rows=culling.demote_rows)
     if culling is not None:
         import logging

@@ -848,7 +848,9 @@ def _dead_lane_rank(dead_f):
 
 def _make_fused_kernel_culled(group_specs, t_eps, disc_eps, bivar,
                               one_sided, slope, source_spec,
-                              lambertian: bool = False):
+                              lambertian: bool = False,
+                              spectral: bool = False, n_tab: int = 0,
+                              ambient_att: float = 0.0):
     """Culled group kernel: per-block candidate-list fori loops (one
     specialized loop per aperture-signature group, group_specs =
     ((sig, flat, col_offset), ...)) + per-block cell-stratified
@@ -857,14 +859,26 @@ def _make_fused_kernel_culled(group_specs, t_eps, disc_eps, bivar,
     first remaining_ref[b] dead lanes (row-major) regenerate, so every
     equal-area source cell emits exactly its quota — per-block overshoot
     would otherwise correlate with local survival rate and bias the
-    spatial emission density by up to TILE/quota."""
-    epi = _make_shade_epilogue(bivar, one_sided, slope, lambertian)
+    spatial emission density by up to TILE/quota.
+
+    ``spectral``/``n_tab``/``ambient_att`` mirror _make_fused_kernel: a
+    per-lane wavelength rides as an extra ray component (sampled from the
+    source band at regeneration), K_REFLECT_SPECTRAL rows interpolate
+    their absorptance from the SMEM table, and hit segments Beer-Lambert
+    attenuate in the ambient medium."""
+    epi = _make_shade_epilogue(bivar, one_sided, slope, lambertian,
+                               ambient_att)
 
     def kernel(seed_ref, remaining_ref, lists_ref, counts_ref, cells_ref,
-               cellb_ref, rows_ref,
-               px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref, e_ref,
-               npx_ref, npy_ref, npz_ref, ndx_ref, ndy_ref, ndz_ref,
-               ne_ref, sid_ref, abs_ref):
+               cellb_ref, tabx_ref, taby_ref, rows_ref, *io):
+        if spectral:
+            (px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref, e_ref, wl_ref,
+             npx_ref, npy_ref, npz_ref, ndx_ref, ndy_ref, ndz_ref,
+             ne_ref, nwl_ref, sid_ref, abs_ref) = io
+        else:
+            (px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref, e_ref,
+             npx_ref, npy_ref, npz_ref, ndx_ref, ndy_ref, ndz_ref,
+             ne_ref, sid_ref, abs_ref) = io
         b = pl.program_id(0)
         # global block id: distinct PRNG stream per block, invariant to
         # how blocks shard over devices (several blocks may serve the
@@ -874,6 +888,7 @@ def _make_fused_kernel_culled(group_specs, t_eps, disc_eps, bivar,
         px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         e = e_ref[:]
+        wl = wl_ref[:] if spectral else None
 
         dead = e <= 0.0
         rank = _dead_lane_rank(dead.astype(jnp.float32))
@@ -889,6 +904,8 @@ def _make_fused_kernel_culled(group_specs, t_eps, disc_eps, bivar,
         dy = jnp.where(do, f[4], dy)
         dz = jnp.where(do, f[5], dz)
         e = jnp.where(do, e_ray, e)
+        if spectral and len(f) > 6:
+            wl = jnp.where(do, f[6], wl)
 
         rays = (px, py, pz, dx, dy, dz)
         big = jnp.float32(np.inf)
@@ -899,7 +916,10 @@ def _make_fused_kernel_culled(group_specs, t_eps, disc_eps, bivar,
         for g, (sig, flat, off) in enumerate(group_specs):
             body = _surface_body(sig, 0, t_eps, disc_eps, flat, False,
                                  rows_ref, rays, lists_ref=lists_ref,
-                                 block=b, col_offset=off)
+                                 block=b, col_offset=off,
+                                 spectral=spectral, wl=wl,
+                                 tabx_ref=tabx_ref, taby_ref=taby_ref,
+                                 n_tab=n_tab)
             carry = jax.lax.fori_loop(0, counts_ref[g, b], body, carry)
         (t_b, sid_b, ngx, ngy, ngz, upd_b, kf_b, q0_b, q1_b) = carry
 
@@ -913,6 +933,8 @@ def _make_fused_kernel_culled(group_specs, t_eps, disc_eps, bivar,
         ndy_ref[:] = ndy
         ndz_ref[:] = ndz
         ne_ref[:] = ne
+        if spectral:
+            nwl_ref[:] = wl
         live = e > 0.0
         sid_ref[:] = jnp.where(jnp.isfinite(t_b) & live, sid_b, -1)
         abs_ref[:] = jnp.where(live, absorbed, 0.0)
@@ -924,7 +946,7 @@ def _make_fused_kernel_culled(group_specs, t_eps, disc_eps, bivar,
                    static_argnames=("groups", "group_offsets", "t_eps",
                                     "disc_eps", "bivar",
                                     "one_sided", "slope", "lambertian",
-                                    "source_spec"))
+                                    "source_spec", "ambient_att"))
 def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
                                  seed, remaining,
                                  pos, dirs, energy, groups,
@@ -932,7 +954,9 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
                                  disc_eps: float = 1e-6, bivar=True,
                                  one_sided: bool = True, slope: bool = True,
                                  lambertian: bool = False,
-                                 source_spec=None):
+                                 source_spec=None,
+                                 wavelength=None, spectral_tab=None,
+                                 ambient_att: float = 0.0):
     """Relevancy-culled fused bounce (pure-specular/Lambertian scenes,
     any number of aperture-signature groups — one specialized candidate
     loop per group over its static column segment of ``lists``).
@@ -949,7 +973,14 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
     remaining (nb,) int32 outstanding emission quota per block; exactly
               min(remaining[b], #dead lanes) rays regenerate in block b
 
+    With ``wavelength`` (N,) + ``spectral_tab`` (L, 2), per-lane
+    wavelengths thread through the kernel (regenerated lanes sample the
+    source band) and K_REFLECT_SPECTRAL rows interpolate their
+    absorptance exactly; returns an extra new_wavelength.
+    ``ambient_att`` > 0 Beer-Lambert attenuates every hit segment.
+
     The ray count must be exactly nb * TILE (block b <-> source cell b)."""
+    spectral = wavelength is not None
     assert groups[0][0] == 0 and groups[-1][1] == rows.shape[1]
     assert len(group_offsets) == len(groups) == counts.shape[1]
     group_specs = tuple(
@@ -965,36 +996,52 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
         for k in range(3):
             comps.append(a[:, k].reshape(n // LANE, LANE))
     comps.append(energy.reshape(n // LANE, LANE))
+    if spectral:
+        comps.append(wavelength.reshape(n // LANE, LANE))
+
+    if spectral_tab is None:
+        tabx = jnp.zeros((2,), dtype=jnp.float32)
+        taby = jnp.zeros((2,), dtype=jnp.float32)
+    else:
+        tabx = spectral_tab[:, 0].astype(jnp.float32)
+        taby = spectral_tab[:, 1].astype(jnp.float32)
 
     def ray_idx(i, seed_ref, remaining_ref, lists_ref, counts_ref,
-                cells_ref, cellb_ref, rows_ref):
+                cells_ref, cellb_ref, tabx_ref, taby_ref, rows_ref):
         return (i, 0)
 
+    n_io = 8 if spectral else 7
     ray_spec = pl.BlockSpec((SUB, LANE), ray_idx, memory_space=pltpu.VMEM)
     kernel = _make_fused_kernel_culled(group_specs, t_eps, disc_eps,
                                        bivar=bivar,
                                        one_sided=one_sided, slope=slope,
                                        source_spec=source_spec,
-                                       lambertian=lambertian)
+                                       lambertian=lambertian,
+                                       spectral=spectral,
+                                       n_tab=tabx.shape[0],
+                                       ambient_att=ambient_att)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        # seed, quotas, lists, counts, cell ids, cell bounds, rows
-        num_scalar_prefetch=7,
+        # seed, quotas, lists, counts, ids, bounds, table x/y, rows
+        num_scalar_prefetch=9,
         grid=(nb,),
-        in_specs=[ray_spec] * 7,
-        out_specs=tuple([ray_spec] * 9),
+        in_specs=[ray_spec] * n_io,
+        out_specs=tuple([ray_spec] * (n_io + 2)),
     )
     shape2 = (n // LANE, LANE)
-    out_shapes = tuple([jax.ShapeDtypeStruct(shape2, jnp.float32)] * 7
+    out_shapes = tuple([jax.ShapeDtypeStruct(shape2, jnp.float32)] * n_io
                        + [jax.ShapeDtypeStruct(shape2, jnp.int32),
                           jax.ShapeDtypeStruct(shape2, jnp.float32)])
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-    )(seed, remaining, lists.T, counts.T, cells, cell_bounds.T, rows,
-      *comps)
+    )(seed, remaining, lists.T, counts.T, cells, cell_bounds.T, tabx, taby,
+      rows, *comps)
 
     flat_outs = [a.reshape(n) for a in outs]
     new_pos = jnp.stack(flat_outs[0:3], axis=1)
     new_dir = jnp.stack(flat_outs[3:6], axis=1)
+    if spectral:
+        return (new_pos, new_dir, flat_outs[6], flat_outs[8], flat_outs[9],
+                flat_outs[7])
     return new_pos, new_dir, flat_outs[6], flat_outs[7], flat_outs[8]

@@ -72,13 +72,14 @@ class HeliostatField(Assembly):
     quadric) on two-axis trackers (ref HeliostatField :28)."""
 
     def __init__(self, positions, width: float, height: float,
-                 absorptivity, sigma: float, bi_var: bool = True,
+                 absorptivity=0.0, sigma: float = 0.0, bi_var: bool = True,
                  focal_lengths: Optional[Sequence] = None,
                  quad_params: Optional[Sequence] = None,
                  MCRT_option: str = "fast",
                  rotation_axes_pos=np.zeros((2, 3)),
                  rotation_axes_vec=np.array([[0.0, 0.0, 1.0],
-                                             [1.0, 0.0, 0.0]])):
+                                             [1.0, 0.0, 0.0]]),
+                 optics=None):
         positions = np.asarray(positions, dtype=float)
         if positions.shape[1] == 2:
             positions = np.concatenate(
@@ -101,7 +102,20 @@ class HeliostatField(Assembly):
         for p in range(n):
             if focal_lengths[p] is not None and quad_params[p] is not None:
                 raise ValueError("give focal_lengths OR quad_params, not both")
-            if focal_lengths[p] is not None:
+            if optics is not None:
+                # custom per-mirror OpticsSpec (e.g. measured spectral
+                # coatings, materials.reflective_spectral) overrides the
+                # constructed reflective
+                from ..scene import AssembledObject, Surface
+                from .. import geometry as _G
+                if focal_lengths[p] is not None:
+                    geom = _G.rect_parabolic_dish(width, height,
+                                                  focal_lengths[p])
+                else:
+                    geom = _G.rect_plate(width, height)
+                mirror = AssembledObject(
+                    surfs=[Surface(geom, optics, name=f"heliostat_{p}")])
+            elif focal_lengths[p] is not None:
                 mirror = rect_para_one_sided_mirror(
                     width, height, focal_lengths[p], absorptivity[p], sigma,
                     bi_var, MCRT_option, name=f"heliostat_{p}")

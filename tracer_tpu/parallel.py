@@ -127,6 +127,9 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
 
     from . import materials as _M
 
+    spectral_scene = _M.K_REFLECT_SPECTRAL in scene.kinds_present
+    spec_att = float(spec[14]) if len(spec) > 14 else 0.0
+
     def worker(scene, lists, counts, cells, cell_bounds, quota_b,
                age_caps, key):
         key = jax.random.fold_in(key, jax.lax.axis_index("rays"))
@@ -140,6 +143,7 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
             one_sided="one_sided" in scene.features,
             slope="slope_error" in scene.features,
             lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
+            spectral=spectral_scene, ambient_att=spec_att,
             demote_rows=culling.demote_rows)
         return (jax.tree_util.tree_map(
                     lambda a: jax.lax.psum(a, "rays"), accum),
