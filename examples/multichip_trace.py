@@ -37,20 +37,19 @@ def main(n_devices=None, cpu_devices=0, n_rays=2_000_000):
     print(f"mesh: {n_dev} x {mesh.devices.flat[0].platform} device(s)")
 
     table, meta, info = build_scene()
-    # per-DEVICE slab; the culled block grid must split evenly over devices
-    nb_local = 342 // n_dev if 342 % n_dev == 0 else 336 // n_dev
-    slab_local = nb_local * n_dev * TILE // n_dev
-    source_fn = make_source_fn(info, slab_local)
+    # global block count: must split evenly over the mesh (336 = 2^4*3*7
+    # covers the usual 1/2/4/8-device meshes; 342 matches bench.py's grid)
+    nb_global = 342 if 342 % n_dev == 0 else 336
+    nb_per_dev = nb_global // n_dev
+    source_fn = make_source_fn(info, nb_per_dev * TILE)  # per-DEVICE slab
 
     culling = None
     if mesh.devices.flat[0].platform == "tpu":
         # the Pallas culled kernel needs real TPU; CPU meshes use the
         # general streaming path (same physics)
-        full_slab = nb_local * n_dev * TILE
-        source_full = make_source_fn(info, full_slab)
-        culling = build_block_culling(table, meta, source_full.pallas_spec,
-                                      full_slab)
-        source_fn = source_full
+        source_fn = make_source_fn(info, nb_global * TILE)
+        culling = build_block_culling(table, meta, source_fn.pallas_spec,
+                                      nb_global * TILE)
 
     accum, emitted, src_e = jax.block_until_ready(trace_streaming_sharded(
         table, source_fn, jax.random.PRNGKey(0), n_rays, mesh,

@@ -160,11 +160,10 @@ def _curved_field(n=40):
                       @ sp._homog(sp.rotation_to_z(aim)))
     asm = Assembly(objects=[rec], subassemblies=[f])
     table, meta = compile_scene(asm, dtype=jnp.float32)
-    info = dict(positions=pos, sun=None)
+    from benchmarks.nsttf import solar_vector
     slab = 12 * TILE
-    from benchmarks import nsttf as _n
     source_fn = make_source_fn(dict(positions=pos,
-                                    sun=_n.solar_vector(0.0, np.pi / 6)),
+                                    sun=solar_vector(0.0, np.pi / 6)),
                                slab)
     return table, meta, source_fn, slab
 

@@ -505,7 +505,11 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
     K = 26 + 6 * table.ap_params.shape[1]
     S_rows = table.ap_params.shape[0]
     rows_bytes = K * _pad128(S_rows) * 4
-    misc_bytes = 8 * _pad128(nb) * 4 + 32 * 1024   # bounds/ids/quotas+slack
+    n_tab = int(table.spectral_wl.shape[0])
+    # bounds(4)+ids/quotas/remaining/age/emitted rows + per-group counts
+    # + spectral table + slack
+    misc_bytes = ((8 + len(table.groups)) * _pad128(nb) * 4
+                  + 2 * _pad128(max(n_tab, 2)) * 4 + 32 * 1024)
     l_budget = 1048576 - rows_bytes - misc_bytes
     if l_budget <= 0:
         raise ValueError(
@@ -530,16 +534,22 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
     # sets the binding group's width to a shallower corridor depth
     cgc = _cell_group_counts()
     while int(sum(cgc.max(axis=0))) > L_cap:
-        g_star = int(np.argmax(cgc.max(axis=0)))
-        cands = np.nonzero((cgc[:, g_star] == cgc[:, g_star].max())
-                           & (cell_depth > 1))[0]
+        # degrade the widest still-degradable group's binding cells;
+        # fall through to narrower groups when the widest is already at
+        # depth 1 (any width reduction shrinks the combined layout)
+        cands = np.array([], dtype=np.int64)
+        for g_star in np.argsort(cgc.max(axis=0))[::-1]:
+            cands = np.nonzero((cgc[:, g_star] == cgc[:, g_star].max())
+                               & (cell_depth > 1))[0]
+            if len(cands):
+                break
         if len(cands) == 0:
-            wmax = int(cgc[:, g_star].max())
             raise ValueError(
-                f"first-segment candidate lists (group {g_star} width "
-                f"{wmax}, total {int(sum(cgc.max(axis=0)))}) exceed the "
-                f"SMEM width budget ({L_cap}); increase the slab (smaller "
-                "cells) or shard the scene")
+                f"first-segment candidate lists (group widths "
+                f"{cgc.max(axis=0).tolist()}, total "
+                f"{int(sum(cgc.max(axis=0)))}) exceed the SMEM width "
+                f"budget ({L_cap}); increase the slab (smaller cells) or "
+                "shard the scene")
         for c in cands:
             cell_depth[c] -= 1
             cl[c] = _one_cell_list(cells[c], center, rot, radius,

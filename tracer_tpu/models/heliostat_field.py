@@ -72,7 +72,8 @@ class HeliostatField(Assembly):
     quadric) on two-axis trackers (ref HeliostatField :28)."""
 
     def __init__(self, positions, width: float, height: float,
-                 absorptivity=0.0, sigma: float = 0.0, bi_var: bool = True,
+                 absorptivity=None, sigma: float = None,
+                 bi_var: bool = True,
                  focal_lengths: Optional[Sequence] = None,
                  quad_params: Optional[Sequence] = None,
                  MCRT_option: str = "fast",
@@ -86,8 +87,14 @@ class HeliostatField(Assembly):
                 [positions, np.zeros((len(positions), 1))], axis=1)
         self._pos = positions
         n = positions.shape[0]
-        absorptivity = np.broadcast_to(np.asarray(absorptivity, dtype=float),
-                                       (n,))
+        if optics is None and (absorptivity is None or sigma is None):
+            raise ValueError("give absorptivity and sigma (or a full "
+                             "optics= spec) — silently lossless, "
+                             "error-free mirrors would be a trap")
+        absorptivity = np.broadcast_to(
+            np.asarray(0.0 if absorptivity is None else absorptivity,
+                       dtype=float), (n,))
+        sigma = 0.0 if sigma is None else sigma
         self.rotation_axes_pos = np.asarray(rotation_axes_pos, dtype=float)
         self.rotation_axes_vec = np.asarray(rotation_axes_vec, dtype=float)
         self._axes_offset = (self.rotation_axes_pos[1]
@@ -105,12 +112,16 @@ class HeliostatField(Assembly):
             if optics is not None:
                 # custom per-mirror OpticsSpec (e.g. measured spectral
                 # coatings, materials.reflective_spectral) overrides the
-                # constructed reflective
+                # constructed reflective; the geometry selection matches
+                # the default path (flat / parabolic / general quadric)
                 from ..scene import AssembledObject, Surface
                 from .. import geometry as _G
                 if focal_lengths[p] is not None:
                     geom = _G.rect_parabolic_dish(width, height,
                                                   focal_lengths[p])
+                elif quad_params[p] is not None:
+                    geom = _G.rect_flat_quadric(width, height,
+                                                *quad_params[p])
                 else:
                     geom = _G.rect_plate(width, height)
                 mirror = AssembledObject(

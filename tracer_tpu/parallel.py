@@ -129,6 +129,14 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
 
     spectral_scene = _M.K_REFLECT_SPECTRAL in scene.kinds_present
     spec_att = float(spec[14]) if len(spec) > 14 else 0.0
+    spec_band = spec[13] if len(spec) > 13 else None
+    if spectral_scene and spec_band is None:
+        # same eligibility rule as trace_streaming's fusable gate: the
+        # spectral kernel needs the source to declare a wavelength band,
+        # otherwise every lane would trace with wavelength 0
+        raise ValueError("spectral scene needs a source spec with a "
+                         "wl_band (buie_sunshape_pallas_spec(..., "
+                         "wl_band=...)) for the culled sharded path")
 
     def worker(scene, lists, counts, cells, cell_bounds, quota_b,
                age_caps, key):
