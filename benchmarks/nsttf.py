@@ -2,9 +2,10 @@
 
 The reference's headline workload (`examples/Sandia_NSTTF_field example.py`):
 218 heliostats of 6.1 m aimed at a tower receiver, traced under a Buie
-sunshape. The original Sandia coordinate CSV is not bundled; an equivalent
-218-heliostat radial-stagger north field of the same extent is generated
-instead (pass your own positions for exact-site studies).
+sunshape. The real as-built Sandia pad coordinates are bundled
+(models/data/sandia_hstat_coordinates.csv, loaded by
+``heliostat_field.load_heliostat_positions``); scaling studies beyond 218
+heliostats extend a radial-stagger north field of matching density.
 """
 from __future__ import annotations
 

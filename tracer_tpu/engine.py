@@ -401,7 +401,9 @@ class TraceResult:
             out["normal"].append(np.asarray(rec.normal)[mask])
             out["bounce"].append(np.full(
                 mask.sum(), b if rec.bounce is None else int(rec.bounce)))
-        return {k: (np.concatenate(v) if v else np.empty((0,)))
+        vec3 = ("hit", "local", "dir_in", "normal")
+        return {k: (np.concatenate(v) if v
+                    else np.empty((0, 3) if k in vec3 else (0,)))
                 for k, v in out.items()}
 
     def absorbed_by_logical(self) -> np.ndarray:
