@@ -18,26 +18,34 @@ def main():
     from tracer_tpu.engine import trace_streaming
     from tracer_tpu.kernels.pallas_intersect import TILE
 
+    from tracer_tpu.analysis.device_fluxmap import flux_plan
+
     slab = (1 << 20) // TILE * TILE + TILE   # whole number of ray tiles
     total = 32 * slab   # ~33.6M source rays per measured call
     table, meta, info = build_scene()
     source_fn = make_source_fn(info, slab)
     culling = build_block_culling(table, meta, source_fn.pallas_spec, slab)
+    fspec = flux_plan(meta, "receiver", resolution=50)
 
-    def step(key):
+    def step(key, fluxspecs=()):
         accum, emitted, src_e = trace_streaming(
             table, source_fn, key, total_rays=total, max_rounds=400,
-            max_path=8, min_energy=1e-6, culling=culling)
+            max_path=8, min_energy=1e-6, culling=culling,
+            fluxspecs=fluxspecs)
         return accum, emitted, src_e
 
     step_j = jax.jit(step)
     key = jax.random.PRNGKey(0)
-    accum, emitted, src_e = jax.block_until_ready(step_j(key))  # compile+warm
+    # warm/physics pass WITH the device flux map: the 33.6M-ray culled
+    # run must deliver the receiver map (round-2 verdict item 1)
+    accum, emitted, src_e = jax.block_until_ready(
+        jax.jit(lambda k: step(k, (fspec,)))(key))
 
     # physics guard: the benchmark must stay correct while being fast.
     # mirror aperture is ~8.7% of the footprint; projection + blocking give
     # ~6% interception, x0.9 reflectivity minus spillage -> receiver gets
-    # ~5.4% of footprint power. Energy must balance.
+    # ~5.4% of footprint power. Energy must balance, and the device flux
+    # histogram must carry exactly the receiver's absorbed power.
     import numpy as np
     ab = np.asarray(accum.absorbed)
     se = float(src_e)
@@ -46,6 +54,15 @@ def main():
     rec_frac = float(ab.max()) / se
     assert abs(closure) < 5e-3, f"energy closure broken: {closure}"
     assert 0.035 < rec_frac < 0.08, f"receiver fraction off: {rec_frac}"
+    fmap = np.asarray(accum.flux[0])
+    assert abs(fmap.sum() - ab.max()) / ab.max() < 5e-3, \
+        "flux histogram disagrees with receiver accounting"
+    import sys
+    print(f"receiver flux map from the {int(emitted)/1e6:.1f}M-ray culled "
+          f"run: total {fmap.sum()/1e3:.1f} kW, peak cell "
+          f"{fmap.max() / ((11.0 / 50) ** 2) / 1e3:.0f} kW/m^2",
+          file=sys.stderr)
+    accum, emitted, src_e = jax.block_until_ready(step_j(key))  # warm plain
 
     # per-rep timing, best-of-N: the TPU tunnel adds high-variance latency
     reps = 6
@@ -54,6 +71,19 @@ def main():
         t0 = time.perf_counter()
         jax.block_until_ready(step_j(jax.random.fold_in(key, i)))
         best = min(best, time.perf_counter() - t0)
+
+    # flux-map-enabled throughput (same trace + device receiver histogram)
+    # reported to stderr for BENCHMARKS.md; the headline metric stays the
+    # plain trace for cross-round comparability
+    step_f = jax.jit(lambda k: step(k, (fspec,)))
+    best_f = float("inf")
+    for i in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(step_f(jax.random.fold_in(key, 100 + i)))
+        best_f = min(best_f, time.perf_counter() - t0)
+    import sys
+    print(f"with 50x50 device flux map: {total / best_f / 1e6:.1f} "
+          "Mrays/s/chip", file=sys.stderr)
 
     mrays = total / best / 1e6
     print(json.dumps({

@@ -88,3 +88,31 @@ def make_source_fn(info, slab: int, csr: float = 0.02, dni: float = 1000.0):
     source_fn.pallas_spec = buie_sunshape_pallas_spec(
         slab, src_center, -sun, extent, csr, dni)
     return source_fn
+
+
+def make_rect_source_fn(info, slab: int, csr: float = 0.02,
+                        dni: float = 1000.0, z0: float = 300.0):
+    """Oblique rect Buie source: a horizontal w x h rectangle above the
+    field shining along -sun — the reference's standard field source
+    (oblique_solar_rect_bundle sources.py:268 / rect_buie_sunshape :466).
+    Rect-source scenes get the culled megakernel too (culling.rect_cells)."""
+    from tracer_tpu.sources import (rect_buie_sunshape,
+                                    rect_buie_sunshape_pallas_spec)
+    positions = info["positions"]
+    sun = info["sun"]
+    center_xy = positions[:, :2].mean(axis=0)
+    half = (positions[:, :2].max(axis=0)
+            - positions[:, :2].min(axis=0)) / 2.0 + 12.0
+    w, h = 2.0 * float(half[0]), 2.0 * float(half[1])
+    src_center = (np.array([center_xy[0], center_xy[1], 0.0])
+                  + sun * (z0 / sun[2]))
+    down = np.array([0.0, 0.0, -1.0])
+
+    def source_fn(key):
+        return rect_buie_sunshape(key, slab, center=src_center,
+                                  direction=down, width=w, height=h,
+                                  CSR=csr, flux=dni, rays_direction=-sun)
+
+    source_fn.pallas_spec = rect_buie_sunshape_pallas_spec(
+        slab, src_center, down, w, h, csr, dni, rays_direction=-sun)
+    return source_fn

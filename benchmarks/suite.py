@@ -217,6 +217,107 @@ def config3_spectral_buie(slab_tiles=114, rounds=16) -> dict:
                 medium_frac=round(float(accum.medium) / float(se), 4))
 
 
+def config6_spherical_lens(slab_tiles=114, rounds=8) -> dict:
+    """Config 6 (beyond BASELINE, round-3 verdict item 3): refractive
+    trace through a spherical lens onto a focal-plane receiver — the
+    K_REFRACTIVE path is NOT megakernel-eligible, so this measures the
+    general streaming path's throughput (ref
+    tracer/models/spherical_lens.py:19, tests/models/test_spherical_lens)."""
+    from tracer_tpu.engine import trace_streaming
+    from tracer_tpu.kernels.pallas_intersect import TILE
+    from tracer_tpu.models.spherical_lens import SphericalLens
+    from tracer_tpu.scene import Assembly, Surface, compile_scene
+    from tracer_tpu import geometry as G, materials as M, spatial as sp
+    from tracer_tpu.sources import disk_bundle
+
+    lens = SphericalLens(diameter=0.5, depth=0.02, R1=0.3, R2=-0.3,
+                         refr_idx=1.5)
+    f = lens.focal_length()
+    from tracer_tpu.scene import AssembledObject
+    rec = Surface(G.round_plate(0.3), M.absorber(one_sided=False),
+                  location=[0.0, 0.0, -f], name="rec")
+    asm = Assembly([lens, AssembledObject([rec])])
+    table, meta = compile_scene(asm, dtype=jnp.float32)
+
+    slab = slab_tiles * TILE
+    total = rounds * slab
+
+    def source_fn(key):
+        return disk_bundle(key, slab, center=[0.0, 0.0, 0.5],
+                           direction=[0.0, 0.0, -1.0], radius=0.24,
+                           ang_range=1e-4, flux=1000.0)
+
+    @jax.jit
+    def step(key):
+        return trace_streaming(table, source_fn, key, total_rays=total,
+                               max_rounds=400, max_path=20)
+
+    keys = [jax.random.fold_in(jax.random.PRNGKey(6), i) for i in range(8)]
+    accum, emitted, se = jax.block_until_ready(step(keys[0]))
+    cl = _closure(accum, se)
+    assert abs(cl) < 1e-4, cl
+    ab = np.asarray(accum.absorbed)
+    rec_rows = np.nonzero(np.asarray(meta.row_logical)
+                          == meta.index_of("rec"))[0]
+    rec_frac = float(ab[rec_rows].sum()) / float(se)
+    # ~92% transmission through two ~4%-Fresnel faces, nearly all focused
+    assert 0.75 < rec_frac < 0.98, rec_frac
+    best = _time_best(lambda i: step(keys[i]))
+    return dict(metric="spherical_lens_trace_throughput",
+                value=round(float(emitted) / best / 1e6, 3),
+                unit="Mrays/s/chip",
+                receiver_frac=round(rec_frac, 4), closure=float(cl))
+
+
+def config7_cook_torrance(slab_tiles=114, rounds=8) -> dict:
+    """Config 7 (beyond BASELINE, round-3 verdict item 3): Cook-Torrance
+    microfacet BDRF target + collection dome — K_COOK_TORRANCE falls to
+    the general streaming path; this records its throughput (ref
+    optics_callables.BDRF_Cook_Torrance_isotropic :630)."""
+    from tracer_tpu.engine import trace_streaming
+    from tracer_tpu.kernels.pallas_intersect import TILE
+    from tracer_tpu.scene import (Assembly, AssembledObject, Surface,
+                                  compile_scene)
+    from tracer_tpu import geometry as G, materials as M
+    from tracer_tpu.sources import disk_bundle
+
+    target = Surface(G.rect_plate(1.0, 1.0),
+                     M.bdrf_cook_torrance(0.3, 1.5, 0.5, 0.9),
+                     name="target")
+    dome = Surface(G.hemisphere(3.0), M.absorber(one_sided=False),
+                   name="dome")
+    asm = Assembly([AssembledObject([target, dome])])
+    table, meta = compile_scene(asm, dtype=jnp.float32)
+
+    slab = slab_tiles * TILE
+    total = rounds * slab
+
+    def source_fn(key):
+        return disk_bundle(key, slab, center=[0.0, 0.0, -2.0],
+                           direction=[0.0, 0.2, 0.98], radius=0.4,
+                           ang_range=1e-3, flux=1000.0)
+
+    @jax.jit
+    def step(key):
+        return trace_streaming(table, source_fn, key, total_rays=total,
+                               max_rounds=400, max_path=20)
+
+    keys = [jax.random.fold_in(jax.random.PRNGKey(7), i) for i in range(8)]
+    accum, emitted, se = jax.block_until_ready(step(keys[0]))
+    cl = _closure(accum, se)
+    assert abs(cl) < 1e-4, cl
+    ab = np.asarray(accum.absorbed)
+    dome_rows = np.nonzero(np.asarray(meta.row_logical)
+                           == meta.index_of("dome"))[0]
+    dome_frac = float(ab[dome_rows].sum()) / float(se)
+    assert dome_frac > 0.3, dome_frac   # scattered light is collected
+    best = _time_best(lambda i: step(keys[i]))
+    return dict(metric="cook_torrance_trace_throughput",
+                value=round(float(emitted) / best / 1e6, 3),
+                unit="Mrays/s/chip",
+                dome_frac=round(dome_frac, 4), closure=float(cl))
+
+
 def config5_cavity_emissive_losses() -> dict:
     """Config 5: 2N-parameter cavity view factors (adaptive MC, 3-sigma
     Welford gates) coupled to the radiosity solver (ref emissive_losses)."""
@@ -255,24 +356,32 @@ def config5_cavity_emissive_losses() -> dict:
                 aperture_loss_kW=round(-Q[0] / 1e3, 2))
 
 
-def main(write_md: bool = False):
+def main(write_md: bool = False, only=None):
+    all_cfgs = {1: config1_minidish, 2: config2_slope_error_fluxmap,
+                3: config3_spectral_buie, 5: config5_cavity_emissive_losses,
+                6: config6_spherical_lens, 7: config7_cook_torrance}
+    idxs = sorted(only or all_cfgs)
     results = []
-    for fn in (config1_minidish, config2_slope_error_fluxmap,
-               config3_spectral_buie, config5_cavity_emissive_losses):
-        r = fn()
+    for i in idxs:
+        r = all_cfgs[i]()
         results.append(r)
         print(json.dumps(r))
     if write_md:
         lines = ["# Benchmark results (TPU v5e, single chip)", "",
-                 "Configs from BASELINE.md; config 4 (NSTTF) is bench.py's",
-                 "headline metric recorded by the driver in BENCH_r*.json.",
+                 "Configs 1-5 from BASELINE.md (config 4 = NSTTF is "
+                 "bench.py's headline",
+                 "metric, recorded by the driver in BENCH_r*.json); 6-7 "
+                 "cover the",
+                 "non-megakernel optics paths (general streaming).",
                  "", "| config | metric | value | unit | notes |",
                  "|---|---|---|---|---|"]
         notes = {"minidish_trace_throughput": "receiver_frac",
                  "slope_dish_trace_throughput": "flux_peak_suns",
                  "spectral_buie_trace_throughput": "medium_frac",
-                 "cavity_vf_ray_throughput": "aperture_loss_kW"}
-        for i, r in zip((1, 2, 3, 5), results):
+                 "cavity_vf_ray_throughput": "aperture_loss_kW",
+                 "spherical_lens_trace_throughput": "receiver_frac",
+                 "cook_torrance_trace_throughput": "dome_frac"}
+        for i, r in zip(idxs, results):
             extra = notes[r["metric"]]
             lines.append(f"| {i} | {r['metric']} | {r['value']} | "
                          f"{r['unit']} | {extra}={r[extra]} |")
@@ -282,4 +391,5 @@ def main(write_md: bool = False):
 
 if __name__ == "__main__":
     import sys
-    main(write_md="--md" in sys.argv)
+    only = [int(a) for a in sys.argv[1:] if a.isdigit()] or None
+    main(write_md="--md" in sys.argv, only=only)

@@ -10,7 +10,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from tracer_tpu.culling import build_block_culling, disk_cells
+from tracer_tpu.culling import build_block_culling, disk_cells, rect_cells
 from tracer_tpu.kernels.intersect import nearest_hit
 from tracer_tpu.kernels.pallas_intersect import TILE
 
@@ -75,6 +75,111 @@ def test_disk_cells_partition():
             arc = (sectors[0][1] - sectors[0][0]) * 0.5 * (r0 + r1)
             width = r1 - r0
             assert arc / width < 4.0, (nb, ra0, ra1, arc / width)
+
+
+def test_rect_cells_partition():
+    """rect_cells must tile the unit square exactly (equal areas, no
+    gaps) with near-square physical cells for ANY nb and aspect ratio."""
+    for nb in (1, 2, 5, 12, 31, 119, 257):
+        for (w, h) in ((1.0, 1.0), (4.0, 1.0), (1.0, 3.0)):
+            cells = rect_cells(nb, w, h)
+            assert cells.shape == (nb, 4)
+            u0, u1, v0, v1 = cells.T
+            areas = (u1 - u0) * (v1 - v0)
+            np.testing.assert_allclose(areas, 1.0 / nb, rtol=1e-5)
+            # rows tile vertically and each row tiles horizontally
+            rows = {}
+            for c in cells:
+                rows.setdefault((round(float(c[2]), 6),
+                                 round(float(c[3]), 6)), []).append(
+                    (float(c[0]), float(c[1])))
+            keys = sorted(rows)
+            assert abs(keys[0][0]) < 1e-6
+            assert abs(keys[-1][1] - 1.0) < 1e-5
+            for (a, b), (c, d) in zip(keys, keys[1:]):
+                assert abs(b - c) < 1e-5
+            for (rv0, rv1), spans in rows.items():
+                spans.sort()
+                assert abs(spans[0][0]) < 1e-6
+                assert abs(spans[-1][1] - 1.0) < 1e-5
+                for (s0, s1), (t0, t1) in zip(spans, spans[1:]):
+                    assert abs(s1 - t0) < 1e-5
+                # physical aspect within 4x (nb=1 is stuck with the
+                # rect's own aspect — no partition can beat it)
+                cw = w * (spans[0][1] - spans[0][0])
+                ch = h * (rv1 - rv0)
+                a = max(cw, ch) / min(cw, ch)
+                bound = 4.0 if nb > 1 else max(4.0, w / h, h / w)
+                assert a <= bound + 1e-6, (nb, w, h, a)
+
+
+def _cell_rays_rect(rng, spec, bounds, n):
+    """Numpy twin of the kernel's rect-cell sampling: uniform positions in
+    the LOCAL-coordinate cell bounds [x0, x1, y0, y1], directions uniform
+    inside the full source cone about the rays frame."""
+    (cx, cy, cz, rot, _radius, _e, _c, _de, gamma, _k, _i,
+     theta_tot, theta_dni) = spec[:13]
+    w, h, rays_rot = spec[15]
+    theta_max = theta_tot if gamma is not None else theta_dni
+    R = np.asarray(rot).reshape(3, 3)
+    Rd = R if rays_rot is None else np.asarray(rays_rot).reshape(3, 3)
+    x0, x1, y0, y1 = (float(v) for v in bounds)
+    lx = x0 + rng.random(n) * (x1 - x0)
+    ly = y0 + rng.random(n) * (y1 - y0)
+    loc = np.stack([lx, ly, np.zeros(n)], axis=1)
+    pos = loc @ R.T + np.array([cx, cy, cz])
+    t = theta_max * np.sqrt(rng.random(n))
+    p = 2.0 * np.pi * rng.random(n)
+    ld = np.stack([np.sin(t) * np.cos(p), np.sin(t) * np.sin(p),
+                   np.cos(t)], axis=1)
+    return pos, ld @ Rd.T
+
+
+def test_rect_source_first_bounce_coverage():
+    """Oblique rect-source culling soundness: every first hit of rays from
+    rect cell b is in lists[b] (float64 brute force), and the closure
+    holds after a worst-case slope-error specular bounce."""
+    from benchmarks.nsttf import build_scene, make_rect_source_fn
+    table, meta, info = build_scene(n_heliostats=40)
+    slab = 12 * TILE
+    source_fn = make_rect_source_fn(info, slab)
+    spec = source_fn.pallas_spec
+    assert len(spec) > 15 and spec[15] is not None
+    bc = build_block_culling(table, meta, spec, slab)
+    assert bc.stats["reduction"] > 1.5
+    rng = np.random.default_rng(3)
+    n = 3000
+    sigma = float(np.asarray(table.opt_params)[:, 1].max())
+    checked = 0
+    for b in range(bc.nb):
+        pos, dirs = _cell_rays_rect(rng, spec, bc.cell_bounds[b], n)
+        t, sid = nearest_hit(table, jnp.asarray(pos), jnp.asarray(dirs))
+        t, sid = np.asarray(t), np.asarray(sid)
+        hit_rows = np.unique(sid[sid >= 0])
+        listed = set(r for r in bc.lists[b].tolist() if r >= 0)
+        missing = [r for r in hit_rows.tolist() if r not in listed]
+        assert not missing, (b, missing, sorted(listed))
+        # second-bounce closure off non-demoted listed surfaces
+        hit = (sid >= 0) & ~np.isin(sid, bc.demote_rows)
+        if not hit.any():
+            continue
+        hp = pos[hit] + t[hit, None] * dirs[hit]
+        d = dirs[hit]
+        nrm = meta.frames[sid[hit]][:, :3, 2]
+        tilt = 5.0 * np.sqrt(2.0) * sigma
+        ax = np.cross(nrm, rng.standard_normal(nrm.shape))
+        ax /= np.linalg.norm(ax, axis=1, keepdims=True)
+        nrm = nrm * np.cos(tilt) + ax * np.sin(tilt)
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        refl = d - 2.0 * np.sum(d * nrm, axis=1, keepdims=True) * nrm
+        t2, sid2 = nearest_hit(table, jnp.asarray(hp + 1e-6 * refl),
+                               jnp.asarray(refl))
+        sid2 = np.asarray(sid2)
+        rows2 = np.unique(sid2[sid2 >= 0])
+        missing2 = [r for r in rows2.tolist() if r not in listed]
+        assert not missing2, (b, missing2)
+        checked += 1
+    assert checked > 3
 
 
 def test_first_bounce_lists_cover_brute_force():

@@ -1,0 +1,293 @@
+"""Device-side flux-map accumulation (analysis/device_fluxmap).
+
+The fast paths must produce the same spatial histograms as the host path
+over per-hit records (the reference's accountant->histogram2d pipeline,
+`examples/Sandia_NSTTF_field example.py:218-227`), up to the documented
+bf16 rounding of per-ray deposits (<0.4%/ray, << MC noise per bin).
+"""
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tracer_tpu import geometry as G
+from tracer_tpu import materials as M
+from tracer_tpu import spatial
+from tracer_tpu.analysis import device_fluxmap as dfm
+from tracer_tpu.analysis.fluxmap import (edges_of, surface_fluxmap,
+                                         uv_project)
+from tracer_tpu.engine import TracerEngine, TraceOptions, trace_fused
+from tracer_tpu.scene import (Assembly, AssembledObject, Surface,
+                              compile_scene)
+from tracer_tpu.sources import disk_bundle
+
+
+def _minidish(dtype=jnp.float64):
+    from tracer_tpu.models.tau_minidish import MiniDish
+    asm = MiniDish(diameter=5.0, focal_length=6.25, dish_opt_eff=0.9,
+                   receiver_pos=6.95, receiver_side=0.4,
+                   homogenizer_depth=0.7, homog_opt_eff=0.9)
+    asm.set_transform(spatial.rotx(-np.pi / 4))
+    return compile_scene(asm, dtype=dtype)
+
+
+def _sun(key, n, dtype=jnp.float64):
+    x = -1.0 / math.sqrt(2.0)
+    b = disk_bundle(key, n, center=[0.0, 7.0, 7.0], direction=[0.0, x, x],
+                    radius=3.0, ang_range=0.005, flux=1000.0)
+    return jax.tree_util.tree_map(
+        lambda a: (a.astype(dtype)
+                   if jnp.issubdtype(a.dtype, jnp.floating) else a), b)
+
+
+def test_trace_fused_flux_matches_record_histogram():
+    """trace_fused's device histogram equals the host histogram2d over the
+    SAME trace's per-hit records (identical PRNG streams bounce-for-bounce
+    between ray_tracer and trace_fused)."""
+    table, meta = _minidish()
+    key = jax.random.PRNGKey(3)
+    bundle = _sun(jax.random.PRNGKey(0), 40_000)
+    spec = dfm.flux_plan(meta, "receiver", resolution=12)
+
+    _, accum = trace_fused(table, bundle, key, max_bounces=30,
+                           min_energy=1e-6, fluxspecs=(spec,))
+    dev = np.asarray(accum.flux[0], dtype=float)
+
+    eng = TracerEngine(table, meta)
+    res = eng.ray_tracer(bundle, reps=30, key=key,
+                         opts=TraceOptions(max_bounces=30))
+    hits = res.hits_of("receiver")
+    ue, ve = edges_of("rect", dict(w=0.4, h=0.4), 12)
+    host = np.histogram2d(hits["local"][:, 0], hits["local"][:, 1],
+                          bins=[ue, ve], weights=hits["absorbed"])[0]
+
+    # same rays, same bins: agreement to bf16 deposit rounding
+    assert dev.sum() > 0
+    np.testing.assert_allclose(dev.sum(), host.sum(), rtol=2e-3)
+    np.testing.assert_allclose(dev, host, rtol=2e-2, atol=1e-3 * host.max())
+    # and the histogram total matches the accountant's absorbed energy
+    rows = [r for r in spec.rows]
+    np.testing.assert_allclose(
+        dev.sum(), np.asarray(accum.absorbed)[rows].sum(), rtol=2e-3)
+
+    # finalize agrees with the host surface_fluxmap of the same trace
+    flux_dev, (u_d, v_d) = dfm.finalize(spec, accum.flux[0], meta)
+    flux_host, (u_h, v_h) = surface_fluxmap(res, "receiver", resolution=12)
+    np.testing.assert_allclose(u_d, u_h)
+    np.testing.assert_allclose(flux_dev, flux_host, rtol=2e-2,
+                               atol=1e-3 * flux_host.max())
+
+
+def test_polar_device_flux_matches_host():
+    """Polar (round-plate) binning on device == host, same trace."""
+    rec = Surface(G.round_plate(1.5), M.receiver(M.absorber()),
+                  name="disk")
+    table, meta = compile_scene(Assembly([AssembledObject([rec])]),
+                                dtype=jnp.float64)
+    key = jax.random.PRNGKey(7)
+    bundle = disk_bundle(jax.random.PRNGKey(1), 20_000,
+                         center=[0.1, -0.2, 2.0], direction=[0, 0, -1.0],
+                         radius=1.2, ang_range=1e-4, flux=900.0)
+    spec = dfm.flux_plan(meta, "disk", resolution=8)
+    _, accum = trace_fused(table, bundle, key, max_bounces=4,
+                           fluxspecs=(spec,))
+    dev = np.asarray(accum.flux[0], dtype=float)
+
+    eng = TracerEngine(table, meta)
+    res = eng.ray_tracer(bundle, reps=4, key=key)
+    hits = res.hits_of("disk")
+    u, v = uv_project("round", dict(re=1.5, ri=0.0), hits["local"])
+    ue, ve = edges_of("round", dict(re=1.5, ri=0.0), 8)
+    host = np.histogram2d(u, v, bins=[ue, ve], weights=hits["absorbed"])[0]
+    np.testing.assert_allclose(dev, host, rtol=2e-2,
+                               atol=1e-3 * host.max() + 1e-12)
+
+
+def test_uv_device_matches_host_all_kinds():
+    """The jnp _uv projection is numerically the host uv_project."""
+    rng = np.random.default_rng(0)
+    local = rng.normal(size=(256, 3)) * 2.0
+    cases = [
+        ("rect", dict(w=4.0, h=3.0), 0.0),
+        ("round", dict(re=2.0, ri=0.5), 0.0),
+        ("parabolic_dish", dict(R=2.0, qa=0.1), 0.0),
+        ("finite_cylinder", dict(R=1.0, h=2.0), 0.0),
+        ("conical_frustum", dict(z1=0.0, z2=1.0, c=0.5, a=-1.0), 0.0),
+        ("sphere", dict(R=3.0), 3.0),
+    ]
+    for kind, extent, p0 in cases:
+        uh, vh = uv_project(kind, extent, local)
+        spec = dfm.FluxSpec(rows=(0,), kind=kind, nu=4, nv=4, u0=0.0,
+                            u1=1.0, v0=0.0, v1=1.0, p0=p0, resolution=4)
+        ud, vd = dfm._uv(spec, jnp.asarray(local))
+        np.testing.assert_allclose(np.asarray(ud), uh, atol=1e-12, err_msg=kind)
+        np.testing.assert_allclose(np.asarray(vd), vh, atol=1e-12, err_msg=kind)
+
+
+def test_streaming_general_flux():
+    """The general streaming path accumulates the receiver histogram; its
+    total equals the accounted absorbed energy."""
+    from tracer_tpu.engine import trace_streaming
+    rec = Surface(G.rect_plate(4.0, 4.0), M.receiver(M.absorber(0.8)),
+                  name="rec")
+    table, meta = compile_scene(Assembly([AssembledObject([rec])]),
+                                dtype=jnp.float64)
+    slab = 4096
+
+    def source_fn(key):
+        return disk_bundle(key, slab, center=[0.0, 0.0, 3.0],
+                           direction=[0.0, 0.0, -1.0], radius=1.0,
+                           ang_range=0.3, flux=1000.0)
+
+    spec = dfm.flux_plan(meta, "rec", resolution=10)
+    accum, emitted, src_e = trace_streaming(
+        table, source_fn, jax.random.PRNGKey(2), total_rays=3 * slab,
+        max_rounds=50, max_path=10, fluxspecs=(spec,))
+    hist = np.asarray(accum.flux[0], dtype=float)
+    absorbed = float(np.asarray(accum.absorbed)[list(spec.rows)].sum())
+    assert absorbed > 0
+    np.testing.assert_allclose(hist.sum(), absorbed, rtol=3e-3)
+    # illumination is a unit disk about the center: corners stay dark
+    assert hist[0, 0] == 0.0 and hist[-1, -1] == 0.0
+    assert hist[5, 5] > 0.0
+
+
+import pytest
+
+
+@pytest.mark.tpu
+def test_megakernel_flux_nsttf_tpu():
+    """The VERDICT round-2 headline gap: the 10M+-ray culled fast path must
+    produce the receiver flux map. Checks (a) the device histogram's total
+    equals the accounted receiver power on both megakernel paths, (b) the
+    culled and unculled flux maps agree within 3-sigma MC error per cell."""
+    from benchmarks.nsttf import build_scene, make_source_fn
+    from tracer_tpu.culling import build_block_culling
+    from tracer_tpu.engine import trace_streaming
+    from tracer_tpu.kernels.pallas_intersect import TILE
+
+    slab = 114 * TILE
+    total = 8 * slab
+    table, meta, info = build_scene()
+    source_fn = make_source_fn(info, slab)
+    spec = dfm.flux_plan(meta, "receiver", resolution=20)
+    culling = build_block_culling(table, meta, source_fn.pallas_spec, slab)
+
+    a_on, _, se_on = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(7), total_rays=total,
+        max_rounds=500, max_path=8, culling=culling, fluxspecs=(spec,)))
+    a_off, _, se_off = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(8), total_rays=total,
+        max_rounds=500, max_path=8, fluxspecs=(spec,)))
+
+    rows = list(spec.rows)
+    for a in (a_on, a_off):
+        h = np.asarray(a.flux[0], dtype=float)
+        rec_abs = float(np.asarray(a.absorbed)[rows].sum())
+        assert rec_abs > 0
+        np.testing.assert_allclose(h.sum(), rec_abs, rtol=5e-3)
+
+    # per-cell 3-sigma agreement, counts estimated from the mean deposit
+    h_on = np.asarray(a_on.flux[0], dtype=float) / float(se_on)
+    h_off = np.asarray(a_off.flux[0], dtype=float) / float(se_off)
+    # receiver deposits are ~e_ray x 0.9 (one mirror bounce, receiver
+    # absorptivity 1): a good-enough count estimate for the sigma model
+    e_dep = 0.9 * float(source_fn.pallas_spec[5])
+    c_on = np.asarray(a_on.flux[0]) / e_dep
+    c_off = np.asarray(a_off.flux[0]) / e_dep
+    mask = (c_on + c_off) > 40
+    assert mask.sum() > 30   # the image covers a real spot
+    sig = np.sqrt(
+        np.where(c_on > 0, (h_on / np.maximum(c_on, 1)) ** 2 * c_on, 0.0)
+        + np.where(c_off > 0, (h_off / np.maximum(c_off, 1)) ** 2 * c_off,
+                   0.0))
+    diff = np.abs(h_on - h_off)[mask]
+    rms_diff = float(np.sqrt(np.mean(diff ** 2)))
+    rms_sig = float(np.sqrt(np.mean(sig[mask] ** 2)))
+    assert rms_diff < 3.0 * rms_sig, (rms_diff, rms_sig)
+
+
+@pytest.mark.tpu
+def test_megakernel_flux_vs_cpu_f64_oracle_tpu():
+    """BASELINE accuracy criterion for the fast path: the TPU megakernel's
+    device flux map is within 3-sigma MC error of the CPU float64
+    record-based oracle on the same scene."""
+    from benchmarks.nsttf import build_scene, make_source_fn
+    from tracer_tpu.engine import TracerEngine, TraceOptions, trace_streaming
+    from tracer_tpu.kernels.pallas_intersect import TILE
+
+    slab = 32 * TILE
+    total = 4 * slab
+    table, meta, info = build_scene(n_heliostats=60)
+    source_fn = make_source_fn(info, slab)
+    spec = dfm.flux_plan(meta, "receiver", resolution=12)
+    a, _, se = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(1), total_rays=total,
+        max_rounds=500, max_path=8, fluxspecs=(spec,)))
+    e_ray = float(source_fn.pallas_spec[5])
+    h_tpu = np.asarray(a.flux[0], dtype=float)
+    f_tpu = h_tpu / float(se)
+    c_tpu = h_tpu / (0.9 * e_ray)    # ~one mirror bounce before deposit
+
+    # CPU f64 oracle: host-stepped trace with records on the same scene
+    n_cpu = 200_000
+    with jax.default_device(jax.devices("cpu")[0]):
+        with jax.enable_x64(True):
+            table64, meta64, info64 = build_scene(n_heliostats=60,
+                                                  dtype=jnp.float64)
+            src = make_source_fn(info64, n_cpu)
+            bundle = src(jax.random.PRNGKey(3))
+            eng = TracerEngine(table64, meta64)
+            res = eng.ray_tracer(bundle, reps=8,
+                                 key=jax.random.PRNGKey(4),
+                                 opts=TraceOptions(max_bounces=8,
+                                                   record="tags"))
+            hits = res.hits_of("receiver")
+            ue, ve = edges_of("rect", dict(w=11.0, h=11.0), 12)
+            h_cpu = np.histogram2d(hits["local"][:, 0],
+                                   hits["local"][:, 1], bins=[ue, ve],
+                                   weights=hits["absorbed"])[0]
+            c_cpu = np.histogram2d(hits["local"][:, 0],
+                                   hits["local"][:, 1], bins=[ue, ve])[0]
+            f_cpu = h_cpu / float(np.asarray(bundle.energy).sum())
+
+    mask = (c_tpu + c_cpu) > 30
+    assert mask.sum() > 20
+    sig = np.sqrt(
+        np.where(c_tpu > 0, (f_tpu / np.maximum(c_tpu, 1)) ** 2 * c_tpu,
+                 0.0)
+        + np.where(c_cpu > 0, (f_cpu / np.maximum(c_cpu, 1)) ** 2 * c_cpu,
+                   0.0))
+    diff = np.abs(f_tpu - f_cpu)[mask]
+    rms_diff = float(np.sqrt(np.mean(diff ** 2)))
+    rms_sig = float(np.sqrt(np.mean(sig[mask] ** 2)))
+    assert rms_diff < 3.0 * rms_sig, (rms_diff, rms_sig)
+
+
+def test_sharded_streaming_flux():
+    """Flux histograms psum-merge over the mesh like other accumulators."""
+    from tracer_tpu.parallel import default_mesh, trace_streaming_sharded
+    rec = Surface(G.rect_plate(4.0, 4.0), M.receiver(M.absorber()),
+                  name="rec")
+    table, meta = compile_scene(Assembly([AssembledObject([rec])]),
+                                dtype=jnp.float32)
+    mesh = default_mesh(8)
+    slab = 512
+
+    def source_fn(key):
+        b = disk_bundle(key, slab, center=[0.0, 0.0, 3.0],
+                        direction=[0.0, 0.0, -1.0], radius=1.0,
+                        ang_range=0.3, flux=1000.0)
+        return jax.tree_util.tree_map(
+            lambda a: (a.astype(jnp.float32)
+                       if jnp.issubdtype(a.dtype, jnp.floating) else a), b)
+
+    spec = dfm.flux_plan(meta, "rec", resolution=6)
+    accum, emitted, src_e = trace_streaming_sharded(
+        table, source_fn, jax.random.PRNGKey(5), total_rays=8 * slab,
+        mesh=mesh, max_rounds=20, max_path=4, fluxspecs=(spec,))
+    hist = np.asarray(accum.flux[0], dtype=float)
+    absorbed = float(np.asarray(accum.absorbed)[list(spec.rows)].sum())
+    np.testing.assert_allclose(hist.sum(), absorbed, rtol=5e-3)
+    assert int(emitted) == 8 * slab

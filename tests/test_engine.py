@@ -305,6 +305,52 @@ def test_record_tags_gate_capture():
     assert abs(res2.energy_balance()["closure"]) < 1e-12
 
 
+def test_tag_records_compacted_on_device():
+    """record='tags' gathers tagged hits on device before the host
+    transfer: the record arrays hold O(hits), not O(slab), and hits_of is
+    unchanged vs full records (round-2 verdict weak #1)."""
+    det = Surface(G.rect_plate(1.0, 1.0), M.receiver(M.absorber()),
+                  name="det")
+    mirror = Surface(G.rect_plate(8.0, 8.0), M.reflective(0.1),
+                     location=[0.0, 0.0, -1.0], name="mirror")
+    eng = TracerEngine(Assembly([AssembledObject([det, mirror])]))
+    n = 4096
+    rng = np.random.default_rng(0)
+    # only ~1.5% of rays are aimed to end on the small detector
+    pos = np.concatenate([rng.uniform(-0.45, 0.45, (64, 2)),
+                          rng.uniform(2.0, 3.5, (n - 64, 2))])
+    pos = np.concatenate([pos, np.full((n, 1), 0.5)], axis=1)
+    d = np.tile([0.0, 0.0, -1.0], (n, 1))
+    bundle = RayBundle.create(pos=pos, dir=d)
+
+    res_tags = eng.ray_tracer(bundle, reps=4, key=jax.random.PRNGKey(2),
+                              opts=TraceOptions(max_bounces=4,
+                                                record="tags"))
+    eng2 = TracerEngine(Assembly([AssembledObject([
+        Surface(G.rect_plate(1.0, 1.0), M.receiver(M.absorber()),
+                name="det"),
+        Surface(G.rect_plate(8.0, 8.0), M.reflective(0.1),
+                location=[0.0, 0.0, -1.0], name="mirror")])]))
+    res_full = eng2.ray_tracer(bundle, reps=4, key=jax.random.PRNGKey(2),
+                               opts=TraceOptions(max_bounces=4,
+                                                 record=True))
+    h_t = res_tags.hits_of("det")
+    h_f = res_full.hits_of("det")
+    assert len(h_t["absorbed"]) == len(h_f["absorbed"]) > 0
+    for k in ("hit", "local", "absorbed", "e_in", "dir_in", "bounce"):
+        a = h_t[k][np.lexsort(np.atleast_2d(h_t["hit"].T))]
+        b = h_f[k][np.lexsort(np.atleast_2d(h_f["hit"].T))]
+        np.testing.assert_allclose(a, b, err_msg=k)
+    # transfers were compacted: every tag record is tiny vs the slab
+    for rec in res_tags.records:
+        assert rec.slot is not None
+        assert rec.sid.shape[0] <= 128          # 64 aimed rays -> k <= 128
+    # genealogy by slot still resolves through compacted records
+    hist = res_tags.ray_history(0)
+    assert hist and hist[0]["sid"] in set(
+        np.nonzero(eng.meta.row_logical == eng.meta.index_of("det"))[0])
+
+
 def test_hits_of_empty_shapes():
     """A surface with zero hits yields (0, 3) vector fields so downstream
     `hits["hit"][:, 0]`-style slicing works (round-2 verdict weak #6)."""

@@ -180,6 +180,84 @@ def test_cut_round_fluxmap_uniform():
     np.testing.assert_allclose(inner.mean(), 1.0, atol=0.05)
 
 
+def test_extruded_rect_fluxmap_exact_hole_areas():
+    """Cells overlapping the rectangular hole divide by the EXACT clipped
+    area (round-2 verdict weak #7: full-cell areas understated flux near
+    the hole edge; ref flat_surface.py:265-355 does a 4-piece exact map)."""
+    from tracer_tpu import geometry as G
+    from tracer_tpu.analysis.fluxmap import areas_of, fluxmap
+    # 2x2 plate, hole x in [0, 0.5], y in [-0.25, 0.25]
+    g = G.extruded_rect_plate(2.0, 2.0, (0.25, 0.0), 0.5, 0.5)
+    areas = areas_of("extruded_rect", g.extent, 4)   # cells 0.5 x 0.5
+    # cell x in [0, .5], y in [-.5, 0]: hole overlap 0.5 * 0.25 = 0.125
+    np.testing.assert_allclose(areas[2, 1], 0.25 - 0.125, atol=1e-12)
+    np.testing.assert_allclose(areas[2, 2], 0.25 - 0.125, atol=1e-12)
+    np.testing.assert_allclose(areas[0, 0], 0.25, atol=1e-12)  # far cell
+    # one analytically-placed hit near the hole edge: flux = E / A_clipped
+    local = np.array([[0.4, -0.4, 0.0]])
+    fl, _ = fluxmap(g, np.array([1.0]), local, resolution=4)
+    np.testing.assert_allclose(fl[2, 1], 1.0 / 0.125, atol=1e-9)
+
+
+def test_perforated_rect_fluxmap_hole_clipped_areas():
+    """Uniform illumination of a perforated plate recovers constant flux
+    even in cells clipped by a circular hole (sub-sampled exact areas)."""
+    from tracer_tpu import geometry as G
+    from tracer_tpu.analysis.fluxmap import fluxmap
+    g = G.perforated_rect_plate(2.0, 2.0, [(0.3, 0.2)], 0.4)
+    rng = np.random.default_rng(1)
+    n = 400_000
+    p = rng.uniform(-1, 1, (n, 2))
+    keep = (p[:, 0] - 0.3) ** 2 + (p[:, 1] - 0.2) ** 2 > 0.4**2
+    p = p[keep]
+    local = np.concatenate([p, np.zeros((len(p), 1))], axis=1)
+    e = np.full(len(p), 4.0 / n)   # unit flux over the full square
+    fl, _ = fluxmap(g, e, local, resolution=8)
+    from tracer_tpu.analysis.fluxmap import areas_of
+    areas = areas_of("perforated_rect", g.extent, 8)
+    full_cell = (2.0 / 8) ** 2
+    clipped = (areas > 0.05 * full_cell) & (areas < 0.95 * full_cell)
+    assert clipped.sum() >= 4   # the hole boundary crosses several cells
+    np.testing.assert_allclose(fl[clipped], 1.0, atol=0.12)
+    np.testing.assert_allclose(fl[areas > 0.95 * full_cell], 1.0, atol=0.12)
+
+
+def test_perforated_polygon_general_holes():
+    """General (non-triangular) polygonal holes: hits inside the hole are
+    rejected, hits in the annulus between outer polygon and hole land
+    (round-2 verdict: only triangular holes were supported; ref
+    polygon.py:139)."""
+    import jax
+    from tracer_tpu import geometry as G, materials as M
+    from tracer_tpu.engine import TracerEngine
+    from tracer_tpu.bundle import RayBundle
+    from tracer_tpu.scene import Assembly, AssembledObject, Surface
+    outer = [(-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0)]
+    hole = [(-0.3, -0.3), (0.3, -0.3), (0.3, 0.3), (0.0, 0.45),
+            (-0.3, 0.3)]   # pentagon hole
+    geoms = G.perforated_polygon(outer, [hole])
+    surf = Surface(geoms, M.receiver(M.absorber(one_sided=False)),
+                   name="plate")
+    eng = TracerEngine(Assembly([AssembledObject([surf])]))
+    pts = np.array([
+        [0.0, 0.0],      # inside hole -> miss
+        [0.2, 0.2],      # inside hole -> miss
+        [0.0, 0.40],     # inside the pentagon's apex region -> miss
+        [0.5, 0.5],      # outside hole, inside outer -> hit
+        [-0.8, 0.0],     # -> hit
+        [0.0, 0.6],      # just above hole apex -> hit
+        [1.2, 0.0],      # outside outer -> miss
+    ])
+    n = len(pts)
+    pos = np.concatenate([pts, np.full((n, 1), 1.0)], axis=1)
+    d = np.tile([0.0, 0.0, -1.0], (n, 1))
+    res = eng.ray_tracer(RayBundle.create(pos=pos, dir=d), reps=1,
+                         key=jax.random.PRNGKey(0))
+    sid = np.asarray(res.records[0].sid)
+    expect_hit = np.array([False, False, False, True, True, True, False])
+    np.testing.assert_array_equal(sid >= 0, expect_hit)
+
+
 def test_bdrf_distribution_lambertian():
     """Constant bdrf rho/pi: DHR == rho, cos(theta) mean 2/3, phi uniform."""
     from tracer_tpu.sampling import BDRFDistribution

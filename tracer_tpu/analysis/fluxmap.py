@@ -1,9 +1,18 @@
-"""Flux-map binning per geometry kind (host-side NumPy).
+"""Flux-map binning per geometry kind.
 
 Capability parity with the reference's per-GM ``get_fluxmap`` methods
 (flat_surface.py:237/494, paraboloid.py:151, cylinder.py:139,
 sphere_surface.py:100): given per-hit energies and local-frame hit points,
 bin onto the surface's natural mesh and divide by *exact* cell areas.
+
+Every kind decomposes into three pieces shared between the host path
+(:func:`fluxmap`, NumPy over trace records) and the device path
+(analysis/device_fluxmap.py, jnp over the streaming kernels' hit output):
+
+  * a (u, v) projection of local hit coordinates (``uv_project``),
+  * uniform bin edges in (u, v) (``edges_of``) — uniform by construction,
+    so the device kernel bins with one floor() per axis,
+  * exact per-cell areas (``areas_of``) — the only kind-specific math.
 
 Deviation noted for the judge: the reference's paraboloid cell-area formula
 (paraboloid.py:166-170) omits the constant 1/(12 a^2) Jacobian factor of
@@ -20,136 +29,158 @@ from ..geometry import Geometry
 
 def _polar_angles(x, y):
     a = np.arctan2(y, x)
-    a[a < 0.0] += 2.0 * np.pi
+    a = np.where(a < 0.0, a + 2.0 * np.pi, a)
     return a
 
 
-def rect_fluxmap(extent, eners, local, resolution):
-    w, h = extent["w"], extent["h"]
-    xs = np.linspace(-w / 2, w / 2, resolution + 1)
-    ys = np.linspace(-h / 2, h / 2, resolution + 1)
-    H = np.histogram2d(local[:, 0], local[:, 1], bins=[xs, ys],
-                       weights=eners)[0]
-    areas = np.outer(np.diff(xs), np.diff(ys))
-    return H / areas, (xs, ys)
+# ---------------------------------------------------------------------------
+# (u, v) projection of local hit coordinates, per kind family
+# ---------------------------------------------------------------------------
+
+# kinds binned directly in local cartesian (x, y)
+_CARTESIAN = ("rect", "extruded_rect", "perforated_rect")
+# kinds binned in polar (r, theta) on the local XY plane
+_POLAR = ("round", "cut_round", "parabolic_dish")
+# kinds binned in (z, theta) — cylinders and frusta
+_AXIAL = ("finite_cylinder", "rect_cut_cylinder", "conical_frustum")
+# kinds binned in spherical (theta, phi); need R for the z -> theta map
+_SPHERICAL = ("sphere", "hemisphere", "spherical_rect_facet")
 
 
-def round_fluxmap(extent, eners, local, resolution):
-    re, ri = extent["re"], extent.get("ri", 0.0) or 0.0
-    rads = np.hypot(local[:, 0], local[:, 1])
-    angs = _polar_angles(local[:, 0], local[:, 1])
-    rs = np.linspace(ri, re, resolution + 1)
-    ang_bins = np.linspace(0.0, 2.0 * np.pi, resolution + 1)
-    H = np.histogram2d(rads, angs, bins=[rs, ang_bins], weights=eners)[0]
-    drs = np.diff(rs)
-    ravg = 0.5 * (rs[1:] + rs[:-1])
-    areas = np.outer(drs * ravg, np.diff(ang_bins))
-    return H / areas, (rs, ang_bins)
+def uv_project(kind: str, extent: dict, local):
+    """Map local hit points (n, 3) to the kind's 2-D binning coordinates.
+    NumPy in, NumPy out (the device path re-implements the same few lines
+    in jnp — see device_fluxmap._uv)."""
+    x, y, z = local[:, 0], local[:, 1], local[:, 2]
+    if kind in _CARTESIAN:
+        return x, y
+    if kind in _POLAR:
+        return np.hypot(x, y), _polar_angles(x, y)
+    if kind in _AXIAL:
+        return z, _polar_angles(x, y)
+    if kind in _SPHERICAL:
+        R = extent["R"]
+        return np.arccos(np.clip(z / R, -1.0, 1.0)), _polar_angles(x, y)
+    raise NotImplementedError(f"no fluxmap for geometry kind {kind}")
 
 
-def parabolic_dish_fluxmap(extent, eners, local, resolution):
-    R, qa = extent["R"], extent["qa"]
-    rads = np.hypot(local[:, 0], local[:, 1])
-    angs = _polar_angles(local[:, 0], local[:, 1])
-    rs = np.linspace(0.0, R, resolution + 1)
-    ang_bins = np.linspace(0.0, 2.0 * np.pi, resolution + 1)
-    H = np.histogram2d(rads, angs, bins=[rs, ang_bins], weights=eners)[0]
-    # exact surface area of a polar cell on z = qa r^2:
-    # dtheta * ((1+4 qa^2 r1^2)^(3/2) - (1+4 qa^2 r0^2)^(3/2)) / (12 qa^2)
-    shell = ((1.0 + 4.0 * qa**2 * rs[1:] ** 2) ** 1.5
-             - (1.0 + 4.0 * qa**2 * rs[:-1] ** 2) ** 1.5) / (12.0 * qa**2)
-    areas = np.outer(shell, np.diff(ang_bins))
-    return H / areas, (rs, ang_bins)
+def edges_of(kind: str, extent: dict, resolution: int):
+    """Uniform (u_edges, v_edges) for the kind's natural mesh."""
+    if kind in _CARTESIAN:
+        w, h = extent["w"], extent["h"]
+        return (np.linspace(-w / 2, w / 2, resolution + 1),
+                np.linspace(-h / 2, h / 2, resolution + 1))
+    if kind == "round":
+        re_, ri = extent["re"], extent.get("ri", 0.0) or 0.0
+        return (np.linspace(ri, re_, resolution + 1),
+                np.linspace(0.0, 2.0 * np.pi, resolution + 1))
+    if kind == "cut_round":
+        return (np.linspace(0.0, extent["re"], resolution + 1),
+                np.linspace(0.0, 2.0 * np.pi, resolution + 1))
+    if kind == "parabolic_dish":
+        return (np.linspace(0.0, extent["R"], resolution + 1),
+                np.linspace(0.0, 2.0 * np.pi, resolution + 1))
+    if kind in ("finite_cylinder", "rect_cut_cylinder"):
+        h = extent["h"]
+        a0, a1 = extent.get("ang_range", (0.0, 2.0 * np.pi))
+        return (np.linspace(-h / 2, h / 2, resolution + 1),
+                np.linspace(a0, a1, resolution + 1))
+    if kind == "conical_frustum":
+        z1, z2 = sorted((extent["z1"], extent["z2"]))
+        return (np.linspace(z1, z2, resolution + 1),
+                np.linspace(0.0, 2.0 * np.pi, resolution + 1))
+    if kind in _SPHERICAL:
+        return (np.linspace(0.0, np.pi, resolution + 1),
+                np.linspace(0.0, 2.0 * np.pi, 2 * resolution + 1))
+    raise NotImplementedError(f"no fluxmap for geometry kind {kind}")
 
 
-def cylinder_fluxmap(extent, eners, local, resolution):
-    R, h = extent["R"], extent["h"]
-    a0, a1 = extent.get("ang_range", (0.0, 2.0 * np.pi))
-    heights = local[:, 2]
-    angs = _polar_angles(local[:, 0], local[:, 1])
-    h_bins = np.linspace(-h / 2, h / 2, resolution + 1)
-    ang_bins = np.linspace(a0, a1, resolution + 1)
-    H = np.histogram2d(heights, angs, bins=[h_bins, ang_bins],
-                       weights=eners)[0]
-    areas = np.outer(np.diff(h_bins), R * np.diff(ang_bins))
-    return H / areas, (h_bins, ang_bins)
+def areas_of(kind: str, extent: dict, resolution: int) -> np.ndarray:
+    """Exact cell areas on the (edges_of) mesh, shape (nu, nv)."""
+    ue, ve = edges_of(kind, extent, resolution)
+    if kind == "rect":
+        return np.outer(np.diff(ue), np.diff(ve))
+    if kind == "extruded_rect":
+        # rectangle minus a rectangular hole (ref flat_surface.py:265-355
+        # does an exact 4-piece map; equivalent here: exact rect-rect
+        # overlap subtracted per cell)
+        cx, cy = extent["cx"], extent["cy"]
+        hw, hh = extent["ew"] / 2.0, extent["eh"] / 2.0
+        full = np.outer(np.diff(ue), np.diff(ve))
+        ox = (np.minimum(ue[1:], cx + hw) - np.maximum(ue[:-1], cx - hw))
+        oy = (np.minimum(ve[1:], cy + hh) - np.maximum(ve[:-1], cy - hh))
+        hole = np.outer(np.clip(ox, 0.0, None), np.clip(oy, 0.0, None))
+        return full - hole
+    if kind == "perforated_rect":
+        # rectangle minus circular holes: per-cell circle overlap by
+        # sub-sampling (exact to ~1e-3 of a cell, same approach as the
+        # chord-clipped cut disc; ref flat_surface.py:357-455 bins the
+        # full cells)
+        full = np.outer(np.diff(ue), np.diff(ve))
+        holes = np.asarray(extent.get("holes", ()), dtype=float)
+        if len(holes) == 0:
+            return full
+        frac = _cell_fraction_outside(
+            ue, ve,
+            lambda X, Y: ~np.any(
+                (X[..., None] - holes[None, None, :, 0]) ** 2
+                + (Y[..., None] - holes[None, None, :, 1]) ** 2
+                <= holes[None, None, :, 2] ** 2, axis=-1))
+        return full * frac
+    if kind == "round":
+        drs = np.diff(ue)
+        ravg = 0.5 * (ue[1:] + ue[:-1])
+        return np.outer(drs * ravg, np.diff(ve))
+    if kind == "cut_round":
+        # polar cells clipped by the chord x = x_cut (ref
+        # flat_surface.py:605-715 re-meshes the cut region; here the polar
+        # mesh is kept and areas are chord-clipped by sub-sampling)
+        x_cut = extent["x_cut"]
+        full = np.outer(0.5 * (ue[1:] ** 2 - ue[:-1] ** 2), np.diff(ve))
+        frac = _cell_fraction_outside(
+            ue, ve, lambda R, A: (R * np.cos(A)) <= x_cut, polar=True)
+        return full * frac
+    if kind == "parabolic_dish":
+        qa = extent["qa"]
+        # exact surface area of a polar cell on z = qa r^2: dtheta *
+        # ((1+4 qa^2 r1^2)^(3/2) - (1+4 qa^2 r0^2)^(3/2)) / (12 qa^2)
+        shell = ((1.0 + 4.0 * qa**2 * ue[1:] ** 2) ** 1.5
+                 - (1.0 + 4.0 * qa**2 * ue[:-1] ** 2) ** 1.5) \
+            / (12.0 * qa**2)
+        return np.outer(shell, np.diff(ve))
+    if kind in ("finite_cylinder", "rect_cut_cylinder"):
+        return np.outer(np.diff(ue), extent["R"] * np.diff(ve))
+    if kind == "conical_frustum":
+        c, a = extent["c"], extent["a"]
+        slant = np.sqrt(1.0 + c**2)
+        r_at = lambda z: np.abs(c * (z - a))
+        band = 0.5 * slant * (r_at(ue[1:]) + r_at(ue[:-1])) * np.diff(ue)
+        return np.outer(band, np.diff(ve))
+    if kind in _SPHERICAL:
+        R = extent["R"]
+        band = R**2 * (np.cos(ue[:-1]) - np.cos(ue[1:]))
+        return np.outer(band, np.diff(ve))
+    raise NotImplementedError(f"no fluxmap for geometry kind {kind}")
 
 
-def sphere_fluxmap(extent, eners, local, resolution):
-    R = extent["R"]
-    ths = np.arccos(np.clip(local[:, 2] / R, -1.0, 1.0))
-    phis = _polar_angles(local[:, 0], local[:, 1])
-    th_bins = np.linspace(0.0, np.pi, resolution + 1)
-    phi_bins = np.linspace(0.0, 2.0 * np.pi, 2 * resolution + 1)
-    H = np.histogram2d(ths, phis, bins=[th_bins, phi_bins], weights=eners)[0]
-    band = R**2 * (np.cos(th_bins[:-1]) - np.cos(th_bins[1:]))
-    areas = np.outer(band, np.diff(phi_bins))
-    return H / areas, (th_bins, phi_bins)
+def _cell_fraction_outside(ue, ve, keep_fn, polar: bool = False,
+                           nsub: int = 8) -> np.ndarray:
+    """Fraction of each (u, v) cell satisfying keep_fn(x, y) (cartesian) or
+    keep_fn(r, theta) (polar), by nsub x nsub sub-sampling."""
+    s = 0.5 * (np.linspace(0, 1, nsub + 1)[:-1]
+               + np.linspace(0, 1, nsub + 1)[1:])
+    uu = ue[:-1, None] + np.diff(ue)[:, None] * s[None, :]   # (nu, nsub)
+    vv = ve[:-1, None] + np.diff(ve)[:, None] * s[None, :]   # (nv, nsub)
+    U = uu[:, None, :, None]     # (nu, 1, nsub, 1)
+    V = vv[None, :, None, :]     # (1, nv, 1, nsub)
+    Ub = np.broadcast_to(U, (len(uu), len(vv), nsub, nsub))
+    Vb = np.broadcast_to(V, (len(uu), len(vv), nsub, nsub))
+    keep = keep_fn(Ub, Vb)
+    return keep.mean(axis=(2, 3))
 
 
-def frustum_fluxmap(extent, eners, local, resolution):
-    """Conical frustum: bin by local z and azimuth; exact lateral areas."""
-    z1, z2 = sorted((extent["z1"], extent["z2"]))
-    c, a = extent["c"], extent["a"]
-    z_bins = np.linspace(z1, z2, resolution + 1)
-    ang_bins = np.linspace(0.0, 2.0 * np.pi, resolution + 1)
-    angs = _polar_angles(local[:, 0], local[:, 1])
-    H = np.histogram2d(local[:, 2], angs, bins=[z_bins, ang_bins],
-                       weights=eners)[0]
-    # lateral area between z0,z1 per radian: |c|(z-a) slant * ...
-    slant = np.sqrt(1.0 + c**2)
-    r_at = lambda z: np.abs(c * (z - a))
-    band = 0.5 * slant * (r_at(z_bins[1:]) + r_at(z_bins[:-1])) \
-        * np.diff(z_bins)
-    areas = np.outer(band, np.diff(ang_bins))
-    return H / areas, (z_bins, ang_bins)
-
-
-def cut_round_fluxmap(extent, eners, local, resolution):
-    """Straight-cut disc: polar binning with cell areas clipped by the
-    chord x = x_cut. The reference (flat_surface.py:605-715) re-meshes the
-    cut region by x and angle; here the polar mesh is kept and each cell's
-    area is computed as the chord-clipped annular-sector area (numerical
-    sub-sampling, exact to ~1e-3) — same flux normalization, simpler mesh."""
-    re_, x_cut = extent["re"], extent["x_cut"]
-    rads = np.hypot(local[:, 0], local[:, 1])
-    angs = _polar_angles(local[:, 0], local[:, 1])
-    rs = np.linspace(0.0, re_, resolution + 1)
-    ang_bins = np.linspace(0.0, 2.0 * np.pi, resolution + 1)
-    H = np.histogram2d(rads, angs, bins=[rs, ang_bins], weights=eners)[0]
-    # chord-clipped cell areas by sub-sampling
-    nsub = 8
-    r_sub = 0.5 * (np.linspace(0, 1, nsub + 1)[:-1]
-                   + np.linspace(0, 1, nsub + 1)[1:])
-    areas = np.zeros((resolution, resolution))
-    for i in range(resolution):
-        rr = rs[i] + (rs[i + 1] - rs[i]) * r_sub
-        for j in range(resolution):
-            aa = ang_bins[j] + (ang_bins[j + 1] - ang_bins[j]) * r_sub
-            R, A = np.meshgrid(rr, aa, indexing="ij")
-            inside = (R * np.cos(A)) <= x_cut
-            cell = (rs[i + 1]**2 - rs[i]**2) / 2.0 \
-                * (ang_bins[j + 1] - ang_bins[j])
-            areas[i, j] = cell * inside.mean()
-    with np.errstate(divide="ignore", invalid="ignore"):
-        flux = np.where(areas > 0, H / np.maximum(areas, 1e-300), 0.0)
-    return flux, (rs, ang_bins)
-
-
-_BY_KIND = {
-    "rect": rect_fluxmap,
-    "extruded_rect": rect_fluxmap,
-    "perforated_rect": rect_fluxmap,
-    "round": round_fluxmap,
-    "cut_round": cut_round_fluxmap,
-    "parabolic_dish": parabolic_dish_fluxmap,
-    "finite_cylinder": cylinder_fluxmap,
-    "rect_cut_cylinder": cylinder_fluxmap,
-    "sphere": sphere_fluxmap,
-    "hemisphere": sphere_fluxmap,
-    "spherical_rect_facet": sphere_fluxmap,
-    "conical_frustum": frustum_fluxmap,
-}
+def supported_kinds() -> tuple:
+    return _CARTESIAN + _POLAR + _AXIAL + _SPHERICAL
 
 
 def fluxmap(geom: Geometry, eners, local, resolution: int = 40):
@@ -159,10 +190,16 @@ def fluxmap(geom: Geometry, eners, local, resolution: int = 40):
     local (n,3) local-frame hit points. Returns (flux_2d, bin_edges)."""
     eners = np.asarray(eners, dtype=float)
     local = np.atleast_2d(np.asarray(local, dtype=float))
-    fn = _BY_KIND.get(geom.kind)
-    if fn is None:
-        raise NotImplementedError(f"no fluxmap for geometry kind {geom.kind}")
-    return fn(geom.extent, eners, local, resolution)
+    if local.shape[0] == 0:
+        local = np.zeros((0, 3))
+    kind, extent = geom.kind, geom.extent
+    u, v = uv_project(kind, extent, local)
+    ue, ve = edges_of(kind, extent, resolution)
+    H = np.histogram2d(u, v, bins=[ue, ve], weights=eners)[0]
+    areas = areas_of(kind, extent, resolution)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        flux = np.where(areas > 0, H / np.maximum(areas, 1e-300), 0.0)
+    return flux, (ue, ve)
 
 
 def surface_fluxmap(result, surface, resolution: int = 40):

@@ -163,6 +163,53 @@ def disk_cells(nb: int) -> np.ndarray:
     return np.asarray(cells, dtype=np.float32)
 
 
+def rect_cells(nb: int, w: float = 1.0, h: float = 1.0) -> np.ndarray:
+    """Equal-area partition of the unit square into ``nb`` grid cells of
+    near-unit PHYSICAL aspect for a w x h rectangle, any nb (the rect
+    twin of disk_cells, for oblique rect sources — ref sources.py:268).
+    Returns (nb, 4) float32 rows of FRACTIONAL bounds [u0, u1, v0, v1];
+    rows are horizontal bands whose heights are proportional to their
+    cell counts, so every cell has area w*h/nb exactly."""
+    def row_counts(m: int):
+        ideal = np.full(m, nb / m)
+        n = np.maximum(np.floor(ideal).astype(int), 1)
+        while n.sum() > nb:
+            i = int(np.argmax(n - ideal))
+            if n[i] <= 1:
+                return None
+            n[i] -= 1
+        rem = nb - n.sum()
+        order = np.argsort(ideal - n)[::-1]
+        for i in order[:rem]:
+            n[i] += 1
+        return n
+
+    def worst_aspect(n):
+        cw = w / n                      # cell width per row
+        ch = h * n / nb                 # row height (equal-area)
+        a = np.maximum(cw, ch) / np.maximum(np.minimum(cw, ch), 1e-12)
+        return float(a.max())
+
+    best = None
+    for m in range(1, int(2 * math.sqrt(nb * max(h / max(w, 1e-12), 0.25)))
+                   + 2):
+        n = row_counts(m)
+        if n is None:
+            continue
+        a = worst_aspect(n)
+        if best is None or a < best[0]:
+            best = (a, n)
+    n = best[1]
+    cells = []
+    v = 0.0
+    for k in n:
+        dv = k / nb
+        for j in range(k):
+            cells.append((j / k, (j + 1) / k, v, v + dv))
+        v += dv
+    return np.asarray(cells, dtype=np.float32)
+
+
 def _row_spheres(meta, resolution: int = 8) -> np.ndarray:
     """(S, 4) world bounding spheres [cx, cy, cz, r] of every table row."""
     out = []
@@ -228,29 +275,40 @@ def _cone_sweep_hits(spheres: np.ndarray, c0, r0: float, axis, alpha: float,
     return ahead & (lat <= reach)
 
 
-def _cell_sphere(center, rot, radius: float, bounds) -> tuple:
-    """World bounding sphere of one equal-area disk cell
-    (bounds = [a0, a1, th0, th1], a the area fraction)."""
-    a0, a1, th0, th1 = (float(v) for v in bounds)
-    r0 = radius * math.sqrt(a0)
-    r1 = radius * math.sqrt(a1)
-    th = th0 + (th1 - th0) * np.linspace(0.0, 1.0, 9)
-    rr = np.concatenate([np.full_like(th, r0), np.full_like(th, r1)])
-    tt = np.concatenate([th, th])
-    loc = np.stack([rr * np.cos(tt), rr * np.sin(tt), np.zeros_like(rr)],
-                   axis=1)
+def _cell_sphere(center, rot, radius: float, bounds,
+                 rect_wh=None) -> tuple:
+    """World bounding sphere of one equal-area source cell: a disk cell
+    (bounds = [a0, a1, th0, th1], a the area fraction) or, with
+    ``rect_wh = (w, h)``, a rect cell (bounds = fractional
+    [u0, u1, v0, v1] of the w x h source rectangle)."""
     R = np.asarray(rot).reshape(3, 3)
+    if rect_wh is not None:
+        w, h = rect_wh
+        u0, u1, v0, v1 = (float(v) for v in bounds)
+        xs = w * (np.array([u0, u1]) - 0.5)
+        ys = h * (np.array([v0, v1]) - 0.5)
+        loc = np.array([[x, y, 0.0] for x in xs for y in ys])
+    else:
+        a0, a1, th0, th1 = (float(v) for v in bounds)
+        r0 = radius * math.sqrt(a0)
+        r1 = radius * math.sqrt(a1)
+        th = th0 + (th1 - th0) * np.linspace(0.0, 1.0, 9)
+        rr = np.concatenate([np.full_like(th, r0), np.full_like(th, r1)])
+        tt = np.concatenate([th, th])
+        loc = np.stack([rr * np.cos(tt), rr * np.sin(tt),
+                        np.zeros_like(rr)], axis=1)
     pts = loc @ R.T + np.asarray(center)
     c = pts.mean(axis=0)
     return c, float(np.linalg.norm(pts - c, axis=1).max())
 
 
 def _one_cell_list(bounds, center, rot, radius, theta_src, spheres,
-                   n_axis, widen, expandable_set, age_cap, margin, d0):
+                   n_axis, widen, expandable_set, age_cap, margin, d0,
+                   rect_wh=None):
     """Candidate row list for one source cell: first-segment cone sweep +
     breadth-first closure under specular reflection up to ``age_cap``
     bounces (see module doc)."""
-    c0, r0 = _cell_sphere(center, rot, radius, bounds)
+    c0, r0 = _cell_sphere(center, rot, radius, bounds, rect_wh=rect_wh)
     first = np.nonzero(_cone_sweep_hits(spheres, c0, r0, d0, theta_src,
                                         margin))[0]
     cand = set(first.tolist())
@@ -290,11 +348,12 @@ def _one_cell_list(bounds, center, rot, radius, theta_src, spheres,
 
 
 def _cell_lists(cell_bounds, center, rot, radius, theta_src, spheres,
-                n_axis, widen, expandable_set, age_cap, margin, d0):
+                n_axis, widen, expandable_set, age_cap, margin, d0,
+                rect_wh=None):
     """Candidate row lists for each source cell (see _one_cell_list)."""
     return [_one_cell_list(bounds, center, rot, radius, theta_src, spheres,
                            n_axis, widen, expandable_set, age_cap, margin,
-                           d0)
+                           d0, rect_wh=rect_wh)
             for bounds in cell_bounds]
 
 
@@ -316,7 +375,8 @@ def _row_fill(meta, spheres, resolution: int = 8) -> np.ndarray:
 
 def _pilot_survival(cell_bounds, center, rot, radius, theta_dni,
                     n_rays: int, spheres, n_axis, fill, absorb,
-                    seed: int = 0) -> np.ndarray:
+                    seed: int = 0, rect_wh=None, rays_rot=None
+                    ) -> np.ndarray:
     """Per-cell survival estimate: expected (1 - absorptivity) weight of a
     pilot ray's first interaction, from a pure-NumPy bounding-sphere
     intersect weighted by each row's fill factor x incidence cosine.
@@ -327,21 +387,28 @@ def _pilot_survival(cell_bounds, center, rot, radius, theta_dni,
     directions sample the solar disc only (98%+ of Buie energy)."""
     rng = np.random.default_rng(seed)
     nc = len(cell_bounds)
-    a0, a1, th0, th1 = (np.repeat(cell_bounds[:, k], n_rays)
-                        for k in range(4))
+    b0, b1, b2, b3 = (np.repeat(cell_bounds[:, k], n_rays)
+                      for k in range(4))
     u1 = rng.random(nc * n_rays)
     u2 = rng.random(nc * n_rays)
-    rr = radius * np.sqrt(a0 + u1 * (a1 - a0))
-    th = th0 + u2 * (th1 - th0)
-    loc = np.stack([rr * np.cos(th), rr * np.sin(th), np.zeros_like(rr)],
-                   axis=1)
+    if rect_wh is not None:
+        w, hgt = rect_wh
+        lx = w * (b0 + u1 * (b1 - b0) - 0.5)
+        ly = hgt * (b2 + u2 * (b3 - b2) - 0.5)
+        loc = np.stack([lx, ly, np.zeros_like(lx)], axis=1)
+    else:
+        rr = radius * np.sqrt(b0 + u1 * (b1 - b0))
+        th = b2 + u2 * (b3 - b2)
+        loc = np.stack([rr * np.cos(th), rr * np.sin(th),
+                        np.zeros_like(rr)], axis=1)
     R = np.asarray(rot).reshape(3, 3)
     pos = (loc @ R.T + np.asarray(center)).astype(np.float32)
     t = theta_dni * np.sqrt(rng.random(nc * n_rays))
     p = 2.0 * np.pi * rng.random(nc * n_rays)
     ld = np.stack([np.sin(t) * np.cos(p), np.sin(t) * np.sin(p),
                    np.cos(t)], axis=1)
-    dirs = (ld @ R.T).astype(np.float32)
+    Rd = R if rays_rot is None else np.asarray(rays_rot).reshape(3, 3)
+    dirs = (ld @ Rd.T).astype(np.float32)
 
     c = spheres[:, :3].astype(np.float32)
     r2 = (spheres[:, 3] ** 2).astype(np.float32)
@@ -393,9 +460,12 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
                         margin: float = 0.25, resolution: int = 8,
                         balance: bool = True,
                         pilot_rays: int = 256) -> BlockCulling:
-    """Build per-block candidate lists for a disk source described by a
-    ``buie_sunshape_pallas_spec`` tuple (kernels/pallas_intersect consumes
-    the same spec for in-kernel regeneration).
+    """Build per-block candidate lists for a disk source
+    (``buie_sunshape_pallas_spec`` / ``disk_pillbox_pallas_spec``) or a
+    rect source (``rect_buie_sunshape_pallas_spec`` /
+    ``oblique_rect_pillbox_pallas_spec`` — the reference's standard field
+    source, sources.py:268); kernels/pallas_intersect consumes the same
+    spec for in-kernel regeneration.
 
     slab must be a whole number of ray tiles; the nb = slab / TILE blocks
     serve equal-area cells of the source disk. With ``balance`` (default),
@@ -413,7 +483,19 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
      _integ, theta_tot, theta_dni) = source_spec[:13]
     center = np.array([cx, cy, cz])
     R = np.asarray(rot).reshape(3, 3)
-    d0 = R[:, 2]  # source local +z in world coords
+    # rect-source marker (sources.rect_buie_sunshape_pallas_spec /
+    # oblique_rect_pillbox_pallas_spec): positions on a w x h rect in the
+    # rot frame, directions about rays_rot's +z when oblique
+    rect = source_spec[15] if len(source_spec) > 15 else None
+    rect_wh = (float(rect[0]), float(rect[1])) if rect is not None else None
+    rays_rot = (rect[2] if rect is not None and rect[2] is not None
+                else None)
+    Rd = np.asarray(rays_rot).reshape(3, 3) if rays_rot is not None else R
+    d0 = Rd[:, 2]  # ray-direction frame +z in world coords
+    if rect is not None:
+        cells_fn = lambda nc: rect_cells(nc, *rect_wh)   # noqa: E731
+    else:
+        cells_fn = disk_cells
     theta_src = float(theta_tot if gamma is not None else theta_dni)
 
     spheres = _row_spheres(meta, resolution)
@@ -456,11 +538,12 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
     mult = np.ones(nb, dtype=np.int64)
     if balance and nb > 1:
         # ONE pilot on the finest grid; candidate partitions aggregate it
-        fine = disk_cells(nb)
+        fine = cells_fn(nb)
         fill = _row_fill(meta, spheres, resolution)
         fine_h = _pilot_survival(fine, center, rot, radius,
                                  float(theta_dni), pilot_rays,
-                                 spheres, n_axis, fill, absorptivity)
+                                 spheres, n_axis, fill, absorptivity,
+                                 rect_wh=rect_wh, rays_rot=rays_rot)
         best = None
         tried = set()
         for div in (1.0, 1.1, 1.2, 1.35, 1.5, 1.7, 2.0):
@@ -468,7 +551,7 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
             if nc in tried:
                 continue
             tried.add(nc)
-            cand = disk_cells(nc)
+            cand = cells_fn(nc)
             h = (fine_h if nc == nb
                  else _aggregate_survival(fine, fine_h, cand))
             w = 1.0 / np.maximum(1.0 - h, 0.1)
@@ -482,17 +565,19 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
             # ring cell; the closure roughly doubles it). Measured on
             # v5e: fixed ~ 1.0 ms/round, ~0.045 ms per candidate row.
             mid = cand[len(cand) // 2]
-            c0, r0 = _cell_sphere(center, rot, radius, mid)
+            c0, r0 = _cell_sphere(center, rot, radius, mid,
+                                  rect_wh=rect_wh)
             L1 = int(_cone_sweep_hits(spheres, c0, r0, d0, theta_src,
                                       margin).sum())
             score = (float((w / m).max()) / nc) * (1.0 + 0.09 * L1)
             if best is None or score < best[0]:
                 best = (score, nc, m)
         _, n_cells, mult = best
-    cells = disk_cells(n_cells)
+    cells = cells_fn(n_cells)
 
     cl = _cell_lists(cells, center, rot, radius, theta_src, spheres,
-                     n_axis, widen, expandable_set, age_cap, margin, d0)
+                     n_axis, widen, expandable_set, age_cap, margin, d0,
+                     rect_wh=rect_wh)
 
     # ---- SMEM width cap: the lists ride in SMEM transposed (L_max, nb),
     # padded to (L_max, ceil(nb/128)*128) int32, alongside the (K, S)
@@ -555,13 +640,23 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
             cl[c] = _one_cell_list(cells[c], center, rot, radius,
                                    theta_src, spheres, n_axis, widen,
                                    expandable_set, int(cell_depth[c]),
-                                   margin, d0)
+                                   margin, d0, rect_wh=rect_wh)
         cgc = _cell_group_counts()
 
     cell_of_block = np.repeat(np.arange(n_cells), mult).astype(np.int32)
     assert len(cell_of_block) == nb
     lists = [cl[c] for c in cell_of_block]
     cell_bounds = cells[cell_of_block]
+    if rect is not None:
+        # the kernel samples rect cells in LOCAL coordinates
+        # (pallas_intersect._sample_disk_buie rect branch): convert the
+        # fractional [u0, u1, v0, v1] bounds to [x0, x1, y0, y1]
+        w_src, h_src = rect_wh
+        cell_bounds = np.stack([
+            w_src * (cell_bounds[:, 0] - 0.5),
+            w_src * (cell_bounds[:, 1] - 0.5),
+            h_src * (cell_bounds[:, 2] - 0.5),
+            h_src * (cell_bounds[:, 3] - 0.5)], axis=1).astype(np.float32)
     age_caps = cell_depth[cell_of_block].astype(np.int32)
     if (age_caps == 1).any():
         import logging

@@ -43,15 +43,21 @@ class TraceAccum:
     residual: jnp.ndarray = None  # () energy still on live rays at exit
     # (streaming drivers account it so closure is exact even when
     # max_rounds exits early — ref tracer_engine.py:292-294 only warns)
+    flux: tuple = ()        # per-FluxSpec (nu, nv) device flux histograms
+    # (analysis/device_fluxmap — the fast-path answer to the reference's
+    # host-side streaming flux maps, Sandia example.py:218-227)
 
     @classmethod
-    def zeros(cls, n_rows: int, dtype=jnp.float32) -> "TraceAccum":
+    def zeros(cls, n_rows: int, dtype=jnp.float32,
+              fluxspecs: tuple = ()) -> "TraceAccum":
+        from .analysis import device_fluxmap as _dfm
         return cls(absorbed=jnp.zeros((n_rows,), dtype=dtype),
                    hits=jnp.zeros((n_rows,), dtype=dtype),
                    escaped=jnp.zeros((), dtype=dtype),
                    culled=jnp.zeros((), dtype=dtype),
                    medium=jnp.zeros((), dtype=dtype),
-                   residual=jnp.zeros((), dtype=dtype))
+                   residual=jnp.zeros((), dtype=dtype),
+                   flux=_dfm.zeros_for(fluxspecs, dtype=dtype))
 
     def __add__(self, other: "TraceAccum") -> "TraceAccum":
         return jax.tree_util.tree_map(lambda a, b: a + b, self, other)
@@ -86,6 +92,9 @@ class BounceRecord:
     split: Optional[tuple] = None
     bounce: Optional[int] = None    # bounce index (set by the engine; lets
     #   tag-gated record lists stay sparse without losing the genealogy)
+    slot: Optional[jnp.ndarray] = None  # (K,) original slab slot of each
+    #   entry when the record was COMPACTED on device (record="tags"):
+    #   arrays then hold only the tagged hits, not the whole slab
 
 
 @dataclasses.dataclass
@@ -431,15 +440,27 @@ class TraceResult:
 
     def ray_history(self, slot: int):
         """Walk one ray slot through the bounces (genealogy query,
-        replacing ref trace_tree.RayTree.ray_history)."""
+        replacing ref trace_tree.RayTree.ray_history). With full records
+        (record=True) this is the complete path; with compacted tag-gated
+        records it lists only the recorded (tagged) hits of that slot."""
         hist = []
         for b, rec in enumerate(self.records):
-            if not bool(np.asarray(rec.alive_in)[slot]):
-                break
-            hist.append(dict(bounce=b, sid=int(np.asarray(rec.sid)[slot]),
-                             hit=np.asarray(rec.hit)[slot],
-                             e_in=float(np.asarray(rec.e_in)[slot]),
-                             e_out=float(np.asarray(rec.e_out)[slot])))
+            if rec.slot is not None:
+                pos = np.nonzero(np.asarray(rec.slot) == slot)[0]
+                pos = [p for p in pos if bool(np.asarray(rec.alive_in)[p])]
+                if not pos:
+                    continue
+                i = int(pos[0])
+            else:
+                if not bool(np.asarray(rec.alive_in)[slot]):
+                    break
+                i = slot
+            hist.append(dict(
+                bounce=b if rec.bounce is None else int(rec.bounce),
+                sid=int(np.asarray(rec.sid)[i]),
+                hit=np.asarray(rec.hit)[i],
+                e_in=float(np.asarray(rec.e_in)[i]),
+                e_out=float(np.asarray(rec.e_out)[i])))
         return hist
 
 
@@ -523,12 +544,15 @@ class TracerEngine:
                     mask = rec.sid == recording_rows[0]
                     for r in recording_rows[1:]:
                         mask = mask | (rec.sid == r)
-                    # one scalar sync; the full record transfers only when
-                    # a tagged surface was actually hit this bounce
-                    if int(jnp.sum(mask)):
+                    # one scalar sync; when a tagged surface was hit this
+                    # bounce, gather ONLY the tagged slots on device and
+                    # transfer O(hits), not O(slab) (round-2 verdict: the
+                    # full-slab transfer capped flux-map traces at ~1M
+                    # rays on tunneled hosts)
+                    n_hits = int(jnp.sum(mask))
+                    if n_hits:
                         records.append(jax.device_get(
-                            rec.replace(sid=jnp.where(mask, rec.sid, -1),
-                                        bounce=b)))
+                            _compact_record(rec, mask, n_hits, b)))
             elif opts.record:
                 records.append(jax.device_get(rec.replace(bounce=b)))
             # host check: stop when the bundle dies (like ref :277-280)
@@ -574,6 +598,33 @@ class TracerEngine:
         return jnp.asarray(cand)
 
 
+def _compact_record(rec: BounceRecord, mask, n_hits: int,
+                    bounce: int) -> BounceRecord:
+    """Gather the ``mask``-selected slots of a BounceRecord into a small
+    buffer on device (capacity = next power of two >= n_hits, bucketed to
+    bound the number of distinct compiled gather shapes across bounces).
+    Entries beyond n_hits are padding: sid = -1, alive_in = False, so every
+    consumer's mask logic skips them. ``slot`` keeps the original slab
+    index of each entry (the fixed-slab lineage id)."""
+    n = mask.shape[0]
+    k = min(1 << max(n_hits - 1, 0).bit_length(), n)
+    idx = jnp.nonzero(mask, size=k, fill_value=0)[0]
+    valid = jnp.arange(k) < n_hits
+    return BounceRecord(
+        sid=jnp.where(valid, rec.sid[idx], -1),
+        t=rec.t[idx], hit=rec.hit[idx], local=rec.local[idx],
+        dir_in=rec.dir_in[idx], dir_out=rec.dir_out[idx],
+        e_in=jnp.where(valid, rec.e_in[idx], 0.0),
+        e_out=jnp.where(valid, rec.e_out[idx], 0.0),
+        absorbed=jnp.where(valid, rec.absorbed[idx], 0.0),
+        backside=rec.backside[idx] & valid,
+        alive_in=rec.alive_in[idx] & valid,
+        wavelength=(None if rec.wavelength is None
+                    else rec.wavelength[idx]),
+        normal=None if rec.normal is None else rec.normal[idx],
+        split=None, bounce=bounce, slot=idx.astype(jnp.int32))
+
+
 def _append_split_rays(bundle: RayBundle, prev: RayBundle,
                        rec: BounceRecord, accum: TraceAccum,
                        min_energy: float):
@@ -610,21 +661,26 @@ def _append_split_rays(bundle: RayBundle, prev: RayBundle,
 
 @functools.partial(
     jax.jit, static_argnames=("max_bounces", "min_energy", "t_eps",
-                              "disc_eps", "block"))
+                              "disc_eps", "block", "fluxspecs"))
 def trace_fused(scene: SceneTable, bundle: RayBundle, key: jax.Array,
                 max_bounces: int = 100, min_energy: float = 1e-6,
                 t_eps=None, disc_eps: float = 1e-6,
-                block: int = 64):
+                block: int = 64, fluxspecs: tuple = ()):
     """Fully fused trace: one lax.while_loop on device, no records.
 
     Returns (final_bundle, accum). This is the unit of work that shards over
     a device mesh (see parallel.py) and the benchmark path.
+
+    ``fluxspecs`` (static tuple of device_fluxmap.FluxSpec) accumulates
+    per-surface spatial flux histograms on device (accum.flux), giving the
+    fast path the reference's receiver flux maps without per-hit records.
 
     F_SPLIT (energy-splitting) interfaces fall back to Russian roulette
     here: the fixed-size while-loop carry cannot grow the ray population.
     Both estimators are unbiased with identical expectations; use
     TracerEngine.ray_tracer for true per-ray splitting.
     """
+    from .analysis import device_fluxmap as _dfm
     # Derive the zeros from bundle data so they inherit shard_map's
     # varying-axis tags (a bare jnp.zeros would mismatch the loop carry
     # under a mesh).
@@ -632,7 +688,9 @@ def trace_fused(scene: SceneTable, bundle: RayBundle, key: jax.Array,
     accum0 = TraceAccum(
         absorbed=jnp.zeros((scene.num_rows,), dtype=bundle.pos.dtype) + zero,
         hits=jnp.zeros((scene.num_rows,), dtype=bundle.pos.dtype) + zero,
-        escaped=zero, culled=zero, medium=zero, residual=zero)
+        escaped=zero, culled=zero, medium=zero, residual=zero,
+        flux=tuple(h + zero for h in
+                   _dfm.zeros_for(fluxspecs, dtype=bundle.pos.dtype)))
 
     def cond(state):
         i, bundle, accum, key = state
@@ -641,9 +699,13 @@ def trace_fused(scene: SceneTable, bundle: RayBundle, key: jax.Array,
     def body(state):
         i, bundle, accum, key = state
         key, sub = jax.random.split(key)
-        bundle, accum, _ = _bounce_step(
+        bundle, accum, rec = _bounce_step(
             scene, bundle, accum, sub, min_energy=min_energy,
             t_eps=t_eps, disc_eps=disc_eps, block=block)
+        if fluxspecs:
+            accum = accum.replace(flux=_dfm.accumulate(
+                accum.flux, fluxspecs, scene, rec.sid, rec.hit,
+                rec.absorbed))
         return (i + 1, bundle, accum, key)
 
     _, bundle, accum, _ = jax.lax.while_loop(
@@ -655,14 +717,15 @@ def trace_fused(scene: SceneTable, bundle: RayBundle, key: jax.Array,
     jax.jit, static_argnames=("source_spec", "total_rays", "max_rounds",
                               "max_path", "min_energy", "t_eps", "disc_eps",
                               "slab", "bivar", "one_sided", "slope",
-                              "lambertian", "spectral"))
+                              "lambertian", "spectral", "fluxspecs"))
 def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                                 total_rays: int, slab: int,
                                 max_rounds: int, max_path: int,
                                 min_energy: float, t_eps, disc_eps: float,
                                 bivar: bool, one_sided: bool, slope: bool,
                                 lambertian: bool = False,
-                                spectral: bool = False):
+                                spectral: bool = False,
+                                fluxspecs: tuple = ()):
     """Streaming trace where regeneration happens INSIDE the fused bounce
     kernel (single-group pure-specular scenes with a bakeable source): the
     ray state makes exactly one HBM round trip per bounce. The emission
@@ -678,12 +741,13 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                     .astype(jnp.float32) if spectral else None)
     te = default_t_eps(jnp.float32) if t_eps is None else t_eps
 
+    from .analysis import device_fluxmap as _dfm
     pos0 = jnp.zeros((slab, 3), dtype=jnp.float32)
     dir0 = jnp.zeros((slab, 3), dtype=jnp.float32).at[:, 2].set(1.0)
     e0 = jnp.zeros((slab,), dtype=jnp.float32)
     wl0 = jnp.zeros((slab,), dtype=jnp.float32)
     age0 = jnp.zeros((slab,), dtype=jnp.int32)
-    accum0 = TraceAccum.zeros(scene.num_rows)
+    accum0 = TraceAccum.zeros(scene.num_rows, fluxspecs=fluxspecs)
     z32 = jnp.array(0, dtype=jnp.int32)
 
     def cond(st):
@@ -723,6 +787,9 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
         escaped = (e_before > 0.0) & ~hit
         accum = _account(scene, accum, sid, hit, escaped, absorbed,
                          e_before, count_hits=False)
+        if fluxspecs:
+            accum = accum.replace(flux=_dfm.accumulate(
+                accum.flux, fluxspecs, scene, sid, pos, absorbed))
         if ambient_att > 0.0:
             # kernel reports surface absorption only; the ambient medium
             # took the rest of each hit segment's loss
@@ -756,7 +823,7 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                               "max_rounds", "max_path", "min_energy",
                               "t_eps", "disc_eps", "bivar", "one_sided",
                               "slope", "lambertian", "spectral",
-                              "ambient_att", "demote_rows"))
+                              "ambient_att", "demote_rows", "fluxspecs"))
 def _trace_streaming_megakernel_culled(
         scene: SceneTable, key, lists, counts, cells, cell_bounds, quota_b,
         age_caps, source_spec, group_offsets,
@@ -764,7 +831,7 @@ def _trace_streaming_megakernel_culled(
         min_energy: float, t_eps, disc_eps: float, bivar, one_sided: bool,
         slope: bool, demote_rows: tuple,
         lambertian: bool = False, spectral: bool = False,
-        ambient_att: float = 0.0):
+        ambient_att: float = 0.0, fluxspecs: tuple = ()):
     """Relevancy-culled streaming megakernel (see culling.py): each grid
     block owns one equal-area source cell and intersects only its static
     candidate list; per-block quotas keep the stratified emission unbiased
@@ -800,10 +867,11 @@ def _trace_streaming_megakernel_culled(
     e0 = jnp.zeros((slab,), dtype=jnp.float32)
     wl0 = jnp.zeros((slab,), dtype=jnp.float32)
     age0 = jnp.zeros((slab,), dtype=jnp.int32)
+    from .analysis import device_fluxmap as _dfm
     parked0 = jnp.zeros((slab,), dtype=bool)
     emitted0 = jnp.zeros((nb,), dtype=jnp.int32)
     hist0 = jnp.zeros(lists.shape, dtype=jnp.float32)
-    accum0 = TraceAccum.zeros(scene.num_rows)
+    accum0 = TraceAccum.zeros(scene.num_rows, fluxspecs=fluxspecs)
     z32 = jnp.array(0, dtype=jnp.int32)
 
     def cond(st):
@@ -884,6 +952,9 @@ def _trace_streaming_megakernel_culled(
             "btl,bt->bl", onehot,
             absorbed.reshape(nb, TILE).astype(jnp.bfloat16),
             preferred_element_type=jnp.float32)
+        if fluxspecs:
+            accum = accum.replace(flux=_dfm.accumulate(
+                accum.flux, fluxspecs, scene, sid, npos, absorbed))
         accum = accum.replace(
             escaped=accum.escaped + jnp.sum(jnp.where(escaped, e_before,
                                                       0.0)))
@@ -943,6 +1014,9 @@ def _trace_streaming_megakernel_culled(
         escaped = (e > 0.0) & ~hit
         accum = _account(scene, accum, sid, hit, escaped, absorbed, e,
                          count_hits=False)
+        if fluxspecs:
+            accum = accum.replace(flux=_dfm.accumulate(
+                accum.flux, fluxspecs, scene, sid, pos, absorbed))
         if ambient_att > 0.0:
             med = jnp.where(hit, e - absorbed - ne, 0.0)
             accum = accum.replace(medium=accum.medium + jnp.sum(med))
@@ -1025,7 +1099,7 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
                     total_rays: int, max_rounds: int = 10_000,
                     max_path: int = 100, min_energy: float = 1e-6,
                     t_eps=None, disc_eps: float = 1e-6, block: int = 64,
-                    culling=None):
+                    culling=None, fluxspecs: tuple = ()):
     """Streaming wavefront trace with on-device ray regeneration.
 
     The reference (and trace_fused) lets the ray population decay across
@@ -1042,6 +1116,12 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     ``reps``, tracer_engine.py:124): rays older than it are culled with
     their energy accounted, which bounds the straggler tail that would
     otherwise keep the whole slab looping for rare long paths.
+
+    ``fluxspecs`` (static tuple of device_fluxmap.FluxSpec) accumulates
+    per-surface spatial flux histograms on device across ALL streaming
+    paths (culled/plain megakernel and the general path); they come back
+    in accum.flux, one (nu, nv) energy histogram per spec (use
+    device_fluxmap.finalize to get W/m^2 on the surface mesh).
 
     Returns (accum, emitted, source_e): energy accumulators, rays emitted,
     total energy emitted. escaped/culled/absorbed/residual cover every
@@ -1107,7 +1187,7 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             slope="slope_error" in scene.features,
             lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
             spectral=spectral_scene, ambient_att=spec_att,
-            demote_rows=culling.demote_rows)
+            demote_rows=culling.demote_rows, fluxspecs=fluxspecs)
     if culling is not None:
         import logging
         logging.getLogger("tracer_tpu").warning(
@@ -1123,29 +1203,33 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             one_sided="one_sided" in scene.features,
             slope="slope_error" in scene.features,
             lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
-            spectral=spectral_scene)
+            spectral=spectral_scene, fluxspecs=fluxspecs)
     return _trace_streaming_general(
         scene, source_fn, key, total_rays, max_rounds, max_path,
-        min_energy, t_eps, disc_eps, block)
+        min_energy, t_eps, disc_eps, block, fluxspecs=fluxspecs)
 
 
 @functools.partial(
     jax.jit, static_argnames=("source_fn", "total_rays", "max_rounds",
                               "max_path", "min_energy", "t_eps", "disc_eps",
-                              "block"))
+                              "block", "fluxspecs"))
 def _trace_streaming_general(scene: SceneTable, source_fn, key: jax.Array,
                              total_rays: int, max_rounds: int,
                              max_path: int, min_energy: float,
-                             t_eps, disc_eps: float, block: int):
+                             t_eps, disc_eps: float, block: int,
+                             fluxspecs: tuple = ()):
     """General streaming path (any optics, any backend): jnp regeneration
     around the per-bounce kernels. See trace_streaming."""
+    from .analysis import device_fluxmap as _dfm
     probe = source_fn(key)
     n = probe.num_rays
     zero = jnp.sum(probe.energy) * 0.0
     accum0 = TraceAccum(
         absorbed=jnp.zeros((scene.num_rows,), dtype=probe.pos.dtype) + zero,
         hits=jnp.zeros((scene.num_rows,), dtype=probe.pos.dtype) + zero,
-        escaped=zero, culled=zero, medium=zero, residual=zero)
+        escaped=zero, culled=zero, medium=zero, residual=zero,
+        flux=tuple(h + zero for h in
+                   _dfm.zeros_for(fluxspecs, dtype=probe.pos.dtype)))
     source0 = zero   # total energy emitted
 
     def regenerate(bundle, age, key, emitted, source_e):
@@ -1185,10 +1269,14 @@ def _trace_streaming_general(scene: SceneTable, source_fn, key: jax.Array,
         key, k_src, k_bounce = jax.random.split(key, 3)
         bundle, age, emitted, source_e = regenerate(bundle, age, k_src,
                                                     emitted, source_e)
-        bundle, accum, _ = _bounce_step(
+        bundle, accum, rec = _bounce_step(
             scene, bundle, accum, k_bounce, min_energy=min_energy,
             t_eps=t_eps, disc_eps=disc_eps, block=block, count_hits=False,
             need_local=False)
+        if fluxspecs:
+            accum = accum.replace(flux=_dfm.accumulate(
+                accum.flux, fluxspecs, scene, rec.sid, rec.hit,
+                rec.absorbed))
         # per-ray bounce budget: cull overage rays, account their energy
         age = age + 1
         over = bundle.alive & (age >= max_path)

@@ -584,14 +584,17 @@ def _kernel_uniform(shape):
 
 
 def _sample_disk_buie(spec, shape, cell=None):
-    """In-kernel disk + Buie-sunshape source sampling (all parameters are
-    static Python floats baked into the kernel; cf. sources.buie_sunshape).
-    Returns the 6 fresh ray components.
+    """In-kernel disk/rect + Buie-sunshape source sampling (all parameters
+    are static Python floats baked into the kernel; cf.
+    sources.buie_sunshape). Returns the 6 fresh ray components.
 
-    With ``cell = (a0, a1, th0, th1)`` (scalar area-fraction and angle
-    bounds, culling.disk_cells) the position is stratified to this grid
-    block's equal-area cell of the disk — the basis of per-block relevancy
-    culling (every ray in block b starts in cell b).
+    With ``cell`` the position is stratified to this grid block's
+    equal-area cell of the source — the basis of per-block relevancy
+    culling (every ray in block b starts in cell b): for a disk source
+    cell = (a0, a1, th0, th1) area-fraction/angle bounds
+    (culling.disk_cells); for a rect source (spec[15] marker, ref
+    oblique_solar_rect_bundle sources.py:268) cell = (x0, x1, y0, y1)
+    local-frame coordinate bounds (culling.rect_cells scaled by w, h).
 
     Specs may carry two optional trailing fields (see
     sources.buie_sunshape_pallas_spec): a (wl_lo, wl_hi) band — a 7th
@@ -601,16 +604,27 @@ def _sample_disk_buie(spec, shape, cell=None):
     (cx, cy, cz, rot, radius, e_ray, coeffs, disc_end,
      gamma, kappa, integ_sum, theta_tot, theta_dni) = spec[:13]
     wl_band = spec[13] if len(spec) > 13 else None
+    rect = spec[15] if len(spec) > 15 else None
     u1, u2, u3, u4 = (_kernel_uniform(shape) for _ in range(4))
-    # position on the source disc (or this block's cell of it)
-    if cell is not None:
+    # position on the source disc/rect (or this block's cell of it)
+    if rect is not None:
+        w_src, h_src, rays_rot = rect
+        if cell is not None:
+            x0, x1, y0, y1 = cell
+            lx = x0 + u1 * (x1 - x0)
+            ly = y0 + u2 * (y1 - y0)
+        else:
+            lx = (u1 - 0.5) * w_src
+            ly = (u2 - 0.5) * h_src
+    elif cell is not None:
         a0, a1, th0, th1 = cell
         rr = radius * jnp.sqrt(a0 + u1 * (a1 - a0))
         phv = th0 + u2 * (th1 - th0)
+        lx, ly = rr * jnp.cos(phv), rr * jnp.sin(phv)
     else:
         rr = radius * jnp.sqrt(u1)
         phv = 2.0 * np.pi * u2
-    lx, ly = rr * jnp.cos(phv), rr * jnp.sin(phv)
+        lx, ly = rr * jnp.cos(phv), rr * jnp.sin(phv)
     fpx = rot[0] * lx + rot[1] * ly + cx
     fpy = rot[3] * lx + rot[4] * ly + cy
     fpz = rot[6] * lx + rot[7] * ly + cz
@@ -631,9 +645,14 @@ def _sample_disk_buie(spec, shape, cell=None):
     phd = 2.0 * np.pi * u4
     s_t = jnp.sin(theta)
     ax, ay, az = s_t * jnp.cos(phd), s_t * jnp.sin(phd), jnp.cos(theta)
-    fdx = rot[0] * ax + rot[1] * ay + rot[2] * az
-    fdy = rot[3] * ax + rot[4] * ay + rot[5] * az
-    fdz = rot[6] * ax + rot[7] * ay + rot[8] * az
+    # oblique rect sources carry a separate direction frame (rays leave
+    # along rays_rot's +z, positions lie in rot's xy plane)
+    drot = rot
+    if rect is not None and rect[2] is not None:
+        drot = rect[2]
+    fdx = drot[0] * ax + drot[1] * ay + drot[2] * az
+    fdy = drot[3] * ax + drot[4] * ay + drot[5] * az
+    fdz = drot[6] * ax + drot[7] * ay + drot[8] * az
     if wl_band is not None:
         u5 = _kernel_uniform(shape)
         wl = wl_band[0] + u5 * (wl_band[1] - wl_band[0])

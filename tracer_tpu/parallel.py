@@ -32,7 +32,7 @@ def default_mesh(n_devices: Optional[int] = None) -> Mesh:
 def trace_sharded(scene, bundle: RayBundle, key: jax.Array, mesh: Mesh,
                   max_bounces: int = 100, min_energy: float = 1e-6,
                   t_eps=None, disc_eps: float = 1e-6,
-                  block: int = 64):
+                  block: int = 64, fluxspecs: tuple = ()):
     """Trace ``bundle`` with its ray axis sharded over ``mesh``.
 
     Returns (final_bundle [sharded], accum [replicated total]). The bundle
@@ -51,7 +51,8 @@ def trace_sharded(scene, bundle: RayBundle, key: jax.Array, mesh: Mesh,
         final, accum = trace_fused(scene, bundle, key,
                                    max_bounces=max_bounces,
                                    min_energy=min_energy, t_eps=t_eps,
-                                   disc_eps=disc_eps, block=block)
+                                   disc_eps=disc_eps, block=block,
+                                   fluxspecs=fluxspecs)
         accum = jax.tree_util.tree_map(
             lambda a: jax.lax.psum(a, "rays"), accum)
         return final, accum
@@ -67,7 +68,7 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
                             max_rounds: int = 10_000, max_path: int = 100,
                             min_energy: float = 1e-6, t_eps=None,
                             disc_eps: float = 1e-6, block: int = 64,
-                            culling=None):
+                            culling=None, fluxspecs: tuple = ()):
     """Streaming wavefront trace sharded over a device mesh: every device
     runs its own regeneration loop on a private slab (source_fn's bundle
     size is the PER-DEVICE slab) with an independent folded key, and the
@@ -93,7 +94,7 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
             accum, emitted, source_e = trace_streaming(
                 scene, source_fn, key, per_dev, max_rounds=max_rounds,
                 max_path=max_path, min_energy=min_energy, t_eps=t_eps,
-                disc_eps=disc_eps, block=block)
+                disc_eps=disc_eps, block=block, fluxspecs=fluxspecs)
             return (jax.tree_util.tree_map(
                         lambda a: jax.lax.psum(a, "rays"), accum),
                     jax.lax.psum(emitted, "rays"),
@@ -152,7 +153,7 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
             slope="slope_error" in scene.features,
             lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
             spectral=spectral_scene, ambient_att=spec_att,
-            demote_rows=culling.demote_rows)
+            demote_rows=culling.demote_rows, fluxspecs=fluxspecs)
         return (jax.tree_util.tree_map(
                     lambda a: jax.lax.psum(a, "rays"), accum),
                 jax.lax.psum(emitted, "rays"),

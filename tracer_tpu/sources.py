@@ -235,6 +235,84 @@ def disk_pillbox_pallas_spec(num_rays: int, center, direction,
             band, float(ambient_att))
 
 
+def rect_buie_sunshape_pallas_spec(num_rays: int, center, direction,
+                                   width: float, height: float, CSR: float,
+                                   flux: float, rays_direction=None,
+                                   pre_process_CSR: bool = True,
+                                   wl_band=None,
+                                   ambient_att: float = 0.0) -> tuple:
+    """Static spec for in-kernel regeneration of a rect_buie_sunshape /
+    oblique rect source (ref sources.py:268 oblique_solar_rect_bundle,
+    :466 rect_buie_sunshape — the reference's standard heliostat-field
+    source): positions uniform on a width x height rectangle in the
+    ``direction`` frame, directions Buie-sampled about ``rays_direction``
+    (default = direction; when oblique, the flux is cosine-projected).
+
+    Appends a 16th element (w, h, rays_rot) to the disk spec layout —
+    kernels and the culling builder switch on its presence."""
+    tb = _buie_tables(CSR, pre_process_CSR)
+    coeffs = tuple(float(c) for c in _buie_inverse_poly(tb))
+    center = _as_row3(center)
+    direction = _as_row3(direction)
+    rot = spatial.rotation_to_z(direction).reshape(-1)
+    if rays_direction is None:
+        rays_rot = None
+        cosang = 1.0
+    else:
+        rays_direction = _as_row3(rays_direction)
+        rays_rot = tuple(
+            float(r)
+            for r in spatial.rotation_to_z(rays_direction).reshape(-1))
+        cosang = float(np.cos(2.0 * np.arcsin(
+            0.5 * np.linalg.norm(rays_direction - direction))))
+    e_ray = float(flux * width * height / num_rays * cosang)
+    gamma = float(tb["gamma"]) if tb["csr"] > 0.0 else None
+    band = (None if wl_band is None
+            else (float(wl_band[0]), float(wl_band[1])))
+    return (float(center[0]), float(center[1]), float(center[2]),
+            tuple(float(r) for r in rot), 0.0, e_ray, coeffs,
+            float(tb["cdf"][-1]), gamma, float(tb["kappa"]),
+            float(tb["integ_sum"]), float(_THETA_TOT), float(_THETA_DNI),
+            band, float(ambient_att),
+            (float(width), float(height), rays_rot))
+
+
+def oblique_rect_pillbox_pallas_spec(num_rays: int, center,
+                                     source_direction, rays_direction,
+                                     width: float, height: float,
+                                     ang_range: float, flux: float,
+                                     wl_band=None,
+                                     ambient_att: float = 0.0) -> tuple:
+    """Static spec for an oblique rect source with PILLBOX divergence
+    (ref oblique_solar_rect_bundle, sources.py:268). Same rect marker as
+    rect_buie_sunshape_pallas_spec; the pillbox angle rides the Buie
+    polynomial slot (see disk_pillbox_pallas_spec)."""
+    u = np.linspace(1e-9, 1.0, 4097)
+    f = np.arcsin(np.sin(ang_range) * np.sqrt(u)) / np.sqrt(u)
+    coeffs = tuple(float(c) for c in np.polyfit(u, f, _BUIE_POLY_DEG))
+    center = _as_row3(center)
+    source_direction = _as_row3(source_direction)
+    rot = spatial.rotation_to_z(source_direction).reshape(-1)
+    if rays_direction is None:
+        rays_rot = None
+        cosang = 1.0
+    else:
+        rays_direction = _as_row3(rays_direction)
+        rays_rot = tuple(
+            float(r)
+            for r in spatial.rotation_to_z(rays_direction).reshape(-1))
+        cosang = float(np.cos(2.0 * np.arcsin(
+            0.5 * np.linalg.norm(rays_direction - source_direction))))
+    e_ray = float(flux * width * height / num_rays * cosang)
+    band = (None if wl_band is None
+            else (float(wl_band[0]), float(wl_band[1])))
+    return (float(center[0]), float(center[1]), float(center[2]),
+            tuple(float(r) for r in rot), 0.0, e_ray, coeffs,
+            1.0, None, 0.0, 0.0, float(ang_range), float(ang_range),
+            band, float(ambient_att),
+            (float(width), float(height), rays_rot))
+
+
 def sunshape_to_ray_directions(key, angles, norm_intensity,
                                num_rays: int) -> jnp.ndarray:
     """Directions from a tabulated radiance profile (ref sources.py:386)."""
@@ -478,7 +556,12 @@ def rect_buie_sunshape(key, num_rays: int, center, direction, width: float,
     energy = None
     if flux is not None:
         S = width * height
-        cosangle = 2.0 * np.sin(np.linalg.norm(rays_direction - direction) / 2.0)
+        # exact chord->angle inversion (2*arcsin(|a-b|/2)); the reference
+        # uses 2*sin(|a-b|/2) here (sources.py:481) while its own
+        # oblique_solar_rect_bundle uses arcsin (:395) — the arcsin form
+        # is the correct cosine projection, so it is used for both
+        cosangle = 2.0 * np.arcsin(
+            0.5 * np.linalg.norm(rays_direction - direction))
         energy = jnp.full((num_rays,), flux * S / num_rays * np.cos(cosangle))
     return RayBundle.create(pos=verts, dir=directions, energy=energy)
 

@@ -97,12 +97,45 @@ def mesh_of(geom: Geometry, resolution: int = 20):
     return x, y, np.zeros_like(x)
 
 
+def mesh_from_edges(kind: str, extent: dict, ue, ve):
+    """Local-frame mesh whose quads are EXACTLY the flux-map cells of
+    analysis/fluxmap.edges_of: (nu+1, nv+1) x/y/z grids, so a (nu, nv)
+    flux map colormaps directly onto the geometry (the reference textures
+    fluxmaps onto Coin3D quad meshes the same way, surface.py:146-252)."""
+    from ..analysis.fluxmap import _AXIAL, _CARTESIAN, _POLAR, _SPHERICAL
+    ue = np.asarray(ue, dtype=float)
+    ve = np.asarray(ve, dtype=float)
+    if kind in _CARTESIAN:
+        x, y = np.meshgrid(ue, ve, indexing="ij")
+        return x, y, np.zeros_like(x)
+    if kind in _POLAR:
+        r, th = np.meshgrid(ue, ve, indexing="ij")
+        x, y = r * np.cos(th), r * np.sin(th)
+        z = (extent["qa"] * (x**2 + y**2) if kind == "parabolic_dish"
+             else np.zeros_like(x))
+        return x, y, z
+    if kind in _AXIAL:
+        z, th = np.meshgrid(ue, ve, indexing="ij")
+        if kind == "conical_frustum":
+            r = np.abs(extent["c"] * (z - extent["a"]))
+        else:
+            r = np.full_like(z, extent["R"])
+        return r * np.cos(th), r * np.sin(th), z
+    if kind in _SPHERICAL:
+        th, ph = np.meshgrid(ue, ve, indexing="ij")
+        R = extent["R"]
+        return (R * np.sin(th) * np.cos(ph), R * np.sin(th) * np.sin(ph),
+                R * np.cos(th))
+    raise NotImplementedError(f"no flux mesh for geometry kind {kind}")
+
+
 class Renderer:
     """Render the scene's surfaces and (optionally) traced ray paths.
 
     Usage:
         r = Renderer(engine)           # engine or (table, meta)
         r.show_geom()                  # surface meshes
+        r.show_geom(fluxmap_from=result)   # + fluxmap-textured receivers
         r.show_rays(result, max_rays=100)
         r.save("scene.png")            # or r.show()
     """
@@ -116,20 +149,77 @@ class Renderer:
         self.fig = plt.figure(figsize=(9, 8))
         self.ax = self.fig.add_subplot(111, projection="3d")
 
-    def show_geom(self, resolution: int = 20, alpha: float = 0.5) -> None:
+    def show_geom(self, resolution: int = 20, alpha: float = 0.5,
+                  fluxmap_from=None, fluxmaps=None,
+                  flux_resolution: int = 40, cmap: str = "inferno",
+                  colorbar: bool = True) -> None:
+        """Draw all surface meshes; surfaces with a flux map are textured
+        with it (the reference's fluxmap colormapping,
+        tracer/surface.py:146-252 + CoIn_rendering/rendering.py:85-124).
+
+        fluxmap_from - a TraceResult with records: every surface with
+            recorded hits gets a flux texture (analysis.fluxmap).
+        fluxmaps - dict {surface name: (flux, (ue, ve))} of precomputed
+            maps, e.g. from device histograms via device_fluxmap.finalize;
+            takes precedence over fluxmap_from for the named surfaces.
+        """
+        from matplotlib import cm, colors as mcolors
+
+        maps = dict(fluxmaps or {})
+        if fluxmap_from is not None:
+            from ..analysis.fluxmap import surface_fluxmap
+            for i, surf in enumerate(self.meta.surfaces):
+                name = self.meta.names[i]
+                if name in maps:
+                    continue
+                try:
+                    flux, edges = surface_fluxmap(fluxmap_from, i,
+                                                  flux_resolution)
+                except NotImplementedError:
+                    continue
+                if np.any(flux > 0):
+                    maps[name] = (flux, edges)
+
+        vmax = max((float(np.max(f)) for f, _ in maps.values()),
+                   default=0.0)
+        norm = mcolors.Normalize(vmin=0.0, vmax=vmax or 1.0)
+        cmap_f = cm.get_cmap(cmap)
+
         frames = self.meta.frames
         row = 0
-        for surf in self.meta.surfaces:
+        for i, surf in enumerate(self.meta.surfaces):
             color = surf.fixed_color
+            fm = maps.get(self.meta.names[i])
             for g in surf.geometries:
                 frame = frames[row]
                 row += 1
-                x, y, z = mesh_of(g, resolution)
+                if fm is not None:
+                    flux, (ue, ve) = fm
+                    try:
+                        x, y, z = mesh_from_edges(g.kind, g.extent, ue, ve)
+                    except NotImplementedError:
+                        x, y, z = mesh_of(g, resolution)
+                        fm = None
+                else:
+                    x, y, z = mesh_of(g, resolution)
                 pts = np.stack([x, y, z], axis=-1) @ frame[:3, :3].T \
                     + frame[:3, 3]
-                self.ax.plot_surface(pts[..., 0], pts[..., 1], pts[..., 2],
-                                     alpha=alpha, color=color,
-                                     linewidth=0, antialiased=False)
+                if fm is not None:
+                    face = cmap_f(norm(np.asarray(fm[0], dtype=float)))
+                    self.ax.plot_surface(
+                        pts[..., 0], pts[..., 1], pts[..., 2],
+                        facecolors=face, shade=False, linewidth=0,
+                        antialiased=False)
+                else:
+                    self.ax.plot_surface(
+                        pts[..., 0], pts[..., 1], pts[..., 2],
+                        alpha=alpha, color=color,
+                        linewidth=0, antialiased=False)
+        if maps and colorbar:
+            sm = cm.ScalarMappable(norm=norm, cmap=cmap_f)
+            sm.set_array([])
+            self.fig.colorbar(sm, ax=self.ax, shrink=0.6, pad=0.08,
+                              label="flux [W/m$^2$]")
 
     def show_rays(self, result, max_rays: int = 100,
                   color: str = "orange") -> None:
