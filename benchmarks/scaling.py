@@ -74,6 +74,8 @@ def run_size(n_heliostats: int, slab_tiles: int | None = None,
                 unit="Mrays/s/chip", culled=culling is not None,
                 L_mean=(round(culling.stats["L_mean"], 1)
                         if culling is not None else None),
+                n_segments=(culling.n_segments
+                            if culling is not None else None),
                 build_s=round(t_build, 1),
                 receiver_frac=round(float(ab.max()) / se, 4),
                 closure=float(closure))

@@ -241,31 +241,51 @@ def config6_spherical_lens(slab_tiles=114, rounds=8) -> dict:
 
     slab = slab_tiles * TILE
     total = rounds * slab
+    from tracer_tpu.sources import disk_pillbox_pallas_spec
 
-    def source_fn(key):
+    # illuminate the f/3 zone: at r = 0.1 on this f = 0.3 lens the
+    # spherical aberration stays modest, so the 0.3-radius receiver
+    # catches the (aberrated) focus; the full 0.24 aperture is f/0.6 and
+    # scatters most rays wide of any finite receiver
+    def src(key):
         return disk_bundle(key, slab, center=[0.0, 0.0, 0.5],
-                           direction=[0.0, 0.0, -1.0], radius=0.24,
+                           direction=[0.0, 0.0, -1.0], radius=0.1,
                            ang_range=1e-4, flux=1000.0)
 
-    @jax.jit
-    def step(key):
-        return trace_streaming(table, source_fn, key, total_rays=total,
-                               max_rounds=400, max_path=20)
+    def measure(with_spec):
+        def source_fn(key):
+            return src(key)
+        if with_spec:
+            # refractive megakernel: in-kernel regen + fused Fresnel/Snell
+            source_fn.pallas_spec = disk_pillbox_pallas_spec(
+                slab, [0.0, 0.0, 0.5], [0.0, 0.0, -1.0], 0.1, 1e-4,
+                1000.0)
 
-    keys = [jax.random.fold_in(jax.random.PRNGKey(6), i) for i in range(8)]
-    accum, emitted, se = jax.block_until_ready(step(keys[0]))
-    cl = _closure(accum, se)
-    assert abs(cl) < 1e-4, cl
-    ab = np.asarray(accum.absorbed)
-    rec_rows = np.nonzero(np.asarray(meta.row_logical)
-                          == meta.index_of("rec"))[0]
-    rec_frac = float(ab[rec_rows].sum()) / float(se)
-    # ~92% transmission through two ~4%-Fresnel faces, nearly all focused
-    assert 0.75 < rec_frac < 0.98, rec_frac
-    best = _time_best(lambda i: step(keys[i]))
+        @jax.jit
+        def step(key):
+            return trace_streaming(table, source_fn, key, total_rays=total,
+                                   max_rounds=400, max_path=20)
+
+        keys = [jax.random.fold_in(jax.random.PRNGKey(6), i)
+                for i in range(8)]
+        accum, emitted, se = jax.block_until_ready(step(keys[0]))
+        cl = _closure(accum, se)
+        assert abs(cl) < 1e-4, cl
+        ab = np.asarray(accum.absorbed)
+        rec_rows = np.nonzero(np.asarray(meta.row_logical)
+                              == meta.index_of("rec"))[0]
+        rec_frac = float(ab[rec_rows].sum()) / float(se)
+        # ~92% transmission through two ~4%-Fresnel faces, mostly focused
+        assert 0.75 < rec_frac < 0.98, rec_frac
+        best = _time_best(lambda i: step(keys[i]))
+        return float(emitted) / best / 1e6, rec_frac, cl
+
+    mk, rec_frac, cl = measure(True)      # refractive megakernel
+    gen, rec_frac_g, _ = measure(False)   # general streaming path
+    assert abs(rec_frac - rec_frac_g) / rec_frac_g < 0.02  # same physics
     return dict(metric="spherical_lens_trace_throughput",
-                value=round(float(emitted) / best / 1e6, 3),
-                unit="Mrays/s/chip",
+                value=round(mk, 3), unit="Mrays/s/chip",
+                general_path=round(gen, 3),
                 receiver_frac=round(rec_frac, 4), closure=float(cl))
 
 
@@ -281,8 +301,11 @@ def config7_cook_torrance(slab_tiles=114, rounds=8) -> dict:
     from tracer_tpu import geometry as G, materials as M
     from tracer_tpu.sources import disk_bundle
 
+    # aluminum-like complex index (n=1.2, k=7): Fresnel F ~ 0.95, so the
+    # microfacet lobe actually carries energy to the dome (a dielectric
+    # n=1.5+0.5j has F ~ 0.08 — nearly everything absorbs at the target)
     target = Surface(G.rect_plate(1.0, 1.0),
-                     M.bdrf_cook_torrance(0.3, 1.5, 0.5, 0.9),
+                     M.bdrf_cook_torrance(0.3, 1.2, 7.0, 0.9),
                      name="target")
     dome = Surface(G.hemisphere(3.0), M.absorber(one_sided=False),
                    name="dome")
@@ -310,7 +333,7 @@ def config7_cook_torrance(slab_tiles=114, rounds=8) -> dict:
     dome_rows = np.nonzero(np.asarray(meta.row_logical)
                            == meta.index_of("dome"))[0]
     dome_frac = float(ab[dome_rows].sum()) / float(se)
-    assert dome_frac > 0.3, dome_frac   # scattered light is collected
+    assert dome_frac > 0.4, dome_frac   # scattered light is collected
     best = _time_best(lambda i: step(keys[i]))
     return dict(metric="cook_torrance_trace_throughput",
                 value=round(float(emitted) / best / 1e6, 3),
@@ -383,8 +406,24 @@ def main(write_md: bool = False, only=None):
                  "cook_torrance_trace_throughput": "dome_frac"}
         for i, r in zip(idxs, results):
             extra = notes[r["metric"]]
+            note = f"{extra}={r[extra]}"
+            if "general_path" in r:
+                note += (f", general_path={r['general_path']} (refractive "
+                         "megakernel vs jnp-regen streaming; ~3 interface "
+                         "crossings per ray, so x3 in Mbounces/s)")
             lines.append(f"| {i} | {r['metric']} | {r['value']} | "
-                         f"{r['unit']} | {extra}={r[extra]} |")
+                         f"{r['unit']} | {note} |")
+            if i == 3:
+                lines.append(
+                    "| 4 | nsttf_trace_throughput | 360-470 | Mrays/s/chip "
+                    "| bench.py headline (driver-recorded in "
+                    "BENCH_r*.json); the band is the tunneled host's "
+                    "whole-process speed regimes — within one healthy "
+                    "process spread is <3%. Curved-facet variant "
+                    "(benchmarks/curved.py): 276 Mrays/s (parab-class "
+                    "kernels; 253 in round 2). 2001-row field: 188 "
+                    "Mrays/s culled via SMEM segmentation "
+                    "(benchmarks/scaling.py; was 19 unculled). |")
         with open("BENCHMARKS.md", "w") as fo:
             fo.write("\n".join(lines) + "\n")
 

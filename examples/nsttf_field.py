@@ -21,13 +21,16 @@ def main(n_rays=4_000_000, slab=1 << 20, coords=None, zenith_deg=30.0):
     from benchmarks.nsttf import build_scene, make_source_fn, nsttf_positions
     from tracer_tpu.engine import trace_streaming
 
+    from tracer_tpu.analysis.device_fluxmap import finalize, flux_plan
+
     table, meta, info = build_scene(zenith=np.deg2rad(zenith_deg))
     src = make_source_fn(info, slab)
+    fspec = flux_plan(meta, "receiver", resolution=40)
 
     t0 = time.time()
     accum, emitted, src_e = jax.block_until_ready(trace_streaming(
         table, src, jax.random.PRNGKey(0), total_rays=n_rays,
-        max_rounds=200, max_path=8))
+        max_rounds=200, max_path=8, fluxspecs=(fspec,)))
     dt = time.time() - t0
 
     absorbed = np.asarray(accum.absorbed)
@@ -49,6 +52,14 @@ def main(n_rays=4_000_000, slab=1 << 20, coords=None, zenith_deg=30.0):
     print(f"escaped (ground/sky)  {float(accum.escaped)*norm/1e6:10.2f} MW")
     print(f"unaccounted           "
           f"{(se-rec-heli-float(accum.escaped)-float(accum.culled))*norm/1e3:10.2f} kW")
+    # receiver flux map accumulated ON DEVICE during the trace (the
+    # reference streams host-side batches for this, example.py:218-227)
+    flux, (ue, ve) = finalize(fspec, accum.flux[0], meta)
+    flux = flux * norm
+    print(f"receiver flux map     peak {flux.max()/1e3:.0f} kW/m^2, "
+          f"mean over lit cells "
+          f"{flux[flux > 0].mean()/1e3:.1f} kW/m^2 "
+          f"({fspec.nu}x{fspec.nv} bins)")
     return accum
 
 

@@ -136,6 +136,46 @@ def test_culling_on_off_equivalence():
     assert abs(esc_on - esc_off) / esc_off < 0.005
 
 
+def test_segmented_culling_matches_unsegmented():
+    """SMEM-segmented culled trace (sequential per-segment kernel calls)
+    must reproduce the single-call culled trace's physics — segmentation
+    is the single-chip fix for the round-2 ~1.5k-surface SMEM wall."""
+    from benchmarks.nsttf import build_scene, make_source_fn
+    from tracer_tpu.culling import build_block_culling
+    from tracer_tpu.engine import trace_streaming
+    from tracer_tpu.kernels.pallas_intersect import TILE
+
+    from tests.test_culling import _single_call_need
+
+    slab = 256 * TILE
+    total = 4 * slab
+    table, meta, info = build_scene()
+    source_fn = make_source_fn(info, slab)
+    c1 = build_block_culling(table, meta, source_fn.pallas_spec, slab)
+    assert c1.n_segments == 1
+    need = _single_call_need(table, c1.nb, c1.lists.shape[1])
+    cseg = build_block_culling(table, meta, source_fn.pallas_spec, slab,
+                               max_smem_bytes=need - 1)
+    assert cseg.n_segments >= 2
+
+    key = jax.random.PRNGKey(23)
+    a_s, em_s, se_s = jax.block_until_ready(trace_streaming(
+        table, source_fn, key, total_rays=total, max_rounds=500,
+        max_path=8, culling=cseg))
+    a_1, em_1, se_1 = jax.block_until_ready(trace_streaming(
+        table, source_fn, key, total_rays=total, max_rounds=500,
+        max_path=8, culling=c1))
+    assert abs(_closure_of(a_s, se_s)) < 1e-4
+    # exact quota either way
+    assert int(em_s) == int(cseg.block_quota(total).sum())
+    f_s = np.asarray(a_s.absorbed) / float(se_s)
+    f_1 = np.asarray(a_1.absorbed) / float(se_1)
+    assert abs(f_s.max() - f_1.max()) / f_1.max() < 0.015
+    esc_s = float(a_s.escaped) / float(se_s)
+    esc_1 = float(a_1.escaped) / float(se_1)
+    assert abs(esc_s - esc_1) / esc_1 < 0.005
+
+
 def test_rect_source_culling_on_off_equivalence():
     """Oblique rect Buie source (the reference's standard field source,
     sources.py:268): the rect-cell culled megakernel must reproduce the
@@ -505,6 +545,64 @@ def test_culled_sharded_streaming_matches_unsharded():
     tot = (np.asarray(a_s.absorbed).sum() + float(a_s.escaped)
            + float(a_s.culled) + float(a_s.medium) + float(a_s.residual))
     np.testing.assert_allclose(tot, float(se_s), rtol=1e-5)
+
+
+def test_refractive_megakernel_matches_general_path():
+    """K_REFRACTIVE in the fused megakernel (per-lane index threading,
+    in-kernel Fresnel/Snell Russian roulette) must reproduce the
+    host-stepped jnp shade path's physics on a spherical-lens trace:
+    receiver/lens-absorption fractions, energy closure, and the focal
+    spot. Round-2 verdict item 3's fix path: refractive workloads had no
+    fast path at all."""
+    from tracer_tpu.engine import (TracerEngine, TraceOptions,
+                                   trace_streaming)
+    from tracer_tpu.kernels.pallas_intersect import TILE
+    from tracer_tpu.models.spherical_lens import SphericalLens
+    from tracer_tpu.scene import compile_scene
+    from tracer_tpu.sources import disk_bundle, disk_pillbox_pallas_spec
+
+    lens = SphericalLens(diameter=0.5, depth=0.02, R1=0.3, R2=-0.3,
+                         refr_idx=1.5)
+    f = lens.focal_length()
+    rec = Surface(G.round_plate(0.3), M.absorber(one_sided=False),
+                  location=[0.0, 0.0, -f], name="rec")
+    table, meta = compile_scene(
+        Assembly([lens, AssembledObject([rec])]), dtype=jnp.float32)
+
+    slab = 20 * TILE
+    total = 6 * slab
+
+    def source_fn(key):
+        # f/3 zone: modest aberration keeps the focus on the receiver
+        return disk_bundle(key, slab, center=[0.0, 0.0, 0.5],
+                           direction=[0.0, 0.0, -1.0], radius=0.1,
+                           ang_range=1e-4, flux=1000.0)
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 0.5], [0.0, 0.0, -1.0], 0.1, 1e-4, 1000.0)
+
+    a1, _, se1 = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(0), total_rays=total,
+        max_rounds=200, max_path=20))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    cl1 = (float(se1) - np.asarray(a1.absorbed).sum() - float(a1.escaped)
+           - float(a1.culled) - float(a1.medium)
+           - float(a1.residual)) / float(se1)
+    assert abs(cl1) < 1e-5
+
+    # host-stepped oracle (jnp shade path: _bounce_step need_local=True)
+    eng = TracerEngine(table, meta)
+    b = source_fn(jax.random.PRNGKey(1))
+    res = eng.ray_tracer(b, reps=20, key=jax.random.PRNGKey(2),
+                         opts=TraceOptions(max_bounces=20, record=False))
+    f0 = (np.asarray(res.accum.absorbed)
+          / float(np.asarray(b.energy).sum()))
+    rec_rows = np.nonzero(np.asarray(meta.row_logical)
+                          == meta.index_of("rec"))[0]
+    r1, r0 = f1[rec_rows].sum(), f0[rec_rows].sum()
+    assert r0 > 0.75           # the lens focuses onto the receiver
+    assert abs(r1 - r0) / r0 < 0.02, (r1, r0)
+    # per-surface fractions (lens faces pick up Fresnel-reflected rays)
+    np.testing.assert_allclose(f1, f0, atol=0.01)
 
 
 def test_mixed_slope_error_models_per_lane():

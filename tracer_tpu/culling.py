@@ -81,10 +81,26 @@ class BlockCulling:
     group_offsets: tuple
     demote_rows: tuple
     stats: dict
+    # Single-chip SMEM segmentation: when the per-group candidate-list
+    # layout cannot fit next to the rows table in the 1 MB SMEM for the
+    # whole block grid at once, the grid is split into contiguous block
+    # ranges traced by SEQUENTIAL kernel calls (blocks never interact, so
+    # the trace decomposes exactly); each segment gets its own, narrower
+    # per-group layout. segment_bounds = (0, b1, ..., nb); seg_lists /
+    # seg_counts / seg_group_offsets hold each segment's arrays. Empty =
+    # one segment (the legacy single-call layout in lists/counts).
+    segment_bounds: tuple = ()
+    seg_lists: tuple = ()
+    seg_counts: tuple = ()
+    seg_group_offsets: tuple = ()
 
     @property
     def nb(self) -> int:
         return self.lists.shape[0]
+
+    @property
+    def n_segments(self) -> int:
+        return max(len(self.segment_bounds) - 1, 1)
 
     @property
     def age_cap(self) -> int:
@@ -161,6 +177,21 @@ def disk_cells(nb: int) -> np.ndarray:
                           2.0 * np.pi * j / k, 2.0 * np.pi * (j + 1) / k))
         done += k
     return np.asarray(cells, dtype=np.float32)
+
+
+def smem_need_bytes(table, nb: int, width: int) -> int:
+    """SMEM bytes one culled-kernel call needs for ``nb`` blocks with a
+    candidate layout of total ``width`` columns: the packed rows table +
+    misc scalar-prefetch arrays + the transposed lists (everything pads
+    its minor dim to 128). The same formula the builder budgets with."""
+    def pad(x: int) -> int:
+        return -(-x // 128) * 128
+    K = 26 + 6 * table.ap_params.shape[1]
+    rows_bytes = K * pad(table.ap_params.shape[0]) * 4
+    n_tab = int(table.spectral_wl.shape[0])
+    misc = ((8 + len(table.groups)) * pad(nb) * 4
+            + 2 * pad(max(n_tab, 2)) * 4 + 32 * 1024)
+    return rows_bytes + misc + width * pad(nb) * 4
 
 
 def rect_cells(nb: int, w: float = 1.0, h: float = 1.0) -> np.ndarray:
@@ -459,7 +490,9 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
                         w_cap: float = 0.15, age_cap: int = 3,
                         margin: float = 0.25, resolution: int = 8,
                         balance: bool = True,
-                        pilot_rays: int = 256) -> BlockCulling:
+                        pilot_rays: int = 256,
+                        max_smem_bytes: int = 1 << 20,
+                        max_segments: int = 8) -> BlockCulling:
     """Build per-block candidate lists for a disk source
     (``buie_sunshape_pallas_spec`` / ``disk_pillbox_pallas_spec``) or a
     rect source (``rect_buie_sunshape_pallas_spec`` /
@@ -579,32 +612,27 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
                      n_axis, widen, expandable_set, age_cap, margin, d0,
                      rect_wh=rect_wh)
 
-    # ---- SMEM width cap: the lists ride in SMEM transposed (L_max, nb),
+    # ---- SMEM budget: the lists ride in SMEM transposed (L_max, nb),
     # padded to (L_max, ceil(nb/128)*128) int32, alongside the (K, S)
-    # rows table in the 1 MB scalar memory. Degrade the worst cells to a
-    # shallower corridor depth until everything fits: their blocks park
-    # survivors earlier (per-block age caps) and drain exactly against
-    # the full surface list — cost shifts, physics never changes.
-    def _pad128(x: int) -> int:
-        return -(-x // 128) * 128
-    K = 26 + 6 * table.ap_params.shape[1]
-    S_rows = table.ap_params.shape[0]
-    rows_bytes = K * _pad128(S_rows) * 4
-    n_tab = int(table.spectral_wl.shape[0])
-    # bounds(4)+ids/quotas/remaining/age/emitted rows + per-group counts
-    # + spectral table + slack
-    misc_bytes = ((8 + len(table.groups)) * _pad128(nb) * 4
-                  + 2 * _pad128(max(n_tab, 2)) * 4 + 32 * 1024)
-    l_budget = 1048576 - rows_bytes - misc_bytes
-    if l_budget <= 0:
-        raise ValueError(
-            f"scene too large for the culled megakernel's SMEM rows table "
-            f"({S_rows} rows x {K} floats); shard the scene or use the "
-            "general streaming path")
-    L_cap = max(1, l_budget // (_pad128(nb) * 4))
-    cell_depth = np.full(n_cells, age_cap, dtype=np.int64)
+    # rows table in the 1 MB scalar memory. Two escape hatches, tried in
+    # order (both change cost, never physics):
+    #   1. SEGMENT the block grid into contiguous ranges traced by
+    #      sequential kernel calls — blocks never interact, so the trace
+    #      decomposes exactly; each segment gets its own (narrower,
+    #      cheaper — nb_seg columns) per-group layout. This is the
+    #      single-chip answer to the round-2 ~1.5k-surface wall; a mesh
+    #      does the same split across devices (trace_streaming_sharded).
+    #   2. DEGRADE the widest cells to a shallower corridor depth: their
+    #      blocks park survivors earlier (per-block age caps) and drain
+    #      exactly against the full surface list.
     groups = table.groups
     G = len(groups)
+    if smem_need_bytes(table, 1, 1) > max_smem_bytes:
+        raise ValueError(
+            f"scene too large for the culled megakernel's SMEM rows table "
+            f"({table.ap_params.shape[0]} rows); shard the scene or use "
+            "the general streaming path")
+    cell_depth = np.full(n_cells, age_cap, dtype=np.int64)
 
     def _cell_group_counts():
         out = np.zeros((n_cells, G), dtype=np.int64)
@@ -613,12 +641,32 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
                 out[c, g] = sum(1 for r in cl[c] if start <= r < end)
         return out
 
-    # width-budget enforcement on the PARTITIONED layout (the lists array
-    # is one column segment per group, each padded to its own max): while
-    # the combined width exceeds the SMEM budget, degrade the cell that
-    # sets the binding group's width to a shallower corridor depth
+    cell_of_block = np.repeat(np.arange(n_cells), mult).astype(np.int32)
+    assert len(cell_of_block) == nb
+
+    def _seg_fit(cgc, k: int):
+        """Even contiguous split of the block grid into k segments; None
+        unless every segment's layout fits its SMEM budget."""
+        cuts = [round(i * nb / k) for i in range(k + 1)]
+        if any(b1 - b0 < 1 for b0, b1 in zip(cuts, cuts[1:])):
+            return None
+        for b0, b1 in zip(cuts, cuts[1:]):
+            cells_in = np.unique(cell_of_block[b0:b1])
+            width = int(sum(max(1, int(cgc[cells_in, g].max()))
+                            for g in range(G)))
+            if smem_need_bytes(table, b1 - b0, width) > max_smem_bytes:
+                return None
+        return tuple(cuts)
+
     cgc = _cell_group_counts()
-    while int(sum(cgc.max(axis=0))) > L_cap:
+    seg_bounds = None
+    while seg_bounds is None:
+        for k in range(1, max_segments + 1):
+            seg_bounds = _seg_fit(cgc, k)
+            if seg_bounds is not None:
+                break
+        if seg_bounds is not None:
+            break
         # degrade the widest still-degradable group's binding cells;
         # fall through to narrower groups when the widest is already at
         # depth 1 (any width reduction shrinks the combined layout)
@@ -631,10 +679,9 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
         if len(cands) == 0:
             raise ValueError(
                 f"first-segment candidate lists (group widths "
-                f"{cgc.max(axis=0).tolist()}, total "
-                f"{int(sum(cgc.max(axis=0)))}) exceed the SMEM width "
-                f"budget ({L_cap}); increase the slab (smaller cells) or "
-                "shard the scene")
+                f"{cgc.max(axis=0).tolist()}) exceed the SMEM budget even "
+                f"split into {max_segments} sequential segments; increase "
+                "the slab (smaller cells) or shard the scene over a mesh")
         for c in cands:
             cell_depth[c] -= 1
             cl[c] = _one_cell_list(cells[c], center, rot, radius,
@@ -642,9 +689,6 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
                                    expandable_set, int(cell_depth[c]),
                                    margin, d0, rect_wh=rect_wh)
         cgc = _cell_group_counts()
-
-    cell_of_block = np.repeat(np.arange(n_cells), mult).astype(np.int32)
-    assert len(cell_of_block) == nb
     lists = [cl[c] for c in cell_of_block]
     cell_bounds = cells[cell_of_block]
     if rect is not None:
@@ -675,21 +719,45 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
                  for rows_b in lists]
     counts = np.asarray([[len(gl) for gl in pg] for pg in per_group],
                         dtype=np.int32)
-    widths = tuple(max(1, int(counts[:, g].max())) for g in range(G))
-    offsets = tuple(int(sum(widths[:g])) for g in range(G))
-    arr = np.full((nb, sum(widths)), -1, dtype=np.int32)
-    for b, pg in enumerate(per_group):
-        for g, gl in enumerate(pg):
-            arr[b, offsets[g]:offsets[g] + len(gl)] = gl
+
+    def _layout(b0: int, b1: int):
+        """Per-group column layout for a contiguous block range."""
+        w_g = tuple(max(1, int(counts[b0:b1, g].max())) for g in range(G))
+        off = tuple(int(sum(w_g[:g])) for g in range(G))
+        a = np.full((b1 - b0, sum(w_g)), -1, dtype=np.int32)
+        for b in range(b0, b1):
+            for g, gl in enumerate(per_group[b]):
+                a[b - b0, off[g]:off[g] + len(gl)] = gl
+        return a, off
+
+    arr, offsets = _layout(0, nb)
+    seg_lists, seg_counts, seg_offsets = (), (), ()
+    if len(seg_bounds) > 2:
+        outs = [_layout(b0, b1)
+                for b0, b1 in zip(seg_bounds, seg_bounds[1:])]
+        seg_lists = tuple(a for a, _ in outs)
+        seg_counts = tuple(counts[b0:b1]
+                           for b0, b1 in zip(seg_bounds, seg_bounds[1:]))
+        seg_offsets = tuple(off for _, off in outs)
+        import logging
+        logging.getLogger("tracer_tpu").info(
+            "culled block grid split into %d sequential SMEM segments "
+            "(widths %s)", len(outs),
+            [a.shape[1] for a in seg_lists])
     n_cand = counts.sum(axis=1)
     stats = dict(nb=nb, n_cells=n_cells, mult_max=int(mult.max()),
                  L_max=int(n_cand.max()), n_groups=G,
                  L_mean=float(n_cand.mean()), n_rows=S,
                  n_demoted=int(demote.sum()),
+                 n_segments=max(len(seg_bounds) - 1, 1),
                  reduction=float(S / max(n_cand.mean(), 1.0)))
     return BlockCulling(lists=arr, counts=counts, cell_bounds=cell_bounds,
                         cell_of_block=cell_of_block, n_cells=n_cells,
                         age_caps=age_caps, group_offsets=offsets,
                         demote_rows=tuple(int(r) for r in
                                           np.nonzero(demote)[0]),
-                        stats=stats)
+                        stats=stats,
+                        segment_bounds=(tuple(seg_bounds)
+                                        if len(seg_bounds) > 2 else ()),
+                        seg_lists=seg_lists, seg_counts=seg_counts,
+                        seg_group_offsets=seg_offsets)

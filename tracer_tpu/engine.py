@@ -199,9 +199,18 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
     # Fully-fused fast path for single-group pure-specular scenes (e.g.
     # heliostat fields): intersect + reflect + slope error + one-sided kill
     # in one Pallas kernel, one HBM round trip of the ray state per bounce.
+    # K_REFRACTIVE joins when non-dispersive/non-volumetric/non-splitting:
+    # the kernel threads a per-lane refraction index and Russian-roulettes
+    # Fresnel reflection vs Snell refraction (shade.py's branch, fused).
     from . import materials as _M
     from .kernels.intersect import _use_pallas, default_t_eps
     fusable_kinds = {_M.K_REFLECT, _M.K_LAMBERTIAN}
+    refr_ok = (_M.K_REFRACTIVE in scene.kinds_present
+               and "volumetric" not in scene.features
+               and "dispersive" not in scene.features
+               and "split" not in scene.features)
+    if refr_ok:
+        fusable_kinds = fusable_kinds | {_M.K_REFRACTIVE}
     use_fused = (cand is None
                  and not need_local
                  and set(scene.kinds_present) <= fusable_kinds
@@ -211,17 +220,22 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
     if use_fused:
         from .kernels.pallas_intersect import (bounce_reflect_pallas,
                                                pack_rows)
+        refractive = _M.K_REFRACTIVE in scene.kinds_present
         key, k_seed = jax.random.split(key)
         seed = jax.random.randint(k_seed, (1,), 0, jnp.iinfo(jnp.int32).max,
                                   dtype=jnp.int32)
         te = default_t_eps(bundle.pos.dtype) if t_eps is None else t_eps
-        new_pos, new_dir, new_e, sid, absorbed_f = bounce_reflect_pallas(
+        outs = bounce_reflect_pallas(
             pack_rows(scene), seed, bundle.pos, bundle.dir, bundle.energy,
             scene.groups, te, disc_eps,
             bivar=_bivar_mode(scene),
             one_sided="one_sided" in scene.features,
             slope="slope_error" in scene.features,
-            lambertian=_M.K_LAMBERTIAN in scene.kinds_present)
+            lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
+            ref_index=(bundle.ref_index.astype(jnp.float32)
+                       if refractive else None))
+        new_pos, new_dir, new_e, sid, absorbed_f = outs[:5]
+        new_ri = outs[5] if refractive else bundle.ref_index
         sid = jnp.where(alive, sid, -1)
         hit = sid >= 0
         escaped = alive & ~hit
@@ -238,6 +252,8 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
             pos=jnp.where(hit[:, None], new_pos, bundle.pos),
             dir=jnp.where(hit[:, None], new_dir, bundle.dir),
             energy=jnp.where(alive_next, e_out, 0.0),
+            ref_index=jnp.where(hit, new_ri.astype(bundle.ref_index.dtype),
+                                bundle.ref_index),
             alive=alive_next)
         zeros3 = jnp.zeros_like(bundle.pos)
         rec = BounceRecord(
@@ -717,7 +733,8 @@ def trace_fused(scene: SceneTable, bundle: RayBundle, key: jax.Array,
     jax.jit, static_argnames=("source_spec", "total_rays", "max_rounds",
                               "max_path", "min_energy", "t_eps", "disc_eps",
                               "slab", "bivar", "one_sided", "slope",
-                              "lambertian", "spectral", "fluxspecs"))
+                              "lambertian", "spectral", "fluxspecs",
+                              "refractive"))
 def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                                 total_rays: int, slab: int,
                                 max_rounds: int, max_path: int,
@@ -725,7 +742,8 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                                 bivar: bool, one_sided: bool, slope: bool,
                                 lambertian: bool = False,
                                 spectral: bool = False,
-                                fluxspecs: tuple = ()):
+                                fluxspecs: tuple = (),
+                                refractive: bool = False):
     """Streaming trace where regeneration happens INSIDE the fused bounce
     kernel (single-group pure-specular scenes with a bakeable source): the
     ray state makes exactly one HBM round trip per bounce. The emission
@@ -746,16 +764,17 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
     dir0 = jnp.zeros((slab, 3), dtype=jnp.float32).at[:, 2].set(1.0)
     e0 = jnp.zeros((slab,), dtype=jnp.float32)
     wl0 = jnp.zeros((slab,), dtype=jnp.float32)
+    ri0 = jnp.ones((slab,), dtype=jnp.float32)
     age0 = jnp.zeros((slab,), dtype=jnp.int32)
     accum0 = TraceAccum.zeros(scene.num_rows, fluxspecs=fluxspecs)
     z32 = jnp.array(0, dtype=jnp.int32)
 
     def cond(st):
-        i, pos, dirs, e, wl, age, accum, key, emitted, source_e = st
+        i, pos, dirs, e, wl, ri, age, accum, key, emitted, source_e = st
         return (i < max_rounds) & ((emitted < total_rays) | jnp.any(e > 0.0))
 
     def body(st):
-        i, pos, dirs, e, wl, age, accum, key, emitted, source_e = st
+        i, pos, dirs, e, wl, ri, age, accum, key, emitted, source_e = st
         key, ks = jax.random.split(key)
         seed = jax.random.randint(ks, (1,), 0, jnp.iinfo(jnp.int32).max,
                                   dtype=jnp.int32)
@@ -777,11 +796,15 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
             bivar=bivar, one_sided=one_sided, slope=slope,
             lambertian=lambertian, source_spec=source_spec, regen=regen,
             wavelength=wl if spectral else None,
-            spectral_tab=spectral_tab, ambient_att=ambient_att)
+            spectral_tab=spectral_tab, ambient_att=ambient_att,
+            ref_index=ri if refractive else None)
+        pos, dirs, e_new, sid, absorbed = outs[:5]
+        k_o = 5
         if spectral:
-            pos, dirs, e_new, sid, absorbed, wl = outs
-        else:
-            pos, dirs, e_new, sid, absorbed = outs
+            wl = outs[k_o]
+            k_o += 1
+        if refractive:
+            ri = outs[k_o]
 
         hit = sid >= 0
         escaped = (e_before > 0.0) & ~hit
@@ -805,13 +828,13 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
         accum = accum.replace(
             culled=accum.culled + jnp.sum(jnp.where(over, e_new, 0.0)))
         e_new = jnp.where(over, 0.0, e_new)
-        return (i + 1, pos, dirs, e_new, wl, age, accum, key, emitted,
+        return (i + 1, pos, dirs, e_new, wl, ri, age, accum, key, emitted,
                 source_e)
 
-    st = (z32, pos0, dir0, e0, wl0, age0, accum0, key, z32,
+    st = (z32, pos0, dir0, e0, wl0, ri0, age0, accum0, key, z32,
           jnp.zeros((), dtype=jnp.float32))
     st = jax.lax.while_loop(cond, body, st)
-    _, _, _, e, _, _, accum, _, emitted, source_e = st
+    _, _, _, e, _, _, _, accum, _, emitted, source_e = st
     # exact closure even on a max_rounds exit: still-alive energy is
     # accounted, not silently dropped (cf. ref tracer_engine.py:292-294)
     accum = accum.replace(residual=accum.residual + jnp.sum(e))
@@ -1153,18 +1176,29 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     # the (absorption-only) coefficient; interface-toggled media are not
     vol_ok = ("volumetric" not in scene.features) or (
         spec_att > 0.0 and "dispersive" not in scene.features)
+    # refractive interfaces fuse when non-dispersive, non-splitting and
+    # without interface-toggled media (per-lane index threads through the
+    # kernel; fresh rays start at n = 1)
+    refractive_scene = _M.K_REFRACTIVE in scene.kinds_present
+    refr_ok = (not refractive_scene
+               or ("volumetric" not in scene.features
+                   and "dispersive" not in scene.features
+                   and "split" not in scene.features))
     fusable = (spec is not None
                and set(scene.kinds_present) <= {_M.K_REFLECT,
                                                 _M.K_LAMBERTIAN,
-                                                _M.K_REFLECT_SPECTRAL}
+                                                _M.K_REFLECT_SPECTRAL,
+                                                _M.K_REFRACTIVE}
                and (not spectral_scene or spec_band is not None)
-               and vol_ok
+               and vol_ok and refr_ok
                and "iam" not in scene.features
                and _use_pallas(probe.pos))
     # the culled kernel handles any number of aperture-signature groups
     # (one specialized candidate loop per group), spectral scenes, and
     # ambient attenuation — same eligibility as the plain megakernel
-    cullable = fusable
+    # except refractive scenes (the corridor analysis has no refraction
+    # closure; lens scenes are small, so brute-force rows are cheap)
+    cullable = fusable and not refractive_scene
     if cullable and culling is not None:
         from .kernels.pallas_intersect import TILE
         nb = culling.nb
@@ -1172,15 +1206,8 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             raise ValueError(
                 f"culling was built for {nb * TILE} rays (nb={nb} blocks "
                 f"x TILE={TILE}) but the source slab is {n}")
-        return _trace_streaming_megakernel_culled(
-            scene, key, jnp.asarray(culling.lists),
-            jnp.asarray(culling.counts),
-            jnp.arange(nb, dtype=jnp.int32),
-            jnp.asarray(culling.cell_bounds),
-            jnp.asarray(culling.block_quota(total_rays)),
-            jnp.asarray(culling.age_caps), source_spec=spec,
-            group_offsets=culling.group_offsets,
-            slab=n, max_rounds=max_rounds,
+        common = dict(
+            source_spec=spec, max_rounds=max_rounds,
             max_path=max_path, min_energy=min_energy, t_eps=t_eps,
             disc_eps=disc_eps, bivar=_bivar_mode(scene),
             one_sided="one_sided" in scene.features,
@@ -1188,6 +1215,37 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
             spectral=spectral_scene, ambient_att=spec_att,
             demote_rows=culling.demote_rows, fluxspecs=fluxspecs)
+        if culling.segment_bounds:
+            # single-chip SMEM segmentation (culling.py): blocks never
+            # interact, so the culled trace decomposes EXACTLY into
+            # sequential kernel calls over contiguous block ranges, each
+            # with its own (narrower) per-group candidate layout
+            quota = culling.block_quota(total_rays)
+            accum = emitted = source_e = None
+            bounds = culling.segment_bounds
+            for i, (b0, b1) in enumerate(zip(bounds, bounds[1:])):
+                key, sub = jax.random.split(key)
+                a, em, se = _trace_streaming_megakernel_culled(
+                    scene, sub, jnp.asarray(culling.seg_lists[i]),
+                    jnp.asarray(culling.seg_counts[i]),
+                    jnp.arange(b0, b1, dtype=jnp.int32),
+                    jnp.asarray(culling.cell_bounds[b0:b1]),
+                    jnp.asarray(quota[b0:b1]),
+                    jnp.asarray(culling.age_caps[b0:b1]),
+                    group_offsets=culling.seg_group_offsets[i],
+                    slab=(b1 - b0) * TILE, **common)
+                accum = a if accum is None else accum + a
+                emitted = em if emitted is None else emitted + em
+                source_e = se if source_e is None else source_e + se
+            return accum, emitted, source_e
+        return _trace_streaming_megakernel_culled(
+            scene, key, jnp.asarray(culling.lists),
+            jnp.asarray(culling.counts),
+            jnp.arange(nb, dtype=jnp.int32),
+            jnp.asarray(culling.cell_bounds),
+            jnp.asarray(culling.block_quota(total_rays)),
+            jnp.asarray(culling.age_caps),
+            group_offsets=culling.group_offsets, slab=n, **common)
     if culling is not None:
         import logging
         logging.getLogger("tracer_tpu").warning(
@@ -1203,7 +1261,8 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             one_sided="one_sided" in scene.features,
             slope="slope_error" in scene.features,
             lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
-            spectral=spectral_scene, fluxspecs=fluxspecs)
+            spectral=spectral_scene, fluxspecs=fluxspecs,
+            refractive=refractive_scene)
     return _trace_streaming_general(
         scene, source_fn, key, total_rays, max_rounds, max_path,
         min_energy, t_eps, disc_eps, block, fluxspecs=fluxspecs)

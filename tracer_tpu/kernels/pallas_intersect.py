@@ -150,7 +150,7 @@ def _interp_row_table(wl, start, length, tabx_ref, taby_ref, n_tab: int):
     return jax.lax.fori_loop(0, n_tab - 1, seg, acc)
 
 
-def _surface_body(sig, base_sid, t_eps, disc_eps, flat, need_local,
+def _surface_body(sig, base_sid, t_eps, disc_eps, tag, need_local,
                   rows_ref, rays, lists_ref=None, block=None,
                   col_offset=0,
                   spectral=False, wl=None, tabx_ref=None, taby_ref=None,
@@ -160,12 +160,22 @@ def _surface_body(sig, base_sid, t_eps, disc_eps, flat, need_local,
     normal, optionally local hit point, up-component, optics
     kind*1024+flags and first two params) — carrying these removes the
     per-ray surface-row gather from the shade pass (~12 ms/Mray for random
-    gathers of 34-float rows). ``flat`` groups (plane z=0) skip the quadric
-    solve entirely — t = -v_z/d_z — about 3x fewer flops.
+    gathers of 34-float rows).
+
+    ``tag`` is the group's compile-time quadric class (scene.compile_scene
+    group tags): "flat" (plane z=0 — t = -v_z/d_z, no quadratic solve,
+    ~3x fewer flops), "parab" (only axx/ayy/bz/c0 nonzero — paraboloids
+    and parabolic troughs, the curved-heliostat workhorse), "sphere"
+    (axx=ayy=azz, no cross/linear terms), or "quadric" (general
+    10-coefficient solve). The specialized ABC/gradient forms cut the
+    per-row coefficient products ~3x for parab/sphere groups.
 
     With ``lists_ref`` (+ ``block``), the loop index is indirected through
     the per-block candidate list (SMEM): s = lists_ref[i, block] — the
     relevancy-culling fast path (culling.build_block_culling)."""
+    flat = tag == "flat"
+    parab = tag == "parab"
+    sphere = tag == "sphere"
     px, py, pz, dx, dy, dz = rays
     big = jnp.float32(np.inf)
 
@@ -217,17 +227,33 @@ def _surface_body(sig, base_sid, t_eps, disc_eps, flat, need_local,
                 q = r[ROW_QUAD:ROW_QUAD + 10]
                 axx, ayy, azz, axy, axz, ayz, bx, by, bz, c0 = q
 
-                A = (axx * ddx * ddx + ayy * ddy * ddy + azz * ddz * ddz
-                     + 2.0 * (axy * ddx * ddy + axz * ddx * ddz
-                              + ayz * ddy * ddz))
-                B = 2.0 * (axx * ddx * vx + ayy * ddy * vy + azz * ddz * vz
-                           + axy * (ddx * vy + ddy * vx)
-                           + axz * (ddx * vz + ddz * vx)
-                           + ayz * (ddy * vz + ddz * vy)
-                           + bx * ddx + by * ddy + bz * ddz)
-                C = (axx * vx * vx + ayy * vy * vy + azz * vz * vz
-                     + 2.0 * (axy * vx * vy + axz * vx * vz + ayz * vy * vz)
-                     + 2.0 * (bx * vx + by * vy + bz * vz) + c0)
+                if parab:
+                    # axis-aligned paraboloid/trough: azz = cross = bx =
+                    # by = 0 (compile-time class) — ~3x fewer products
+                    A = axx * ddx * ddx + ayy * ddy * ddy
+                    B = 2.0 * (axx * ddx * vx + ayy * ddy * vy + bz * ddz)
+                    C = (axx * vx * vx + ayy * vy * vy
+                         + 2.0 * bz * vz + c0)
+                elif sphere:
+                    # axx = ayy = azz, no cross/linear terms
+                    A = axx * (ddx * ddx + ddy * ddy + ddz * ddz)
+                    B = 2.0 * axx * (ddx * vx + ddy * vy + ddz * vz)
+                    C = axx * (vx * vx + vy * vy + vz * vz) + c0
+                else:
+                    A = (axx * ddx * ddx + ayy * ddy * ddy
+                         + azz * ddz * ddz
+                         + 2.0 * (axy * ddx * ddy + axz * ddx * ddz
+                                  + ayz * ddy * ddz))
+                    B = 2.0 * (axx * ddx * vx + ayy * ddy * vy
+                               + azz * ddz * vz
+                               + axy * (ddx * vy + ddy * vx)
+                               + axz * (ddx * vz + ddz * vx)
+                               + ayz * (ddy * vz + ddz * vy)
+                               + bx * ddx + by * ddy + bz * ddz)
+                    C = (axx * vx * vx + ayy * vy * vy + azz * vz * vz
+                         + 2.0 * (axy * vx * vy + axz * vx * vz
+                                  + ayz * vy * vz)
+                         + 2.0 * (bx * vx + by * vy + bz * vz) + c0)
 
                 is_lin = A == 0.0
                 is_b0 = B == 0.0
@@ -273,9 +299,18 @@ def _surface_body(sig, base_sid, t_eps, disc_eps, flat, need_local,
                 hy = vy + t_surf * ddy
                 hz = vz + t_surf * ddz
                 # local quadric gradient at the hit -> global via R = (inv)^T
-                glx = (axx * hx + axy * hy + axz * hz + bx)
-                gly = (axy * hx + ayy * hy + ayz * hz + by)
-                glz = (axz * hx + ayz * hy + azz * hz + bz)
+                if parab:
+                    glx = axx * hx
+                    gly = ayy * hy
+                    glz = bz
+                elif sphere:
+                    glx = axx * hx
+                    gly = axx * hy
+                    glz = axx * hz
+                else:
+                    glx = (axx * hx + axy * hy + axz * hz + bx)
+                    gly = (axy * hx + ayy * hy + ayz * hz + by)
+                    glz = (axz * hx + ayz * hy + azz * hz + bz)
                 gx = r[0] * glx + r[3] * gly + r[6] * glz
                 gy = r[1] * glx + r[4] * gly + r[7] * glz
                 gz = r[2] * glx + r[5] * gly + r[8] * glz
@@ -320,7 +355,7 @@ def _surface_body(sig, base_sid, t_eps, disc_eps, flat, need_local,
 
 
 def _make_kernel(sig, n_surf: int, base_sid: int, t_eps: float,
-                 disc_eps: float, flat: bool, need_local: bool = True):
+                 disc_eps: float, tag: str, need_local: bool = True):
     """Plain group kernel: fori over surfaces, state carried in/out via
     aliased buffers so multiple groups chain."""
     n_state = N_STATE if need_local else N_STATE_NOLOCAL
@@ -331,7 +366,7 @@ def _make_kernel(sig, n_surf: int, base_sid: int, t_eps: float,
         outs = state_refs[n_state:]
         rays = (px_ref[:], py_ref[:], pz_ref[:],
                 dx_ref[:], dy_ref[:], dz_ref[:])
-        body = _surface_body(sig, base_sid, t_eps, disc_eps, flat,
+        body = _surface_body(sig, base_sid, t_eps, disc_eps, tag,
                              need_local, rows_ref, rays)
         carry = jax.lax.fori_loop(
             0, n_surf, body, tuple(ref[:] for ref in ins))
@@ -380,7 +415,7 @@ def nearest_hit_pallas(rows: jnp.ndarray, pos: jnp.ndarray,
 
     for (start, end, sig, tag) in groups:
         kernel = _make_kernel(sig, end - start, start, t_eps, disc_eps,
-                              flat=(tag == "flat"), need_local=need_local)
+                              tag=tag, need_local=need_local)
         # surface rows ride in SMEM (scalar prefetch): per-surface scalar
         # reads are far cheaper there than VMEM vector-lane extracts
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -429,7 +464,8 @@ def nearest_hit_pallas(rows: jnp.ndarray, pos: jnp.ndarray,
 
 def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
                          lambertian: bool = False,
-                         ambient_att: float = 0.0):
+                         ambient_att: float = 0.0,
+                         refractive: bool = False):
     """Reflect + slope error + one-sided kill on the carried winner data.
     The per-core PRNG must already be seeded by the caller.
 
@@ -445,9 +481,19 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
 
     ``ambient_att`` > 0 compiles Beer-Lambert attenuation of every hit
     segment in a homogeneous ambient medium (the engine recovers the
-    medium loss from e_before - absorbed - e_out, so no extra output)."""
+    medium loss from e_before - absorbed - e_out, so no extra output).
+
+    ``refractive`` compiles the Fresnel-interface branch: lanes whose
+    winner kind is K_REFRACTIVE toggle between the carried n1/n2
+    (q0/q1) against their per-lane index ``ri``, Russian-roulette
+    between reflection (w.p. the unpolarized Fresnel R, forced on TIR)
+    and vector-Snell refraction about the UNPERTURBED normal, carry no
+    interface absorption, and update ri on crossing — the megakernel
+    twin of shade.py's K_REFRACTIVE branch (ref RefractiveHomogenous
+    optics_callables.py:1186, single-ray mode :1254). The epilogue then
+    takes/returns the extra ``ri`` lane component."""
     def epilogue(t_b, ng_x, ng_y, ng_z, upd_b, kf_b, q0_b, q1_b,
-                 px, py, pz, dx, dy, dz, e_in):
+                 px, py, pz, dx, dy, dz, e_in, ri=None):
         hit = jnp.isfinite(t_b)
         t_safe = jnp.where(hit, t_b, 0.0)
         hx = px + t_safe * dx
@@ -479,6 +525,9 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
                                            1e-30))
             return mx * mr, my * mr, mz * mr
 
+        is_refr = None
+        if refractive:
+            is_refr = jnp.floor(kf_b * (1.0 / 1024.0)) == 6.0
         if slope:
             def uniform():
                 # 24-bit mantissa path; Mosaic lacks uint32->f32 casts so
@@ -497,6 +546,9 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
                 # sigma; their direction is replaced below anyway
                 is_lam_s = jnp.floor(kf_b * (1.0 / 1024.0)) == 2.0
                 sigma = jnp.where(is_lam_s, 0.0, sigma)
+            if refractive:
+                # refractive lanes carry n2 in q1, not a slope sigma
+                sigma = jnp.where(is_refr, 0.0, sigma)
             if bivar in (True, "mixed"):
                 nrm2 = rr * jnp.sin(ang)
                 tx = jnp.tan(nrm1 * sigma)
@@ -529,6 +581,45 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
         ry = dy - 2.0 * dn * ny
         rz = dz - 2.0 * dn * nz
 
+        nri = ri
+        q0_eff = q0_b
+        if refractive:
+            # Fresnel interface about the UNPERTURBED flipped normal n0
+            # (c1 = d.n0 < 0). Mirrors optics.refractions/fresnel and the
+            # shade.py nearest-match medium toggle exactly.
+            n1s, n2s = q0_b, q1_b
+            in1 = jnp.abs(ri - n1s) <= jnp.abs(ri - n2s)
+            n_next = jnp.where(in1, n2s, n1s)
+            safe_ri = jnp.where(ri == 0.0, 1.0, ri)
+            safe_nx = jnp.where(n_next == 0.0, 1.0, n_next)
+            nrat = safe_nx / safe_ri                  # n2/n1
+            c1 = dx * n0x + dy * n0y + dz * n0z
+            refr_ok = c1 * c1 >= 1.0 - nrat * nrat
+            inv_nr = 1.0 / nrat
+            cos2 = jnp.sqrt(jnp.maximum(
+                1.0 - (1.0 - c1 * c1) * inv_nr * inv_nr, 0.0))
+            sgn = jnp.where(c1 < 0.0, -1.0, 1.0)
+            tx = (dx - c1 * n0x) * inv_nr + n0x * cos2 * sgn
+            ty = (dy - c1 * n0y) * inv_nr + n0y * cos2 * sgn
+            tz = (dz - c1 * n0z) * inv_nr + n0z * cos2 * sgn
+            # unpolarized Fresnel R (optics.fresnel); R = 1 on TIR
+            cos1a = jnp.abs(c1)
+            under = 1.0 - (safe_ri / safe_nx) ** 2 * (1.0 - cos1a * cos1a)
+            bar = jnp.sqrt(jnp.maximum(under, 0.0))
+            Rs = ((safe_ri * cos1a - safe_nx * bar)
+                  / (safe_ri * cos1a + safe_nx * bar)) ** 2
+            Rp = ((safe_ri * bar - safe_nx * cos1a)
+                  / (safe_ri * bar + safe_nx * cos1a)) ** 2
+            R = jnp.where(refr_ok & (under >= 0.0), 0.5 * (Rs + Rp), 1.0)
+            go_reflect = _kernel_uniform(px.shape) <= R
+            crossed = is_refr & hit & ~go_reflect
+            rx = jnp.where(crossed, tx, rx)
+            ry = jnp.where(crossed, ty, ry)
+            rz = jnp.where(crossed, tz, rz)
+            nri = jnp.where(crossed, n_next, ri)
+            # no interface absorption: Russian roulette keeps full energy
+            q0_eff = jnp.where(is_refr, 0.0, q0_b)
+
         if lambertian:
             # cosine-weighted diffuse about the unperturbed normal within
             # ang_range (shade.py d_lambert; ref Lambertian :143)
@@ -550,7 +641,7 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
             e_att = jnp.where(hit,
                               e_in * jnp.exp(-jnp.float32(ambient_att)
                                              * t_safe), e_in)
-        e_out = e_att * (1.0 - q0_b)
+        e_out = e_att * (1.0 - q0_eff)
         if one_sided:
             # F_ONE_SIDED is bit 0 of the flags word (kind*1024 + flags,
             # 1024 even): (kf mod 2) >= 1 extracts exactly that bit, so
@@ -570,6 +661,8 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
         ndy = jnp.where(hit, ry, dy)
         ndz = jnp.where(hit, rz, dz)
         ne = jnp.where(hit, e_out, e_in)
+        if refractive:
+            return npx, npy, npz, ndx, ndy, ndz, ne, absorbed, nri
         return npx, npy, npz, ndx, ndy, ndz, ne, absorbed
 
     return epilogue
@@ -663,7 +756,7 @@ def _sample_disk_buie(spec, shape, cell=None):
 def _make_fused_kernel(groups, t_eps, disc_eps,
                        bivar, one_sided, slope, lambertian=False,
                        source_spec=None, spectral=False, n_tab=0,
-                       ambient_att=0.0):
+                       ambient_att=0.0, refractive=False):
     """Fused intersect + shade-epilogue kernel: one HBM round trip of the
     ray state per bounce. Runs one specialized fori per aperture-signature
     group over the shared (t, sid, winner) carry, so multi-group scenes
@@ -675,24 +768,35 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
     kernel (8th ray component, sampled from the source band at regen) and
     evaluates K_REFLECT_SPECTRAL rows' absorptance by exact piecewise-
     linear interpolation of the shared spectral table (SMEM prefetch).
-    ``ambient_att`` compiles Beer-Lambert attenuation of each hit segment."""
+    ``ambient_att`` compiles Beer-Lambert attenuation of each hit segment.
+    ``refractive`` threads a per-lane refraction index (fresh rays start
+    at 1.0) and compiles the Fresnel-interface epilogue branch."""
     epi = _make_shade_epilogue(bivar, one_sided, slope, lambertian,
-                               ambient_att)
+                               ambient_att, refractive=refractive)
 
     def kernel(seed_ref, regen_ref, tabx_ref, taby_ref, rows_ref, *io):
-        if spectral:
-            (px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref, e_ref, wl_ref,
-             npx_ref, npy_ref, npz_ref, ndx_ref, ndy_ref, ndz_ref,
-             ne_ref, nwl_ref, sid_ref, abs_ref) = io
-        else:
-            (px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref, e_ref,
-             npx_ref, npy_ref, npz_ref, ndx_ref, ndy_ref, ndz_ref,
-             ne_ref, sid_ref, abs_ref) = io
+        n_in = 7 + int(spectral) + int(refractive)
+        ins, outs_ref = io[:n_in], io[n_in:]
+        px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref, e_ref = ins[:7]
+        k = 7
+        wl_ref = ins[k] if spectral else None
+        k += int(spectral)
+        ri_ref = ins[k] if refractive else None
+        (npx_ref, npy_ref, npz_ref, ndx_ref, ndy_ref, ndz_ref,
+         ne_ref) = outs_ref[:7]
+        k = 7
+        nwl_ref = outs_ref[k] if spectral else None
+        k += int(spectral)
+        nri_ref = outs_ref[k] if refractive else None
+        k += int(refractive)
+        sid_ref, abs_ref = outs_ref[k], outs_ref[k + 1]
+
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         e = e_ref[:]
         wl = wl_ref[:] if spectral else None
+        ri = ri_ref[:] if refractive else None
 
         if source_spec is not None:
             do = (e <= 0.0) & (regen_ref[0] > 0)
@@ -707,6 +811,8 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
             e = jnp.where(do, e_ray, e)
             if spectral and len(f) > 6:
                 wl = jnp.where(do, f[6], wl)
+            if refractive:
+                ri = jnp.where(do, 1.0, ri)   # fresh rays start in air
 
         rays = (px, py, pz, dx, dy, dz)
         big = jnp.float32(np.inf)
@@ -716,7 +822,7 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                  zero, zero, zero, zero, zero, zero, zero)
         for (start, end, sig, tag) in groups:
             body = _surface_body(sig, 0, t_eps, disc_eps,
-                                 tag == "flat", False, rows_ref, rays,
+                                 tag, False, rows_ref, rays,
                                  spectral=spectral, wl=wl,
                                  tabx_ref=tabx_ref, taby_ref=taby_ref,
                                  n_tab=n_tab)
@@ -724,8 +830,8 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
         (t_b, sid_b, ngx, ngy, ngz, upd_b, kf_b, q0_b, q1_b) = carry
 
         outs = epi(t_b, ngx, ngy, ngz, upd_b, kf_b, q0_b,
-                   q1_b, px, py, pz, dx, dy, dz, e)
-        npx, npy, npz, ndx, ndy, ndz, ne, absorbed = outs
+                   q1_b, px, py, pz, dx, dy, dz, e, ri=ri)
+        npx, npy, npz, ndx, ndy, ndz, ne, absorbed = outs[:8]
         npx_ref[:] = npx
         npy_ref[:] = npy
         npz_ref[:] = npz
@@ -735,6 +841,8 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
         ne_ref[:] = ne
         if spectral:
             nwl_ref[:] = wl
+        if refractive:
+            nri_ref[:] = outs[8]
         # mask stale lanes: only lanes carrying energy report hits
         live = e > 0.0
         sid_ref[:] = jnp.where(jnp.isfinite(t_b) & live, sid_b, -1)
@@ -753,18 +861,24 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                           slope: bool = True, lambertian: bool = False,
                           source_spec=None, regen=None,
                           wavelength=None, spectral_tab=None,
-                          ambient_att: float = 0.0):
+                          ambient_att: float = 0.0, ref_index=None):
     """Fused intersect+shade bounce for K_REFLECT / K_LAMBERTIAN /
-    K_REFLECT_SPECTRAL scenes (any number of aperture-signature groups).
+    K_REFLECT_SPECTRAL / K_REFRACTIVE scenes (any number of
+    aperture-signature groups).
 
-    Returns (new_pos, new_dir, new_energy, sid, absorbed[, new_wavelength]);
-    non-hit lanes pass their state through unchanged (the engine masks
-    them). With a static source_spec and a regen flag array (1,), dead
-    lanes are refilled from the source before intersecting (streaming
-    megakernel). Passing ``wavelength`` (N,) and ``spectral_tab`` (L, 2)
-    enables the spectral mode: per-lane wavelengths thread through the
-    kernel and spectral rows interpolate their absorptance exactly."""
+    Returns (new_pos, new_dir, new_energy, sid, absorbed
+    [, new_wavelength][, new_ref_index]); non-hit lanes pass their state
+    through unchanged (the engine masks them). With a static source_spec
+    and a regen flag array (1,), dead lanes are refilled from the source
+    before intersecting (streaming megakernel). Passing ``wavelength``
+    (N,) and ``spectral_tab`` (L, 2) enables the spectral mode: per-lane
+    wavelengths thread through the kernel and spectral rows interpolate
+    their absorptance exactly. Passing ``ref_index`` (N,) enables the
+    refractive mode: per-lane indices thread through and K_REFRACTIVE
+    rows Russian-roulette between Fresnel reflection and Snell
+    refraction (regenerated lanes restart at index 1.0)."""
     spectral = wavelength is not None
+    refractive = ref_index is not None
     n = pos.shape[0]
     n_pad = -(-n // TILE) * TILE
     pad = n_pad - n
@@ -776,15 +890,14 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
             if pad:
                 c = jnp.pad(c, (0, pad), constant_values=1.0)
             comps.append(c.reshape(n_pad // LANE, LANE))
-    e = energy
-    if pad:
-        e = jnp.pad(e, (0, pad))
-    comps.append(e.reshape(n_pad // LANE, LANE))
-    if spectral:
-        w = wavelength
+    for extra, on in ((energy, True), (wavelength, spectral),
+                      (ref_index, refractive)):
+        if not on:
+            continue
+        c = extra
         if pad:
-            w = jnp.pad(w, (0, pad))
-        comps.append(w.reshape(n_pad // LANE, LANE))
+            c = jnp.pad(c, (0, pad))
+        comps.append(c.reshape(n_pad // LANE, LANE))
 
     nb = n_pad // TILE
 
@@ -800,14 +913,15 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
         tabx = spectral_tab[:, 0].astype(jnp.float32)
         taby = spectral_tab[:, 1].astype(jnp.float32)
 
-    n_io = 8 if spectral else 7
+    n_io = 7 + int(spectral) + int(refractive)
     ray_spec = pl.BlockSpec((SUB, LANE), ray_idx, memory_space=pltpu.VMEM)
     kernel = _make_fused_kernel(groups, t_eps, disc_eps, bivar=bivar,
                                 one_sided=one_sided, slope=slope,
                                 lambertian=lambertian,
                                 source_spec=source_spec,
                                 spectral=spectral, n_tab=tabx.shape[0],
-                                ambient_att=ambient_att)
+                                ambient_att=ambient_att,
+                                refractive=refractive)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,   # seed, regen, spectral table x/y, rows
         grid=(nb,),
@@ -828,12 +942,16 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
     new_pos = jnp.stack(flat_outs[0:3], axis=1)
     new_dir = jnp.stack(flat_outs[3:6], axis=1)
     new_e = flat_outs[6]
+    k = 7
+    res = [new_pos, new_dir, new_e]
+    sid_abs = [flat_outs[n_io], flat_outs[n_io + 1]]
+    res.extend(sid_abs)
     if spectral:
-        new_wl, sid, absorbed = flat_outs[7], flat_outs[8], flat_outs[9]
-        return new_pos, new_dir, new_e, sid, absorbed, new_wl
-    sid = flat_outs[7]
-    absorbed = flat_outs[8]
-    return new_pos, new_dir, new_e, sid, absorbed
+        res.append(flat_outs[k])
+        k += 1
+    if refractive:
+        res.append(flat_outs[k])
+    return tuple(res)
 
 
 # ---------------------------------------------------------------------------
@@ -932,8 +1050,8 @@ def _make_fused_kernel_culled(group_specs, t_eps, disc_eps, bivar,
         carry = (jnp.full_like(px, big),
                  jnp.full_like(px, -1, dtype=jnp.int32),
                  zero, zero, zero, zero, zero, zero, zero)
-        for g, (sig, flat, off) in enumerate(group_specs):
-            body = _surface_body(sig, 0, t_eps, disc_eps, flat, False,
+        for g, (sig, tag, off) in enumerate(group_specs):
+            body = _surface_body(sig, 0, t_eps, disc_eps, tag, False,
                                  rows_ref, rays, lists_ref=lists_ref,
                                  block=b, col_offset=off,
                                  spectral=spectral, wl=wl,
@@ -1003,7 +1121,7 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
     assert groups[0][0] == 0 and groups[-1][1] == rows.shape[1]
     assert len(group_offsets) == len(groups) == counts.shape[1]
     group_specs = tuple(
-        (sig, tag == "flat", off)
+        (sig, tag, off)
         for (start, end, sig, tag), off in zip(groups, group_offsets))
     n = pos.shape[0]
     nb = lists.shape[0]

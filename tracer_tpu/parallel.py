@@ -113,6 +113,18 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
         raise ValueError(f"{nb} source cells not divisible by {n_dev} "
                          "devices; choose a slab with a divisible block "
                          "count")
+    from .culling import smem_need_bytes
+    if smem_need_bytes(scene, nb // n_dev,
+                       culling.lists.shape[1]) > (1 << 20):
+        # each device gets nb/n_dev blocks of the GLOBAL layout; if that
+        # still overflows the 1 MB SMEM (the mesh split plays the same
+        # role as single-chip segmentation), fail at build time with a
+        # clear message instead of a Mosaic compile error
+        raise ValueError(
+            f"per-device culled layout ({nb // n_dev} blocks x "
+            f"{culling.lists.shape[1]} candidate columns) exceeds SMEM; "
+            "use more devices, a larger slab (smaller cells), or "
+            "trace_streaming's sequential SMEM segmentation")
     spec = getattr(source_fn, "pallas_spec", None)
     if spec is None:
         raise ValueError("culled sharded streaming needs a source with a "

@@ -272,18 +272,33 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
                         "symmetric apertures (rect/annulus/hex)")
                 rows.append((g, frame @ flip, lid, back))
 
-    # Sort rows so surfaces with the same aperture signature (and plane-ness)
-    # are contiguous: the intersect kernel specializes per group.
+    # Sort rows so surfaces with the same aperture signature (and quadric
+    # CLASS) are contiguous: the intersect kernel specializes per group.
+    # Classes, cheapest first: "flat" (plane z=0 — no quadratic solve),
+    # "parab" (axis-aligned paraboloid/parabolic cylinder: only axx, ayy,
+    # bz, c0 nonzero — ~3x fewer coefficient products than the general
+    # solve), "sphere" (axx=ayy=azz, no cross/linear terms), "quadric".
     def ap_sig(geom: Geometry):
         return tuple(t for t, _ in geom.apertures)
 
     _flat_quad = np.zeros(10)
     _flat_quad[8] = 0.5
 
-    def _is_flat_geom(geom: Geometry) -> bool:
-        return np.array_equal(geom.quadric, _flat_quad)
+    def _geom_class(geom: Geometry) -> str:
+        q = geom.quadric
+        if np.array_equal(q, _flat_quad):
+            return "flat"
+        if (q[2] == 0.0 and q[3] == q[4] == q[5] == 0.0
+                and q[6] == q[7] == 0.0 and q[8] != 0.0):
+            return "parab"
+        if (q[0] == q[1] == q[2] != 0.0
+                and q[3] == q[4] == q[5] == 0.0
+                and q[6] == q[7] == q[8] == 0.0):
+            return "sphere"
+        return "quadric"
 
-    rows.sort(key=lambda r: (ap_sig(r[0]), not _is_flat_geom(r[0])))
+    _CLASS_RANK = {"flat": 0, "parab": 1, "sphere": 2, "quadric": 3}
+    rows.sort(key=lambda r: (ap_sig(r[0]), _CLASS_RANK[_geom_class(r[0])]))
 
     S = len(rows)
     C = max_constraints or max(1, max(len(g.apertures) for g, *_ in rows))
@@ -340,19 +355,17 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
     else:
         spec = np.zeros((1, 2))
 
-    # contiguous aperture-signature groups (rows were sorted above); each
-    # group is tagged "flat" when every member is the canonical plane z=0
-    # (quadric [0..0, bz=.5, 0]) so kernels can take a ~3x cheaper path
-    def is_flat(i):
-        return _is_flat_geom(rows[i][0])
-
+    # contiguous aperture-signature groups (rows were sorted above), each
+    # tagged with its quadric class so kernels compile the cheapest solve
+    # ("flat": t = -v_z/d_z, no quadratic; "parab"/"sphere": specialized
+    # few-coefficient ABC; "quadric": the general 10-coefficient solve)
     groups = []
     start = 0
     for i in range(1, S + 1):
         if i == S or ap_sig(rows[i][0]) != ap_sig(rows[start][0]) \
-                or is_flat(i) != is_flat(start):
-            tag = "flat" if is_flat(start) else "quadric"
-            groups.append((start, i, ap_sig(rows[start][0]), tag))
+                or _geom_class(rows[i][0]) != _geom_class(rows[start][0]):
+            groups.append((start, i, ap_sig(rows[start][0]),
+                           _geom_class(rows[start][0])))
             start = i
 
     kinds_present = tuple(sorted({opt.kind for *_, opt in rows}))
