@@ -219,9 +219,11 @@ def config3_spectral_buie(slab_tiles=114, rounds=16) -> dict:
 
 def config6_spherical_lens(slab_tiles=114, rounds=8) -> dict:
     """Config 6 (beyond BASELINE, round-3 verdict item 3): refractive
-    trace through a spherical lens onto a focal-plane receiver — the
-    K_REFRACTIVE path is NOT megakernel-eligible, so this measures the
-    general streaming path's throughput (ref
+    trace through a spherical lens onto a focal-plane receiver. The
+    headline ``value`` is the REFRACTIVE MEGAKERNEL (per-lane index
+    threading + in-kernel Fresnel/Snell roulette, round-3); the
+    ``general_path`` extra measures the jnp-regen streaming path the
+    same scene falls to without a pallas source spec (ref
     tracer/models/spherical_lens.py:19, tests/models/test_spherical_lens)."""
     from tracer_tpu.engine import trace_streaming
     from tracer_tpu.kernels.pallas_intersect import TILE

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from tracer_tpu import geometry as G
 from tracer_tpu import materials as M
 from tracer_tpu import spatial
+from tracer_tpu.bundle import RayBundle
 from tracer_tpu.analysis import device_fluxmap as dfm
 from tracer_tpu.analysis.fluxmap import (edges_of, surface_fluxmap,
                                          uv_project)
@@ -151,6 +152,35 @@ def test_streaming_general_flux():
     # illumination is a unit disk about the center: corners stay dark
     assert hist[0, 0] == 0.0 and hist[-1, -1] == 0.0
     assert hist[5, 5] > 0.0
+
+
+def test_multi_row_surface_flux():
+    """A logical surface with several table rows (bifacial plate = two
+    coincident rows on flipped frames) accumulates all its hits into ONE
+    histogram through per-lane row frames (review finding: the per-row
+    loop re-scanned the slab once per row)."""
+    plate = Surface(G.rect_plate(2.0, 2.0),
+                    M.bifacial(M.absorber(one_sided=True),
+                               M.absorber(one_sided=True)),
+                    name="plate")
+    table, meta = compile_scene(Assembly([AssembledObject([plate])]),
+                                dtype=jnp.float64)
+    spec = dfm.flux_plan(meta, "plate", resolution=6)
+    assert len(spec.rows) == 2
+    n = 1024
+    rng = np.random.default_rng(0)
+    xy = rng.uniform(-0.9, 0.9, (n, 2))
+    # half the rays arrive from above, half from below
+    zs = np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
+    pos = np.concatenate([xy, zs[:, None]], axis=1)
+    d = np.stack([np.zeros(n), np.zeros(n), -zs], axis=1)
+    bundle = RayBundle.create(pos=pos, dir=d)
+    _, accum = trace_fused(table, bundle, jax.random.PRNGKey(0),
+                           max_bounces=3, fluxspecs=(spec,))
+    hist = np.asarray(accum.flux[0], dtype=float)
+    absorbed = float(np.asarray(accum.absorbed)[list(spec.rows)].sum())
+    np.testing.assert_allclose(hist.sum(), absorbed, rtol=1e-6)
+    np.testing.assert_allclose(hist.sum(), n * 1.0, rtol=1e-6)
 
 
 import pytest

@@ -258,6 +258,36 @@ def test_perforated_polygon_general_holes():
     np.testing.assert_array_equal(sid >= 0, expect_hit)
 
 
+def test_fluxmap_empty_inputs():
+    """fluxmap with zero hits returns an all-zero map without raising
+    (review finding: the (1, 0)-shaped empty from np.atleast_2d crashed
+    uv_project)."""
+    from tracer_tpu import geometry as G
+    from tracer_tpu.analysis.fluxmap import fluxmap
+    for args in (([], []), (np.zeros(0), np.zeros((0, 3)))):
+        fl, (ue, ve) = fluxmap(G.rect_plate(2.0, 1.0), *args, resolution=5)
+        assert fl.shape == (5, 5) and not fl.any()
+
+
+def test_refractive_slope_feature_flag():
+    """Frosted refractive interfaces (sigma > 0) are tagged so the fused
+    megakernel (which cannot carry their sigma) is gated off (review
+    finding: the fast path silently traced them as sharp interfaces)."""
+    from tracer_tpu import geometry as G, materials as M
+    from tracer_tpu.scene import (Assembly, AssembledObject, Surface,
+                                  compile_scene)
+    import jax.numpy as jnp
+    frosted = Surface(G.round_plate(1.0),
+                      M.refractive_homogenous(1.0, 1.5, sigma=2e-3))
+    t1, _ = compile_scene(Assembly([AssembledObject([frosted])]),
+                          dtype=jnp.float32)
+    assert "refractive_slope" in t1.features
+    sharp = Surface(G.round_plate(1.0), M.refractive_homogenous(1.0, 1.5))
+    t2, _ = compile_scene(Assembly([AssembledObject([sharp])]),
+                          dtype=jnp.float32)
+    assert "refractive_slope" not in t2.features
+
+
 def test_bdrf_distribution_lambertian():
     """Constant bdrf rho/pi: DHR == rho, cos(theta) mean 2/3, phi uniform."""
     from tracer_tpu.sampling import BDRFDistribution

@@ -118,34 +118,44 @@ def accumulate(flux: tuple, fluxspecs: tuple, scene, sid, hit_pts,
     out = []
     for spec, hist in zip(fluxspecs, flux):
         dt = hist.dtype
-        for r in spec.rows:
+        if len(spec.rows) == 1:
+            r = spec.rows[0]
             inv = scene.inv_frame[r]
-            # elementwise rotate (mathutils.transform_points): a
-            # (n,3)@(3,3) einsum would route through the bf16-rounded MXU
-            # and corrupt meter-scale positions
-            local = transform_points(inv, hit_pts)
-            u, v = _uv(spec, local)
-            su = (u - spec.u0) * (spec.nu / (spec.u1 - spec.u0))
-            sv = (v - spec.v0) * (spec.nv / (spec.v1 - spec.v0))
-            su = jnp.where(jnp.isfinite(su), su, -1.0)
-            sv = jnp.where(jnp.isfinite(sv), sv, -1.0)
-            iu = jnp.floor(jnp.clip(su, -1.0, spec.nu)).astype(jnp.int32)
-            iv = jnp.floor(jnp.clip(sv, -1.0, spec.nv)).astype(jnp.int32)
-            # top-edge inclusivity (matches np.histogram2d): a hit exactly
-            # on the last edge belongs to the last bin
-            iu = jnp.where((iu == spec.nu) & (su <= spec.nu), spec.nu - 1,
-                           iu)
-            iv = jnp.where((iv == spec.nv) & (sv <= spec.nv), spec.nv - 1,
-                           iv)
-            valid = ((sid == r) & (iu >= 0) & (iu < spec.nu)
-                     & (iv >= 0) & (iv < spec.nv))
-            w = jnp.where(valid, absorbed, 0.0).astype(jnp.bfloat16)
-            U = (iu[:, None] == jnp.arange(spec.nu)[None, :]
-                 ).astype(jnp.bfloat16) * w[:, None]
-            V = (iv[:, None] == jnp.arange(spec.nv)[None, :]
-                 ).astype(jnp.bfloat16)
-            hist = hist + jnp.matmul(
-                U.T, V, preferred_element_type=jnp.float32).astype(dt)
+            on_spec = sid == r
+        else:
+            # one pass for ALL rows of the surface: gather each lane's
+            # matching row frame by sid (a lane matches at most one row),
+            # instead of a full-slab transform + matmul pair per row
+            rows_arr = jnp.asarray(spec.rows)
+            eq = sid[:, None] == rows_arr[None, :]
+            on_spec = jnp.any(eq, axis=1)
+            lane_k = jnp.argmax(eq, axis=1)
+            inv = jnp.stack([scene.inv_frame[r]
+                             for r in spec.rows])[lane_k]
+        # elementwise rotate (mathutils.transform_points): a (n,3)@(3,3)
+        # einsum would route through the bf16-rounded MXU and corrupt
+        # meter-scale positions
+        local = transform_points(inv, hit_pts)
+        u, v = _uv(spec, local)
+        su = (u - spec.u0) * (spec.nu / (spec.u1 - spec.u0))
+        sv = (v - spec.v0) * (spec.nv / (spec.v1 - spec.v0))
+        su = jnp.where(jnp.isfinite(su), su, -1.0)
+        sv = jnp.where(jnp.isfinite(sv), sv, -1.0)
+        iu = jnp.floor(jnp.clip(su, -1.0, spec.nu)).astype(jnp.int32)
+        iv = jnp.floor(jnp.clip(sv, -1.0, spec.nv)).astype(jnp.int32)
+        # top-edge inclusivity (matches np.histogram2d): a hit exactly
+        # on the last edge belongs to the last bin
+        iu = jnp.where((iu == spec.nu) & (su <= spec.nu), spec.nu - 1, iu)
+        iv = jnp.where((iv == spec.nv) & (sv <= spec.nv), spec.nv - 1, iv)
+        valid = (on_spec & (iu >= 0) & (iu < spec.nu)
+                 & (iv >= 0) & (iv < spec.nv))
+        w = jnp.where(valid, absorbed, 0.0).astype(jnp.bfloat16)
+        U = (iu[:, None] == jnp.arange(spec.nu)[None, :]
+             ).astype(jnp.bfloat16) * w[:, None]
+        V = (iv[:, None] == jnp.arange(spec.nv)[None, :]
+             ).astype(jnp.bfloat16)
+        hist = hist + jnp.matmul(
+            U.T, V, preferred_element_type=jnp.float32).astype(dt)
         out.append(hist)
     return tuple(out)
 

@@ -138,7 +138,7 @@ def areas_of(kind: str, extent: dict, resolution: int) -> np.ndarray:
         x_cut = extent["x_cut"]
         full = np.outer(0.5 * (ue[1:] ** 2 - ue[:-1] ** 2), np.diff(ve))
         frac = _cell_fraction_outside(
-            ue, ve, lambda R, A: (R * np.cos(A)) <= x_cut, polar=True)
+            ue, ve, lambda R, A: (R * np.cos(A)) <= x_cut)
         return full * frac
     if kind == "parabolic_dish":
         qa = extent["qa"]
@@ -163,10 +163,9 @@ def areas_of(kind: str, extent: dict, resolution: int) -> np.ndarray:
     raise NotImplementedError(f"no fluxmap for geometry kind {kind}")
 
 
-def _cell_fraction_outside(ue, ve, keep_fn, polar: bool = False,
-                           nsub: int = 8) -> np.ndarray:
-    """Fraction of each (u, v) cell satisfying keep_fn(x, y) (cartesian) or
-    keep_fn(r, theta) (polar), by nsub x nsub sub-sampling."""
+def _cell_fraction_outside(ue, ve, keep_fn, nsub: int = 8) -> np.ndarray:
+    """Fraction of each (u, v) cell satisfying keep_fn(u, v) — u/v may be
+    cartesian x/y or polar r/theta — by nsub x nsub sub-sampling."""
     s = 0.5 * (np.linspace(0, 1, nsub + 1)[:-1]
                + np.linspace(0, 1, nsub + 1)[1:])
     uu = ue[:-1, None] + np.diff(ue)[:, None] * s[None, :]   # (nu, nsub)
@@ -190,7 +189,7 @@ def fluxmap(geom: Geometry, eners, local, resolution: int = 40):
     local (n,3) local-frame hit points. Returns (flux_2d, bin_edges)."""
     eners = np.asarray(eners, dtype=float)
     local = np.atleast_2d(np.asarray(local, dtype=float))
-    if local.shape[0] == 0:
+    if local.size == 0:      # covers both () and (n, 0) empty inputs
         local = np.zeros((0, 3))
     kind, extent = geom.kind, geom.extent
     u, v = uv_project(kind, extent, local)

@@ -208,7 +208,8 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
     refr_ok = (_M.K_REFRACTIVE in scene.kinds_present
                and "volumetric" not in scene.features
                and "dispersive" not in scene.features
-               and "split" not in scene.features)
+               and "split" not in scene.features
+               and "refractive_slope" not in scene.features)
     if refr_ok:
         fusable_kinds = fusable_kinds | {_M.K_REFRACTIVE}
     use_fused = (cand is None
@@ -1183,7 +1184,8 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     refr_ok = (not refractive_scene
                or ("volumetric" not in scene.features
                    and "dispersive" not in scene.features
-                   and "split" not in scene.features))
+                   and "split" not in scene.features
+                   and "refractive_slope" not in scene.features))
     fusable = (spec is not None
                and set(scene.kinds_present) <= {_M.K_REFLECT,
                                                 _M.K_LAMBERTIAN,

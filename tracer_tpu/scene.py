@@ -401,6 +401,11 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
                 features.add("lambertian_piecewise_dirspec")
         if opt.kind == M.K_REFRACTIVE and opt.spectral_table is not None:
             features.add("dispersive")
+        if opt.kind == M.K_REFRACTIVE and opt.params[2] > 0:
+            # frosted (slope-error) interface: the fused megakernel
+            # carries only (n1, n2) for refractive lanes, so these scenes
+            # must stay on the general shade path (engine gates on this)
+            features.add("refractive_slope")
         if opt.kind == M.K_REFRACTIVE and np.any(opt.params[6:12] != 0.0):
             features.add("volumetric")
     features.update(extra_features)

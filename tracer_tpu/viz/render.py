@@ -183,7 +183,8 @@ class Renderer:
         vmax = max((float(np.max(f)) for f, _ in maps.values()),
                    default=0.0)
         norm = mcolors.Normalize(vmin=0.0, vmax=vmax or 1.0)
-        cmap_f = cm.get_cmap(cmap)
+        import matplotlib
+        cmap_f = matplotlib.colormaps[cmap]
 
         frames = self.meta.frames
         row = 0
@@ -193,19 +194,22 @@ class Renderer:
             for g in surf.geometries:
                 frame = frames[row]
                 row += 1
-                if fm is not None:
-                    flux, (ue, ve) = fm
+                use_fm = fm     # per-geometry: a kind unsupported by the
+                # flux mesh must not disable the texture for later
+                # geometries of the same surface
+                if use_fm is not None:
+                    flux, (ue, ve) = use_fm
                     try:
                         x, y, z = mesh_from_edges(g.kind, g.extent, ue, ve)
                     except NotImplementedError:
                         x, y, z = mesh_of(g, resolution)
-                        fm = None
+                        use_fm = None
                 else:
                     x, y, z = mesh_of(g, resolution)
                 pts = np.stack([x, y, z], axis=-1) @ frame[:3, :3].T \
                     + frame[:3, 3]
-                if fm is not None:
-                    face = cmap_f(norm(np.asarray(fm[0], dtype=float)))
+                if use_fm is not None:
+                    face = cmap_f(norm(np.asarray(use_fm[0], dtype=float)))
                     self.ax.plot_surface(
                         pts[..., 0], pts[..., 1], pts[..., 2],
                         facecolors=face, shade=False, linewidth=0,
