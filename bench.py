@@ -20,8 +20,12 @@ def main():
 
     from tracer_tpu.analysis.device_fluxmap import flux_plan
 
-    slab = (1 << 20) // TILE * TILE + TILE   # whole number of ray tiles
-    total = 32 * slab   # ~33.6M source rays per measured call
+    # 2M-lane slab: a same-process sweep over {1, 2, 4}x showed x2 best
+    # (376 / 396 / 368 Mrays/s) — finer source cells shorten the
+    # candidate lists (L_mean 16.7 -> 12.1) while the fixed emission-tail
+    # rounds still amortize over 16 full-budget rounds
+    slab = 2 * ((1 << 20) // TILE * TILE + TILE)
+    total = 16 * slab   # ~33.6M source rays per measured call
     table, meta, info = build_scene()
     source_fn = make_source_fn(info, slab)
     culling = build_block_culling(table, meta, source_fn.pallas_spec, slab)

@@ -158,10 +158,12 @@ def test_segmented_culling_matches_unsegmented():
                                max_smem_bytes=need - 1)
     assert cseg.n_segments >= 2
 
+    from tracer_tpu.analysis import device_fluxmap as dfm
+    fspec = dfm.flux_plan(meta, "receiver", resolution=16)
     key = jax.random.PRNGKey(23)
     a_s, em_s, se_s = jax.block_until_ready(trace_streaming(
         table, source_fn, key, total_rays=total, max_rounds=500,
-        max_path=8, culling=cseg))
+        max_path=8, culling=cseg, fluxspecs=(fspec,)))
     a_1, em_1, se_1 = jax.block_until_ready(trace_streaming(
         table, source_fn, key, total_rays=total, max_rounds=500,
         max_path=8, culling=c1))
@@ -174,6 +176,10 @@ def test_segmented_culling_matches_unsegmented():
     esc_s = float(a_s.escaped) / float(se_s)
     esc_1 = float(a_1.escaped) / float(se_1)
     assert abs(esc_s - esc_1) / esc_1 < 0.005
+    # flux histograms sum across segments to the receiver's power
+    h = np.asarray(a_s.flux[0], dtype=float)
+    rec_abs = float(np.asarray(a_s.absorbed)[list(fspec.rows)].sum())
+    np.testing.assert_allclose(h.sum(), rec_abs, rtol=5e-3)
 
 
 def test_rect_source_culling_on_off_equivalence():
