@@ -44,8 +44,12 @@ def run(reps: int = 6) -> dict:
     tags = [g[3] for g in table.groups]
     assert "parab" in tags, tags   # the specialized solve is exercised
 
-    slab = (1 << 20) // TILE * TILE + TILE
-    total = 32 * slab
+    # 3x the 1M-lane slab: curved corridors are longer than flat ones, so
+    # finer source cells pay off further (same-process sweep: x1 273.8,
+    # x2 301.0, x3 308.3 Mrays/s; L_mean 18.0 -> 13.2 -> 11.4)
+    base = (1 << 20) // TILE * TILE + TILE
+    slab = 3 * base
+    total = 32 * base
     source_fn = make_source_fn(dict(positions=pos,
                                     sun=solar_vector(0.0, np.pi / 6)),
                                slab)

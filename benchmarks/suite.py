@@ -422,10 +422,11 @@ def main(write_md: bool = False, only=None):
                     "BENCH_r*.json); the band is the tunneled host's "
                     "whole-process speed regimes — within one healthy "
                     "process spread is <3%. Curved-facet variant "
-                    "(benchmarks/curved.py): 276 Mrays/s (parab-class "
-                    "kernels; 253 in round 2). 2001-row field: 188 "
-                    "Mrays/s culled via SMEM segmentation "
-                    "(benchmarks/scaling.py; was 19 unculled). |")
+                    "(benchmarks/curved.py): 308-323 Mrays/s (parab-class "
+                    "kernels + finer source cells; 253 in round 2). "
+                    "2001-row field: 188 Mrays/s culled via SMEM "
+                    "segmentation (benchmarks/scaling.py; was 19 "
+                    "unculled). |")
         with open("BENCHMARKS.md", "w") as fo:
             fo.write("\n".join(lines) + "\n")
 
