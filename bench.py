@@ -22,10 +22,15 @@ def main():
 
     # 2M-lane slab: a same-process sweep over {1, 2, 4}x showed x2 best
     # (376 / 396 / 368 Mrays/s) — finer source cells shorten the
-    # candidate lists (L_mean 16.7 -> 12.1) while the fixed emission-tail
-    # rounds still amortize over 16 full-budget rounds
+    # candidate lists (L_mean 16.7 -> 12.1).
     slab = 2 * ((1 << 20) // TILE * TILE + TILE)
-    total = 16 * slab   # ~33.6M source rays per measured call
+    # ~270M source rays per measured call (~0.5 s): the emission TAIL is
+    # ~10 rounds regardless of budget (cells finish their exact quotas at
+    # different times), so sustained throughput rises with rays/call —
+    # same-process A/B: 16 rounds 379, 32 rounds 471, 64 rounds 533
+    # Mrays/s (asymptote ~620). Production CSP studies trace 1e8-1e9
+    # rays, so the large call is the representative workload.
+    total = 128 * slab
     table, meta, info = build_scene()
     source_fn = make_source_fn(info, slab)
     culling = build_block_culling(table, meta, source_fn.pallas_spec, slab)

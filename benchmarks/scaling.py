@@ -27,10 +27,12 @@ def run_size(n_heliostats: int, slab_tiles: int | None = None,
     from tracer_tpu.kernels.pallas_intersect import TILE
 
     table, meta, info = build_scene(n_heliostats=n_heliostats)
-    base_tiles = (1 << 20) // TILE + 1
+    base_tiles = 2 * ((1 << 20) // TILE + 1)
     if slab_tiles is None:
         # cell area, not cell count, sets the candidate-list length: scale
-        # the block grid with the field footprint so cells stay NSTTF-sized
+        # the block grid with the field footprint so cells keep the tuned
+        # density (2x the round-2 grid — the slab sweep in bench.py showed
+        # finer cells cut L_mean 16.7 -> 12.1 for +5%)
         pos = info["positions"][:, :2]
         r = float(np.hypot(*(pos - pos.mean(axis=0)).T).max()) + 10.0
         slab_tiles = int(np.clip(round(base_tiles * (r / 152.0) ** 2),
@@ -82,8 +84,12 @@ def run_size(n_heliostats: int, slab_tiles: int | None = None,
 
 
 def main():
-    for n in (218, 500, 1000, 2000):
-        print(json.dumps(run_size(n)))
+    # 2000 heliostats: the footprint is so large that even the clipped
+    # 5472-tile grid leaves cells ~2.6x the tuned size while doubling the
+    # per-round slab cost of the 8 SMEM segments — the 2736-tile grid
+    # measures faster (188 vs 154 Mrays/s cross-process)
+    for n, st in ((218, None), (500, None), (1000, None), (2000, 2736)):
+        print(json.dumps(run_size(n, slab_tiles=st)))
 
 
 if __name__ == "__main__":

@@ -173,6 +173,137 @@ def test_nsttf_field_matches_reference_engine(reference):
         (frac_ref, frac_tpu, sigma)
 
 
+def test_curved_field_matches_reference_engine(reference):
+    """Curved-facet cross-validation: slant-focused PARABOLIC heliostats
+    (the reference's RectangularParabolicDishGM vs tracer_tpu's
+    parab-class quadric rows) must agree on the receiver interception —
+    focusing raises it well above the flat-facet field's, so this is a
+    sharp test of the curved-surface solve and tracking."""
+    import numpy as N
+    from tracer.models.heliostat_field import HeliostatField
+    from tracer.models.one_sided_mirror import one_sided_receiver
+    from tracer.assembly import Assembly as RefAssembly
+    from tracer.tracer_engine import TracerEngine as RefEngine
+    from tracer.sources import buie_sunshape as ref_buie
+    from tracer.spatial_geometry import rotation_to_z, translate
+
+    from benchmarks.nsttf import (make_source_fn, nsttf_positions,
+                                  solar_vector)
+    from tracer_tpu.engine import trace_streaming
+    from tracer_tpu.models.heliostat_field import HeliostatField as TpuField
+    from tracer_tpu.models.one_sided_mirror import (one_sided_receiver
+                                                    as tpu_receiver)
+    from tracer_tpu.scene import Assembly, compile_scene
+    from tracer_tpu import spatial as sp
+    import jax.numpy as jnp
+
+    n = 40_000
+    n_h = 60
+    tower_height = 60.0
+    pos = nsttf_positions(n_h)
+    center = pos.mean(axis=0)
+    slant = np.hypot(np.hypot(pos[:, 0], pos[:, 1]), tower_height)
+    sun = solar_vector(0.0, np.pi / 6)
+    aim_dir = np.array([center[0], center[1], -tower_height * 0.75])
+    aim_dir /= np.linalg.norm(aim_dir)
+    extent = float(np.max(np.hypot(*(pos[:, :2]
+                                     - center[:2][None, :]).T))) + 10.0
+
+    # ---- reference engine (RectangularParabolicDishGM facets)
+    field = HeliostatField(pos, 6.1, 6.1, absorptivity=0.1, sigma=1.5e-3,
+                           bi_var=True, focal_lengths=slant,
+                           MCRT_option="fast")
+    field.track_sun(0.0, np.pi / 6,
+                    aim_points=np.tile([0.0, 0.0, tower_height],
+                                       (len(pos), 1)))
+    rec = one_sided_receiver(11.0, 11.0)
+    T = translate(0, 0, tower_height)
+    T[:3, :3] = rotation_to_z(aim_dir)
+    rec.set_transform(T)
+    asm = RefAssembly(objects=[rec], subassemblies=[field])
+    np.random.seed(3)
+    bundle = ref_buie(n, N.c_[center + sun * 300.0], -sun, extent,
+                      CSR=0.02, flux=1000.0)
+    se_ref = float(bundle.get_energy().sum())
+    RefEngine(asm).ray_tracer(bundle, 8, 1e-6)
+    hits = rec.get_surfaces()[0]._opt.get_all_hits()
+    frac_ref = float(hits[0].sum()) / se_ref
+
+    # ---- tracer_tpu (parab-class quadric rows)
+    f2 = TpuField(pos, width=6.1, height=6.1, absorptivity=0.1,
+                  sigma=1.5e-3, bi_var=True, focal_lengths=slant)
+    f2.set_aim_height(tower_height)
+    f2.track_sun(azimuth=0.0, zenith=np.pi / 6)
+    _, rec2 = tpu_receiver(11.0, 11.0)
+    rec2.set_transform(sp.translate(0, 0, tower_height)
+                       @ sp._homog(sp.rotation_to_z(aim_dir)))
+    table, meta = compile_scene(Assembly(objects=[rec2],
+                                         subassemblies=[f2]),
+                                dtype=jnp.float32)
+    assert "parab" in [g[3] for g in table.groups]
+    source_fn = make_source_fn(dict(positions=pos, sun=sun), n)
+    a, em, se = trace_streaming(table, source_fn, jax.random.PRNGKey(4),
+                                total_rays=n, max_rounds=60, max_path=8)
+    rows = np.nonzero(meta.row_logical == meta.index_of("receiver"))[0]
+    frac_tpu = float(np.asarray(a.absorbed)[rows].sum()) / float(se)
+
+    n_hits = frac_ref * n / 0.9
+    sigma = np.sqrt(2.0) * frac_ref / np.sqrt(n_hits)
+    assert frac_ref > 0.04   # the focused field actually hits the tower
+    assert abs(frac_ref - frac_tpu) < 3.0 * sigma, \
+        (frac_ref, frac_tpu, sigma)
+
+
+def test_spectral_reflectance_matches_reference(reference):
+    """Wavelength-interpolated absorptance: the reference's
+    Reflective_spectral (np.interp over the table) vs tracer_tpu's
+    K_REFLECT_SPECTRAL segment interpolation — outgoing energies equal
+    to float round-off per ray, including the clamped out-of-range
+    wavelengths."""
+    import numpy as N
+    from tracer.tracer_engine import TracerEngine as RefEngine
+    from tracer.assembly import Assembly as RefAssembly
+    from tracer.object import AssembledObject as RefObject
+    from tracer.surface import Surface as RefSurface
+    from tracer.flat_surface import RectPlateGM
+    from tracer import optics_callables as opt
+    from tracer.ray_bundle import RayBundle as RefBundle
+
+    wls_tab = np.array([400e-9, 700e-9, 1200e-9, 2500e-9])
+    abss = np.array([0.05, 0.20, 0.10, 0.40])
+    # probe wavelengths: interior, on-node, below and above the table
+    ws = np.array([300e-9, 400e-9, 550e-9, 900e-9, 2500e-9, 3000e-9])
+    n = len(ws)
+
+    surf = RefSurface(RectPlateGM(4.0, 4.0),
+                      opt.Reflective_spectral(abss, wls_tab))
+    asm = RefAssembly(objects=[RefObject(surfs=[surf])])
+    pos = np.stack([np.linspace(-1, 1, n), np.zeros(n), np.ones(n)])
+    d = np.tile([[0.0], [0.0], [-1.0]], (1, n))
+    bundle = RefBundle(vertices=pos, directions=d, energy=np.ones(n),
+                       wavelengths=ws.copy())
+    eng = RefEngine(asm)
+    eng.ray_tracer(bundle, 1, 1e-10)
+    e_ref = np.asarray(eng.tree._bunds[1].get_energy())
+
+    from tracer_tpu import geometry as G, materials as M
+    from tracer_tpu.engine import TracerEngine
+    from tracer_tpu.bundle import RayBundle
+    from tracer_tpu.scene import (Assembly, AssembledObject, Surface)
+    mirror = Surface(G.rect_plate(4.0, 4.0),
+                     M.reflective_spectral(abss, wls_tab), name="m")
+    eng2 = TracerEngine(Assembly([AssembledObject([mirror])]))
+    b = RayBundle.create(pos=pos.T, dir=d.T, energy=np.ones(n),
+                         wavelength=ws)
+    res = eng2.ray_tracer(b, reps=1, key=jax.random.PRNGKey(0))
+    e_tpu = np.asarray(res.records[0].e_out)
+
+    np.testing.assert_allclose(np.sort(e_tpu), np.sort(e_ref), rtol=1e-9)
+    # and both equal the analytic 1 - interp(wl)
+    np.testing.assert_allclose(
+        e_tpu, 1.0 - np.interp(ws, wls_tab, abss), rtol=1e-9)
+
+
 def test_flat_mirror_exact_against_reference(reference):
     """Deterministic single-ray comparison: a tilted flat mirror +
     receiver, traced by both engines — hit points agree to float64
