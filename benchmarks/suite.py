@@ -16,6 +16,15 @@ headline metric) stays config 4 (NSTTF); this suite covers the rest:
     radiosity (ref emissive_losses/)
 
 Every trace-bound config asserts energy closure before timing.
+
+Call sizes: each measured call traces rounds*slab source rays. The
+streaming warmup (first rounds fill the slab pipeline) and the drain
+tail (mid-flight rays finishing after emission stops) are roughly
+FIXED in rounds, so short calls understate sustained throughput badly —
+the minidish measured 158 Mrays/s at 16 rounds vs 421 at 64 on the same
+code. Defaults are sized so the tail is <15% of the call; production
+CSP studies trace 1e8-1e9 rays, so the large call is the representative
+workload (same reasoning as bench.py's headline call).
 """
 from __future__ import annotations
 
@@ -43,7 +52,7 @@ def _time_best(fn, reps=4):
     return best
 
 
-def config1_minidish(slab_tiles=114, rounds=16) -> dict:
+def config1_minidish(slab_tiles=114, rounds=64) -> dict:
     """Config 1: MiniDish (dish + homogenizer + receiver), pillbox sun —
     the multi-group streaming megakernel path."""
     import math
@@ -107,7 +116,7 @@ def _dish_absorber_scene():
     return compile_scene(asm, dtype=jnp.float32)
 
 
-def config2_slope_error_fluxmap(slab_tiles=114, rounds=16) -> dict:
+def config2_slope_error_fluxmap(slab_tiles=114, rounds=64) -> dict:
     """Config 2: dish with slope error + Lambertian absorber. Throughput
     from the streaming megakernel (Lambertian epilogue); a 1M-ray flux map
     on the receiver from the host-stepped trace with tag-gated records."""
@@ -153,7 +162,7 @@ def config2_slope_error_fluxmap(slab_tiles=114, rounds=16) -> dict:
                 closure=float(cl))
 
 
-def config3_spectral_buie(slab_tiles=114, rounds=16) -> dict:
+def config3_spectral_buie(slab_tiles=114, rounds=64) -> dict:
     """Config 3: Buie sunshape + spectral mirror absorptance (Sopra-style
     n(lambda) table) + attenuating ambient medium — the SPECTRAL streaming
     megakernel (per-lane wavelengths threaded through the kernel, exact
@@ -217,7 +226,7 @@ def config3_spectral_buie(slab_tiles=114, rounds=16) -> dict:
                 medium_frac=round(float(accum.medium) / float(se), 4))
 
 
-def config6_spherical_lens(slab_tiles=114, rounds=8) -> dict:
+def config6_spherical_lens(slab_tiles=114, rounds=32) -> dict:
     """Config 6 (beyond BASELINE, round-3 verdict item 3): refractive
     trace through a spherical lens onto a focal-plane receiver. The
     headline ``value`` is the REFRACTIVE MEGAKERNEL (per-lane index
@@ -291,17 +300,18 @@ def config6_spherical_lens(slab_tiles=114, rounds=8) -> dict:
                 receiver_frac=round(rec_frac, 4), closure=float(cl))
 
 
-def config7_cook_torrance(slab_tiles=114, rounds=8) -> dict:
+def config7_cook_torrance(slab_tiles=114, rounds=32) -> dict:
     """Config 7 (beyond BASELINE, round-3 verdict item 3): Cook-Torrance
-    microfacet BDRF target + collection dome — K_COOK_TORRANCE falls to
-    the general streaming path; this records its throughput (ref
-    optics_callables.BDRF_Cook_Torrance_isotropic :630)."""
+    microfacet BDRF target + collection dome. K_COOK_TORRANCE now runs
+    the fused megakernel (four-parameter winner carry + in-kernel
+    Beckmann sampling/conductor Fresnel); the general streaming path is
+    measured alongside (ref BDRF_Cook_Torrance_isotropic :630)."""
     from tracer_tpu.engine import trace_streaming
     from tracer_tpu.kernels.pallas_intersect import TILE
     from tracer_tpu.scene import (Assembly, AssembledObject, Surface,
                                   compile_scene)
     from tracer_tpu import geometry as G, materials as M
-    from tracer_tpu.sources import disk_bundle
+    from tracer_tpu.sources import disk_bundle, disk_pillbox_pallas_spec
 
     # aluminum-like complex index (n=1.2, k=7): Fresnel F ~ 0.95, so the
     # microfacet lobe actually carries energy to the dome (a dielectric
@@ -317,29 +327,40 @@ def config7_cook_torrance(slab_tiles=114, rounds=8) -> dict:
     slab = slab_tiles * TILE
     total = rounds * slab
 
-    def source_fn(key):
-        return disk_bundle(key, slab, center=[0.0, 0.0, -2.0],
-                           direction=[0.0, 0.2, 0.98], radius=0.4,
-                           ang_range=1e-3, flux=1000.0)
+    def measure(with_spec):
+        def source_fn(key):
+            return disk_bundle(key, slab, center=[0.0, 0.0, -2.0],
+                               direction=[0.0, 0.2, 0.98], radius=0.4,
+                               ang_range=1e-3, flux=1000.0)
+        if with_spec:
+            source_fn.pallas_spec = disk_pillbox_pallas_spec(
+                slab, [0.0, 0.0, -2.0], [0.0, 0.2, 0.98], 0.4, 1e-3,
+                1000.0)
 
-    @jax.jit
-    def step(key):
-        return trace_streaming(table, source_fn, key, total_rays=total,
-                               max_rounds=400, max_path=20)
+        @jax.jit
+        def step(key):
+            return trace_streaming(table, source_fn, key, total_rays=total,
+                                   max_rounds=400, max_path=20)
 
-    keys = [jax.random.fold_in(jax.random.PRNGKey(7), i) for i in range(8)]
-    accum, emitted, se = jax.block_until_ready(step(keys[0]))
-    cl = _closure(accum, se)
-    assert abs(cl) < 1e-4, cl
-    ab = np.asarray(accum.absorbed)
-    dome_rows = np.nonzero(np.asarray(meta.row_logical)
-                           == meta.index_of("dome"))[0]
-    dome_frac = float(ab[dome_rows].sum()) / float(se)
-    assert dome_frac > 0.4, dome_frac   # scattered light is collected
-    best = _time_best(lambda i: step(keys[i]))
+        keys = [jax.random.fold_in(jax.random.PRNGKey(7), i)
+                for i in range(8)]
+        accum, emitted, se = jax.block_until_ready(step(keys[0]))
+        cl = _closure(accum, se)
+        assert abs(cl) < 1e-4, cl
+        ab = np.asarray(accum.absorbed)
+        dome_rows = np.nonzero(np.asarray(meta.row_logical)
+                               == meta.index_of("dome"))[0]
+        dome_frac = float(ab[dome_rows].sum()) / float(se)
+        assert dome_frac > 0.4, dome_frac   # scattered light is collected
+        best = _time_best(lambda i: step(keys[i]))
+        return float(emitted) / best / 1e6, dome_frac, cl
+
+    mk, dome_frac, cl = measure(True)     # Cook-Torrance megakernel
+    gen, dome_frac_g, _ = measure(False)  # general streaming path
+    assert abs(dome_frac - dome_frac_g) / dome_frac_g < 0.02  # same physics
     return dict(metric="cook_torrance_trace_throughput",
-                value=round(float(emitted) / best / 1e6, 3),
-                unit="Mrays/s/chip",
+                value=round(mk, 3), unit="Mrays/s/chip",
+                general_path=round(gen, 3),
                 dome_frac=round(dome_frac, 4), closure=float(cl))
 
 

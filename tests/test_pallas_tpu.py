@@ -611,6 +611,129 @@ def test_refractive_megakernel_matches_general_path():
     np.testing.assert_allclose(f1, f0, atol=0.01)
 
 
+def test_cook_torrance_megakernel_matches_general_path():
+    """K_COOK_TORRANCE in the fused megakernel (four-parameter winner
+    carry + in-kernel Beckmann sampling and conductor Fresnel) must
+    reproduce the host-stepped jnp shade path's physics on the config-7
+    scene (microfacet target + collection dome): per-surface absorbed
+    fractions, closure, and the scattered-lobe width."""
+    from tracer_tpu.engine import (TracerEngine, TraceOptions,
+                                   trace_streaming)
+    from tracer_tpu.kernels.pallas_intersect import TILE
+    from tracer_tpu.sources import disk_bundle, disk_pillbox_pallas_spec
+
+    target = Surface(G.rect_plate(1.0, 1.0),
+                     M.bdrf_cook_torrance(0.3, 1.2, 7.0, 0.9),
+                     name="target")
+    dome = Surface(G.hemisphere(3.0), M.absorber(one_sided=False),
+                   name="dome")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([target, dome])]), dtype=jnp.float32)
+
+    slab = 20 * TILE
+    total = 6 * slab
+
+    def source_fn(key):
+        return disk_bundle(key, slab, center=[0.0, 0.0, -2.0],
+                           direction=[0.0, 0.2, 0.98], radius=0.4,
+                           ang_range=1e-3, flux=1000.0)
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, -2.0], [0.0, 0.2, 0.98], 0.4, 1e-3, 1000.0)
+
+    a1, _, se1 = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(0), total_rays=total,
+        max_rounds=200, max_path=20))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    cl1 = (float(se1) - np.asarray(a1.absorbed).sum() - float(a1.escaped)
+           - float(a1.culled) - float(a1.medium)
+           - float(a1.residual)) / float(se1)
+    assert abs(cl1) < 1e-5
+
+    # host-stepped oracle (jnp shade path, need_local=True disables fusion)
+    eng = TracerEngine(table, meta)
+    b = source_fn(jax.random.PRNGKey(1))
+    res = eng.ray_tracer(b, reps=20, key=jax.random.PRNGKey(2),
+                         opts=TraceOptions(max_bounces=20, record=False))
+    f0 = (np.asarray(res.accum.absorbed)
+          / float(np.asarray(b.energy).sum()))
+    dome_rows = np.nonzero(np.asarray(meta.row_logical)
+                           == meta.index_of("dome"))[0]
+    d1, d0 = f1[dome_rows].sum(), f0[dome_rows].sum()
+    assert d0 > 0.4            # the scattered lobe reaches the dome
+    assert abs(d1 - d0) / d0 < 0.02, (d1, d0)
+    np.testing.assert_allclose(f1, f0, atol=0.01)
+
+
+def test_scatterer_kinds_megakernel_matches_general_path():
+    """K_TRANSPARENT / K_LAMBERTIAN_SPECULAR / K_SEMI_LAMBERTIAN in the
+    fused megakernel (transparent pass-through, specularity-choice with
+    slope error on the specular branch via the four-parameter carry, and
+    incidence-angle-gated diffuse) must reproduce the host-stepped jnp
+    shade path's physics: a transparent cover plate in front of a
+    Lambertian-specular target inside a semi-Lambertian dome (ref
+    Transparent :93, LambertianSpecular :553, SemiLambertian :506)."""
+    from tracer_tpu.engine import (TracerEngine, TraceOptions,
+                                   trace_streaming)
+    from tracer_tpu.kernels.pallas_intersect import TILE
+    from tracer_tpu.sources import disk_bundle, disk_pillbox_pallas_spec
+
+    cover = Surface(G.rect_plate(3.0, 3.0), M.transparent(),
+                    location=[0.0, 0.0, -1.0], name="cover")
+    target = Surface(G.rect_plate(1.0, 1.0),
+                     M.lambertian_specular(0.1, 0.6, 2e-3),
+                     name="target")
+    dome = Surface(G.hemisphere(3.0),
+                   M.semi_lambertian(0.8, np.pi / 3), name="dome")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([cover, target, dome])]),
+        dtype=jnp.float32)
+    assert "slope_error" in table.features  # LS sigma registers
+
+    slab = 20 * TILE
+    total = 6 * slab
+
+    def source_fn(key):
+        return disk_bundle(key, slab, center=[0.0, 0.0, -2.0],
+                           direction=[0.0, 0.2, 0.98], radius=0.4,
+                           ang_range=1e-3, flux=1000.0)
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, -2.0], [0.0, 0.2, 0.98], 0.4, 1e-3, 1000.0)
+
+    a1, _, se1 = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(0), total_rays=total,
+        max_rounds=200, max_path=30))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    cl1 = (float(se1) - np.asarray(a1.absorbed).sum() - float(a1.escaped)
+           - float(a1.culled) - float(a1.medium)
+           - float(a1.residual)) / float(se1)
+    assert abs(cl1) < 1e-5
+
+    # host-stepped oracle (jnp shade path; ray_tracer keeps
+    # need_local=True so _bounce_step cannot take the fused path)
+    eng = TracerEngine(table, meta)
+    b = source_fn(jax.random.PRNGKey(1))
+    res = eng.ray_tracer(b, reps=30, key=jax.random.PRNGKey(2),
+                         opts=TraceOptions(max_bounces=30, record=False))
+    f0 = (np.asarray(res.accum.absorbed)
+          / float(np.asarray(b.energy).sum()))
+
+    def frac(f, name):
+        rows = np.nonzero(np.asarray(meta.row_logical)
+                          == meta.index_of(name))[0]
+        return f[rows].sum()
+
+    # transparent cover absorbs nothing on either path
+    assert frac(f1, "cover") == 0.0 and frac(f0, "cover") == 0.0
+    # every branch is exercised: the target absorbs ~10% per hit, the
+    # dome collects the diffuse + specular lobes
+    assert frac(f0, "target") > 0.05
+    assert frac(f0, "dome") > 0.3
+    for name in ("target", "dome"):
+        d1, d0 = frac(f1, name), frac(f0, name)
+        assert abs(d1 - d0) / d0 < 0.03, (name, d1, d0)
+    np.testing.assert_allclose(f1, f0, atol=0.01)
+
+
 def test_mixed_slope_error_models_per_lane():
     """A scene mixing radial-error and bivariate-error mirrors must apply
     the right model per surface on the fused path (ADVICE round 1): at

@@ -186,7 +186,8 @@ def smem_need_bytes(table, nb: int, width: int) -> int:
     its minor dim to 128). The same formula the builder budgets with."""
     def pad(x: int) -> int:
         return -(-x // 128) * 128
-    K = 26 + 6 * table.ap_params.shape[1]
+    from .kernels.pallas_intersect import ROW_F
+    K = ROW_F + 6 * table.ap_params.shape[1]
     rows_bytes = K * pad(table.ap_params.shape[0]) * 4
     n_tab = int(table.spectral_wl.shape[0])
     misc = ((8 + len(table.groups)) * pad(nb) * 4

@@ -204,7 +204,9 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
     # Fresnel reflection vs Snell refraction (shade.py's branch, fused).
     from . import materials as _M
     from .kernels.intersect import _use_pallas, default_t_eps
-    fusable_kinds = {_M.K_REFLECT, _M.K_LAMBERTIAN}
+    fusable_kinds = {_M.K_REFLECT, _M.K_LAMBERTIAN, _M.K_COOK_TORRANCE,
+                     _M.K_LAMBERTIAN_SPECULAR, _M.K_SEMI_LAMBERTIAN,
+                     _M.K_TRANSPARENT}
     refr_ok = (_M.K_REFRACTIVE in scene.kinds_present
                and "volumetric" not in scene.features
                and "dispersive" not in scene.features
@@ -234,7 +236,11 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
             slope="slope_error" in scene.features,
             lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
             ref_index=(bundle.ref_index.astype(jnp.float32)
-                       if refractive else None))
+                       if refractive else None),
+            cook_torrance=_M.K_COOK_TORRANCE in scene.kinds_present,
+            lam_specular=_M.K_LAMBERTIAN_SPECULAR in scene.kinds_present,
+            semi_lambertian=_M.K_SEMI_LAMBERTIAN in scene.kinds_present,
+            transparent=_M.K_TRANSPARENT in scene.kinds_present)
         new_pos, new_dir, new_e, sid, absorbed_f = outs[:5]
         new_ri = outs[5] if refractive else bundle.ref_index
         sid = jnp.where(alive, sid, -1)
@@ -735,7 +741,9 @@ def trace_fused(scene: SceneTable, bundle: RayBundle, key: jax.Array,
                               "max_path", "min_energy", "t_eps", "disc_eps",
                               "slab", "bivar", "one_sided", "slope",
                               "lambertian", "spectral", "fluxspecs",
-                              "refractive"))
+                              "refractive", "cook_torrance",
+                              "lam_specular", "semi_lambertian",
+                              "transparent"))
 def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                                 total_rays: int, slab: int,
                                 max_rounds: int, max_path: int,
@@ -744,7 +752,11 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                                 lambertian: bool = False,
                                 spectral: bool = False,
                                 fluxspecs: tuple = (),
-                                refractive: bool = False):
+                                refractive: bool = False,
+                                cook_torrance: bool = False,
+                                lam_specular: bool = False,
+                                semi_lambertian: bool = False,
+                                transparent: bool = False):
     """Streaming trace where regeneration happens INSIDE the fused bounce
     kernel (single-group pure-specular scenes with a bakeable source): the
     ray state makes exactly one HBM round trip per bounce. The emission
@@ -798,7 +810,9 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
             lambertian=lambertian, source_spec=source_spec, regen=regen,
             wavelength=wl if spectral else None,
             spectral_tab=spectral_tab, ambient_att=ambient_att,
-            ref_index=ri if refractive else None)
+            ref_index=ri if refractive else None,
+            cook_torrance=cook_torrance, lam_specular=lam_specular,
+            semi_lambertian=semi_lambertian, transparent=transparent)
         pos, dirs, e_new, sid, absorbed = outs[:5]
         k_o = 5
         if spectral:
@@ -1186,11 +1200,19 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
                    and "dispersive" not in scene.features
                    and "split" not in scene.features
                    and "refractive_slope" not in scene.features))
+    ct_scene = _M.K_COOK_TORRANCE in scene.kinds_present
+    ls_scene = _M.K_LAMBERTIAN_SPECULAR in scene.kinds_present
+    sl_scene = _M.K_SEMI_LAMBERTIAN in scene.kinds_present
+    tr_scene = _M.K_TRANSPARENT in scene.kinds_present
     fusable = (spec is not None
                and set(scene.kinds_present) <= {_M.K_REFLECT,
                                                 _M.K_LAMBERTIAN,
                                                 _M.K_REFLECT_SPECTRAL,
-                                                _M.K_REFRACTIVE}
+                                                _M.K_REFRACTIVE,
+                                                _M.K_COOK_TORRANCE,
+                                                _M.K_LAMBERTIAN_SPECULAR,
+                                                _M.K_SEMI_LAMBERTIAN,
+                                                _M.K_TRANSPARENT}
                and (not spectral_scene or spec_band is not None)
                and vol_ok and refr_ok
                and "iam" not in scene.features
@@ -1199,8 +1221,14 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     # (one specialized candidate loop per group), spectral scenes, and
     # ambient attenuation — same eligibility as the plain megakernel
     # except refractive scenes (the corridor analysis has no refraction
-    # closure; lens scenes are small, so brute-force rows are cheap)
-    cullable = fusable and not refractive_scene
+    # closure; lens scenes are small, so brute-force rows are cheap) and
+    # the scatterer kinds whose outgoing cone the specular corridor
+    # analysis does not cover (Cook-Torrance, Lambertian-specular,
+    # semi-Lambertian) or whose pass-through it does not model
+    # (transparent); pure-Lambertian rows stay cullable because culling
+    # demotes rays they scatter (culling.demote_rows)
+    cullable = (fusable and not refractive_scene and not ct_scene
+                and not ls_scene and not sl_scene and not tr_scene)
     if cullable and culling is not None:
         from .kernels.pallas_intersect import TILE
         nb = culling.nb
@@ -1264,7 +1292,9 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             slope="slope_error" in scene.features,
             lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
             spectral=spectral_scene, fluxspecs=fluxspecs,
-            refractive=refractive_scene)
+            refractive=refractive_scene, cook_torrance=ct_scene,
+            lam_specular=ls_scene, semi_lambertian=sl_scene,
+            transparent=tr_scene)
     return _trace_streaming_general(
         scene, source_fn, key, total_rays, max_rounds, max_path,
         min_energy, t_eps, disc_eps, block, fluxspecs=fluxspecs)

@@ -42,9 +42,10 @@ ROW_INV_ROT = 0      # 9 floats, row-major R^T
 ROW_INV_TRN = 9      # 3 floats
 ROW_QUAD = 12        # 10 floats
 ROW_KIND = 22        # optics kind*1024 + flags (as float; both small ints)
-ROW_P0 = 23          # first THREE optics params (p2 = spectral-row sigma)
-ROW_AP = 26          # C*6 floats of aperture params
-ROW_F = 26           # + 6*C
+ROW_P0 = 23          # first FOUR optics params (p2 = spectral-row sigma;
+                     # p2/p3 = Cook-Torrance m_k / R_lam)
+ROW_AP = 27          # C*6 floats of aperture params
+ROW_F = 27           # + 6*C
 
 # carried per-ray state: t, sid, global normal (3), local hit point (3),
 # up-component of ray dir, optics kind*1024+flags, p0, p1 of the winner.
@@ -67,7 +68,7 @@ def pack_rows(scene) -> "jnp.ndarray":
         scene.quadric,
         (scene.opt_kind * 1024 + scene.opt_flags)[:, None]
         .astype(jnp.float32),
-        scene.opt_params[:, 0:3],
+        scene.opt_params[:, 0:4],
         scene.ap_params.reshape(S, -1),
     ], axis=1).astype(jnp.float32).T
 
@@ -154,7 +155,7 @@ def _surface_body(sig, base_sid, t_eps, disc_eps, tag, need_local,
                   rows_ref, rays, lists_ref=None, block=None,
                   col_offset=0,
                   spectral=False, wl=None, tabx_ref=None, taby_ref=None,
-                  n_tab=0):
+                  n_tab=0, extra_q=False):
     """Per-surface fori body shared by the plain and fused group kernels:
     running (t, sid) min plus the winner's shading data (global geometric
     normal, optionally local hit point, up-component, optics
@@ -172,7 +173,11 @@ def _surface_body(sig, base_sid, t_eps, disc_eps, tag, need_local,
 
     With ``lists_ref`` (+ ``block``), the loop index is indirected through
     the per-block candidate list (SMEM): s = lists_ref[i, block] — the
-    relevancy-culling fast path (culling.build_block_culling)."""
+    relevancy-culling fast path (culling.build_block_culling).
+
+    ``extra_q`` appends (q2, q3) = winner's raw (p2, p3) to the carry —
+    needed by four-parameter optics kinds (Cook-Torrance: alpha, m_n,
+    m_k, R_lam)."""
     flat = tag == "flat"
     parab = tag == "parab"
     sphere = tag == "sphere"
@@ -183,6 +188,8 @@ def _surface_body(sig, base_sid, t_eps, disc_eps, tag, need_local,
         def body(s_i, carry):
             s = (lists_ref[s_i + col_offset, block]
                  if lists_ref is not None else s_i)
+            if extra_q:
+                carry, (q2_b, q3_b) = carry[:-2], carry[-2:]
             if need_local:
                 (t_best, sid_best, ngx_b, ngy_b, ngz_b, plx_b, ply_b,
                  plz_b, upd_b, kf_b, q0_b, q1_b) = carry
@@ -342,14 +349,18 @@ def _surface_body(sig, base_sid, t_eps, disc_eps, tag, need_local,
             else:
                 q0_b = jnp.where(upd, r[ROW_P0], q0_b)
                 q1_b = jnp.where(upd, r[ROW_P0 + 1], q1_b)
+            extra = ()
+            if extra_q:
+                extra = (jnp.where(upd, r[ROW_P0 + 2], q2_b),
+                         jnp.where(upd, r[ROW_P0 + 3], q3_b))
             if need_local:
                 plx_b = jnp.where(upd, hx, plx_b)
                 ply_b = jnp.where(upd, hy, ply_b)
                 plz_b = jnp.where(upd, hz, plz_b)
                 return (t_best, sid_best, ngx_b, ngy_b, ngz_b, plx_b,
-                        ply_b, plz_b, upd_b, kf_b, q0_b, q1_b)
+                        ply_b, plz_b, upd_b, kf_b, q0_b, q1_b) + extra
             return (t_best, sid_best, ngx_b, ngy_b, ngz_b,
-                    upd_b, kf_b, q0_b, q1_b)
+                    upd_b, kf_b, q0_b, q1_b) + extra
 
     return body
 
@@ -465,7 +476,11 @@ def nearest_hit_pallas(rows: jnp.ndarray, pos: jnp.ndarray,
 def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
                          lambertian: bool = False,
                          ambient_att: float = 0.0,
-                         refractive: bool = False):
+                         refractive: bool = False,
+                         cook_torrance: bool = False,
+                         lam_specular: bool = False,
+                         semi_lambertian: bool = False,
+                         transparent: bool = False):
     """Reflect + slope error + one-sided kill on the carried winner data.
     The per-core PRNG must already be seeded by the caller.
 
@@ -491,9 +506,29 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
     interface absorption, and update ri on crossing — the megakernel
     twin of shade.py's K_REFRACTIVE branch (ref RefractiveHomogenous
     optics_callables.py:1186, single-ray mode :1254). The epilogue then
-    takes/returns the extra ``ri`` lane component."""
+    takes/returns the extra ``ri`` lane component.
+
+    ``cook_torrance`` compiles the microfacet-BDRF branch: lanes whose
+    winner kind is K_COOK_TORRANCE sample a Beckmann half-vector about
+    the unperturbed normal, reflect about it, and weight the survival
+    energy by the importance-sampling throughput R_lam*F*G*|d.h| /
+    (|n.d||n.h|) with the conductor Fresnel F of the carried complex
+    index m_n + i m_k (q1/q2) — the megakernel twin of shade.py's
+    K_COOK_TORRANCE branch (ref BDRF_Cook_Torrance_isotropic
+    optics_callables.py:630). Needs the four-parameter carry
+    (q2_b/q3_b = m_k/R_lam; alpha rides in q0, m_n in q1).
+
+    ``lam_specular`` compiles K_LAMBERTIAN_SPECULAR lanes (specularity in
+    q1, slope sigma in q2 — needs the four-parameter carry): w.p. q1 the
+    (slope-perturbed) specular reflection, else full-hemisphere
+    cosine-weighted diffuse (ref LambertianSpecular :553).
+    ``semi_lambertian`` compiles K_SEMI_LAMBERTIAN lanes (ang_range in
+    q1): diffuse below ang_range incidence, specular at glancing (ref
+    SemiLambertian :506). ``transparent`` passes K_TRANSPARENT lanes
+    through undeflected (ref Transparent :93)."""
     def epilogue(t_b, ng_x, ng_y, ng_z, upd_b, kf_b, q0_b, q1_b,
-                 px, py, pz, dx, dy, dz, e_in, ri=None):
+                 px, py, pz, dx, dy, dz, e_in, ri=None,
+                 q2_b=None, q3_b=None):
         hit = jnp.isfinite(t_b)
         t_safe = jnp.where(hit, t_b, 0.0)
         hx = px + t_safe * dx
@@ -528,6 +563,9 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
         is_refr = None
         if refractive:
             is_refr = jnp.floor(kf_b * (1.0 / 1024.0)) == 6.0
+        is_ct = None
+        if cook_torrance:
+            is_ct = jnp.floor(kf_b * (1.0 / 1024.0)) == 9.0
         if slope:
             def uniform():
                 # 24-bit mantissa path; Mosaic lacks uint32->f32 casts so
@@ -549,6 +587,18 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
             if refractive:
                 # refractive lanes carry n2 in q1, not a slope sigma
                 sigma = jnp.where(is_refr, 0.0, sigma)
+            if cook_torrance:
+                # Cook-Torrance lanes carry m_n in q1, not a slope sigma
+                sigma = jnp.where(is_ct, 0.0, sigma)
+            if lam_specular:
+                # LambertianSpecular carries specularity in q1; its slope
+                # sigma (for the specular branch) rides in q2 (p2)
+                is_ls_s = jnp.floor(kf_b * (1.0 / 1024.0)) == 3.0
+                sigma = jnp.where(is_ls_s, q2_b, sigma)
+            if semi_lambertian:
+                # SemiLambertian carries ang_range in q1, no slope error
+                is_sl_s = jnp.floor(kf_b * (1.0 / 1024.0)) == 4.0
+                sigma = jnp.where(is_sl_s, 0.0, sigma)
             if bivar in (True, "mixed"):
                 nrm2 = rr * jnp.sin(ang)
                 tx = jnp.tan(nrm1 * sigma)
@@ -620,21 +670,98 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
             # no interface absorption: Russian roulette keeps full energy
             q0_eff = jnp.where(is_refr, 0.0, q0_b)
 
-        if lambertian:
+        if cook_torrance:
+            # Beckmann-sampled microfacet reflection about the unperturbed
+            # normal n0; throughput weight R_lam*F*G*|d.h|/(|n.d||n.h|)
+            # (shade.py's K_COOK_TORRANCE branch, verbatim math). Rays
+            # reflected below the surface (d_ct.n <= 0) are absorbed.
+            alpha_ct, mn_ct, mk_ct, rl_ct = q0_b, q1_b, q2_b, q3_b
+            u_ct = _kernel_uniform(px.shape)
+            phi_ct = 2.0 * np.pi * _kernel_uniform(px.shape)
+            tan2 = -alpha_ct * alpha_ct * jnp.log(u_ct)
+            cos_h = jax.lax.rsqrt(1.0 + tan2)
+            sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h * cos_h, 0.0))
+            hvx, hvy, hvz = rot_about(n0x, n0y, n0z,
+                                      sin_h * jnp.cos(phi_ct),
+                                      sin_h * jnp.sin(phi_ct), cos_h)
+            d_h = dx * hvx + dy * hvy + dz * hvz
+            cdx = dx - 2.0 * d_h * hvx
+            cdy = dy - 2.0 * d_h * hvy
+            cdz = dz - 2.0 * d_h * hvz
+            v_dot_h = jnp.abs(d_h)
+            n_dot_v = jnp.maximum(
+                jnp.abs(dx * n0x + dy * n0y + dz * n0z), 1e-6)
+            n_dot_h = jnp.maximum(
+                jnp.abs(hvx * n0x + hvy * n0y + hvz * n0z), 1e-6)
+            n_dot_l = cdx * n0x + cdy * n0y + cdz * n0z
+            # conductor Fresnel at the half-vector angle (n1 = 1), inlined
+            # real-arithmetic fresnel_to_attenuating (optics.py:39):
+            # cos th1 = |d.h|, sin^2 = 1 - cos^2, tan = sin/cos
+            c1f = jnp.clip(v_dot_h, 1e-6, 1.0)
+            s1sq = 1.0 - c1f * c1f
+            bq = mn_ct * mn_ct - mk_ct * mk_ct - s1sq
+            aq = jnp.sqrt(bq * bq + 4.0 * (mn_ct * mk_ct) ** 2)
+            pq = jnp.sqrt(jnp.maximum(0.5 * (aq + bq), 0.0))
+            qq_f = jnp.sqrt(jnp.maximum(0.5 * (aq - bq), 0.0))
+            R_s = (((c1f - pq) ** 2 + qq_f * qq_f)
+                   / ((c1f + pq) ** 2 + qq_f * qq_f))
+            st = s1sq / c1f   # sin*tan
+            R_p = (((pq - st) ** 2 + qq_f * qq_f)
+                   / ((pq + st) ** 2 + qq_f * qq_f)) * R_s
+            F_ct = 0.5 * (R_p + R_s)
+            vh_s = jnp.maximum(v_dot_h, 1e-6)
+            G_ct = jnp.minimum(1.0, jnp.minimum(
+                2.0 * n_dot_h * n_dot_v / vh_s,
+                2.0 * n_dot_h * jnp.abs(n_dot_l) / vh_s))
+            w_ct = rl_ct * F_ct * G_ct * v_dot_h / (n_dot_v * n_dot_h)
+            w_ct = jnp.where(n_dot_l > 0.0, jnp.clip(w_ct, 0.0, 1.0), 0.0)
+            rx = jnp.where(is_ct, cdx, rx)
+            ry = jnp.where(is_ct, cdy, ry)
+            rz = jnp.where(is_ct, cdz, rz)
+            q0_eff = jnp.where(is_ct, 1.0 - w_ct, q0_eff)
+
+        if lambertian or lam_specular or semi_lambertian:
             # cosine-weighted diffuse about the unperturbed normal within
-            # ang_range (shade.py d_lambert; ref Lambertian :143)
+            # ang_range (shade.py d_lambert; ref Lambertian :143) —
+            # shared by the pure-Lambertian lanes, the diffuse branch of
+            # LambertianSpecular (full hemisphere), and the
+            # below-ang_range branch of SemiLambertian
+            kq = jnp.floor(kf_b * (1.0 / 1024.0))
             ul1 = _kernel_uniform(px.shape)
             ul2 = _kernel_uniform(px.shape)
-            sinsq = jnp.sin(q1_b) * jnp.sqrt(ul1)
+            sin_cap = jnp.sin(q1_b)
+            if lam_specular:
+                sin_cap = jnp.where(kq == 3.0, 1.0, sin_cap)
+            sinsq = sin_cap * jnp.sqrt(ul1)
             phl = 2.0 * np.pi * ul2
             lz = jnp.sqrt(jnp.maximum(1.0 - sinsq * sinsq, 0.0))
             ldx, ldy, ldz = rot_about(n0x, n0y, n0z,
                                       sinsq * jnp.cos(phl),
                                       sinsq * jnp.sin(phl), lz)
-            is_lam = jnp.floor(kf_b * (1.0 / 1024.0)) == 2.0
-            rx = jnp.where(is_lam, ldx, rx)
-            ry = jnp.where(is_lam, ldy, ry)
-            rz = jnp.where(is_lam, ldz, rz)
+            go_diff = jnp.zeros_like(hit)
+            if lambertian:
+                go_diff = go_diff | (kq == 2.0)
+            if lam_specular:
+                # w.p. specularity (q1) keep the specular reflection
+                u_ch = _kernel_uniform(px.shape)
+                go_diff = go_diff | ((kq == 3.0) & (u_ch >= q1_b))
+            if semi_lambertian:
+                # incidence angle <= ang_range  <=>  cos >= cos(ang_range)
+                # (Mosaic has no acos lowering; cos is monotone on [0, pi])
+                cos_in = jnp.abs(dx * n0x + dy * n0y + dz * n0z)
+                go_diff = go_diff | ((kq == 4.0)
+                                     & (cos_in >= jnp.cos(q1_b)))
+            rx = jnp.where(go_diff, ldx, rx)
+            ry = jnp.where(go_diff, ldy, ry)
+            rz = jnp.where(go_diff, ldz, rz)
+
+        if transparent:
+            # pass through undeflected, no surface absorption (q0 = 0 by
+            # construction for K_TRANSPARENT rows)
+            is_tr = jnp.floor(kf_b * (1.0 / 1024.0)) == 0.0
+            rx = jnp.where(is_tr, dx, rx)
+            ry = jnp.where(is_tr, dy, ry)
+            rz = jnp.where(is_tr, dz, rz)
 
         e_att = e_in
         if ambient_att > 0.0:
@@ -756,7 +883,9 @@ def _sample_disk_buie(spec, shape, cell=None):
 def _make_fused_kernel(groups, t_eps, disc_eps,
                        bivar, one_sided, slope, lambertian=False,
                        source_spec=None, spectral=False, n_tab=0,
-                       ambient_att=0.0, refractive=False):
+                       ambient_att=0.0, refractive=False,
+                       cook_torrance=False, lam_specular=False,
+                       semi_lambertian=False, transparent=False):
     """Fused intersect + shade-epilogue kernel: one HBM round trip of the
     ray state per bounce. Runs one specialized fori per aperture-signature
     group over the shared (t, sid, winner) carry, so multi-group scenes
@@ -770,9 +899,18 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
     linear interpolation of the shared spectral table (SMEM prefetch).
     ``ambient_att`` compiles Beer-Lambert attenuation of each hit segment.
     ``refractive`` threads a per-lane refraction index (fresh rays start
-    at 1.0) and compiles the Fresnel-interface epilogue branch."""
+    at 1.0) and compiles the Fresnel-interface epilogue branch.
+    ``cook_torrance``/``lam_specular`` carry the winner's (p2, p3)
+    through the surface loop and compile the corresponding epilogue
+    branches; ``semi_lambertian``/``transparent`` compile theirs on the
+    two-parameter carry."""
+    extra_q = cook_torrance or lam_specular
     epi = _make_shade_epilogue(bivar, one_sided, slope, lambertian,
-                               ambient_att, refractive=refractive)
+                               ambient_att, refractive=refractive,
+                               cook_torrance=cook_torrance,
+                               lam_specular=lam_specular,
+                               semi_lambertian=semi_lambertian,
+                               transparent=transparent)
 
     def kernel(seed_ref, regen_ref, tabx_ref, taby_ref, rows_ref, *io):
         n_in = 7 + int(spectral) + int(refractive)
@@ -820,17 +958,23 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
         carry = (jnp.full_like(px, big),
                  jnp.full_like(px, -1, dtype=jnp.int32),
                  zero, zero, zero, zero, zero, zero, zero)
+        if extra_q:
+            carry = carry + (zero, zero)
         for (start, end, sig, tag) in groups:
             body = _surface_body(sig, 0, t_eps, disc_eps,
                                  tag, False, rows_ref, rays,
                                  spectral=spectral, wl=wl,
                                  tabx_ref=tabx_ref, taby_ref=taby_ref,
-                                 n_tab=n_tab)
+                                 n_tab=n_tab, extra_q=extra_q)
             carry = jax.lax.fori_loop(start, end, body, carry)
+        q2_b = q3_b = None
+        if extra_q:
+            carry, (q2_b, q3_b) = carry[:-2], carry[-2:]
         (t_b, sid_b, ngx, ngy, ngz, upd_b, kf_b, q0_b, q1_b) = carry
 
         outs = epi(t_b, ngx, ngy, ngz, upd_b, kf_b, q0_b,
-                   q1_b, px, py, pz, dx, dy, dz, e, ri=ri)
+                   q1_b, px, py, pz, dx, dy, dz, e, ri=ri,
+                   q2_b=q2_b, q3_b=q3_b)
         npx, npy, npz, ndx, ndy, ndz, ne, absorbed = outs[:8]
         npx_ref[:] = npx
         npy_ref[:] = npy
@@ -854,14 +998,20 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
 @functools.partial(jax.jit,
                    static_argnames=("groups", "t_eps", "disc_eps", "bivar",
                                     "one_sided", "slope", "lambertian",
-                                    "source_spec", "ambient_att"))
+                                    "source_spec", "ambient_att",
+                                    "cook_torrance", "lam_specular",
+                                    "semi_lambertian", "transparent"))
 def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                           t_eps: float, disc_eps: float = 1e-6,
                           bivar: bool = True, one_sided: bool = True,
                           slope: bool = True, lambertian: bool = False,
                           source_spec=None, regen=None,
                           wavelength=None, spectral_tab=None,
-                          ambient_att: float = 0.0, ref_index=None):
+                          ambient_att: float = 0.0, ref_index=None,
+                          cook_torrance: bool = False,
+                          lam_specular: bool = False,
+                          semi_lambertian: bool = False,
+                          transparent: bool = False):
     """Fused intersect+shade bounce for K_REFLECT / K_LAMBERTIAN /
     K_REFLECT_SPECTRAL / K_REFRACTIVE scenes (any number of
     aperture-signature groups).
@@ -921,7 +1071,11 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                                 source_spec=source_spec,
                                 spectral=spectral, n_tab=tabx.shape[0],
                                 ambient_att=ambient_att,
-                                refractive=refractive)
+                                refractive=refractive,
+                                cook_torrance=cook_torrance,
+                                lam_specular=lam_specular,
+                                semi_lambertian=semi_lambertian,
+                                transparent=transparent)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,   # seed, regen, spectral table x/y, rows
         grid=(nb,),
