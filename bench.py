@@ -45,8 +45,9 @@ def main():
 
     step_j = jax.jit(step)
     key = jax.random.PRNGKey(0)
-    # warm/physics pass WITH the device flux map: the 33.6M-ray culled
-    # run must deliver the receiver map (round-2 verdict item 1)
+    # warm/physics pass WITH the device flux map: the full culled run
+    # (128 slabs, ~269M rays) must deliver the receiver map (round-2
+    # verdict item 1)
     accum, emitted, src_e = jax.block_until_ready(
         jax.jit(lambda k: step(k, (fspec,)))(key))
 

@@ -9,8 +9,6 @@ The reference's polygon sampling imports shapely (absent here); a stub
 module satisfies the import — nothing in these scenarios touches it.
 """
 import os
-import sys
-import types
 
 import numpy as np
 import pytest
@@ -23,31 +21,21 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
 
 @pytest.fixture(scope="module")
 def reference():
-    if "shapely" not in sys.modules:
-        stub = types.ModuleType("shapely")
-        stub.Polygon = object
-        stub.constrained_delaunay_triangles = None
-        sys.modules["shapely"] = stub
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
+    # single source of truth for the shapely stub + sys.path setup
+    from benchmarks.reference_numpy import _setup_reference
+    _setup_reference(REF)
     import tracer  # noqa: F401  (the reference package)
     return REF
 
 
 def _ref_minidish(reference, n_rays, seed):
-    """Trace the reference MiniDish (examples/test_case.py geometry) with
-    the reference engine; returns (receiver_hist, edges, source_energy)."""
-    from tracer.models.tau_minidish import MiniDish
+    """Trace the reference MiniDish (the benchmark's scene builder, so
+    benchmark and cross-validation always trace the same scenario);
+    returns (receiver_hist, edges, source_energy)."""
+    from benchmarks.reference_numpy import build_ref_minidish
     from tracer.tracer_engine import TracerEngine
-    from tracer.sources import disk_bundle
-    from tracer.spatial_geometry import rotx
 
-    asm = MiniDish(5.0, 6.25, 0.9, 6.95, 0.4, 0.7, 0.9)
-    asm.set_transform(rotx(-np.pi / 4))
-    np.random.seed(seed)
-    sun = disk_bundle(n_rays, np.c_[[0.0, 7.0, 7.0]],
-                      np.array([0.0, -2**-0.5, -2**-0.5]), 3.0, 0.005,
-                      flux=1000.0)
+    asm, sun = build_ref_minidish(n_rays, seed)
     src_e = float(sun.get_energy().sum())
     eng = TracerEngine(asm)
     eng.ray_tracer(sun, 100, 1e-6)
@@ -116,42 +104,20 @@ def test_nsttf_field_matches_reference_engine(reference):
     reference engine and tracer_tpu trace the same 218-heliostat Sandia
     field (identical tracking, receiver and Buie source geometry) and
     must agree on the receiver interception fraction within MC error."""
-    import numpy as N
-    from tracer.models.heliostat_field import HeliostatField
-    from tracer.models.one_sided_mirror import one_sided_receiver
-    from tracer.assembly import Assembly as RefAssembly
     from tracer.tracer_engine import TracerEngine as RefEngine
-    from tracer.sources import buie_sunshape as ref_buie
-    from tracer.spatial_geometry import rotation_to_z, translate
 
     from benchmarks.nsttf import build_scene, make_source_fn, nsttf_positions
     from benchmarks.nsttf import solar_vector
+    from benchmarks.reference_numpy import build_ref_nsttf, ref_nsttf_source
     from tracer_tpu.engine import trace_streaming
 
     n = 40_000
-    tower_height = 60.0
     pos = nsttf_positions(218)
-    center = pos.mean(axis=0)
     sun = solar_vector(0.0, np.pi / 6)
 
-    # ---- reference engine
-    field = HeliostatField(pos, 6.1, 6.1, absorptivity=0.1, sigma=1.5e-3,
-                           bi_var=True, MCRT_option="fast")
-    field.track_sun(0.0, np.pi / 6,
-                    aim_points=np.tile([0.0, 0.0, tower_height],
-                                       (len(pos), 1)))
-    rec = one_sided_receiver(11.0, 11.0)
-    aim_dir = np.array([center[0], center[1], -tower_height * 0.75])
-    aim_dir /= np.linalg.norm(aim_dir)
-    T = translate(0, 0, tower_height)
-    T[:3, :3] = rotation_to_z(aim_dir)
-    rec.set_transform(T)
-    asm = RefAssembly(objects=[rec], subassemblies=[field])
-    extent = float(np.max(np.hypot(*(pos[:, :2]
-                                     - center[:2][None, :]).T))) + 10.0
-    np.random.seed(2)
-    bundle = ref_buie(n, N.c_[center + sun * 300.0], -sun, extent,
-                      CSR=0.02, flux=1000.0)
+    # ---- reference engine (the benchmark's shared scene builder)
+    asm, rec, center, extent = build_ref_nsttf(pos)
+    bundle = ref_nsttf_source(n, center, sun, extent, seed=2)
     se_ref = float(bundle.get_energy().sum())
     RefEngine(asm).ray_tracer(bundle, 8, 1e-6)
     hits = rec.get_surfaces()[0]._opt.get_all_hits()
@@ -179,16 +145,11 @@ def test_curved_field_matches_reference_engine(reference):
     parab-class quadric rows) must agree on the receiver interception —
     focusing raises it well above the flat-facet field's, so this is a
     sharp test of the curved-surface solve and tracking."""
-    import numpy as N
-    from tracer.models.heliostat_field import HeliostatField
-    from tracer.models.one_sided_mirror import one_sided_receiver
-    from tracer.assembly import Assembly as RefAssembly
     from tracer.tracer_engine import TracerEngine as RefEngine
-    from tracer.sources import buie_sunshape as ref_buie
-    from tracer.spatial_geometry import rotation_to_z, translate
 
     from benchmarks.nsttf import (make_source_fn, nsttf_positions,
                                   solar_vector)
+    from benchmarks.reference_numpy import build_ref_nsttf, ref_nsttf_source
     from tracer_tpu.engine import trace_streaming
     from tracer_tpu.models.heliostat_field import HeliostatField as TpuField
     from tracer_tpu.models.one_sided_mirror import (one_sided_receiver
@@ -206,24 +167,11 @@ def test_curved_field_matches_reference_engine(reference):
     sun = solar_vector(0.0, np.pi / 6)
     aim_dir = np.array([center[0], center[1], -tower_height * 0.75])
     aim_dir /= np.linalg.norm(aim_dir)
-    extent = float(np.max(np.hypot(*(pos[:, :2]
-                                     - center[:2][None, :]).T))) + 10.0
 
-    # ---- reference engine (RectangularParabolicDishGM facets)
-    field = HeliostatField(pos, 6.1, 6.1, absorptivity=0.1, sigma=1.5e-3,
-                           bi_var=True, focal_lengths=slant,
-                           MCRT_option="fast")
-    field.track_sun(0.0, np.pi / 6,
-                    aim_points=np.tile([0.0, 0.0, tower_height],
-                                       (len(pos), 1)))
-    rec = one_sided_receiver(11.0, 11.0)
-    T = translate(0, 0, tower_height)
-    T[:3, :3] = rotation_to_z(aim_dir)
-    rec.set_transform(T)
-    asm = RefAssembly(objects=[rec], subassemblies=[field])
-    np.random.seed(3)
-    bundle = ref_buie(n, N.c_[center + sun * 300.0], -sun, extent,
-                      CSR=0.02, flux=1000.0)
+    # ---- reference engine (RectangularParabolicDishGM facets via the
+    # benchmark's shared scene builder)
+    asm, rec, center, extent = build_ref_nsttf(pos, focal_lengths=slant)
+    bundle = ref_nsttf_source(n, center, sun, extent, seed=3)
     se_ref = float(bundle.get_energy().sum())
     RefEngine(asm).ray_tracer(bundle, 8, 1e-6)
     hits = rec.get_surfaces()[0]._opt.get_all_hits()
