@@ -15,7 +15,7 @@ import jax
 import numpy as np
 
 
-def run(reps: int = 6) -> dict:
+def run(reps: int = 6, total_mult: int = 128) -> dict:
     import jax.numpy as jnp
     from benchmarks.nsttf import make_source_fn, nsttf_positions, solar_vector
     from tracer_tpu.culling import build_block_culling
@@ -49,7 +49,10 @@ def run(reps: int = 6) -> dict:
     # x2 301.0, x3 308.3 Mrays/s; L_mean 18.0 -> 13.2 -> 11.4)
     base = (1 << 20) // TILE * TILE + TILE
     slab = 3 * base
-    total = 32 * base
+    # like bench.py's headline call: the drain tail is roughly fixed in
+    # rounds, so sustained throughput needs a large rays/call (production
+    # CSP studies trace 1e8-1e9 rays)
+    total = total_mult * base
     source_fn = make_source_fn(dict(positions=pos,
                                     sun=solar_vector(0.0, np.pi / 6)),
                                slab)
@@ -84,4 +87,6 @@ def run(reps: int = 6) -> dict:
 
 
 if __name__ == "__main__":
-    print(json.dumps(run()))
+    import sys
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    print(json.dumps(run(total_mult=mult)))
