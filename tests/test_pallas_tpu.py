@@ -776,3 +776,309 @@ def test_mixed_slope_error_models_per_lane():
     assert 3.5 * s2 < msd_rad < 4.5 * s2, msd_rad
     assert 7.0 * s2 < msd_biv < 9.0 * s2, msd_biv
     assert 1.7 < msd_biv / msd_rad < 2.3
+
+
+def test_iam_megakernel_matches_general_path():
+    """IAM-wrapped reflective + Lambertian surfaces on the fused streaming
+    megakernel (a_r mirrored into the p2 row column by pack_rows, the
+    Martin-Ruiz modifier applied in the epilogue) must reproduce the
+    host-stepped jnp shade path AND the analytic modifier: at 60 deg
+    incidence with a_r = 1, iam_f = (1-e^-0.5)/(1-e^-1) = 0.6225, so the
+    mirror absorbs 0.4 * 0.6225 = 0.249 of first-hit energy — a missing
+    or mis-indexed modifier shifts this by ~15 sigma (ref IAM
+    optics_callables.py:271)."""
+    import logging
+    from tracer_tpu.engine import (TracerEngine, TraceOptions,
+                                   trace_streaming)
+    from tracer_tpu.kernels.pallas_intersect import TILE
+    from tracer_tpu.sources import disk_bundle, disk_pillbox_pallas_spec
+
+    # mirror tilted 60 deg from the beam; the specular reflection lands on
+    # a tilted Lambertian IAM receiver
+    mirror = Surface(G.rect_plate(1.6, 1.6),
+                     M.iam(M.reflective(0.4, sigma=1e-3), a_r=1.0),
+                     rotation=spatial.rotx(-np.pi / 3)[:3, :3],
+                     name="mirror")
+    refl = np.array([0.0, np.sin(2 * np.pi / 3), np.cos(2 * np.pi / 3)])
+    rot_rec = spatial.rotation_to_z(-refl) @ spatial.rotx(0.7)[:3, :3]
+    rec = Surface(G.rect_plate(3.0, 3.0),
+                  M.iam(M.lambertian(0.6), a_r=0.8),
+                  location=(1.6 * refl).tolist(), rotation=rot_rec,
+                  name="rec")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([mirror, rec])]), dtype=jnp.float32)
+    assert "iam" in table.features
+    assert "iam_nonmirror" not in table.features
+
+    slab = 20 * TILE
+    total = 6 * slab
+
+    def source_fn(key):
+        return disk_bundle(key, slab, center=[0.0, 0.0, 2.0],
+                           direction=[0.0, 0.0, -1.0], radius=0.3,
+                           ang_range=2e-3, flux=1000.0)
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 2.0], [0.0, 0.0, -1.0], 0.3, 2e-3, 1000.0)
+
+    logger = logging.getLogger("tracer_tpu")
+    records = []
+    h = logging.Handler()
+    h.emit = lambda r: records.append(r.getMessage())
+    logger.addHandler(h)
+    old_level = logger.level
+    logger.setLevel(logging.DEBUG)
+    try:
+        a1, _, se1 = jax.block_until_ready(trace_streaming(
+            table, source_fn, jax.random.PRNGKey(0), total_rays=total,
+            max_rounds=100, max_path=12))
+    finally:
+        logger.removeHandler(h)
+        logger.setLevel(old_level)
+    assert any("dispatch: megakernel" in m for m in records), records
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    cl1 = (float(se1) - np.asarray(a1.absorbed).sum() - float(a1.escaped)
+           - float(a1.culled) - float(a1.medium)
+           - float(a1.residual)) / float(se1)
+    assert abs(cl1) < 1e-5
+
+    eng = TracerEngine(table, meta)
+    b = source_fn(jax.random.PRNGKey(1))
+    res = eng.ray_tracer(b, reps=12, key=jax.random.PRNGKey(2),
+                         opts=TraceOptions(max_bounces=12, record=False))
+    f0 = (np.asarray(res.accum.absorbed)
+          / float(np.asarray(b.energy).sum()))
+
+    def frac(f, name):
+        rows = np.nonzero(np.asarray(meta.row_logical)
+                          == meta.index_of(name))[0]
+        return f[rows].sum()
+
+    # analytic first-hit check: 0.4 * (1-e^-0.5)/(1-e^-1) = 0.2490 (plus
+    # a tiny second-hit contribution from the receiver's diffuse lobe)
+    assert 0.23 < frac(f1, "mirror") < 0.28, frac(f1, "mirror")
+    assert frac(f0, "rec") > 0.2
+    for name in ("mirror", "rec"):
+        d1, d0 = frac(f1, name), frac(f0, name)
+        assert abs(d1 - d0) / d0 < 0.03, (name, d1, d0)
+    np.testing.assert_allclose(f1, f0, atol=0.01)
+
+
+def test_conductor_megakernel_matches_general_path():
+    """K_FRESNEL_CONDUCTOR on the fused streaming megakernel: constant
+    complex index (no wavelength thread) AND a tabulated dispersive
+    material (in-kernel n(wl)/k(wl) interpolation under the spectral
+    thread) must both reproduce the host-stepped jnp shade path (ref
+    FresnelConductorHomogenous optics_callables.py:1523)."""
+    from tracer_tpu.engine import (TracerEngine, TraceOptions,
+                                   trace_streaming)
+    from tracer_tpu.kernels.pallas_intersect import TILE
+    from tracer_tpu.sources import disk_bundle, disk_pillbox_pallas_spec
+
+    slab = 20 * TILE
+    total = 6 * slab
+    band = (400e-9, 1200e-9)
+    wls = np.linspace(band[0], band[1], 12)
+    # aluminum-ish dispersive index
+    ns = 0.8 + 2.0 * (wls - wls[0]) / (wls[-1] - wls[0])
+    ks = 4.0 + 3.5 * (wls - wls[0]) / (wls[-1] - wls[0])
+
+    for dispersive in (False, True):
+        material = ((wls, ns, ks) if dispersive
+                    else complex(1.2, 5.5))
+        mirror = Surface(G.round_plate(1.2),
+                         M.fresnel_conductor_homogenous(1.0, material),
+                         rotation=spatial.rotx(-np.pi / 8)[:3, :3],
+                         name="mirror")
+        refl = np.array([0.0, np.sin(np.pi / 4), np.cos(np.pi / 4)])
+        rec = Surface(G.round_plate(1.0), M.absorber(), name="rec",
+                      location=(1.6 * refl).tolist(),
+                      rotation=spatial.rotation_to_z(-refl))
+        table, meta = compile_scene(
+            Assembly([AssembledObject([mirror, rec])]), dtype=jnp.float32)
+        assert "fresnel_conductor" in table.features
+        assert ("conductor_dispersive" in table.features) == dispersive
+
+        def source_fn(key):
+            k1, k2 = jax.random.split(key)
+            b = disk_bundle(k1, slab, center=[0, 0, 2.0],
+                            direction=[0, 0, -1.0], radius=0.9,
+                            ang_range=2e-3, flux=1000.0)
+            if dispersive:
+                wl = jax.random.uniform(k2, (slab,), minval=band[0],
+                                        maxval=band[1])
+                b = b.replace(wavelength=wl)
+            return b
+        source_fn.pallas_spec = disk_pillbox_pallas_spec(
+            slab, [0, 0, 2.0], [0, 0, -1.0], 0.9, 2e-3, 1000.0,
+            wl_band=band if dispersive else None)
+
+        a1, _, se1 = jax.block_until_ready(trace_streaming(
+            table, source_fn, jax.random.PRNGKey(0), total_rays=total,
+            max_rounds=100, max_path=8))
+        f1 = np.asarray(a1.absorbed) / float(se1)
+        cl1 = (float(se1) - np.asarray(a1.absorbed).sum()
+               - float(a1.escaped) - float(a1.culled) - float(a1.medium)
+               - float(a1.residual)) / float(se1)
+        assert abs(cl1) < 1e-5, dispersive
+
+        eng = TracerEngine(table, meta)
+        b = source_fn(jax.random.PRNGKey(1))
+        res = eng.ray_tracer(b, reps=8, key=jax.random.PRNGKey(2),
+                             opts=TraceOptions(max_bounces=8, record=False))
+        f0 = (np.asarray(res.accum.absorbed)
+              / float(np.asarray(b.energy).sum()))
+
+        def frac(f, name):
+            rows = np.nonzero(np.asarray(meta.row_logical)
+                              == meta.index_of(name))[0]
+            return f[rows].sum()
+
+        # the conductor absorbs 1-R per hit (R ~ 0.8-0.9 here), the
+        # receiver collects the specular reflection
+        assert frac(f0, "mirror") > 0.02, dispersive
+        assert frac(f0, "rec") > 0.5, dispersive
+        for name in ("mirror", "rec"):
+            d1, d0 = frac(f1, name), frac(f0, name)
+            assert abs(d1 - d0) / d0 < 0.03, (dispersive, name, d1, d0)
+        np.testing.assert_allclose(f1, f0, atol=0.01, err_msg=str(dispersive))
+
+
+def test_conductor_iam_culling_on_off_equivalence():
+    """Conductor-mirror heliostat field aimed at an IAM-wrapped receiver:
+    the culled megakernel must reproduce the unculled trace. Conductor
+    reflection is specular and IAM only modifies absorptivity, so the
+    corridor analysis stays sound — and neither row kind may be misread
+    as a terminal absorber from its packed p0 (conductor p0 = n1 = 1,
+    IAM p0 = nominal absorptivity)."""
+    from benchmarks.nsttf import nsttf_positions, solar_vector
+    from tracer_tpu import spatial as sp
+    from tracer_tpu.culling import build_block_culling
+    from tracer_tpu.engine import trace_streaming
+    from tracer_tpu.kernels.pallas_intersect import TILE
+    from tracer_tpu.models.heliostat_field import HeliostatField
+    from tracer_tpu.scene import AssembledObject as AObj
+    from tracer_tpu.sources import buie_sunshape_pallas_spec, buie_sunshape
+
+    pos = nsttf_positions(80)
+    field = HeliostatField(pos, width=6.1, height=6.1,
+                           optics=M.fresnel_conductor_homogenous(
+                               1.0, complex(1.2, 6.0)))
+    field.set_aim_height(60.0)
+    field.track_sun(azimuth=0.0, zenith=np.pi / 6)
+    rec_s = Surface(G.rect_plate(11.0, 11.0),
+                    M.iam(M.reflective(0.95, one_sided=True), a_r=0.3),
+                    name="receiver")
+    rec = AObj(surfs=[rec_s])
+    center = pos.mean(axis=0)
+    aim = np.array([center[0], center[1], -45.0])
+    aim /= np.linalg.norm(aim)
+    rec.set_transform(sp.translate(0, 0, 60.0)
+                      @ sp._homog(sp.rotation_to_z(aim)))
+    table, meta = compile_scene(Assembly(objects=[rec],
+                                         subassemblies=[field]),
+                                dtype=jnp.float32)
+    assert "fresnel_conductor" in table.features
+    assert "iam" in table.features
+    assert "iam_nonmirror" not in table.features
+
+    sun = solar_vector(0.0, np.pi / 6)
+    extent = float(np.max(np.hypot(*(pos[:, :2]
+                                     - center[:2]).T))) + 10.0
+    src_c = center + sun * 300.0
+    slab = 12 * TILE
+    total = 8 * slab
+
+    def source_fn(key):
+        return buie_sunshape(key, slab, center=src_c, direction=-sun,
+                             radius=extent, CSR=0.02, flux=1000.0)
+    source_fn.pallas_spec = buie_sunshape_pallas_spec(
+        slab, src_c, -sun, extent, 0.02, 1000.0)
+
+    culling = build_block_culling(table, meta, source_fn.pallas_spec, slab)
+    # two-sided conductor facets widen the normal cones, so the list
+    # reduction is milder than the one-sided spectral field's
+    assert culling.stats["reduction"] > 1.3
+    # conductor mirrors and the IAM receiver are specular: nothing demoted
+    assert len(culling.demote_rows) == 0
+    key = jax.random.PRNGKey(29)
+    a_on, em_on, se_on = jax.block_until_ready(trace_streaming(
+        table, source_fn, key, total_rays=total, max_rounds=500,
+        max_path=8, culling=culling))
+    a_off, em_off, se_off = jax.block_until_ready(trace_streaming(
+        table, source_fn, key, total_rays=total, max_rounds=500,
+        max_path=8))
+    assert abs(_closure_of(a_on, se_on)) < 1e-4
+    assert abs(_closure_of(a_off, se_off)) < 1e-4
+    ab_on = np.asarray(a_on.absorbed) / float(se_on)
+    ab_off = np.asarray(a_off.absorbed) / float(se_off)
+    rec_rows = np.nonzero(np.asarray(meta.row_logical)
+                          == meta.index_of("receiver"))[0]
+    rec_on, rec_off = ab_on[rec_rows].sum(), ab_off[rec_rows].sum()
+    assert rec_off > 0.005
+    assert abs(rec_on - rec_off) / rec_off < 0.02, (rec_on, rec_off)
+    # conductor mirrors absorb 1-R ~ 7-10% of what they receive: the
+    # summed mirror loss must agree too (it would vanish if conductor
+    # rows were treated as plain p0-absorptivity mirrors)
+    mir_on = ab_on.sum() - rec_on
+    mir_off = ab_off.sum() - rec_off
+    assert mir_off > 0.004
+    assert abs(mir_on - mir_off) / mir_off < 0.03, (mir_on, mir_off)
+    esc_on = float(a_on.escaped) / float(se_on)
+    esc_off = float(a_off.escaped) / float(se_off)
+    assert abs(esc_on - esc_off) / esc_off < 0.01
+
+
+def test_periodic_megakernel_matches_general_path():
+    """K_PERIODIC on the fused streaming megakernel: the boundary
+    teleports rays along the flipped normal with direction and energy
+    unchanged, so a periodic plane feeding an absorber must land the same
+    power as the host-stepped jnp path (ref PeriodicBoundary :690)."""
+    from tracer_tpu.engine import (TracerEngine, TraceOptions,
+                                   trace_streaming)
+    from tracer_tpu.kernels.pallas_intersect import TILE
+    from tracer_tpu.sources import disk_bundle, disk_pillbox_pallas_spec
+
+    # negative period teleports the ray THROUGH the boundary (the flipped
+    # normal points back toward the source side)
+    bound = Surface(G.rect_plate(4.0, 4.0), M.periodic_boundary(-2.0),
+                    name="bound")
+    sink = Surface(G.rect_plate(6.0, 6.0), M.absorber(one_sided=False),
+                   location=[0.0, 0.0, -3.0], name="sink")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([bound, sink])]), dtype=jnp.float32)
+
+    slab = 12 * TILE
+    total = 4 * slab
+
+    def source_fn(key):
+        return disk_bundle(key, slab, center=[0.0, 0.0, 2.0],
+                           direction=[0.0, 0.1, -0.995], radius=0.8,
+                           ang_range=0.2, flux=1000.0)
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 2.0], [0.0, 0.1, -0.995], 0.8, 0.2, 1000.0)
+
+    a1, _, se1 = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(0), total_rays=total,
+        max_rounds=100, max_path=8))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    assert abs(_closure_of(a1, se1)) < 1e-5
+
+    eng = TracerEngine(table, meta)
+    b = source_fn(jax.random.PRNGKey(1))
+    res = eng.ray_tracer(b, reps=8, key=jax.random.PRNGKey(2),
+                         opts=TraceOptions(max_bounces=8, record=False))
+    f0 = (np.asarray(res.accum.absorbed)
+          / float(np.asarray(b.energy).sum()))
+
+    def frac(f, name):
+        rows = np.nonzero(np.asarray(meta.row_logical)
+                          == meta.index_of(name))[0]
+        return f[rows].sum()
+
+    # the boundary itself absorbs nothing; the sink catches the
+    # teleported beam
+    assert frac(f1, "bound") == 0.0 and frac(f0, "bound") == 0.0
+    assert frac(f0, "sink") > 0.5
+    d1, d0 = frac(f1, "sink"), frac(f0, "sink")
+    assert abs(d1 - d0) / d0 < 0.02, (d1, d0)
+    np.testing.assert_allclose(f1, f0, atol=0.01)

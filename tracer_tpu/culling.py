@@ -539,6 +539,8 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
              else np.asarray(table.opt_kind))
     prm = (meta.host_opt_params if meta.host_opt_params is not None
            else np.asarray(table.opt_params))
+    flg = (meta.host_opt_flags if meta.host_opt_flags is not None
+           else np.asarray(table.opt_flags))
     S = len(spheres)
     # per-row slope-error sigma (same slot logic as the scene compiler)
     sigma = np.where(kinds == M.K_REFLECT, prm[:, 1],
@@ -548,15 +550,25 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
                               prm[:, 2], 0.0))
     widen = 2.0 * (n_beta + k_sigma * math.sqrt(2.0) * sigma)
     # p0 is the absorptivity for constant-absorptance kinds; spectral rows
-    # store a table index there, so they are conservatively non-terminal
-    absorptivity = np.where(kinds == M.K_REFLECT_SPECTRAL, 0.1,
-                            np.clip(prm[:, 0], 0.0, 1.0))
-    terminal = ((kinds != M.K_REFLECT_SPECTRAL)
+    # store a table index there and conductor rows store n1, so both are
+    # conservatively non-terminal mirrors (R ~ 0.9 for metals)
+    absorptivity = np.where(np.isin(kinds, (M.K_REFLECT_SPECTRAL,
+                                            M.K_FRESNEL_CONDUCTOR)),
+                            0.1, np.clip(prm[:, 0], 0.0, 1.0))
+    # terminal rows absorb EVERYTHING they receive: spectral/conductor p0
+    # is not an absorptivity, and the IAM modifier strictly reduces the
+    # nominal absorptivity (reflecting the remainder), so none of those
+    # can be terminal even at p0 = 1
+    terminal = (~np.isin(kinds, (M.K_REFLECT_SPECTRAL,
+                                 M.K_FRESNEL_CONDUCTOR))
+                & ((flg & M.F_IAM) == 0)
                 & (prm[:, 0] >= 1.0 - 1e-6))   # no outgoing energy, ever
     # wide scatterers cannot keep the closure narrow -> demote (their
     # surviving rays leave the fast path and drain against the full
-    # list); spectral mirrors reflect specularly, so they expand
-    specular = np.isin(kinds, (M.K_REFLECT, M.K_REFLECT_SPECTRAL))
+    # list); spectral and conductor mirrors reflect specularly, so they
+    # expand
+    specular = np.isin(kinds, (M.K_REFLECT, M.K_REFLECT_SPECTRAL,
+                               M.K_FRESNEL_CONDUCTOR))
     demote = (~terminal) & ((widen > w_cap) | ~specular)
     expandable = np.nonzero(~terminal & ~demote)[0]
     expandable_set = set(expandable.tolist())

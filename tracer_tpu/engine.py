@@ -206,7 +206,8 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
     from .kernels.intersect import _use_pallas, default_t_eps
     fusable_kinds = {_M.K_REFLECT, _M.K_LAMBERTIAN, _M.K_COOK_TORRANCE,
                      _M.K_LAMBERTIAN_SPECULAR, _M.K_SEMI_LAMBERTIAN,
-                     _M.K_TRANSPARENT}
+                     _M.K_TRANSPARENT, _M.K_FRESNEL_CONDUCTOR,
+                     _M.K_PERIODIC}
     refr_ok = (_M.K_REFRACTIVE in scene.kinds_present
                and "volumetric" not in scene.features
                and "dispersive" not in scene.features
@@ -218,12 +219,17 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
                  and not need_local
                  and set(scene.kinds_present) <= fusable_kinds
                  and "volumetric" not in scene.features
-                 and "iam" not in scene.features
+                 and "iam_nonmirror" not in scene.features
                  and _use_pallas(bundle.pos))
     if use_fused:
         from .kernels.pallas_intersect import (bounce_reflect_pallas,
                                                pack_rows)
         refractive = _M.K_REFRACTIVE in scene.kinds_present
+        fc_scene = _M.K_FRESNEL_CONDUCTOR in scene.kinds_present
+        # dispersive conductors interpolate n(wl)/k(wl) in-kernel, so the
+        # per-lane wavelength must thread through (spectral mode);
+        # constant-index chunks resolve with the dummy wl
+        fc_wl = fc_scene and "conductor_dispersive" in scene.features
         key, k_seed = jax.random.split(key)
         seed = jax.random.randint(k_seed, (1,), 0, jnp.iinfo(jnp.int32).max,
                                   dtype=jnp.int32)
@@ -235,14 +241,22 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
             one_sided="one_sided" in scene.features,
             slope="slope_error" in scene.features,
             lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
+            wavelength=(bundle.wavelength.astype(jnp.float32)
+                        if fc_wl else None),
+            spectral_tab=(jnp.stack([scene.spectral_wl, scene.spectral_ab],
+                                    axis=1).astype(jnp.float32)
+                          if fc_scene else None),
             ref_index=(bundle.ref_index.astype(jnp.float32)
                        if refractive else None),
             cook_torrance=_M.K_COOK_TORRANCE in scene.kinds_present,
             lam_specular=_M.K_LAMBERTIAN_SPECULAR in scene.kinds_present,
             semi_lambertian=_M.K_SEMI_LAMBERTIAN in scene.kinds_present,
-            transparent=_M.K_TRANSPARENT in scene.kinds_present)
+            transparent=_M.K_TRANSPARENT in scene.kinds_present,
+            conductor=fc_scene, iam="iam" in scene.features,
+            periodic=_M.K_PERIODIC in scene.kinds_present)
         new_pos, new_dir, new_e, sid, absorbed_f = outs[:5]
-        new_ri = outs[5] if refractive else bundle.ref_index
+        k_o = 5 + int(fc_wl)   # spectral mode returns the (unchanged) wl
+        new_ri = outs[k_o] if refractive else bundle.ref_index
         sid = jnp.where(alive, sid, -1)
         hit = sid >= 0
         escaped = alive & ~hit
@@ -743,7 +757,8 @@ def trace_fused(scene: SceneTable, bundle: RayBundle, key: jax.Array,
                               "lambertian", "spectral", "fluxspecs",
                               "refractive", "cook_torrance",
                               "lam_specular", "semi_lambertian",
-                              "transparent"))
+                              "transparent", "conductor", "iam",
+                              "periodic"))
 def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                                 total_rays: int, slab: int,
                                 max_rounds: int, max_path: int,
@@ -756,7 +771,10 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                                 cook_torrance: bool = False,
                                 lam_specular: bool = False,
                                 semi_lambertian: bool = False,
-                                transparent: bool = False):
+                                transparent: bool = False,
+                                conductor: bool = False,
+                                iam: bool = False,
+                                periodic: bool = False):
     """Streaming trace where regeneration happens INSIDE the fused bounce
     kernel (single-group pure-specular scenes with a bakeable source): the
     ray state makes exactly one HBM round trip per bounce. The emission
@@ -769,7 +787,8 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
     ambient_att = float(source_spec[14]) if len(source_spec) > 14 else 0.0
     rows = pack_rows(scene)
     spectral_tab = (jnp.stack([scene.spectral_wl, scene.spectral_ab], axis=1)
-                    .astype(jnp.float32) if spectral else None)
+                    .astype(jnp.float32) if (spectral or conductor)
+                    else None)
     te = default_t_eps(jnp.float32) if t_eps is None else t_eps
 
     from .analysis import device_fluxmap as _dfm
@@ -812,7 +831,8 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
             spectral_tab=spectral_tab, ambient_att=ambient_att,
             ref_index=ri if refractive else None,
             cook_torrance=cook_torrance, lam_specular=lam_specular,
-            semi_lambertian=semi_lambertian, transparent=transparent)
+            semi_lambertian=semi_lambertian, transparent=transparent,
+            conductor=conductor, iam=iam, periodic=periodic)
         pos, dirs, e_new, sid, absorbed = outs[:5]
         k_o = 5
         if spectral:
@@ -861,7 +881,8 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                               "max_rounds", "max_path", "min_energy",
                               "t_eps", "disc_eps", "bivar", "one_sided",
                               "slope", "lambertian", "spectral",
-                              "ambient_att", "demote_rows", "fluxspecs"))
+                              "ambient_att", "demote_rows", "fluxspecs",
+                              "conductor", "iam"))
 def _trace_streaming_megakernel_culled(
         scene: SceneTable, key, lists, counts, cells, cell_bounds, quota_b,
         age_caps, source_spec, group_offsets,
@@ -869,7 +890,8 @@ def _trace_streaming_megakernel_culled(
         min_energy: float, t_eps, disc_eps: float, bivar, one_sided: bool,
         slope: bool, demote_rows: tuple,
         lambertian: bool = False, spectral: bool = False,
-        ambient_att: float = 0.0, fluxspecs: tuple = ()):
+        ambient_att: float = 0.0, fluxspecs: tuple = (),
+        conductor: bool = False, iam: bool = False):
     """Relevancy-culled streaming megakernel (see culling.py): each grid
     block owns one equal-area source cell and intersects only its static
     candidate list; per-block quotas keep the stratified emission unbiased
@@ -898,7 +920,7 @@ def _trace_streaming_megakernel_culled(
     te = default_t_eps(jnp.float32) if t_eps is None else t_eps
     spectral_tab = (jnp.stack([scene.spectral_wl, scene.spectral_ab],
                               axis=1).astype(jnp.float32)
-                    if spectral else None)
+                    if (spectral or conductor) else None)
 
     pos0 = jnp.zeros((slab, 3), dtype=jnp.float32)
     dir0 = jnp.zeros((slab, 3), dtype=jnp.float32).at[:, 2].set(1.0)
@@ -965,7 +987,8 @@ def _trace_streaming_megakernel_culled(
             one_sided=one_sided, slope=slope, lambertian=lambertian,
             source_spec=source_spec,
             wavelength=wl if spectral else None,
-            spectral_tab=spectral_tab, ambient_att=ambient_att)
+            spectral_tab=spectral_tab, ambient_att=ambient_att,
+            conductor=conductor, iam=iam)
         if spectral:
             npos, ndirs, ne, sid, absorbed, nwl = outs
         else:
@@ -1043,7 +1066,8 @@ def _trace_streaming_megakernel_culled(
             bivar=bivar, one_sided=one_sided, slope=slope,
             lambertian=lambertian,
             wavelength=wl if spectral else None,
-            spectral_tab=spectral_tab, ambient_att=ambient_att)
+            spectral_tab=spectral_tab, ambient_att=ambient_att,
+            conductor=conductor, iam=iam)
         if spectral:
             pos, dirs, ne, sid, absorbed, wl = outs
         else:
@@ -1204,6 +1228,12 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     ls_scene = _M.K_LAMBERTIAN_SPECULAR in scene.kinds_present
     sl_scene = _M.K_SEMI_LAMBERTIAN in scene.kinds_present
     tr_scene = _M.K_TRANSPARENT in scene.kinds_present
+    fc_scene = _M.K_FRESNEL_CONDUCTOR in scene.kinds_present
+    # dispersive conductors need the per-lane wavelength thread, so the
+    # source band must be bakeable; constant-index ones do not
+    fc_wl = fc_scene and "conductor_dispersive" in scene.features
+    iam_scene = "iam" in scene.features
+    pd_scene = _M.K_PERIODIC in scene.kinds_present
     fusable = (spec is not None
                and set(scene.kinds_present) <= {_M.K_REFLECT,
                                                 _M.K_LAMBERTIAN,
@@ -1212,10 +1242,13 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
                                                 _M.K_COOK_TORRANCE,
                                                 _M.K_LAMBERTIAN_SPECULAR,
                                                 _M.K_SEMI_LAMBERTIAN,
-                                                _M.K_TRANSPARENT}
-               and (not spectral_scene or spec_band is not None)
+                                                _M.K_TRANSPARENT,
+                                                _M.K_FRESNEL_CONDUCTOR,
+                                                _M.K_PERIODIC}
+               and (not (spectral_scene or fc_wl)
+                    or spec_band is not None)
                and vol_ok and refr_ok
-               and "iam" not in scene.features
+               and "iam_nonmirror" not in scene.features
                and _use_pallas(probe.pos))
     # the culled kernel handles any number of aperture-signature groups
     # (one specialized candidate loop per group), spectral scenes, and
@@ -1227,8 +1260,12 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     # semi-Lambertian) or whose pass-through it does not model
     # (transparent); pure-Lambertian rows stay cullable because culling
     # demotes rays they scatter (culling.demote_rows)
+    # conductor and IAM are direction-preserving (specular reflection /
+    # absorptivity-only modifier), so the specular corridor analysis —
+    # and hence culling — stays sound for them
     cullable = (fusable and not refractive_scene and not ct_scene
-                and not ls_scene and not sl_scene and not tr_scene)
+                and not ls_scene and not sl_scene and not tr_scene
+                and not pd_scene)   # teleports break corridor closure
     if cullable and culling is not None:
         from .kernels.pallas_intersect import TILE
         nb = culling.nb
@@ -1243,8 +1280,9 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             one_sided="one_sided" in scene.features,
             slope="slope_error" in scene.features,
             lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
-            spectral=spectral_scene, ambient_att=spec_att,
-            demote_rows=culling.demote_rows, fluxspecs=fluxspecs)
+            spectral=spectral_scene or fc_wl, ambient_att=spec_att,
+            demote_rows=culling.demote_rows, fluxspecs=fluxspecs,
+            conductor=fc_scene, iam=iam_scene)
         if culling.segment_bounds:
             # single-chip SMEM segmentation (culling.py): blocks never
             # interact, so the culled trace decomposes EXACTLY into
@@ -1284,6 +1322,10 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             scene.kinds_present, scene.features,
             _use_pallas(probe.pos))
     if fusable:
+        import logging
+        logging.getLogger("tracer_tpu").debug(
+            "streaming dispatch: megakernel (kinds=%s)",
+            scene.kinds_present)
         return _trace_streaming_megakernel(
             scene, spec, key, total_rays, n, max_rounds, max_path,
             min_energy, t_eps, disc_eps,
@@ -1291,10 +1333,15 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             one_sided="one_sided" in scene.features,
             slope="slope_error" in scene.features,
             lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
-            spectral=spectral_scene, fluxspecs=fluxspecs,
+            spectral=spectral_scene or fc_wl, fluxspecs=fluxspecs,
             refractive=refractive_scene, cook_torrance=ct_scene,
             lam_specular=ls_scene, semi_lambertian=sl_scene,
-            transparent=tr_scene)
+            transparent=tr_scene, conductor=fc_scene, iam=iam_scene,
+            periodic=pd_scene)
+    import logging
+    logging.getLogger("tracer_tpu").debug(
+        "streaming dispatch: general (kinds=%s features=%s)",
+        scene.kinds_present, scene.features)
     return _trace_streaming_general(
         scene, source_fn, key, total_rays, max_rounds, max_path,
         min_energy, t_eps, disc_eps, block, fluxspecs=fluxspecs)

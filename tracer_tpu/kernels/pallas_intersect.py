@@ -62,13 +62,21 @@ def pack_rows(scene) -> "jnp.ndarray":
     elements, so an (S, K) table would cost S*512 bytes of the 1 MB SMEM
     (OOM beyond ~1.5k surfaces) while (K, S) costs K*ceil(S, 128)*4."""
     S = scene.num_rows
+    p = scene.opt_params[:, 0:4]
+    # IAM rows on reflective/Lambertian bases leave p2 free: mirror a_r
+    # (p4) there so the fused epilogue finds it in the extra_q carry
+    # (scene.compile_scene tags any other IAM base "iam_nonmirror" and
+    # the engine keeps those scenes off the fused paths)
+    mirror = ((scene.opt_flags & 4) != 0) & (
+        (scene.opt_kind == 1) | (scene.opt_kind == 2))   # F_IAM; kinds 1/2
+    p = p.at[:, 2].set(jnp.where(mirror, scene.opt_params[:, 4], p[:, 2]))
     return jnp.concatenate([
         scene.inv_frame[:, :3, :3].reshape(S, 9),
         scene.inv_frame[:, :3, 3],
         scene.quadric,
         (scene.opt_kind * 1024 + scene.opt_flags)[:, None]
         .astype(jnp.float32),
-        scene.opt_params[:, 0:4],
+        p,
         scene.ap_params.reshape(S, -1),
     ], axis=1).astype(jnp.float32).T
 
@@ -155,7 +163,7 @@ def _surface_body(sig, base_sid, t_eps, disc_eps, tag, need_local,
                   rows_ref, rays, lists_ref=None, block=None,
                   col_offset=0,
                   spectral=False, wl=None, tabx_ref=None, taby_ref=None,
-                  n_tab=0, extra_q=False):
+                  n_tab=0, extra_q=False, conductor=False):
     """Per-surface fori body shared by the plain and fused group kernels:
     running (t, sid) min plus the winner's shading data (global geometric
     normal, optionally local hit point, up-component, optics
@@ -177,7 +185,12 @@ def _surface_body(sig, base_sid, t_eps, disc_eps, tag, need_local,
 
     ``extra_q`` appends (q2, q3) = winner's raw (p2, p3) to the carry —
     needed by four-parameter optics kinds (Cook-Torrance: alpha, m_n,
-    m_k, R_lam)."""
+    m_k, R_lam). With ``conductor``, K_FRESNEL_CONDUCTOR rows instead
+    fill (q2, q3) with n2(wl), k2(wl) interpolated from their chunk
+    [p1, p1+p2) / [p1+p2, p1+2*p2) of the shared spectral table (scalar
+    lax.cond, so non-conductor rows skip the interpolation); without a
+    wavelength thread (wl=None) the lookup still lands on the single
+    entry of constant-index chunks."""
     flat = tag == "flat"
     parab = tag == "parab"
     sphere = tag == "sphere"
@@ -351,8 +364,26 @@ def _surface_body(sig, base_sid, t_eps, disc_eps, tag, need_local,
                 q1_b = jnp.where(upd, r[ROW_P0 + 1], q1_b)
             extra = ()
             if extra_q:
-                extra = (jnp.where(upd, r[ROW_P0 + 2], q2_b),
-                         jnp.where(upd, r[ROW_P0 + 3], q3_b))
+                if conductor:
+                    is_fc = jnp.floor(r[ROW_KIND] * (1.0 / 1024.0)) == 10.0
+                    st_c = r[ROW_P0 + 1].astype(jnp.int32)
+                    L_c = r[ROW_P0 + 2].astype(jnp.int32)
+                    wl_c = wl if wl is not None else jnp.zeros_like(px)
+                    q2n, q3n = jax.lax.cond(
+                        is_fc,
+                        lambda: (_interp_row_table(wl_c, st_c, L_c,
+                                                   tabx_ref, taby_ref,
+                                                   n_tab),
+                                 _interp_row_table(wl_c, st_c + L_c, L_c,
+                                                   tabx_ref, taby_ref,
+                                                   n_tab)),
+                        lambda: (jnp.full_like(px, r[ROW_P0 + 2]),
+                                 jnp.full_like(px, r[ROW_P0 + 3])))
+                else:
+                    q2n = r[ROW_P0 + 2]
+                    q3n = r[ROW_P0 + 3]
+                extra = (jnp.where(upd, q2n, q2_b),
+                         jnp.where(upd, q3n, q3_b))
             if need_local:
                 plx_b = jnp.where(upd, hx, plx_b)
                 ply_b = jnp.where(upd, hy, ply_b)
@@ -480,7 +511,10 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
                          cook_torrance: bool = False,
                          lam_specular: bool = False,
                          semi_lambertian: bool = False,
-                         transparent: bool = False):
+                         transparent: bool = False,
+                         conductor: bool = False,
+                         iam: bool = False,
+                         periodic: bool = False):
     """Reflect + slope error + one-sided kill on the carried winner data.
     The per-core PRNG must already be seeded by the caller.
 
@@ -525,7 +559,22 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
     ``semi_lambertian`` compiles K_SEMI_LAMBERTIAN lanes (ang_range in
     q1): diffuse below ang_range incidence, specular at glancing (ref
     SemiLambertian :506). ``transparent`` passes K_TRANSPARENT lanes
-    through undeflected (ref Transparent :93)."""
+    through undeflected (ref Transparent :93).
+
+    ``conductor`` compiles K_FRESNEL_CONDUCTOR lanes (needs the
+    four-parameter carry: n1 in q0, n2(wl)/k2(wl) in q2/q3 from the
+    surface loop's in-kernel interpolation): specular reflection about
+    the unperturbed normal with the randomly-polarized Fresnel-conductor
+    absorptivity 1 - (R_p + R_s)/2 — the megakernel twin of shade.py's
+    K_FRESNEL_CONDUCTOR branch (ref FresnelConductorHomogenous
+    optics_callables.py:1523, optics.fresnel_to_attenuating inlined in
+    real arithmetic). ``iam`` multiplies the winner absorptivity of
+    F_IAM-flagged lanes by the Martin-Ruiz modifier
+    (1-exp(-cos/a_r))/(1-exp(-1/a_r)) with a_r carried in q2 (pack_rows
+    mirrors p4 there for reflective/Lambertian bases; ref IAM :271).
+    ``periodic`` compiles K_PERIODIC lanes (period in q0): teleport along
+    the flipped normal, direction and energy unchanged (ref
+    PeriodicBoundary :690)."""
     def epilogue(t_b, ng_x, ng_y, ng_z, upd_b, kf_b, q0_b, q1_b,
                  px, py, pz, dx, dy, dz, e_in, ri=None,
                  q2_b=None, q3_b=None):
@@ -566,6 +615,9 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
         is_ct = None
         if cook_torrance:
             is_ct = jnp.floor(kf_b * (1.0 / 1024.0)) == 9.0
+        is_fc = None
+        if conductor:
+            is_fc = jnp.floor(kf_b * (1.0 / 1024.0)) == 10.0
         if slope:
             def uniform():
                 # 24-bit mantissa path; Mosaic lacks uint32->f32 casts so
@@ -599,6 +651,10 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
                 # SemiLambertian carries ang_range in q1, no slope error
                 is_sl_s = jnp.floor(kf_b * (1.0 / 1024.0)) == 4.0
                 sigma = jnp.where(is_sl_s, 0.0, sigma)
+            if conductor:
+                # conductor lanes carry their table start in q1, no
+                # slope error (ref FresnelConductorHomogenous has none)
+                sigma = jnp.where(is_fc, 0.0, sigma)
             if bivar in (True, "mixed"):
                 nrm2 = rr * jnp.sin(ang)
                 tx = jnp.tan(nrm1 * sigma)
@@ -720,6 +776,42 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
             rz = jnp.where(is_ct, cdz, rz)
             q0_eff = jnp.where(is_ct, 1.0 - w_ct, q0_eff)
 
+        if conductor:
+            # randomly-polarized Fresnel reflectance against the complex
+            # index n2 + i k2 relative to the outside n1 (q0), evaluated
+            # at the winner's incidence cosine about the UNPERTURBED
+            # normal; direction is the default specular reflection
+            # (sigma = 0 above). Real-arithmetic twin of
+            # optics.fresnel_to_attenuating (Modest ch.2):
+            # s1 = n1 sin(th1), st = s1 tan(th1) = s1sq / (n1 cos th1).
+            n1c = jnp.where(q0_b > 0.0, q0_b, 1.0)
+            cfc = jnp.clip(jnp.abs(dx * n0x + dy * n0y + dz * n0z),
+                           1e-6, 1.0)
+            n2c, k2c = q2_b, q3_b
+            s1sq = n1c * n1c * (1.0 - cfc * cfc)
+            bqc = n2c * n2c - k2c * k2c - s1sq
+            aqc = jnp.sqrt(bqc * bqc + 4.0 * (n2c * k2c) ** 2)
+            pqc = jnp.sqrt(jnp.maximum(0.5 * (aqc + bqc), 0.0))
+            qqc = jnp.sqrt(jnp.maximum(0.5 * (aqc - bqc), 0.0))
+            c1c = n1c * cfc
+            R_sc = (((c1c - pqc) ** 2 + qqc * qqc)
+                    / ((c1c + pqc) ** 2 + qqc * qqc))
+            stc = s1sq / c1c
+            R_pc = (((pqc - stc) ** 2 + qqc * qqc)
+                    / ((pqc + stc) ** 2 + qqc * qqc)) * R_sc
+            R_c = jnp.clip(0.5 * (R_pc + R_sc), 0.0, 1.0)
+            q0_eff = jnp.where(is_fc, 1.0 - R_c, q0_eff)
+
+        if iam:
+            # Martin-Ruiz incidence-angle modifier on F_IAM lanes (bit 2
+            # of the flags word: kf mod 8 >= 4); a_r rides in q2
+            has_iam = jnp.mod(kf_b, 8.0) >= 4.0
+            cosi = jnp.abs(dx * n0x + dy * n0y + dz * n0z)
+            a_r = jnp.where(q2_b > 0.0, q2_b, 1.0)
+            iam_f = ((1.0 - jnp.exp(-cosi / a_r))
+                     / (1.0 - jnp.exp(-1.0 / a_r)))
+            q0_eff = jnp.where(has_iam, q0_eff * iam_f, q0_eff)
+
         if lambertian or lam_specular or semi_lambertian:
             # cosine-weighted diffuse about the unperturbed normal within
             # ang_range (shade.py d_lambert; ref Lambertian :143) —
@@ -762,6 +854,20 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
             rx = jnp.where(is_tr, dx, rx)
             ry = jnp.where(is_tr, dy, ry)
             rz = jnp.where(is_tr, dz, rz)
+
+        if periodic:
+            # teleport by the period (q0) along the flipped-against-ray
+            # shading normal, direction unchanged, no absorption — the
+            # megakernel twin of shade.py's K_PERIODIC branch (ref
+            # PeriodicBoundary optics_callables.py:690)
+            is_pd = jnp.floor(kf_b * (1.0 / 1024.0)) == 7.0
+            hx = jnp.where(is_pd, hx + q0_b * n0x, hx)
+            hy = jnp.where(is_pd, hy + q0_b * n0y, hy)
+            hz = jnp.where(is_pd, hz + q0_b * n0z, hz)
+            rx = jnp.where(is_pd, dx, rx)
+            ry = jnp.where(is_pd, dy, ry)
+            rz = jnp.where(is_pd, dz, rz)
+            q0_eff = jnp.where(is_pd, 0.0, q0_eff)
 
         e_att = e_in
         if ambient_att > 0.0:
@@ -885,7 +991,8 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                        source_spec=None, spectral=False, n_tab=0,
                        ambient_att=0.0, refractive=False,
                        cook_torrance=False, lam_specular=False,
-                       semi_lambertian=False, transparent=False):
+                       semi_lambertian=False, transparent=False,
+                       conductor=False, iam=False, periodic=False):
     """Fused intersect + shade-epilogue kernel: one HBM round trip of the
     ray state per bounce. Runs one specialized fori per aperture-signature
     group over the shared (t, sid, winner) carry, so multi-group scenes
@@ -904,13 +1011,15 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
     through the surface loop and compile the corresponding epilogue
     branches; ``semi_lambertian``/``transparent`` compile theirs on the
     two-parameter carry."""
-    extra_q = cook_torrance or lam_specular
+    extra_q = cook_torrance or lam_specular or conductor or iam
     epi = _make_shade_epilogue(bivar, one_sided, slope, lambertian,
                                ambient_att, refractive=refractive,
                                cook_torrance=cook_torrance,
                                lam_specular=lam_specular,
                                semi_lambertian=semi_lambertian,
-                               transparent=transparent)
+                               transparent=transparent,
+                               conductor=conductor, iam=iam,
+                               periodic=periodic)
 
     def kernel(seed_ref, regen_ref, tabx_ref, taby_ref, rows_ref, *io):
         n_in = 7 + int(spectral) + int(refractive)
@@ -965,7 +1074,8 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                                  tag, False, rows_ref, rays,
                                  spectral=spectral, wl=wl,
                                  tabx_ref=tabx_ref, taby_ref=taby_ref,
-                                 n_tab=n_tab, extra_q=extra_q)
+                                 n_tab=n_tab, extra_q=extra_q,
+                                 conductor=conductor)
             carry = jax.lax.fori_loop(start, end, body, carry)
         q2_b = q3_b = None
         if extra_q:
@@ -1000,7 +1110,8 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                                     "one_sided", "slope", "lambertian",
                                     "source_spec", "ambient_att",
                                     "cook_torrance", "lam_specular",
-                                    "semi_lambertian", "transparent"))
+                                    "semi_lambertian", "transparent",
+                                    "conductor", "iam", "periodic"))
 def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                           t_eps: float, disc_eps: float = 1e-6,
                           bivar: bool = True, one_sided: bool = True,
@@ -1011,7 +1122,9 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                           cook_torrance: bool = False,
                           lam_specular: bool = False,
                           semi_lambertian: bool = False,
-                          transparent: bool = False):
+                          transparent: bool = False,
+                          conductor: bool = False, iam: bool = False,
+                          periodic: bool = False):
     """Fused intersect+shade bounce for K_REFLECT / K_LAMBERTIAN /
     K_REFLECT_SPECTRAL / K_REFRACTIVE scenes (any number of
     aperture-signature groups).
@@ -1075,7 +1188,9 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                                 cook_torrance=cook_torrance,
                                 lam_specular=lam_specular,
                                 semi_lambertian=semi_lambertian,
-                                transparent=transparent)
+                                transparent=transparent,
+                                conductor=conductor, iam=iam,
+                                periodic=periodic)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,   # seed, regen, spectral table x/y, rows
         grid=(nb,),
@@ -1141,7 +1256,8 @@ def _make_fused_kernel_culled(group_specs, t_eps, disc_eps, bivar,
                               one_sided, slope, source_spec,
                               lambertian: bool = False,
                               spectral: bool = False, n_tab: int = 0,
-                              ambient_att: float = 0.0):
+                              ambient_att: float = 0.0,
+                              conductor: bool = False, iam: bool = False):
     """Culled group kernel: per-block candidate-list fori loops (one
     specialized loop per aperture-signature group, group_specs =
     ((sig, flat, col_offset), ...)) + per-block cell-stratified
@@ -1156,9 +1272,12 @@ def _make_fused_kernel_culled(group_specs, t_eps, disc_eps, bivar,
     per-lane wavelength rides as an extra ray component (sampled from the
     source band at regeneration), K_REFLECT_SPECTRAL rows interpolate
     their absorptance from the SMEM table, and hit segments Beer-Lambert
-    attenuate in the ambient medium."""
+    attenuate in the ambient medium. ``conductor``/``iam`` mirror
+    _make_fused_kernel too (both are direction-preserving, so the
+    corridor analysis is unaffected; they ride the extra_q carry)."""
+    extra_q = conductor or iam
     epi = _make_shade_epilogue(bivar, one_sided, slope, lambertian,
-                               ambient_att)
+                               ambient_att, conductor=conductor, iam=iam)
 
     def kernel(seed_ref, remaining_ref, lists_ref, counts_ref, cells_ref,
                cellb_ref, tabx_ref, taby_ref, rows_ref, *io):
@@ -1204,18 +1323,25 @@ def _make_fused_kernel_culled(group_specs, t_eps, disc_eps, bivar,
         carry = (jnp.full_like(px, big),
                  jnp.full_like(px, -1, dtype=jnp.int32),
                  zero, zero, zero, zero, zero, zero, zero)
+        if extra_q:
+            carry = carry + (zero, zero)
         for g, (sig, tag, off) in enumerate(group_specs):
             body = _surface_body(sig, 0, t_eps, disc_eps, tag, False,
                                  rows_ref, rays, lists_ref=lists_ref,
                                  block=b, col_offset=off,
                                  spectral=spectral, wl=wl,
                                  tabx_ref=tabx_ref, taby_ref=taby_ref,
-                                 n_tab=n_tab)
+                                 n_tab=n_tab, extra_q=extra_q,
+                                 conductor=conductor)
             carry = jax.lax.fori_loop(0, counts_ref[g, b], body, carry)
+        q2_b = q3_b = None
+        if extra_q:
+            carry, (q2_b, q3_b) = carry[:-2], carry[-2:]
         (t_b, sid_b, ngx, ngy, ngz, upd_b, kf_b, q0_b, q1_b) = carry
 
         outs = epi(t_b, ngx, ngy, ngz, upd_b, kf_b, q0_b,
-                   q1_b, px, py, pz, dx, dy, dz, e)
+                   q1_b, px, py, pz, dx, dy, dz, e,
+                   q2_b=q2_b, q3_b=q3_b)
         npx, npy, npz, ndx, ndy, ndz, ne, absorbed = outs
         npx_ref[:] = npx
         npy_ref[:] = npy
@@ -1237,7 +1363,8 @@ def _make_fused_kernel_culled(group_specs, t_eps, disc_eps, bivar,
                    static_argnames=("groups", "group_offsets", "t_eps",
                                     "disc_eps", "bivar",
                                     "one_sided", "slope", "lambertian",
-                                    "source_spec", "ambient_att"))
+                                    "source_spec", "ambient_att",
+                                    "conductor", "iam"))
 def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
                                  seed, remaining,
                                  pos, dirs, energy, groups,
@@ -1247,7 +1374,9 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
                                  lambertian: bool = False,
                                  source_spec=None,
                                  wavelength=None, spectral_tab=None,
-                                 ambient_att: float = 0.0):
+                                 ambient_att: float = 0.0,
+                                 conductor: bool = False,
+                                 iam: bool = False):
     """Relevancy-culled fused bounce (pure-specular/Lambertian scenes,
     any number of aperture-signature groups — one specialized candidate
     loop per group over its static column segment of ``lists``).
@@ -1310,7 +1439,8 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
                                        lambertian=lambertian,
                                        spectral=spectral,
                                        n_tab=tabx.shape[0],
-                                       ambient_att=ambient_att)
+                                       ambient_att=ambient_att,
+                                       conductor=conductor, iam=iam)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         # seed, quotas, lists, counts, ids, bounds, table x/y, rows
         num_scalar_prefetch=9,

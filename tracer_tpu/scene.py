@@ -228,6 +228,7 @@ class SceneMeta:
     host_quadric: Optional[np.ndarray] = None
     host_opt_kind: Optional[np.ndarray] = None
     host_opt_params: Optional[np.ndarray] = None
+    host_opt_flags: Optional[np.ndarray] = None
 
     def index_of(self, name: str) -> int:
         return self.names.index(name)
@@ -383,6 +384,11 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
             slope_flags.add(opt.flags)
         if opt.flags & M.F_IAM:
             features.add("iam")
+            if opt.kind not in (M.K_REFLECT, M.K_LAMBERTIAN):
+                # pack_rows mirrors a_r (p4) into the p2 row column only
+                # for reflective/Lambertian bases (whose p2 is free), so
+                # only those IAM rows ride the fused megakernels
+                features.add("iam_nonmirror")
         if opt.flags & M.F_ONE_SIDED:
             features.add("one_sided")
         if opt.flags & M.F_BIVAR:
@@ -393,6 +399,11 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
             features.add("spectral")
         if opt.kind == M.K_FRESNEL_CONDUCTOR:
             features.add("fresnel_conductor")
+            if opt.params[2] > 1:
+                # tabulated n(wl), k(wl): the megakernel needs the
+                # per-lane wavelength thread (spectral mode) to
+                # interpolate; constant-index conductors do not
+                features.add("conductor_dispersive")
         if opt.kind == M.K_LAMBERTIAN_PIECEWISE:
             features.add("lambertian_piecewise")
             if opt.params[5] > 0:
@@ -436,5 +447,6 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
                      host_quadric=np.asarray(quad, dtype=np.float64),
                      host_opt_kind=np.asarray(opt_kind),
                      host_opt_params=np.asarray(opt_params,
-                                                dtype=np.float64))
+                                                dtype=np.float64),
+                     host_opt_flags=np.asarray(opt_flags))
     return table, meta
