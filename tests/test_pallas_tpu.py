@@ -1082,3 +1082,97 @@ def test_periodic_megakernel_matches_general_path():
     d1, d0 = frac(f1, "sink"), frac(f0, "sink")
     assert abs(d1 - d0) / d0 < 0.02, (d1, d0)
     np.testing.assert_allclose(f1, f0, atol=0.01)
+
+
+def test_piecewise_megakernel_matches_general_path():
+    """K_LAMBERTIAN_PIECEWISE on the fused streaming megakernel: the
+    surface loop interpolates the directional absorptance (1-D over
+    theta, or bilinear over (theta, wl)) and the specular probability
+    into the extra_q carry at each candidate's incidence angle; the
+    epilogue chooses specular vs full-hemisphere diffuse. Must reproduce
+    the host-stepped jnp shade path AND the analytic interpolation: the
+    mirror's theta table [0, pi/3, pi/2] -> [0.2, 0.6, 0.8] gives
+    absorptance 0.2 + (3/4)*0.4 = 0.500 at 45 deg incidence (ref
+    piecewise family optics_callables.py:331-491)."""
+    import logging
+    from tracer_tpu.engine import (TracerEngine, TraceOptions,
+                                   trace_streaming)
+    from tracer_tpu.kernels.pallas_intersect import TILE
+    from tracer_tpu.sources import disk_bundle, disk_pillbox_pallas_spec
+
+    band = (400e-9, 1200e-9)
+    thetas = [0.0, np.pi / 3, np.pi / 2]
+    # directional absorptance + DIRECTIONAL specularity on the mirror
+    mirror = Surface(G.rect_plate(2.0, 2.0),
+                     M.lambertian_directional_piecewise(
+                         thetas, [0.2, 0.6, 0.8],
+                         specularity=[0.9, 0.5, 0.3]),
+                     rotation=spatial.rotx(-np.pi / 4)[:3, :3],
+                     name="mirror")
+    refl = np.array([0.0, 1.0, 0.0])
+    # bilinear (theta, wl) spectral absorptance on the receiver
+    rec = Surface(G.rect_plate(3.5, 3.5),
+                  M.lambertian_directional_spectral_piecewise(
+                      [0.0, np.pi / 2], band,
+                      [[0.5, 0.9], [0.3, 0.7]]),
+                  location=(1.6 * refl).tolist(),
+                  rotation=spatial.rotation_to_z(-refl), name="rec")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([mirror, rec])]), dtype=jnp.float32)
+    for feat in ("lambertian_piecewise", "lambertian_piecewise_spectral",
+                 "lambertian_piecewise_dirspec"):
+        assert feat in table.features, feat
+
+    slab = 20 * TILE
+    total = 6 * slab
+
+    def source_fn(key):
+        k1, k2 = jax.random.split(key)
+        b = disk_bundle(k1, slab, center=[0.0, 0.0, 2.0],
+                        direction=[0.0, 0.0, -1.0], radius=0.7,
+                        ang_range=2e-3, flux=1000.0)
+        wl = jax.random.uniform(k2, (slab,), minval=band[0],
+                                maxval=band[1])
+        return b.replace(wavelength=wl)
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 2.0], [0.0, 0.0, -1.0], 0.7, 2e-3, 1000.0,
+        wl_band=band)
+
+    logger = logging.getLogger("tracer_tpu")
+    records = []
+    h = logging.Handler()
+    h.emit = lambda r: records.append(r.getMessage())
+    logger.addHandler(h)
+    old_level = logger.level
+    logger.setLevel(logging.DEBUG)
+    try:
+        a1, _, se1 = jax.block_until_ready(trace_streaming(
+            table, source_fn, jax.random.PRNGKey(0), total_rays=total,
+            max_rounds=100, max_path=10))
+    finally:
+        logger.removeHandler(h)
+        logger.setLevel(old_level)
+    assert any("dispatch: megakernel" in m for m in records), records
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    assert abs(_closure_of(a1, se1)) < 1e-5
+
+    eng = TracerEngine(table, meta)
+    b = source_fn(jax.random.PRNGKey(1))
+    res = eng.ray_tracer(b, reps=10, key=jax.random.PRNGKey(2),
+                         opts=TraceOptions(max_bounces=10, record=False))
+    f0 = (np.asarray(res.accum.absorbed)
+          / float(np.asarray(b.energy).sum()))
+
+    def frac(f, name):
+        rows = np.nonzero(np.asarray(meta.row_logical)
+                          == meta.index_of(name))[0]
+        return f[rows].sum()
+
+    # analytic first-hit check: absorptance 0.500 at 45 deg (plus a
+    # small return contribution from the receiver's diffuse lobe)
+    assert 0.46 < frac(f1, "mirror") < 0.56, frac(f1, "mirror")
+    assert frac(f0, "rec") > 0.15
+    for name in ("mirror", "rec"):
+        d1, d0 = frac(f1, name), frac(f0, name)
+        assert abs(d1 - d0) / d0 < 0.03, (name, d1, d0)
+    np.testing.assert_allclose(f1, f0, atol=0.01)

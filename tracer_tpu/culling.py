@@ -553,14 +553,16 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
     # store a table index there and conductor rows store n1, so both are
     # conservatively non-terminal mirrors (R ~ 0.9 for metals)
     absorptivity = np.where(np.isin(kinds, (M.K_REFLECT_SPECTRAL,
-                                            M.K_FRESNEL_CONDUCTOR)),
+                                            M.K_FRESNEL_CONDUCTOR,
+                                            M.K_LAMBERTIAN_PIECEWISE)),
                             0.1, np.clip(prm[:, 0], 0.0, 1.0))
-    # terminal rows absorb EVERYTHING they receive: spectral/conductor p0
-    # is not an absorptivity, and the IAM modifier strictly reduces the
-    # nominal absorptivity (reflecting the remainder), so none of those
-    # can be terminal even at p0 = 1
+    # terminal rows absorb EVERYTHING they receive: spectral/conductor/
+    # piecewise p0 is not an absorptivity (table index), and the IAM
+    # modifier strictly reduces the nominal absorptivity (reflecting the
+    # remainder), so none of those can be terminal even at p0 = 1
     terminal = (~np.isin(kinds, (M.K_REFLECT_SPECTRAL,
-                                 M.K_FRESNEL_CONDUCTOR))
+                                 M.K_FRESNEL_CONDUCTOR,
+                                 M.K_LAMBERTIAN_PIECEWISE))
                 & ((flg & M.F_IAM) == 0)
                 & (prm[:, 0] >= 1.0 - 1e-6))   # no outgoing energy, ever
     # wide scatterers cannot keep the closure narrow -> demote (their

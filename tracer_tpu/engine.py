@@ -207,7 +207,7 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
     fusable_kinds = {_M.K_REFLECT, _M.K_LAMBERTIAN, _M.K_COOK_TORRANCE,
                      _M.K_LAMBERTIAN_SPECULAR, _M.K_SEMI_LAMBERTIAN,
                      _M.K_TRANSPARENT, _M.K_FRESNEL_CONDUCTOR,
-                     _M.K_PERIODIC}
+                     _M.K_PERIODIC, _M.K_LAMBERTIAN_PIECEWISE}
     refr_ok = (_M.K_REFRACTIVE in scene.kinds_present
                and "volumetric" not in scene.features
                and "dispersive" not in scene.features
@@ -226,10 +226,15 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
                                                pack_rows)
         refractive = _M.K_REFRACTIVE in scene.kinds_present
         fc_scene = _M.K_FRESNEL_CONDUCTOR in scene.kinds_present
+        lpw_scene = _M.K_LAMBERTIAN_PIECEWISE in scene.kinds_present
         # dispersive conductors interpolate n(wl)/k(wl) in-kernel, so the
         # per-lane wavelength must thread through (spectral mode);
-        # constant-index chunks resolve with the dummy wl
-        fc_wl = fc_scene and "conductor_dispersive" in scene.features
+        # constant-index chunks resolve with the dummy wl. Same for the
+        # bilinear (theta, wl) piecewise-Lambertian grids.
+        need_wl = ((fc_scene and "conductor_dispersive" in scene.features)
+                   or (lpw_scene
+                       and "lambertian_piecewise_spectral"
+                       in scene.features))
         key, k_seed = jax.random.split(key)
         seed = jax.random.randint(k_seed, (1,), 0, jnp.iinfo(jnp.int32).max,
                                   dtype=jnp.int32)
@@ -242,10 +247,10 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
             slope="slope_error" in scene.features,
             lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
             wavelength=(bundle.wavelength.astype(jnp.float32)
-                        if fc_wl else None),
+                        if need_wl else None),
             spectral_tab=(jnp.stack([scene.spectral_wl, scene.spectral_ab],
                                     axis=1).astype(jnp.float32)
-                          if fc_scene else None),
+                          if fc_scene or lpw_scene else None),
             ref_index=(bundle.ref_index.astype(jnp.float32)
                        if refractive else None),
             cook_torrance=_M.K_COOK_TORRANCE in scene.kinds_present,
@@ -253,9 +258,10 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
             semi_lambertian=_M.K_SEMI_LAMBERTIAN in scene.kinds_present,
             transparent=_M.K_TRANSPARENT in scene.kinds_present,
             conductor=fc_scene, iam="iam" in scene.features,
-            periodic=_M.K_PERIODIC in scene.kinds_present)
+            periodic=_M.K_PERIODIC in scene.kinds_present,
+            piecewise=lpw_scene)
         new_pos, new_dir, new_e, sid, absorbed_f = outs[:5]
-        k_o = 5 + int(fc_wl)   # spectral mode returns the (unchanged) wl
+        k_o = 5 + int(need_wl)  # spectral mode returns the (unchanged) wl
         new_ri = outs[k_o] if refractive else bundle.ref_index
         sid = jnp.where(alive, sid, -1)
         hit = sid >= 0
@@ -758,7 +764,7 @@ def trace_fused(scene: SceneTable, bundle: RayBundle, key: jax.Array,
                               "refractive", "cook_torrance",
                               "lam_specular", "semi_lambertian",
                               "transparent", "conductor", "iam",
-                              "periodic"))
+                              "periodic", "piecewise"))
 def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                                 total_rays: int, slab: int,
                                 max_rounds: int, max_path: int,
@@ -774,7 +780,8 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                                 transparent: bool = False,
                                 conductor: bool = False,
                                 iam: bool = False,
-                                periodic: bool = False):
+                                periodic: bool = False,
+                                piecewise: bool = False):
     """Streaming trace where regeneration happens INSIDE the fused bounce
     kernel (single-group pure-specular scenes with a bakeable source): the
     ray state makes exactly one HBM round trip per bounce. The emission
@@ -787,8 +794,8 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
     ambient_att = float(source_spec[14]) if len(source_spec) > 14 else 0.0
     rows = pack_rows(scene)
     spectral_tab = (jnp.stack([scene.spectral_wl, scene.spectral_ab], axis=1)
-                    .astype(jnp.float32) if (spectral or conductor)
-                    else None)
+                    .astype(jnp.float32)
+                    if (spectral or conductor or piecewise) else None)
     te = default_t_eps(jnp.float32) if t_eps is None else t_eps
 
     from .analysis import device_fluxmap as _dfm
@@ -832,7 +839,8 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
             ref_index=ri if refractive else None,
             cook_torrance=cook_torrance, lam_specular=lam_specular,
             semi_lambertian=semi_lambertian, transparent=transparent,
-            conductor=conductor, iam=iam, periodic=periodic)
+            conductor=conductor, iam=iam, periodic=periodic,
+            piecewise=piecewise)
         pos, dirs, e_new, sid, absorbed = outs[:5]
         k_o = 5
         if spectral:
@@ -1234,6 +1242,10 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     fc_wl = fc_scene and "conductor_dispersive" in scene.features
     iam_scene = "iam" in scene.features
     pd_scene = _M.K_PERIODIC in scene.kinds_present
+    lpw_scene = _M.K_LAMBERTIAN_PIECEWISE in scene.kinds_present
+    # bilinear (theta, wl) piecewise grids need the wavelength thread
+    lpw_wl = (lpw_scene
+              and "lambertian_piecewise_spectral" in scene.features)
     fusable = (spec is not None
                and set(scene.kinds_present) <= {_M.K_REFLECT,
                                                 _M.K_LAMBERTIAN,
@@ -1244,8 +1256,9 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
                                                 _M.K_SEMI_LAMBERTIAN,
                                                 _M.K_TRANSPARENT,
                                                 _M.K_FRESNEL_CONDUCTOR,
-                                                _M.K_PERIODIC}
-               and (not (spectral_scene or fc_wl)
+                                                _M.K_PERIODIC,
+                                                _M.K_LAMBERTIAN_PIECEWISE}
+               and (not (spectral_scene or fc_wl or lpw_wl)
                     or spec_band is not None)
                and vol_ok and refr_ok
                and "iam_nonmirror" not in scene.features
@@ -1265,7 +1278,8 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     # and hence culling — stays sound for them
     cullable = (fusable and not refractive_scene and not ct_scene
                 and not ls_scene and not sl_scene and not tr_scene
-                and not pd_scene)   # teleports break corridor closure
+                and not pd_scene   # teleports break corridor closure
+                and not lpw_scene)  # diffuse lobe, like the scatterers
     if cullable and culling is not None:
         from .kernels.pallas_intersect import TILE
         nb = culling.nb
@@ -1333,11 +1347,12 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             one_sided="one_sided" in scene.features,
             slope="slope_error" in scene.features,
             lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
-            spectral=spectral_scene or fc_wl, fluxspecs=fluxspecs,
+            spectral=spectral_scene or fc_wl or lpw_wl,
+            fluxspecs=fluxspecs,
             refractive=refractive_scene, cook_torrance=ct_scene,
             lam_specular=ls_scene, semi_lambertian=sl_scene,
             transparent=tr_scene, conductor=fc_scene, iam=iam_scene,
-            periodic=pd_scene)
+            periodic=pd_scene, piecewise=lpw_scene)
     import logging
     logging.getLogger("tracer_tpu").debug(
         "streaming dispatch: general (kinds=%s features=%s)",

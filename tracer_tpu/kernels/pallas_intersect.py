@@ -42,10 +42,12 @@ ROW_INV_ROT = 0      # 9 floats, row-major R^T
 ROW_INV_TRN = 9      # 3 floats
 ROW_QUAD = 12        # 10 floats
 ROW_KIND = 22        # optics kind*1024 + flags (as float; both small ints)
-ROW_P0 = 23          # first FOUR optics params (p2 = spectral-row sigma;
-                     # p2/p3 = Cook-Torrance m_k / R_lam)
-ROW_AP = 27          # C*6 floats of aperture params
-ROW_F = 27           # + 6*C
+ROW_P0 = 23          # first SEVEN optics params (p2 = spectral-row sigma;
+                     # p2/p3 = Cook-Torrance m_k / R_lam; p4..p6 =
+                     # piecewise-Lambertian wl-chunk start / len / grid
+                     # start for the bilinear (theta, wl) absorptance)
+ROW_AP = 30          # C*6 floats of aperture params
+ROW_F = 30           # + 6*C
 
 # carried per-ray state: t, sid, global normal (3), local hit point (3),
 # up-component of ray dir, optics kind*1024+flags, p0, p1 of the winner.
@@ -62,7 +64,7 @@ def pack_rows(scene) -> "jnp.ndarray":
     elements, so an (S, K) table would cost S*512 bytes of the 1 MB SMEM
     (OOM beyond ~1.5k surfaces) while (K, S) costs K*ceil(S, 128)*4."""
     S = scene.num_rows
-    p = scene.opt_params[:, 0:4]
+    p = scene.opt_params[:, 0:7]
     # IAM rows on reflective/Lambertian bases leave p2 free: mirror a_r
     # (p4) there so the fused epilogue finds it in the extra_q carry
     # (scene.compile_scene tags any other IAM base "iam_nonmirror" and
@@ -159,11 +161,74 @@ def _interp_row_table(wl, start, length, tabx_ref, taby_ref, n_tab: int):
     return jax.lax.fori_loop(0, n_tab - 1, seg, acc)
 
 
+def _acos_poly(x):
+    """arccos on [0, 1] via the Abramowitz-Stegun 4.4.45 8-term
+    polynomial: |err| <= 2e-8 rad, far below any absorptance-table
+    resolution — Mosaic lowers neither acos nor atan2."""
+    p = jnp.float32(-0.0012624911)
+    p = p * x + 0.0066700901
+    p = p * x - 0.0170881256
+    p = p * x + 0.0308918810
+    p = p * x - 0.0501743046
+    p = p * x + 0.0889789874
+    p = p * x - 0.2145988016
+    p = p * x + 1.5707963050
+    return jnp.sqrt(jnp.maximum(1.0 - x, 0.0)) * p
+
+
+def _interp2_row_table(th, wl, th_start, T, wl_start, W, grid_start,
+                       tabx_ref, taby_ref):
+    """Gather-free per-lane BILINEAR interpolation on a (T, W) grid packed
+    into the shared spectral table: axis values live in tabx at
+    [th_start, th_start+T) and [wl_start, wl_start+W); grid values
+    row-major (theta-major) in taby from grid_start. Starts/lengths are
+    SCALARS (from the winner row), th/wl are lane vectors. Nested fori
+    with dynamic scalar bounds — (T-1)*(W-1) iterations, each a handful
+    of masked VPU ops (same trick as _interp_row_table; the grid corner
+    reads are scalar SMEM indexing). Queries clamp to the grid edges
+    (matches shade._interp2_segment)."""
+    th_lo, th_hi = tabx_ref[th_start], tabx_ref[th_start + T - 1]
+    wl_lo, wl_hi = tabx_ref[wl_start], tabx_ref[wl_start + W - 1]
+    th_q = jnp.clip(th, th_lo, th_hi)
+    wl_q = jnp.clip(wl, wl_lo, wl_hi)
+
+    def row(i, acc):
+        tx0, tx1 = tabx_ref[th_start + i], tabx_ref[th_start + i + 1]
+        # top-edge segments close their upper bound so clamped queries
+        # landing exactly on the edge still match one cell
+        m_th = (th_q >= tx0) & ((th_q < tx1)
+                                | ((tx1 == th_hi) & (th_q <= tx1)))
+        wt = jnp.clip((th_q - tx0)
+                      / jnp.where(tx1 == tx0, 1.0, tx1 - tx0), 0.0, 1.0)
+        base = grid_start + i * W
+
+        def col(j, acc):
+            wx0, wx1 = tabx_ref[wl_start + j], tabx_ref[wl_start + j + 1]
+            m = m_th & (wl_q >= wx0) & ((wl_q < wx1)
+                                        | ((wx1 == wl_hi)
+                                           & (wl_q <= wx1)))
+            ww = jnp.clip((wl_q - wx0)
+                          / jnp.where(wx1 == wx0, 1.0, wx1 - wx0),
+                          0.0, 1.0)
+            g00 = taby_ref[base + j]
+            g01 = taby_ref[base + j + 1]
+            g10 = taby_ref[base + W + j]
+            g11 = taby_ref[base + W + j + 1]
+            val = ((1.0 - wt) * ((1.0 - ww) * g00 + ww * g01)
+                   + wt * ((1.0 - ww) * g10 + ww * g11))
+            return acc + jnp.where(m, val, 0.0)
+
+        return jax.lax.fori_loop(0, W - 1, col, acc)
+
+    return jax.lax.fori_loop(0, T - 1, row, jnp.zeros_like(th_q))
+
+
 def _surface_body(sig, base_sid, t_eps, disc_eps, tag, need_local,
                   rows_ref, rays, lists_ref=None, block=None,
                   col_offset=0,
                   spectral=False, wl=None, tabx_ref=None, taby_ref=None,
-                  n_tab=0, extra_q=False, conductor=False):
+                  n_tab=0, extra_q=False, conductor=False,
+                  piecewise=False):
     """Per-surface fori body shared by the plain and fused group kernels:
     running (t, sid) min plus the winner's shading data (global geometric
     normal, optionally local hit point, up-component, optics
@@ -190,7 +255,13 @@ def _surface_body(sig, base_sid, t_eps, disc_eps, tag, need_local,
     [p1, p1+p2) / [p1+p2, p1+2*p2) of the shared spectral table (scalar
     lax.cond, so non-conductor rows skip the interpolation); without a
     wavelength thread (wl=None) the lookup still lands on the single
-    entry of constant-index chunks."""
+    entry of constant-index chunks. With ``piecewise``,
+    K_LAMBERTIAN_PIECEWISE rows fill q2 with the directional absorptance
+    interpolated at this candidate's incidence angle (1-D over the theta
+    chunk [p0, p0+p1), or bilinear over the (theta, wl) grid when p5 > 0)
+    and q3 with the specular probability (constant p2, or interpolated
+    from the chunk at p3 when p3 >= 0) — ref piecewise family
+    optics_callables.py:331-491."""
     flat = tag == "flat"
     parab = tag == "parab"
     sphere = tag == "sphere"
@@ -364,21 +435,69 @@ def _surface_body(sig, base_sid, t_eps, disc_eps, tag, need_local,
                 q1_b = jnp.where(upd, r[ROW_P0 + 1], q1_b)
             extra = ()
             if extra_q:
-                if conductor:
-                    is_fc = jnp.floor(r[ROW_KIND] * (1.0 / 1024.0)) == 10.0
-                    st_c = r[ROW_P0 + 1].astype(jnp.int32)
-                    L_c = r[ROW_P0 + 2].astype(jnp.int32)
+                if conductor or piecewise:
                     wl_c = wl if wl is not None else jnp.zeros_like(px)
-                    q2n, q3n = jax.lax.cond(
-                        is_fc,
-                        lambda: (_interp_row_table(wl_c, st_c, L_c,
-                                                   tabx_ref, taby_ref,
-                                                   n_tab),
-                                 _interp_row_table(wl_c, st_c + L_c, L_c,
-                                                   tabx_ref, taby_ref,
-                                                   n_tab)),
-                        lambda: (jnp.full_like(px, r[ROW_P0 + 2]),
-                                 jnp.full_like(px, r[ROW_P0 + 3])))
+
+                    def default_q():
+                        return (jnp.full_like(px, r[ROW_P0 + 2]),
+                                jnp.full_like(px, r[ROW_P0 + 3]))
+                    q_fn = default_q
+                    if piecewise:
+                        def lpw_q():
+                            # incidence angle against THIS candidate's
+                            # normal (g may be an unnormalized gradient)
+                            gn = jax.lax.rsqrt(jnp.maximum(
+                                gx * gx + gy * gy + gz * gz, 1e-30))
+                            cosc = jnp.clip(
+                                jnp.abs(dx * gx + dy * gy + dz * gz) * gn,
+                                0.0, 1.0)
+                            thv = _acos_poly(cosc)
+                            th_st = r[ROW_P0].astype(jnp.int32)
+                            L_t = r[ROW_P0 + 1].astype(jnp.int32)
+                            W_t = r[ROW_P0 + 5].astype(jnp.int32)
+                            abs_pw = jax.lax.cond(
+                                W_t > 0,
+                                lambda: _interp2_row_table(
+                                    thv, wl_c, th_st, L_t,
+                                    r[ROW_P0 + 4].astype(jnp.int32), W_t,
+                                    r[ROW_P0 + 6].astype(jnp.int32),
+                                    tabx_ref, taby_ref),
+                                lambda: _interp_row_table(
+                                    thv, th_st, L_t, tabx_ref, taby_ref,
+                                    n_tab))
+                            spec_p = jax.lax.cond(
+                                r[ROW_P0 + 3] >= 0.0,
+                                lambda: _interp_row_table(
+                                    thv, r[ROW_P0 + 3].astype(jnp.int32),
+                                    L_t, tabx_ref, taby_ref, n_tab),
+                                lambda: jnp.full_like(px, r[ROW_P0 + 2]))
+                            return abs_pw, spec_p
+                        inner_pw = q_fn
+
+                        def piecewise_q(inner=inner_pw):
+                            is_lpw = (jnp.floor(r[ROW_KIND]
+                                                * (1.0 / 1024.0)) == 11.0)
+                            return jax.lax.cond(is_lpw, lpw_q, inner)
+                        q_fn = piecewise_q
+                    if conductor:
+                        inner_fc = q_fn
+
+                        def conductor_q(inner=inner_fc):
+                            is_fc = (jnp.floor(r[ROW_KIND]
+                                               * (1.0 / 1024.0)) == 10.0)
+                            st_c = r[ROW_P0 + 1].astype(jnp.int32)
+                            L_c = r[ROW_P0 + 2].astype(jnp.int32)
+                            return jax.lax.cond(
+                                is_fc,
+                                lambda: (_interp_row_table(
+                                    wl_c, st_c, L_c, tabx_ref, taby_ref,
+                                    n_tab),
+                                         _interp_row_table(
+                                    wl_c, st_c + L_c, L_c, tabx_ref,
+                                    taby_ref, n_tab)),
+                                inner)
+                        q_fn = conductor_q
+                    q2n, q3n = q_fn()
                 else:
                     q2n = r[ROW_P0 + 2]
                     q3n = r[ROW_P0 + 3]
@@ -514,7 +633,8 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
                          transparent: bool = False,
                          conductor: bool = False,
                          iam: bool = False,
-                         periodic: bool = False):
+                         periodic: bool = False,
+                         piecewise: bool = False):
     """Reflect + slope error + one-sided kill on the carried winner data.
     The per-core PRNG must already be seeded by the caller.
 
@@ -574,7 +694,15 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
     mirrors p4 there for reflective/Lambertian bases; ref IAM :271).
     ``periodic`` compiles K_PERIODIC lanes (period in q0): teleport along
     the flipped normal, direction and energy unchanged (ref
-    PeriodicBoundary :690)."""
+    PeriodicBoundary :690).
+
+    ``piecewise`` compiles K_LAMBERTIAN_PIECEWISE lanes (needs the
+    four-parameter carry: the surface loop interpolates the directional
+    absorptance into q2 and the specular probability into q3 at each
+    candidate's own incidence angle): w.p. q3 the specular reflection
+    (no slope error — the ref piecewise family has none), else
+    full-hemisphere cosine diffuse; absorbs q2 (ref
+    optics_callables.py:331-491)."""
     def epilogue(t_b, ng_x, ng_y, ng_z, upd_b, kf_b, q0_b, q1_b,
                  px, py, pz, dx, dy, dz, e_in, ri=None,
                  q2_b=None, q3_b=None):
@@ -618,6 +746,9 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
         is_fc = None
         if conductor:
             is_fc = jnp.floor(kf_b * (1.0 / 1024.0)) == 10.0
+        is_lpw = None
+        if piecewise:
+            is_lpw = jnp.floor(kf_b * (1.0 / 1024.0)) == 11.0
         if slope:
             def uniform():
                 # 24-bit mantissa path; Mosaic lacks uint32->f32 casts so
@@ -655,6 +786,10 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
                 # conductor lanes carry their table start in q1, no
                 # slope error (ref FresnelConductorHomogenous has none)
                 sigma = jnp.where(is_fc, 0.0, sigma)
+            if piecewise:
+                # piecewise lanes carry their table length in q1, no
+                # slope error (the ref piecewise family has none)
+                sigma = jnp.where(is_lpw, 0.0, sigma)
             if bivar in (True, "mixed"):
                 nrm2 = rr * jnp.sin(ang)
                 tx = jnp.tan(nrm1 * sigma)
@@ -802,6 +937,11 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
             R_c = jnp.clip(0.5 * (R_pc + R_sc), 0.0, 1.0)
             q0_eff = jnp.where(is_fc, 1.0 - R_c, q0_eff)
 
+        if piecewise:
+            # winner absorptance was interpolated at the incidence angle
+            # inside the surface loop (q2)
+            q0_eff = jnp.where(is_lpw, q2_b, q0_eff)
+
         if iam:
             # Martin-Ruiz incidence-angle modifier on F_IAM lanes (bit 2
             # of the flags word: kf mod 8 >= 4); a_r rides in q2
@@ -812,7 +952,7 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
                      / (1.0 - jnp.exp(-1.0 / a_r)))
             q0_eff = jnp.where(has_iam, q0_eff * iam_f, q0_eff)
 
-        if lambertian or lam_specular or semi_lambertian:
+        if lambertian or lam_specular or semi_lambertian or piecewise:
             # cosine-weighted diffuse about the unperturbed normal within
             # ang_range (shade.py d_lambert; ref Lambertian :143) —
             # shared by the pure-Lambertian lanes, the diffuse branch of
@@ -824,6 +964,10 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
             sin_cap = jnp.sin(q1_b)
             if lam_specular:
                 sin_cap = jnp.where(kq == 3.0, 1.0, sin_cap)
+            if piecewise:
+                # piecewise q1 is the table length; diffuse branch is
+                # full-hemisphere (ref pillbox ang_range = pi/2)
+                sin_cap = jnp.where(kq == 11.0, 1.0, sin_cap)
             sinsq = sin_cap * jnp.sqrt(ul1)
             phl = 2.0 * np.pi * ul2
             lz = jnp.sqrt(jnp.maximum(1.0 - sinsq * sinsq, 0.0))
@@ -843,6 +987,11 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
                 cos_in = jnp.abs(dx * n0x + dy * n0y + dz * n0z)
                 go_diff = go_diff | ((kq == 4.0)
                                      & (cos_in >= jnp.cos(q1_b)))
+            if piecewise:
+                # w.p. the interpolated specular probability (q3) keep
+                # the specular reflection, else diffuse
+                u_pw = _kernel_uniform(px.shape)
+                go_diff = go_diff | ((kq == 11.0) & (u_pw >= q3_b))
             rx = jnp.where(go_diff, ldx, rx)
             ry = jnp.where(go_diff, ldy, ry)
             rz = jnp.where(go_diff, ldz, rz)
@@ -992,7 +1141,8 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                        ambient_att=0.0, refractive=False,
                        cook_torrance=False, lam_specular=False,
                        semi_lambertian=False, transparent=False,
-                       conductor=False, iam=False, periodic=False):
+                       conductor=False, iam=False, periodic=False,
+                       piecewise=False):
     """Fused intersect + shade-epilogue kernel: one HBM round trip of the
     ray state per bounce. Runs one specialized fori per aperture-signature
     group over the shared (t, sid, winner) carry, so multi-group scenes
@@ -1011,7 +1161,8 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
     through the surface loop and compile the corresponding epilogue
     branches; ``semi_lambertian``/``transparent`` compile theirs on the
     two-parameter carry."""
-    extra_q = cook_torrance or lam_specular or conductor or iam
+    extra_q = (cook_torrance or lam_specular or conductor or iam
+               or piecewise)
     epi = _make_shade_epilogue(bivar, one_sided, slope, lambertian,
                                ambient_att, refractive=refractive,
                                cook_torrance=cook_torrance,
@@ -1019,7 +1170,7 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                                semi_lambertian=semi_lambertian,
                                transparent=transparent,
                                conductor=conductor, iam=iam,
-                               periodic=periodic)
+                               periodic=periodic, piecewise=piecewise)
 
     def kernel(seed_ref, regen_ref, tabx_ref, taby_ref, rows_ref, *io):
         n_in = 7 + int(spectral) + int(refractive)
@@ -1075,7 +1226,7 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                                  spectral=spectral, wl=wl,
                                  tabx_ref=tabx_ref, taby_ref=taby_ref,
                                  n_tab=n_tab, extra_q=extra_q,
-                                 conductor=conductor)
+                                 conductor=conductor, piecewise=piecewise)
             carry = jax.lax.fori_loop(start, end, body, carry)
         q2_b = q3_b = None
         if extra_q:
@@ -1111,7 +1262,8 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                                     "source_spec", "ambient_att",
                                     "cook_torrance", "lam_specular",
                                     "semi_lambertian", "transparent",
-                                    "conductor", "iam", "periodic"))
+                                    "conductor", "iam", "periodic",
+                                    "piecewise"))
 def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                           t_eps: float, disc_eps: float = 1e-6,
                           bivar: bool = True, one_sided: bool = True,
@@ -1124,7 +1276,8 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                           semi_lambertian: bool = False,
                           transparent: bool = False,
                           conductor: bool = False, iam: bool = False,
-                          periodic: bool = False):
+                          periodic: bool = False,
+                          piecewise: bool = False):
     """Fused intersect+shade bounce for K_REFLECT / K_LAMBERTIAN /
     K_REFLECT_SPECTRAL / K_REFRACTIVE scenes (any number of
     aperture-signature groups).
@@ -1190,7 +1343,7 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                                 semi_lambertian=semi_lambertian,
                                 transparent=transparent,
                                 conductor=conductor, iam=iam,
-                                periodic=periodic)
+                                periodic=periodic, piecewise=piecewise)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,   # seed, regen, spectral table x/y, rows
         grid=(nb,),
