@@ -94,3 +94,40 @@ def test_streaming_sharded_closure_and_agreement():
     f_s = np.asarray(a_s.absorbed) / float(se_s)
     f_1 = np.asarray(a_1.absorbed) / float(se_1)
     np.testing.assert_allclose(f_s, f_1, rtol=0.05)
+
+
+def test_streaming_sharded_culled_rejects_uncullable_kinds():
+    """The culled sharded worker compiles the culled megakernel with
+    static optics flags; kinds it has no epilogue for (Cook-Torrance,
+    refractive, ...) must be rejected loudly instead of silently tracing
+    wrong physics (the single-chip path falls back to the plain
+    megakernel — the sharded path has no fallback by design)."""
+    import pytest
+    from tracer_tpu import spatial as sp
+    from tracer_tpu.culling import build_block_culling
+    from tracer_tpu.parallel import trace_streaming_sharded
+    from tracer_tpu.sources import disk_bundle, disk_pillbox_pallas_spec
+    from tracer_tpu.kernels.pallas_intersect import TILE
+
+    mirror = Surface(G.rect_plate(3.0, 3.0),
+                     M.bdrf_cook_torrance(0.3, 2.0, 4.0, 0.9))
+    rec = Surface(G.rect_plate(3.0, 3.0), M.absorber(),
+                  location=[0.0, 0.0, 2.0],
+                  rotation=sp.rotx(np.pi)[:3, :3], name="rec")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([mirror, rec])]), dtype=jnp.float64)
+
+    slab = 8 * TILE
+
+    def source_fn(key):
+        return disk_bundle(key, slab, center=[0.0, 0.0, 1.0],
+                           direction=[0.0, 0.0, -1.0], radius=1.2,
+                           ang_range=2e-3, flux=1000.0)
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 1.0], [0.0, 0.0, -1.0], 1.2, 2e-3, 1000.0)
+
+    culling = build_block_culling(table, meta, source_fn.pallas_spec, slab)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("rays",))
+    with pytest.raises(ValueError, match="not culled-megakernel eligible"):
+        trace_streaming_sharded(table, source_fn, jax.random.PRNGKey(0),
+                                8 * slab, mesh, culling=culling)

@@ -12,10 +12,14 @@ binning is one floor() per axis).
 The scatter is two one-hot bf16 matmuls (hist += U^T V with U the u-bin
 one-hot weighted by absorbed energy and V the v-bin one-hot): XLA fuses
 one-hot generation into the MXU pass, whereas a real TPU scatter of a
-multi-M-lane slab costs ~9 ms/round. Like engine._account, per-ray
-absorbed values are bf16-rounded (<0.4% per ray) and accumulated in f32 —
-far below MC noise per bin (tests/test_flux_oracle.py holds the 3-sigma
-criterion on hardware).
+multi-M-lane slab costs ~9 ms/round. Per-ray absorbed values are
+STOCHASTICALLY rounded onto the bf16 grid (stochastic_round_bf16) and
+accumulated in f32: round-to-nearest would shift identical-valued samples
+(constant absorptivity x constant e_ray) by the same <=2^-9 relative
+error — a systematic per-bin bias — while stochastic rounding converges
+to the f32 total with ~2^-9/sqrt(N) relative error, far below MC noise
+per bin (tests/test_flux_oracle.py holds the 3-sigma criterion on
+hardware).
 
 Usage::
 
@@ -108,13 +112,34 @@ def _uv(spec: FluxSpec, local):
     raise NotImplementedError(f"no device fluxmap for kind {spec.kind}")
 
 
+def stochastic_round_bf16(x, key):
+    """Unbiased rounding of f32 values onto the bf16 grid (bf16 = the top
+    16 bits of f32): add uniform bits over the low mantissa, truncate.
+    One elementwise VPU pass; makes bf16-matmul accumulations converge to
+    the f32 total instead of carrying the round-to-nearest bias of
+    repeated identical values."""
+    import jax
+    import jax.random as jrandom
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    dither = (jrandom.bits(key, x.shape, dtype=jnp.uint32)
+              & jnp.uint32(0xFFFF))
+    return jax.lax.bitcast_convert_type(
+        (bits + dither) & jnp.uint32(0xFFFF0000), jnp.float32)
+
+
 def accumulate(flux: tuple, fluxspecs: tuple, scene, sid, hit_pts,
-               absorbed) -> tuple:
+               absorbed, key=None) -> tuple:
     """One bounce's histogram update (pure jnp; called inside the jitted
     trace drivers). sid (n,) winning row or -1; hit_pts (n, 3) global hit
-    points (garbage on non-hit lanes — masked by sid); absorbed (n,)."""
+    points (garbage on non-hit lanes — masked by sid); absorbed (n,).
+    With ``key``, absorbed values are stochastically rounded onto the
+    bf16 grid (unbiased); without, round-to-nearest (legacy)."""
     if not fluxspecs:
         return flux
+    if key is not None:
+        import jax.random as jrandom
+        absorbed = stochastic_round_bf16(
+            absorbed, jrandom.fold_in(key, 0x51ab))
     out = []
     for spec, hist in zip(fluxspecs, flux):
         dt = hist.dtype

@@ -122,6 +122,23 @@ class BlockCulling:
         return q.astype(np.int32)
 
 
+def _largest_remainder_counts(ideal: np.ndarray, nb: int):
+    """Spread ``nb`` cells over bands proportionally to ``ideal`` with
+    largest-remainder rounding and a min-1 guard; returns None when the
+    guard cannot absorb the overshoot (caller skips that band count)."""
+    n = np.maximum(np.floor(ideal).astype(int), 1)
+    while n.sum() > nb:                                # min-1 overshoot
+        i = int(np.argmax(n - ideal))
+        if n[i] <= 1:
+            return None
+        n[i] -= 1
+    rem = nb - n.sum()
+    order = np.argsort(ideal - n)[::-1]
+    for i in order[:rem]:
+        n[i] += 1
+    return n
+
+
 def disk_cells(nb: int) -> np.ndarray:
     """Equal-area partition of the unit disk into ``nb`` annular-sector
     cells of near-unit aspect ratio, for ANY nb (no factorization needed —
@@ -136,18 +153,7 @@ def disk_cells(nb: int) -> np.ndarray:
     fraction."""
     def ring_counts(m: int):
         w = np.arange(1, 2 * m, 2, dtype=np.float64)   # equal-width rings
-        ideal = nb * w / w.sum()
-        n = np.maximum(np.floor(ideal).astype(int), 1)
-        while n.sum() > nb:                            # min-1 overshoot
-            i = int(np.argmax(n - ideal))
-            if n[i] <= 1:
-                return None
-            n[i] -= 1
-        rem = nb - n.sum()
-        order = np.argsort(ideal - n)[::-1]
-        for i in order[:rem]:
-            n[i] += 1
-        return n
+        return _largest_remainder_counts(nb * w / w.sum(), nb)
 
     def worst_aspect(n):
         c = np.concatenate([[0], np.cumsum(n)]) / nb
@@ -203,18 +209,7 @@ def rect_cells(nb: int, w: float = 1.0, h: float = 1.0) -> np.ndarray:
     rows are horizontal bands whose heights are proportional to their
     cell counts, so every cell has area w*h/nb exactly."""
     def row_counts(m: int):
-        ideal = np.full(m, nb / m)
-        n = np.maximum(np.floor(ideal).astype(int), 1)
-        while n.sum() > nb:
-            i = int(np.argmax(n - ideal))
-            if n[i] <= 1:
-                return None
-            n[i] -= 1
-        rem = nb - n.sum()
-        order = np.argsort(ideal - n)[::-1]
-        for i in order[:rem]:
-            n[i] += 1
-        return n
+        return _largest_remainder_counts(np.full(m, nb / m), nb)
 
     def worst_aspect(n):
         cw = w / n                      # cell width per row

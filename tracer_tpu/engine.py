@@ -748,7 +748,7 @@ def trace_fused(scene: SceneTable, bundle: RayBundle, key: jax.Array,
         if fluxspecs:
             accum = accum.replace(flux=_dfm.accumulate(
                 accum.flux, fluxspecs, scene, rec.sid, rec.hit,
-                rec.absorbed))
+                rec.absorbed, key=sub))
         return (i + 1, bundle, accum, key)
 
     _, bundle, accum, _ = jax.lax.while_loop(
@@ -855,7 +855,7 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                          e_before, count_hits=False)
         if fluxspecs:
             accum = accum.replace(flux=_dfm.accumulate(
-                accum.flux, fluxspecs, scene, sid, pos, absorbed))
+                accum.flux, fluxspecs, scene, sid, pos, absorbed, key=ks))
         if ambient_att > 0.0:
             # kernel reports surface absorption only; the ambient medium
             # took the rest of each hit segment's loss
@@ -1017,13 +1017,25 @@ def _trace_streaming_megakernel_culled(
         # so the -1 padding slots accumulate exactly nothing.
         onehot = (sid.reshape(nb, TILE)[:, :, None]
                   == lists[:, None, :]).astype(jnp.bfloat16)
+        # STOCHASTIC rounding to the bf16 grid before the matmul:
+        # round-to-nearest bf16(absorbed) shifts every sample by up to
+        # 2^-9 relative, and first-hit absorbed values within a row are
+        # often IDENTICAL (constant absorptivity x constant e_ray), so
+        # that rounding would accumulate as a systematic per-row bias
+        # instead of cancelling. Adding uniform bits over the truncated
+        # low mantissa (bf16 = the top 16 bits of f32) makes the
+        # rounding exactly unbiased — per-row totals converge to the f32
+        # value with relative error ~2^-9/sqrt(N) — for one elementwise
+        # pass instead of a second residual matmul (~5% end-to-end).
+        key, kd = jax.random.split(key)
+        a_sr = _dfm.stochastic_round_bf16(absorbed.reshape(nb, TILE), kd)
         hist = hist + jnp.einsum(
-            "btl,bt->bl", onehot,
-            absorbed.reshape(nb, TILE).astype(jnp.bfloat16),
+            "btl,bt->bl", onehot, a_sr.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32)
         if fluxspecs:
             accum = accum.replace(flux=_dfm.accumulate(
-                accum.flux, fluxspecs, scene, sid, npos, absorbed))
+                accum.flux, fluxspecs, scene, sid, npos, absorbed,
+                key=kd))
         accum = accum.replace(
             escaped=accum.escaped + jnp.sum(jnp.where(escaped, e_before,
                                                       0.0)))
@@ -1086,7 +1098,7 @@ def _trace_streaming_megakernel_culled(
                          count_hits=False)
         if fluxspecs:
             accum = accum.replace(flux=_dfm.accumulate(
-                accum.flux, fluxspecs, scene, sid, pos, absorbed))
+                accum.flux, fluxspecs, scene, sid, pos, absorbed, key=ks))
         if ambient_att > 0.0:
             med = jnp.where(hit, e - absorbed - ne, 0.0)
             accum = accum.replace(medium=accum.medium + jnp.sum(med))
@@ -1429,7 +1441,7 @@ def _trace_streaming_general(scene: SceneTable, source_fn, key: jax.Array,
         if fluxspecs:
             accum = accum.replace(flux=_dfm.accumulate(
                 accum.flux, fluxspecs, scene, rec.sid, rec.hit,
-                rec.absorbed))
+                rec.absorbed, key=k_bounce))
         # per-ray bounce budget: cull overage rays, account their energy
         age = age + 1
         over = bundle.alive & (age >= max_path)

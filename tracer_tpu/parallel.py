@@ -141,9 +141,24 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
     from . import materials as _M
 
     spectral_scene = _M.K_REFLECT_SPECTRAL in scene.kinds_present
+    fc_scene = _M.K_FRESNEL_CONDUCTOR in scene.kinds_present
+    fc_wl = fc_scene and "conductor_dispersive" in scene.features
+    iam_scene = "iam" in scene.features
     spec_att = float(spec[14]) if len(spec) > 14 else 0.0
     spec_band = spec[13] if len(spec) > 13 else None
-    if spectral_scene and spec_band is None:
+    # same eligibility as trace_streaming's culled gate: fail loudly
+    # instead of compiling a kernel that silently drops the scene's
+    # optics (the culled kernel has no epilogue for the wide-scatterer /
+    # refractive / teleporting kinds, and IAM must stay on mirror bases)
+    uncullable = set(scene.kinds_present) - {
+        _M.K_REFLECT, _M.K_LAMBERTIAN, _M.K_REFLECT_SPECTRAL,
+        _M.K_FRESNEL_CONDUCTOR}
+    if uncullable or "iam_nonmirror" in scene.features:
+        raise ValueError(
+            f"scene kinds {sorted(uncullable)} (or non-mirror IAM bases) "
+            "are not culled-megakernel eligible; use "
+            "trace_streaming_sharded without culling")
+    if (spectral_scene or fc_wl) and spec_band is None:
         # same eligibility rule as trace_streaming's fusable gate: the
         # spectral kernel needs the source to declare a wavelength band,
         # otherwise every lane would trace with wavelength 0
@@ -164,8 +179,9 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
             one_sided="one_sided" in scene.features,
             slope="slope_error" in scene.features,
             lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
-            spectral=spectral_scene, ambient_att=spec_att,
-            demote_rows=culling.demote_rows, fluxspecs=fluxspecs)
+            spectral=spectral_scene or fc_wl, ambient_att=spec_att,
+            demote_rows=culling.demote_rows, fluxspecs=fluxspecs,
+            conductor=fc_scene, iam=iam_scene)
         return (jax.tree_util.tree_map(
                     lambda a: jax.lax.psum(a, "rays"), accum),
                 jax.lax.psum(emitted, "rays"),

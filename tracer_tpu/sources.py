@@ -364,8 +364,10 @@ def disk_bundle(key, num_rays: int, center, direction, radius: float,
                 rays_direction=None, procs: int = 1) -> RayBundle:
     """Uniform disk (or annular wedge) source with pillbox divergence
     (ref disk_bundle, sources.py:175). Energy per ray =
-    flux * pi (R^2 - Ri^2) / n * cos(2 sin(|rays_dir - dir|/2)) (exact
-    reference formula, including its chord-angle quirk).
+    flux * pi (R^2 - Ri^2) / n * cos(2 arcsin(|rays_dir - dir|/2)) —
+    the exact chord->angle inversion; the reference's :197 uses
+    2*sin(chord/2), a small-angle approximation of its own :395 arcsin
+    form (documented deviation, same fix as the rect sources).
 
     x_cut - keep only x < x_cut (chord-cut disc). Unlike the reference's
     rejection loop (sources.py:222-237, dynamic-shape), points are sampled
@@ -412,7 +414,13 @@ def disk_bundle(key, num_rays: int, center, direction, radius: float,
     verts = _rotate_rows(spatial.rotation_to_z(direction), verts_local) + center
 
     if flux is not None:
-        cosangle = 2.0 * np.sin(np.linalg.norm(rays_direction - direction) / 2.0)
+        # chord |a-b| = 2 sin(angle/2), so the angle between the disk
+        # normal and the beam is 2*arcsin(chord/2); the reference's
+        # :197 uses 2*sin(chord/2) instead (approximately equal only at
+        # small obliquity) — documented deviation, matching the arcsin
+        # form its own :395 uses (same fix as the rect sources here)
+        cosangle = 2.0 * np.arcsin(
+            0.5 * np.linalg.norm(rays_direction - direction))
         e = (np.pi * (radius**2 - radius_in**2) / num_rays * flux
              * np.cos(cosangle))
         energy = jnp.full((num_rays,), e)
@@ -529,7 +537,10 @@ def buie_sunshape(key, num_rays: int, center, direction, radius: float,
     energy = None
     if flux is not None:
         S = np.pi * radius**2
-        cosangle = 2.0 * np.sin(np.linalg.norm(rays_direction - direction) / 2.0)
+        # exact chord -> angle inversion (see disk_bundle): documented
+        # deviation from the reference's 2*sin(chord/2) quirk
+        cosangle = 2.0 * np.arcsin(
+            0.5 * np.linalg.norm(rays_direction - direction))
         energy = jnp.full((num_rays,), flux * S / num_rays * np.cos(cosangle))
     return RayBundle.create(pos=verts, dir=directions, energy=energy)
 

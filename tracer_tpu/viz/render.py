@@ -186,14 +186,18 @@ class Renderer:
         import matplotlib
         cmap_f = matplotlib.colormaps[cmap]
 
+        # iterate TABLE ROWS: compile_scene sorts rows by (aperture
+        # signature, quadric class), so meta.surfaces iteration order is
+        # NOT row order — pairing meshes with frames positionally through
+        # the surface list would draw geometries at the wrong transforms
         frames = self.meta.frames
-        row = 0
-        for i, surf in enumerate(self.meta.surfaces):
+        for row in range(len(frames)):
+            lid = int(self.meta.row_logical[row])
+            surf = self.meta.surfaces[lid]
             color = surf.fixed_color
-            fm = maps.get(self.meta.names[i])
-            for g in surf.geometries:
+            fm = maps.get(self.meta.names[lid])
+            for g in (self.meta.row_geoms[row],):
                 frame = frames[row]
-                row += 1
                 use_fm = fm     # per-geometry: a kind unsupported by the
                 # flux mesh must not disable the texture for later
                 # geometries of the same surface
