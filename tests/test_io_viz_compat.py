@@ -94,3 +94,44 @@ def test_renderer_saves_png(tmp_path):
     assert os.path.getsize(out) > 10_000
     tree = scene_tree(asm)
     assert "Surface 'dish'" in tree and "Assembly" in tree
+
+
+def test_show_geom_draws_each_row_at_its_own_frame():
+    """Regression: compile_scene sorts table rows by (aperture signature,
+    quadric class), so a flat receiver sorts BEFORE a parabolic dish even
+    when the dish's Surface was added first. show_geom must pair each
+    mesh with the frame of ITS row (via row_logical/row_geoms), not walk
+    meta.surfaces order positionally — that drew the dish at the
+    receiver's transform."""
+    import jax.numpy as jnp
+    from tracer_tpu import geometry as G2, materials as M2
+    from tracer_tpu.scene import (Assembly, AssembledObject, Surface,
+                                  compile_scene)
+    from tracer_tpu.viz.render import Renderer
+
+    dish = Surface(G2.parabolic_dish(diameter=2.0, focal_length=1.5),
+                   M2.reflective(0.1), name="dish")
+    rec = Surface(G2.round_plate(0.2), M2.absorber(),
+                  location=[0.0, 0.0, 1.5], name="rec")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([dish, rec])]), dtype=jnp.float64)
+    # precondition: the sort actually reorders (flat rec row first)
+    assert meta.names[int(meta.row_logical[0])] == "rec"
+
+    r = Renderer((table, meta))
+    drawn = []
+    real_plot = r.ax.plot_surface
+    r.ax.plot_surface = lambda X, Y, Z, **kw: drawn.append(
+        (np.asarray(X), np.asarray(Y), np.asarray(Z)))
+    r.show_geom()
+    assert len(drawn) == 2
+    # the small mesh (radius ~0.2) must sit at z = 1.5, the wide dish at
+    # z ~ 0: with the positional pairing bug the transforms swap
+    for X, Y, Z in drawn:
+        rmax = float(np.hypot(X, Y).max())
+        if rmax < 0.5:
+            np.testing.assert_allclose(Z, 1.5, atol=1e-9)
+        else:
+            assert rmax > 0.9
+            assert float(np.abs(Z).max()) < 0.5, "dish drawn at rec frame"
+    r.ax.plot_surface = real_plot

@@ -808,28 +808,11 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
     accum0 = TraceAccum.zeros(scene.num_rows, fluxspecs=fluxspecs)
     z32 = jnp.array(0, dtype=jnp.int32)
 
-    def cond(st):
-        i, pos, dirs, e, wl, ri, age, accum, key, emitted, source_e = st
-        return (i < max_rounds) & ((emitted < total_rays) | jnp.any(e > 0.0))
-
-    def body(st):
-        i, pos, dirs, e, wl, ri, age, accum, key, emitted, source_e = st
-        key, ks = jax.random.split(key)
+    def _round(pos, dirs, e, e_before, wl, ri, age, accum, ks, regen):
+        """One fused bounce round + accounting, any slab length (the
+        emission loop and the compacted tail share it)."""
         seed = jax.random.randint(ks, (1,), 0, jnp.iinfo(jnp.int32).max,
                                   dtype=jnp.int32)
-        n_dead = jnp.sum((e <= 0.0).astype(jnp.int32))
-        # refill while budget remains; the final emission round may
-        # overshoot by up to one slab (returned `emitted` is exact)
-        do_regen = emitted < total_rays
-        regen = jnp.where(do_regen, 1, 0).astype(jnp.int32)[None]
-        emitted = emitted + jnp.where(do_regen, n_dead, z32)
-        source_e = source_e + jnp.where(do_regen,
-                                        n_dead.astype(jnp.float32) * e_ray,
-                                        0.0)
-        reborn = (e <= 0.0) & do_regen
-        e_before = jnp.where(reborn, e_ray, e)
-        age = jnp.where(reborn, 0, age)  # fresh rays restart their budget
-
         outs = bounce_reflect_pallas(
             rows, seed, pos, dirs, e, scene.groups, te, disc_eps,
             bivar=bivar, one_sided=one_sided, slope=slope,
@@ -871,13 +854,79 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
         accum = accum.replace(
             culled=accum.culled + jnp.sum(jnp.where(over, e_new, 0.0)))
         e_new = jnp.where(over, 0.0, e_new)
+        return pos, dirs, e_new, wl, ri, age, accum
+
+    def cond(st):
+        i, pos, dirs, e, wl, ri, age, accum, key, emitted, source_e = st
+        return (i < max_rounds) & (emitted < total_rays)
+
+    def body(st):
+        i, pos, dirs, e, wl, ri, age, accum, key, emitted, source_e = st
+        key, ks = jax.random.split(key)
+        n_dead = jnp.sum((e <= 0.0).astype(jnp.int32))
+        # refill while budget remains; the final emission round may
+        # overshoot by up to one slab (returned `emitted` is exact)
+        regen = jnp.ones((1,), dtype=jnp.int32)
+        emitted = emitted + n_dead
+        source_e = source_e + n_dead.astype(jnp.float32) * e_ray
+        reborn = e <= 0.0
+        e_before = jnp.where(reborn, e_ray, e)
+        age = jnp.where(reborn, 0, age)  # fresh rays restart their budget
+        pos, dirs, e_new, wl, ri, age, accum = _round(
+            pos, dirs, e, e_before, wl, ri, age, accum, ks, regen)
         return (i + 1, pos, dirs, e_new, wl, ri, age, accum, key, emitted,
                 source_e)
 
     st = (z32, pos0, dir0, e0, wl0, ri0, age0, accum0, key, z32,
           jnp.zeros((), dtype=jnp.float32))
     st = jax.lax.while_loop(cond, body, st)
-    _, _, _, e, _, _, _, accum, _, emitted, source_e = st
+    i_r, pos, dirs, e, wl, ri, age, accum, key, emitted, source_e = st
+
+    # ---- tail: the last emission round leaves a mostly-dead slab of
+    # survivors; finishing them with full-slab rounds costs ~10 rounds at
+    # full price while <~20% of lanes are live (the call-size sensitivity
+    # previously documented in BENCHMARKS.md). Compact survivors into a
+    # slab//8 buffer (top_k by energy, the culled drain's pattern) and
+    # finish on proportionally cheap rounds.
+    from .kernels.pallas_intersect import TILE as _TILE
+    cap = max(_TILE, slab // 8)
+    no_regen = jnp.zeros((1,), dtype=jnp.int32)
+
+    def tcond(st):
+        i, pos, dirs, e, wl, ri, age, accum, key = st
+        return (i < max_rounds) & jnp.any(e > 0.0)
+
+    def tbody(st):
+        i, pos, dirs, e, wl, ri, age, accum, key = st
+        key, ks = jax.random.split(key)
+        pos, dirs, e, wl, ri, age, accum = _round(
+            pos, dirs, e, e, wl, ri, age, accum, ks, no_regen)
+        return (i + 1, pos, dirs, e, wl, ri, age, accum, key)
+
+    if cap >= slab:
+        st = jax.lax.while_loop(
+            tcond, tbody, (i_r, pos, dirs, e, wl, ri, age, accum, key))
+        e, accum = st[3], st[7]
+    else:
+        def ccond(st):
+            e, accum, key, i = st
+            return (i < max_rounds) & jnp.any(e > 0.0)
+
+        def cbody(st):
+            e, accum, key, i = st
+            ce, idx = jax.lax.top_k(e, cap)
+            cpos, cdirs, cage = pos[idx], dirs[idx], age[idx]
+            cwl, cri = wl[idx], ri[idx]
+            e = e.at[idx].set(0.0)
+            tst = jax.lax.while_loop(
+                tcond, tbody,
+                (i, cpos, cdirs, ce, cwl, cri, cage, accum, key))
+            i, _, _, ce, _, _, _, accum, key = tst
+            accum = accum.replace(residual=accum.residual + jnp.sum(ce))
+            return e, accum, key, i
+
+        e, accum, _, _ = jax.lax.while_loop(
+            ccond, cbody, (e, accum, key, i_r))
     # exact closure even on a max_rounds exit: still-alive energy is
     # accounted, not silently dropped (cf. ref tracer_engine.py:292-294)
     accum = accum.replace(residual=accum.residual + jnp.sum(e))

@@ -145,7 +145,8 @@ class Renderer:
         matplotlib.use("Agg", force=False)
         import matplotlib.pyplot as plt  # noqa
         self._plt = plt
-        self.meta = engine.meta
+        # accept a TracerEngine or a (table, meta) pair (documented API)
+        self.meta = engine[1] if isinstance(engine, tuple) else engine.meta
         self.fig = plt.figure(figsize=(9, 8))
         self.ax = self.fig.add_subplot(111, projection="3d")
 
