@@ -289,3 +289,165 @@ def test_flat_mirror_exact_against_reference(reference):
                                d_ref[:, 0], atol=1e-12)
     np.testing.assert_allclose(float(np.asarray(rec.e_out)[0]), 0.7,
                                atol=1e-12)
+
+
+def test_refractive_split_exact_against_reference(reference):
+    """Deterministic two-branch Fresnel interface: one oblique ray onto a
+    flat n1=1 / n2=1.5 boundary with ENERGY SPLITTING — both engines must
+    produce the same refracted and reflected directions and energies to
+    float64 round-off (ref Refractive single_ray=False,
+    optics_callables.py:726; no MC statistics involved)."""
+    from tracer.tracer_engine import TracerEngine as RefEngine
+    from tracer.assembly import Assembly as RefAssembly
+    from tracer.object import AssembledObject as RefObject
+    from tracer.surface import Surface as RefSurface
+    from tracer.flat_surface import RectPlateGM
+    from tracer import optics_callables as opt
+    from tracer.ray_bundle import RayBundle as RefBundle
+
+    d0 = np.array([0.3, 0.2, -0.9])
+    d0 /= np.linalg.norm(d0)
+
+    surf = RefSurface(RectPlateGM(4.0, 4.0),
+                      opt.RefractiveHomogenous(1.0, 1.5, single_ray=False))
+    asm = RefAssembly(objects=[RefObject(surfs=[surf])])
+    bundle = RefBundle(vertices=np.c_[[0.0, 0.0, 1.0]],
+                       directions=np.c_[d0], energy=np.r_[1.0],
+                       ref_index=np.r_[1.0])
+    eng = RefEngine(asm)
+    eng.ray_tracer(bundle, 1, 1e-9)
+    b1 = eng.tree._bunds[1]
+    dirs_ref = np.asarray(b1.get_directions())   # (3, 2)
+    e_ref = np.asarray(b1.get_energy())
+    assert dirs_ref.shape[1] == 2                # both branches exist
+
+    from tracer_tpu import geometry as G, materials as M
+    from tracer_tpu.engine import TracerEngine
+    from tracer_tpu.bundle import RayBundle
+    from tracer_tpu.scene import Assembly, AssembledObject, Surface
+
+    s2 = Surface(G.rect_plate(4.0, 4.0),
+                 M.refractive_homogenous(1.0, 1.5, single_ray=False))
+    eng2 = TracerEngine(Assembly([AssembledObject([s2])]))
+    b = RayBundle.create(pos=[[0.0, 0.0, 1.0]], dir=[d0.tolist()],
+                         energy=[1.0], ref_index=[1.0])
+    res = eng2.ray_tracer(b, reps=1, key=jax.random.PRNGKey(0))
+    rec = res.records[0]
+    branches = [(np.asarray(rec.dir_out)[0],
+                 float(np.asarray(rec.e_out)[0]))]       # refracted
+    mask, se, sd = (np.asarray(a) for a in rec.split)
+    assert bool(mask[0])
+    branches.append((np.asarray(sd)[0], float(se[0])))   # reflected
+
+    # R + T = 1 (no interface absorption) and each branch matches the
+    # reference's by direction AND energy
+    np.testing.assert_allclose(sum(e for _, e in branches), 1.0,
+                               atol=1e-12)
+    for d_t, e_t in branches:
+        j = int(np.argmin(np.linalg.norm(dirs_ref.T - d_t, axis=1)))
+        np.testing.assert_allclose(d_t, dirs_ref[:, j], atol=1e-12)
+        np.testing.assert_allclose(e_t, e_ref[j], atol=1e-12)
+
+
+def test_cylinder_hits_exact_against_reference(reference):
+    """Deterministic curved-geometry comparison: hand-placed rays onto a
+    mirrored FiniteCylinder — hit points and reflected directions from
+    both engines agree to float64 round-off (ref cylinder.py:59; tests
+    the quadric solve + z-range aperture, not MC)."""
+    from tracer.tracer_engine import TracerEngine as RefEngine
+    from tracer.assembly import Assembly as RefAssembly
+    from tracer.object import AssembledObject as RefObject
+    from tracer.surface import Surface as RefSurface
+    from tracer.cylinder import FiniteCylinder
+    from tracer import optics_callables as opt
+    from tracer.ray_bundle import RayBundle as RefBundle
+
+    pos = np.array([[3.0, 0.0, 0.3],     # radial hit at (1, 0, 0.3)
+                    [0.0, -2.5, -0.6],   # radial hit from -y
+                    [2.0, 2.0, 0.0]])    # oblique 45-degree approach
+    dirs = np.array([[-1.0, 0.0, 0.0],
+                     [0.0, 1.0, 0.0],
+                     [-2.0**-0.5, -2.0**-0.5, 0.0]])
+
+    surf = RefSurface(FiniteCylinder(2.0, 2.0), opt.Reflective(0.4))
+    asm = RefAssembly(objects=[RefObject(surfs=[surf])])
+    bundle = RefBundle(vertices=pos.T.copy(), directions=dirs.T.copy(),
+                       energy=np.ones(3))
+    eng = RefEngine(asm)
+    v_ref, d_ref = eng.ray_tracer(bundle, 1, 1e-9)
+
+    from tracer_tpu import geometry as G, materials as M
+    from tracer_tpu.engine import TracerEngine
+    from tracer_tpu.bundle import RayBundle
+    from tracer_tpu.scene import Assembly, AssembledObject, Surface
+
+    s2 = Surface(G.finite_cylinder(2.0, 2.0), M.reflective(0.4))
+    eng2 = TracerEngine(Assembly([AssembledObject([s2])]))
+    b = RayBundle.create(pos=pos, dir=dirs, energy=np.ones(3))
+    res = eng2.ray_tracer(b, reps=1, key=jax.random.PRNGKey(0))
+    rec = res.records[0]
+    hits = np.asarray(rec.hit)
+    douts = np.asarray(rec.dir_out)
+    eouts = np.asarray(rec.e_out)
+
+    # match rays by position (the reference re-orders its outgoing bundle)
+    for i in range(3):
+        j = int(np.argmin(np.linalg.norm(v_ref.T - hits[i], axis=1)))
+        np.testing.assert_allclose(hits[i], v_ref[:, j], atol=1e-12)
+        np.testing.assert_allclose(douts[i], d_ref[:, j], atol=1e-12)
+        np.testing.assert_allclose(eouts[i], 0.6, atol=1e-12)
+
+
+def test_cone_and_frustum_hits_exact_against_reference(reference):
+    """Deterministic cone-family comparison: rays onto a mirrored
+    FiniteCone and a ConicalFrustum — hit points and reflected directions
+    agree to float64 round-off (ref cone.py:74 :266; exercises the
+    truncated-quadric root selection both engines implement)."""
+    from tracer.tracer_engine import TracerEngine as RefEngine
+    from tracer.assembly import Assembly as RefAssembly
+    from tracer.object import AssembledObject as RefObject
+    from tracer.surface import Surface as RefSurface
+    from tracer.cone import ConicalFrustum, FiniteCone
+    from tracer import optics_callables as opt
+    from tracer.ray_bundle import RayBundle as RefBundle
+
+    from tracer_tpu import geometry as G, materials as M
+    from tracer_tpu.engine import TracerEngine
+    from tracer_tpu.bundle import RayBundle
+    from tracer_tpu.scene import Assembly, AssembledObject, Surface
+
+    cases = [
+        (FiniteCone(1.0, 2.0), G.finite_cone(1.0, 2.0),
+         np.array([[3.0, 0.0, 1.0],      # side hit at z=1 (r=0.5)
+                   [0.1, 3.0, 1.6]]),    # off-axis oblique hit
+         np.array([[-1.0, 0.0, 0.0],
+                   [0.0, -1.0, 0.0]])),
+        (ConicalFrustum(-0.5, 0.4, 0.5, 1.0),
+         G.conical_frustum(-0.5, 0.4, 0.5, 1.0),
+         np.array([[3.0, 0.0, 0.2],
+                   [-0.2, -3.0, -0.3]]),
+         np.array([[-1.0, 0.0, 0.0],
+                   [0.0, 1.0, 0.0]])),
+    ]
+    for ref_gm, tpu_geom, pos, dirs in cases:
+        n = len(pos)
+        surf = RefSurface(ref_gm, opt.Reflective(0.25))
+        asm = RefAssembly(objects=[RefObject(surfs=[surf])])
+        bundle = RefBundle(vertices=pos.T.copy(), directions=dirs.T.copy(),
+                           energy=np.ones(n))
+        v_ref, d_ref = RefEngine(asm).ray_tracer(bundle, 1, 1e-9)
+        assert v_ref.shape[1] == n, "reference ray missed"
+
+        s2 = Surface(tpu_geom, M.reflective(0.25))
+        eng2 = TracerEngine(Assembly([AssembledObject([s2])]))
+        b = RayBundle.create(pos=pos, dir=dirs, energy=np.ones(n))
+        res = eng2.ray_tracer(b, reps=1, key=jax.random.PRNGKey(0))
+        rec = res.records[0]
+        hits = np.asarray(rec.hit)
+        douts = np.asarray(rec.dir_out)
+        for i in range(n):
+            j = int(np.argmin(np.linalg.norm(v_ref.T - hits[i], axis=1)))
+            np.testing.assert_allclose(hits[i], v_ref[:, j], atol=1e-12)
+            np.testing.assert_allclose(douts[i], d_ref[:, j], atol=1e-12)
+            np.testing.assert_allclose(float(np.asarray(rec.e_out)[i]),
+                                       0.75, atol=1e-12)
