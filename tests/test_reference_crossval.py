@@ -451,3 +451,82 @@ def test_cone_and_frustum_hits_exact_against_reference(reference):
             np.testing.assert_allclose(douts[i], d_ref[:, j], atol=1e-12)
             np.testing.assert_allclose(float(np.asarray(rec.e_out)[i]),
                                        0.75, atol=1e-12)
+
+
+def test_perforated_and_polygon_trimming_matches_reference(reference):
+    """Aperture-trimming semantics: rays aimed into a circular hole of a
+    perforated plate and at/off a non-convex polygon plate — both engines
+    agree ray-by-ray on hit vs miss, and hit points match to round-off
+    (ref PerforatedRectPlateGM flat_surface.py:357,
+    FlatSimplePolygonGM polygon.py:7)."""
+    from tracer.tracer_engine import TracerEngine as RefEngine
+    from tracer.assembly import Assembly as RefAssembly
+    from tracer.object import AssembledObject as RefObject
+    from tracer.surface import Surface as RefSurface
+    from tracer.flat_surface import PerforatedRectPlateGM
+    from tracer.polygon import FlatSimplePolygonGM
+    from tracer import optics_callables as opt
+    from tracer.ray_bundle import RayBundle as RefBundle
+
+    from tracer_tpu import geometry as G, materials as M
+    from tracer_tpu.engine import TracerEngine
+    from tracer_tpu.bundle import RayBundle
+    from tracer_tpu.scene import Assembly, AssembledObject, Surface
+
+    # non-convex "L" polygon, clockwise per the reference's convention
+    L = np.array([[0.0, 0.0, 1.0, 1.0, 2.0, 2.0],
+                  [0.0, 2.0, 2.0, 1.0, 1.0, 0.0]])
+    holes_c = np.array([[0.5, -0.6], [0.2, 0.3]])   # (2, n) centers
+    holes_r = np.array([0.25, 0.2])
+
+    cases = [
+        (PerforatedRectPlateGM(3.0, 3.0, holes_c.T, holes_r),
+         G.perforated_rect_plate(3.0, 3.0, holes_c.T, holes_r),
+         np.array([[0.5, -0.6, 1.0],    # dead-center into hole 0 -> miss
+                   [0.5, 0.1, 1.0],     # between the holes -> hit
+                   [0.85, -0.6, 1.0],   # just outside hole 0 -> hit
+                   [-0.65, 0.25, 1.0],  # just inside hole 1 -> miss
+                   [1.6, 1.6, 1.0]])),  # plate corner region -> hit
+        (FlatSimplePolygonGM(L),
+         None,                          # filled below (triangle list)
+         np.array([[0.5, 0.5, 1.0],     # inside the L -> hit
+                   [1.5, 1.5, 1.0],     # in the notch -> miss
+                   [0.5, 1.5, 1.0],     # upper arm -> hit
+                   [1.5, 0.5, 1.0],     # lower arm -> hit
+                   [2.5, 0.5, 1.0]])),  # outside -> miss
+    ]
+    # tracer_tpu polygon(): list of triangle Geometries -> one Surface
+    tri_geoms = G.polygon(np.stack([L[0], L[1]], axis=1))
+    cases[1] = (cases[1][0], tri_geoms, cases[1][2])
+
+    for ref_gm, tpu_geom, pos in cases:
+        n = len(pos)
+        dirs = np.tile([0.0, 0.0, -1.0], (n, 1))
+        surf = RefSurface(ref_gm, opt.Reflective(0.5))
+        asm = RefAssembly(objects=[RefObject(surfs=[surf])])
+        bundle = RefBundle(vertices=pos.T.copy(), directions=dirs.T.copy(),
+                           energy=np.ones(n))
+        eng = RefEngine(asm)
+        v_ref, _ = eng.ray_tracer(bundle, 1, 1e-9)
+
+        s2 = Surface(tpu_geom, M.reflective(0.5))
+        eng2 = TracerEngine(Assembly([AssembledObject([s2])]))
+        b = RayBundle.create(pos=pos, dir=dirs, energy=np.ones(n))
+        res = eng2.ray_tracer(b, reps=1, key=jax.random.PRNGKey(0))
+        rec = res.records[0]
+        sid = np.asarray(rec.sid)
+        hits = np.asarray(rec.hit)
+
+        # ray-by-ray hit/miss agreement: the reference's outgoing bundle
+        # holds only the hitters; ours marks misses with sid < 0
+        hit_pts_ref = v_ref.T
+        for i in range(n):
+            expect_hit = bool(np.any(
+                np.linalg.norm(hit_pts_ref[:, :2] - pos[i, :2], axis=1)
+                < 1e-9))
+            assert (sid[i] >= 0) == expect_hit, (i, pos[i], sid[i])
+            if expect_hit:
+                np.testing.assert_allclose(hits[i, :2], pos[i, :2],
+                                           atol=1e-12)
+                np.testing.assert_allclose(hits[i, 2], 0.0, atol=1e-12)
+        assert (sid >= 0).sum() == hit_pts_ref.shape[0]
