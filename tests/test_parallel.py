@@ -131,3 +131,53 @@ def test_streaming_sharded_culled_rejects_uncullable_kinds():
     with pytest.raises(ValueError, match="not culled-megakernel eligible"):
         trace_streaming_sharded(table, source_fn, jax.random.PRNGKey(0),
                                 8 * slab, mesh, culling=culling)
+
+
+def test_streaming_sharded_fluxmap_matches_single_device():
+    """Device flux-map histograms psum-merge over the mesh like every
+    other accumulator: the sharded trace's receiver map must carry the
+    same total power and agree bin-wise with a single-device run to MC
+    tolerance."""
+    from tracer_tpu import spatial as sp
+    from tracer_tpu.analysis.device_fluxmap import flux_plan
+    from tracer_tpu.engine import trace_streaming
+    from tracer_tpu.parallel import trace_streaming_sharded
+    from tracer_tpu.sources import disk_bundle
+
+    mirror = Surface(G.rect_plate(3.0, 3.0), M.reflective(0.2, sigma=2e-3))
+    rec = Surface(G.rect_plate(3.0, 3.0), M.absorber(),
+                  location=[0.0, 0.0, 2.0],
+                  rotation=sp.rotx(np.pi)[:3, :3], name="rec")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([mirror, rec])]), dtype=jnp.float64)
+    spec = flux_plan(meta, "rec", resolution=8)
+
+    slab = 512   # per-device
+
+    def source_fn(key):
+        return disk_bundle(key, slab, center=[0.0, 0.0, 1.0],
+                           direction=[0.0, 0.0, -1.0], radius=1.2,
+                           ang_range=2e-3, flux=1000.0)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("rays",))
+    total = 8 * slab * 4
+    a_s, em_s, se_s = trace_streaming_sharded(
+        table, source_fn, jax.random.PRNGKey(3), total, mesh,
+        max_rounds=100, max_path=10, fluxspecs=(spec,))
+    a_1, em_1, se_1 = trace_streaming(
+        table, source_fn, jax.random.PRNGKey(4), total_rays=total,
+        max_rounds=400, max_path=10, fluxspecs=(spec,))
+
+    H_s = np.asarray(a_s.flux[0]) / float(se_s)
+    H_1 = np.asarray(a_1.flux[0]) / float(se_1)
+    # total absorbed on the receiver equals the map's integral (exactly,
+    # up to the bf16 stochastic rounding) for both runs
+    rows = np.nonzero(meta.row_logical == meta.index_of("rec"))[0]
+    for a, H, se in ((a_s, H_s, se_s), (a_1, H_1, se_1)):
+        rec_frac = float(np.asarray(a.absorbed)[rows].sum()) / float(se)
+        np.testing.assert_allclose(H.sum(), rec_frac, rtol=2e-3)
+    # bin-wise MC agreement between the two independent estimates
+    np.testing.assert_allclose(H_s.sum(), H_1.sum(), rtol=0.02)
+    mask = (H_s + H_1) > 0.5 * (H_s + H_1).max() / 4
+    assert mask.sum() >= 4
+    np.testing.assert_allclose(H_s[mask], H_1[mask], rtol=0.25)
