@@ -530,3 +530,45 @@ def test_perforated_and_polygon_trimming_matches_reference(reference):
                                            atol=1e-12)
                 np.testing.assert_allclose(hits[i, 2], 0.0, atol=1e-12)
         assert (sid >= 0).sum() == hit_pts_ref.shape[0]
+
+
+def test_buie_sunshape_distribution_matches_reference(reference):
+    """Statistical source crossval on the headline sunshape: the angular
+    distribution of Buie-sampled directions (solar disk + circumsolar
+    aureole, CSR = 0.02) from both engines must agree bin-wise within
+    3-sigma Poisson error, including the aureole tail (ref
+    sources.py:330-465)."""
+    import numpy.random as nprandom
+    from tracer.sources import buie_sunshape as ref_buie
+    from tracer_tpu.sources import buie_sunshape as tpu_buie
+
+    n = 200_000
+    CSR = 0.02
+    d_main = np.array([0.0, 0.0, -1.0])
+
+    nprandom.seed(7)
+    b_ref = ref_buie(n, np.c_[[0.0, 0.0, 2.0]], d_main, 1.0, CSR,
+                     flux=1000.0)
+    cos_ref = -np.asarray(b_ref.get_directions())[2]
+    th_ref = np.arccos(np.clip(cos_ref, -1.0, 1.0))
+
+    b_tpu = tpu_buie(jax.random.PRNGKey(11), n, center=[0.0, 0.0, 2.0],
+                     direction=d_main, radius=1.0, CSR=CSR, flux=1000.0)
+    cos_tpu = -np.asarray(b_tpu.dir)[:, 2]
+    th_tpu = np.arccos(np.clip(cos_tpu, -1.0, 1.0))
+
+    # solar-disk half angle 4.65 mrad; histogram the disk + aureole
+    th_d = 4.65e-3
+    edges = np.concatenate([np.linspace(0.0, th_d, 12)[:-1],
+                            np.geomspace(th_d, 9.0 * th_d, 8)])
+    h_ref, _ = np.histogram(th_ref, bins=edges)
+    h_tpu, _ = np.histogram(th_tpu, bins=edges)
+    # every bin within 3 sigma of the two-run Poisson error
+    sig = np.sqrt(h_ref + h_tpu + 1.0)
+    bad = np.abs(h_ref - h_tpu) > 3.0 * sig
+    assert not bad.any(), np.c_[edges[:-1][bad], h_ref[bad], h_tpu[bad]]
+    # the aureole actually carries ~CSR of the rays beyond the disk edge
+    tail_ref = (th_ref > th_d).mean()
+    tail_tpu = (th_tpu > th_d).mean()
+    assert 0.5 * CSR < tail_ref < 2.0 * CSR
+    assert abs(tail_ref - tail_tpu) < 0.1 * CSR
