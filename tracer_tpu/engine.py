@@ -863,7 +863,9 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
     def body(st):
         i, pos, dirs, e, wl, ri, age, accum, key, emitted, source_e = st
         key, ks = jax.random.split(key)
-        n_dead = jnp.sum((e <= 0.0).astype(jnp.int32))
+        # explicit accumulator dtype: under x64 (CPU interpret tests)
+        # jnp.sum would promote int32 to int64 and break the loop carry
+        n_dead = jnp.sum((e <= 0.0), dtype=jnp.int32)
         # refill while budget remains; the final emission round may
         # overshoot by up to one slab (returned `emitted` is exact)
         regen = jnp.ones((1,), dtype=jnp.int32)
@@ -1003,10 +1005,10 @@ def _trace_streaming_megakernel_culled(
         # loop would spin to max_rounds and under-emit those cells,
         # biasing the spatial source density. The per-block reductions
         # cost ~3% of a round — the price of the exactness guarantee.
-        dead_b = jnp.sum((e <= 0.0).reshape(nb, TILE).astype(jnp.int32),
-                         axis=1)
-        lu_b = jnp.sum(live_unparked.reshape(nb, TILE).astype(jnp.int32),
-                       axis=1)
+        dead_b = jnp.sum((e <= 0.0).reshape(nb, TILE), axis=1,
+                         dtype=jnp.int32)
+        lu_b = jnp.sum(live_unparked.reshape(nb, TILE), axis=1,
+                       dtype=jnp.int32)
         can_emit = (emitted_b < quota_b) & ((dead_b > 0) | (lu_b > 0))
         return (i < max_rounds) & (jnp.any(can_emit)
                                    | jnp.any(live_unparked))
@@ -1025,7 +1027,7 @@ def _trace_streaming_megakernel_culled(
         # density by up to TILE/quota.
         remaining_b = jnp.maximum(quota_b - emitted_b, 0)
         dead = e <= 0.0
-        dead_b = jnp.sum(dead.reshape(nb, TILE).astype(jnp.int32), axis=1)
+        dead_b = jnp.sum(dead.reshape(nb, TILE), axis=1, dtype=jnp.int32)
         n_new = jnp.minimum(dead_b, remaining_b)
         emitted_b = emitted_b + n_new
         source_e = source_e + jnp.sum(n_new).astype(jnp.float32) * e_ray
@@ -1466,7 +1468,7 @@ def _trace_streaming_general(scene: SceneTable, source_fn, key: jax.Array,
             alive=bundle.alive | refill,
         )
         age = jnp.where(refill, 0, age)
-        emitted = emitted + jnp.sum(refill.astype(jnp.int32))
+        emitted = emitted + jnp.sum(refill, dtype=jnp.int32)
         source_e = source_e + jnp.sum(jnp.where(refill, fresh.energy, 0.0))
         return bundle, age, emitted, source_e
 

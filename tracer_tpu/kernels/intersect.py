@@ -160,6 +160,13 @@ def _surface_t(inv_frame, quad, ap_params, pos, dirs, t_eps, disc_eps, sig):
 def _use_pallas(pos) -> bool:
     if pos.dtype != jnp.float32:
         return False
+    # TRACER_FORCE_PALLAS=1 routes the fast paths through the Pallas
+    # kernels regardless of backend — combined with
+    # pltpu.force_tpu_interpret_mode() this lets the CPU suite exercise
+    # the megakernel code paths the hardware runs (slow; tests only)
+    import os
+    if os.environ.get("TRACER_FORCE_PALLAS", "") == "1":
+        return True
     # honor a jax.default_device(cpu) context (e.g. the culling pilot on a
     # TPU host): Pallas kernels only lower on accelerator backends
     dd = jax.config.jax_default_device

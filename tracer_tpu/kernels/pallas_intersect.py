@@ -751,12 +751,7 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
             is_lpw = jnp.floor(kf_b * (1.0 / 1024.0)) == 11.0
         if slope:
             def uniform():
-                # 24-bit mantissa path; Mosaic lacks uint32->f32 casts so
-                # reinterpret the shifted bits as int32 first
-                bits = pltpu.bitcast(pltpu.prng_random_bits(px.shape),
-                                     jnp.uint32) >> 8
-                return (pltpu.bitcast(bits, jnp.int32).astype(jnp.float32)
-                        * (1.0 / (1 << 24)) + 1e-12)
+                return _kernel_uniform(px.shape)
             u1, u2 = uniform(), uniform()
             rr = jnp.sqrt(-2.0 * jnp.log(u1))
             ang = 2.0 * np.pi * u2
@@ -1050,9 +1045,58 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
     return epilogue
 
 
+# --- PRNG indirection (tests only) ------------------------------------
+# JAX's TPU interpret mode (pltpu.force_tpu_interpret_mode) stubs
+# prng_random_bits to ZEROS (jax/_src/pallas/mosaic/interpret/
+# interpret_pallas_call.py: "TODO: Implement this properly"), which would
+# silently break every stochastic path when the CPU suite exercises the
+# megakernels.  With TRACER_INTERPRET_PRNG=1 the kernels instead draw from
+# a murmur3-finalizer hash of (lane index, armed seed, trace-time draw
+# counter) built from plain jnp ops the interpreter executes faithfully.
+# Every draw site sits at kernel-body top level (once per round, never
+# inside an in-kernel loop), so the trace-time counter gives each draw a
+# distinct stream; the seed operand varies per round/block on the host
+# side.  uint32 arithmetic is fine here because this branch never lowers
+# through Mosaic.  Statistically adequate for test-scale MC only.
+_interp_prng = {"seed": None, "salt": 0}
+
+
+def _interp_prng_on() -> bool:
+    import os
+    return os.environ.get("TRACER_INTERPRET_PRNG", "") == "1"
+
+
+def _prng_seed(x) -> None:
+    """pltpu.prng_seed, or (TRACER_INTERPRET_PRNG=1) arm the hash PRNG."""
+    if _interp_prng_on():
+        _interp_prng["seed"] = x
+        _interp_prng["salt"] = 0
+        return
+    pltpu.prng_seed(x)
+
+
+def _interp_uniform(shape):
+    _interp_prng["salt"] += 1
+    idx = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    for d in range(1, len(shape)):
+        idx = (idx * jnp.uint32(shape[d])
+               + jax.lax.broadcasted_iota(jnp.uint32, shape, d))
+    x = (idx * jnp.uint32(0x9E3779B9)
+         + _interp_prng["seed"].astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
+         + jnp.uint32(_interp_prng["salt"] * 0x27D4EB2F & 0xFFFFFFFF))
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return ((x >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12)
+
+
 def _kernel_uniform(shape):
     """Uniform (0,1] from the per-core PRNG. 24-bit mantissa path; Mosaic
     lacks uint32->f32 casts so reinterpret the shifted bits as int32."""
+    if _interp_prng_on():
+        return _interp_uniform(shape)
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32) >> 8
     return (pltpu.bitcast(bits, jnp.int32).astype(jnp.float32)
             * (1.0 / (1 << 24)) + 1e-12)
@@ -1189,7 +1233,7 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
         k += int(refractive)
         sid_ref, abs_ref = outs_ref[k], outs_ref[k + 1]
 
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        _prng_seed(seed_ref[0] + pl.program_id(0))
         px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         e = e_ref[:]
@@ -1447,7 +1491,7 @@ def _make_fused_kernel_culled(group_specs, t_eps, disc_eps, bivar,
         # how blocks shard over devices (several blocks may serve the
         # same source cell — load balancing — so streams key on the block)
         cell = cells_ref[b]
-        pltpu.prng_seed(seed_ref[0] + cell)
+        _prng_seed(seed_ref[0] + cell)
         px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         e = e_ref[:]
