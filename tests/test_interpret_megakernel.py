@@ -138,3 +138,173 @@ def test_culled_megakernel_interpret_matches_jnp_path(monkeypatch):
     _closure(a1, se1)
     # exact per-cell quotas still hold under the interpreter
     assert 2 * slab <= int(em1) < 2 * slab + culling.n_cells
+
+
+def _interp_env(monkeypatch):
+    monkeypatch.setenv("TRACER_FORCE_PALLAS", "1")
+    monkeypatch.setenv("TRACER_INTERPRET_PRNG", "1")
+
+
+def _frac(meta, f, name):
+    rows = np.nonzero(np.asarray(meta.row_logical)
+                      == meta.index_of(name))[0]
+    return f[rows].sum()
+
+
+def test_refractive_megakernel_interpret_matches_oracle(monkeypatch):
+    """K_REFRACTIVE on the interpreted megakernel (per-lane index thread,
+    in-kernel Fresnel/Snell Russian roulette): a spherical lens focuses
+    onto a receiver at the lensmaker focal length, matching the
+    host-stepped jnp oracle's receiver fraction."""
+    from tracer_tpu.engine import TracerEngine, TraceOptions
+    from tracer_tpu.models.spherical_lens import SphericalLens
+
+    lens = SphericalLens(diameter=0.5, depth=0.02, R1=0.3, R2=-0.3,
+                         refr_idx=1.5)
+    fl = lens.focal_length()
+    rec = Surface(G.round_plate(0.3), M.absorber(one_sided=False),
+                  location=[0.0, 0.0, -fl], name="rec")
+    table, meta = compile_scene(
+        Assembly([lens, AssembledObject([rec])]), dtype=jnp.float32)
+
+    slab = TILE
+    def source_fn(key):
+        return _f32(disk_bundle(key, slab, center=[0.0, 0.0, 0.5],
+                                direction=[0.0, 0.0, -1.0], radius=0.1,
+                                ang_range=1e-4, flux=1000.0))
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 0.5], [0.0, 0.0, -1.0], 0.1, 1e-4, 1000.0)
+
+    eng = TracerEngine(table, meta)
+    b = source_fn(jax.random.PRNGKey(1))
+    res = eng.ray_tracer(b, reps=12, key=jax.random.PRNGKey(2),
+                         opts=TraceOptions(max_bounces=12, record=False))
+    f0 = (np.asarray(res.accum.absorbed)
+          / float(np.asarray(b.energy).sum()))
+    r0 = _frac(meta, f0, "rec")
+    assert r0 > 0.75           # the lens focuses onto the receiver
+
+    _interp_env(monkeypatch)
+    with pltpu.force_tpu_interpret_mode():
+        a1, _, se1 = jax.block_until_ready(trace_streaming(
+            table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+            max_rounds=40, max_path=12))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    _closure(a1, se1)
+    assert abs(_frac(meta, f1, "rec") - r0) < 0.03
+    np.testing.assert_allclose(f1, f0, atol=0.03)
+
+
+def test_iam_megakernel_interpret_analytic(monkeypatch):
+    """IAM-wrapped mirror at 60 deg incidence on the interpreted
+    megakernel: the Martin-Ruiz modifier gives first-hit absorption
+    0.4 * (1-e^-0.5)/(1-e^-1) = 0.2490 (ref IAM optics_callables.py:271).
+    Reflective absorption is a continuous energy split, so the fraction
+    is nearly deterministic even at small ray counts."""
+    mirror = Surface(G.rect_plate(1.6, 1.6),
+                     M.iam(M.reflective(0.4, sigma=1e-3), a_r=1.0),
+                     rotation=spatial.rotx(-np.pi / 3)[:3, :3],
+                     name="mirror")
+    refl = np.array([0.0, np.sin(2 * np.pi / 3), np.cos(2 * np.pi / 3)])
+    rec = Surface(G.rect_plate(3.0, 3.0), M.absorber(one_sided=False),
+                  location=(1.6 * refl).tolist(),
+                  rotation=spatial.rotation_to_z(-refl), name="rec")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([mirror, rec])]), dtype=jnp.float32)
+    assert "iam" in table.features
+
+    slab = TILE
+    def source_fn(key):
+        return _f32(disk_bundle(key, slab, center=[0.0, 0.0, 2.0],
+                                direction=[0.0, 0.0, -1.0], radius=0.3,
+                                ang_range=2e-3, flux=1000.0))
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 2.0], [0.0, 0.0, -1.0], 0.3, 2e-3, 1000.0)
+
+    _interp_env(monkeypatch)
+    with pltpu.force_tpu_interpret_mode():
+        a1, _, se1 = jax.block_until_ready(trace_streaming(
+            table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+            max_rounds=20, max_path=6))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    _closure(a1, se1)
+    assert 0.23 < _frac(meta, f1, "mirror") < 0.27, f1
+    assert _frac(meta, f1, "rec") > 0.6
+
+
+def test_piecewise_megakernel_interpret_analytic(monkeypatch):
+    """K_LAMBERTIAN_PIECEWISE on the interpreted megakernel: the theta
+    table [0, pi/3, pi/2] -> [0.2, 0.6, 0.8] interpolates to absorptance
+    0.2 + (3/4)*0.4 = 0.500 at 45 deg incidence (ref piecewise family
+    optics_callables.py:331-491)."""
+    mirror = Surface(G.rect_plate(2.0, 2.0),
+                     M.lambertian_directional_piecewise(
+                         [0.0, np.pi / 3, np.pi / 2], [0.2, 0.6, 0.8],
+                         specularity=0.9),
+                     rotation=spatial.rotx(-np.pi / 4)[:3, :3],
+                     name="mirror")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([mirror])]), dtype=jnp.float32)
+    assert "lambertian_piecewise" in table.features
+
+    slab = TILE
+    def source_fn(key):
+        return _f32(disk_bundle(key, slab, center=[0.0, 0.0, 2.0],
+                                direction=[0.0, 0.0, -1.0], radius=0.7,
+                                ang_range=2e-3, flux=1000.0))
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 2.0], [0.0, 0.0, -1.0], 0.7, 2e-3, 1000.0)
+
+    _interp_env(monkeypatch)
+    with pltpu.force_tpu_interpret_mode():
+        a1, _, se1 = jax.block_until_ready(trace_streaming(
+            table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+            max_rounds=20, max_path=4))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    _closure(a1, se1)
+    # first hit absorbs exactly 0.500; later hits of the diffuse lobe
+    # can only re-strike the same plate from behind (escapes)
+    np.testing.assert_allclose(_frac(meta, f1, "mirror"), 0.500,
+                               atol=0.01)
+
+
+def test_periodic_megakernel_interpret_matches_oracle(monkeypatch):
+    """K_PERIODIC on the interpreted megakernel: the boundary teleports
+    rays along the flipped normal (direction and energy unchanged), so
+    the sink behind it collects the same power as the host-stepped jnp
+    path (ref PeriodicBoundary optics_callables.py:690)."""
+    from tracer_tpu.engine import TracerEngine, TraceOptions
+
+    bound = Surface(G.rect_plate(4.0, 4.0), M.periodic_boundary(-2.0),
+                    name="bound")
+    sink = Surface(G.rect_plate(6.0, 6.0), M.absorber(one_sided=False),
+                   location=[0.0, 0.0, -3.0], name="sink")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([bound, sink])]), dtype=jnp.float32)
+
+    slab = TILE
+    def source_fn(key):
+        return _f32(disk_bundle(key, slab, center=[0.0, 0.0, 2.0],
+                                direction=[0.0, 0.1, -0.995], radius=0.8,
+                                ang_range=0.2, flux=1000.0))
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 2.0], [0.0, 0.1, -0.995], 0.8, 0.2, 1000.0)
+
+    eng = TracerEngine(table, meta)
+    b = source_fn(jax.random.PRNGKey(1))
+    res = eng.ray_tracer(b, reps=6, key=jax.random.PRNGKey(2),
+                         opts=TraceOptions(max_bounces=6, record=False))
+    f0 = (np.asarray(res.accum.absorbed)
+          / float(np.asarray(b.energy).sum()))
+
+    _interp_env(monkeypatch)
+    with pltpu.force_tpu_interpret_mode():
+        a1, _, se1 = jax.block_until_ready(trace_streaming(
+            table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+            max_rounds=20, max_path=6))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    _closure(a1, se1)
+    assert _frac(meta, f1, "bound") == 0.0
+    assert _frac(meta, f0, "sink") > 0.5
+    assert abs(_frac(meta, f1, "sink") - _frac(meta, f0, "sink")) < 0.02
+    np.testing.assert_allclose(f1, f0, atol=0.02)
