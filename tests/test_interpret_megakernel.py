@@ -93,13 +93,10 @@ def test_streaming_megakernel_interpret_matches_jnp_path(monkeypatch):
     _closure(a1, se1)
 
 
-def test_culled_megakernel_interpret_matches_jnp_path(monkeypatch):
-    """The relevancy-culled megakernel (per-block candidate lists, exact
-    per-cell emission quotas, drain phase), interpreted on CPU, agrees
-    with the jnp path on a small mirror field.  This is the only
-    CPU-suite execution of the culled kernel body."""
-    from tracer_tpu.culling import build_block_culling
-
+def _mirror_field_scene():
+    """Four mirrors under a one-sided overhead receiver; the source sits
+    BETWEEN them (z=3) so both the direct backside arrivals at the
+    receiver and the specular mirror->receiver bounce carry energy."""
     mirrors = []
     for i, (x, y) in enumerate([(-1.5, -1.5), (1.5, -1.5),
                                 (-1.5, 1.5), (1.5, 1.5)]):
@@ -110,20 +107,37 @@ def test_culled_megakernel_interpret_matches_jnp_path(monkeypatch):
                   name="rec", location=[0.0, 0.0, 6.0],
                   rotation=spatial.rotx(np.pi)[:3, :3])
     asm = Assembly([AssembledObject(mirrors + [rec])])
-    table, meta = compile_scene(asm, dtype=jnp.float32)
+    return compile_scene(asm, dtype=jnp.float32)
 
-    slab = 2 * TILE
+
+def _mirror_field_source(slab):
     def source_fn(key):
-        return _f32(disk_bundle(key, slab, center=[0, 0, 8.0],
+        return _f32(disk_bundle(key, slab, center=[0, 0, 3.0],
                                 direction=[0, 0, -1.0], radius=2.8,
                                 ang_range=4.65e-3, flux=1000.0))
     source_fn.pallas_spec = disk_pillbox_pallas_spec(
-        slab, [0, 0, 8.0], [0, 0, -1.0], 2.8, 4.65e-3, 1000.0)
+        slab, [0, 0, 3.0], [0, 0, -1.0], 2.8, 4.65e-3, 1000.0)
+    return source_fn
+
+
+def test_culled_megakernel_interpret_matches_jnp_path(monkeypatch):
+    """The relevancy-culled megakernel (per-block candidate lists, exact
+    per-cell emission quotas, drain phase), interpreted on CPU, agrees
+    with the jnp path on a small mirror field.  This is the only
+    CPU-suite execution of the culled kernel body."""
+    from tracer_tpu.culling import build_block_culling
+
+    table, meta = _mirror_field_scene()
+    slab = 2 * TILE
+    source_fn = _mirror_field_source(slab)
 
     a0, _, se0 = jax.block_until_ready(trace_streaming(
         table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
         max_rounds=40, max_path=6))
     f0 = np.asarray(a0.absorbed) / float(se0)
+    # every surface participates: mirrors absorb 8% of their catch and
+    # their specular beams land on the receiver
+    assert (f0 > 1e-3).all()
 
     monkeypatch.setenv("TRACER_FORCE_PALLAS", "1")
     monkeypatch.setenv("TRACER_INTERPRET_PRNG", "1")
@@ -137,6 +151,39 @@ def test_culled_megakernel_interpret_matches_jnp_path(monkeypatch):
     np.testing.assert_allclose(f1, f0, atol=0.02)
     _closure(a1, se1)
     # exact per-cell quotas still hold under the interpreter
+    assert 2 * slab <= int(em1) < 2 * slab + culling.n_cells
+
+
+def test_culled_sharded_interpret_matches_jnp_path(monkeypatch):
+    """The mesh-sharded culled megakernel (source-cell grid split over
+    devices, psum-merged accounting) interpreted on a 2-virtual-device
+    CPU mesh agrees with the single-device jnp path — the first CPU-suite
+    execution of the sharded culled worker (its Pallas kernel previously
+    required hardware)."""
+    from tracer_tpu.culling import build_block_culling
+    from tracer_tpu.parallel import default_mesh, trace_streaming_sharded
+
+    table, meta = _mirror_field_scene()
+    slab = 2 * TILE                    # 2 blocks -> one per device
+    source_fn = _mirror_field_source(slab)
+
+    a0, _, se0 = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+        max_rounds=40, max_path=6))
+    f0 = np.asarray(a0.absorbed) / float(se0)
+
+    monkeypatch.setenv("TRACER_FORCE_PALLAS", "1")
+    monkeypatch.setenv("TRACER_INTERPRET_PRNG", "1")
+    culling = build_block_culling(table, meta, source_fn.pallas_spec, slab)
+    mesh = default_mesh(2)
+    with pltpu.force_tpu_interpret_mode():
+        a1, em1, se1 = jax.block_until_ready(trace_streaming_sharded(
+            table, source_fn, jax.random.PRNGKey(0), 2 * slab, mesh,
+            max_rounds=16, max_path=6, culling=culling))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+
+    np.testing.assert_allclose(f1, f0, atol=0.02)
+    _closure(a1, se1)
     assert 2 * slab <= int(em1) < 2 * slab + culling.n_cells
 
 
