@@ -315,6 +315,209 @@ def test_piecewise_megakernel_interpret_analytic(monkeypatch):
                                atol=0.01)
 
 
+def test_cook_torrance_megakernel_interpret_matches_oracle(monkeypatch):
+    """K_COOK_TORRANCE on the interpreted megakernel (four-parameter
+    winner carry, in-kernel Beckmann sampling + conductor Fresnel +
+    Smith G): microfacet target scatters into a collection dome, and the
+    dome fraction matches the host-stepped jnp oracle."""
+    from tracer_tpu.engine import TracerEngine, TraceOptions
+
+    target = Surface(G.rect_plate(1.0, 1.0),
+                     M.bdrf_cook_torrance(0.3, 1.2, 7.0, 0.9),
+                     name="target")
+    dome = Surface(G.hemisphere(3.0), M.absorber(one_sided=False),
+                   name="dome")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([target, dome])]), dtype=jnp.float32)
+
+    slab = TILE
+    def source_fn(key):
+        return _f32(disk_bundle(key, slab, center=[0.0, 0.0, -2.0],
+                                direction=[0.0, 0.2, 0.98], radius=0.4,
+                                ang_range=1e-3, flux=1000.0))
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, -2.0], [0.0, 0.2, 0.98], 0.4, 1e-3, 1000.0)
+
+    eng = TracerEngine(table, meta)
+    b = source_fn(jax.random.PRNGKey(1))
+    res = eng.ray_tracer(b, reps=12, key=jax.random.PRNGKey(2),
+                         opts=TraceOptions(max_bounces=12, record=False))
+    f0 = (np.asarray(res.accum.absorbed)
+          / float(np.asarray(b.energy).sum()))
+    assert _frac(meta, f0, "dome") > 0.4
+
+    _interp_env(monkeypatch)
+    with pltpu.force_tpu_interpret_mode():
+        a1, _, se1 = jax.block_until_ready(trace_streaming(
+            table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+            max_rounds=30, max_path=12))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    _closure(a1, se1)
+    for name in ("target", "dome"):
+        assert abs(_frac(meta, f1, name) - _frac(meta, f0, name)) < 0.03
+    np.testing.assert_allclose(f1, f0, atol=0.03)
+
+
+def test_scatterer_kinds_megakernel_interpret_matches_oracle(monkeypatch):
+    """K_TRANSPARENT / K_LAMBERTIAN_SPECULAR / K_SEMI_LAMBERTIAN on the
+    interpreted megakernel (pass-through, specularity choice with slope
+    error, incidence-gated diffuse) in one cover/target/dome scene,
+    against the host-stepped jnp oracle."""
+    from tracer_tpu.engine import TracerEngine, TraceOptions
+
+    cover = Surface(G.rect_plate(3.0, 3.0), M.transparent(),
+                    location=[0.0, 0.0, -1.0], name="cover")
+    target = Surface(G.rect_plate(1.0, 1.0),
+                     M.lambertian_specular(0.1, 0.6, 2e-3),
+                     name="target")
+    dome = Surface(G.hemisphere(3.0),
+                   M.semi_lambertian(0.8, np.pi / 3), name="dome")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([cover, target, dome])]),
+        dtype=jnp.float32)
+
+    slab = TILE
+    def source_fn(key):
+        return _f32(disk_bundle(key, slab, center=[0.0, 0.0, -2.0],
+                                direction=[0.0, 0.2, 0.98], radius=0.4,
+                                ang_range=1e-3, flux=1000.0))
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, -2.0], [0.0, 0.2, 0.98], 0.4, 1e-3, 1000.0)
+
+    eng = TracerEngine(table, meta)
+    b = source_fn(jax.random.PRNGKey(1))
+    res = eng.ray_tracer(b, reps=12, key=jax.random.PRNGKey(2),
+                         opts=TraceOptions(max_bounces=12, record=False))
+    f0 = (np.asarray(res.accum.absorbed)
+          / float(np.asarray(b.energy).sum()))
+    assert _frac(meta, f0, "target") > 0.05
+    assert _frac(meta, f0, "dome") > 0.3
+
+    _interp_env(monkeypatch)
+    with pltpu.force_tpu_interpret_mode():
+        a1, _, se1 = jax.block_until_ready(trace_streaming(
+            table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+            max_rounds=30, max_path=12))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    _closure(a1, se1)
+    assert _frac(meta, f1, "cover") == 0.0
+    for name in ("target", "dome"):
+        assert abs(_frac(meta, f1, name) - _frac(meta, f0, name)) < 0.03
+    np.testing.assert_allclose(f1, f0, atol=0.03)
+
+
+def test_dispersive_conductor_megakernel_interpret_matches_oracle(
+        monkeypatch):
+    """K_FRESNEL_CONDUCTOR with a tabulated dispersive material on the
+    interpreted megakernel: the per-lane wavelength thread and in-kernel
+    n(wl)/k(wl) interpolation reproduce the host-stepped jnp path."""
+    from tracer_tpu.engine import TracerEngine, TraceOptions
+
+    band = (400e-9, 1200e-9)
+    wls = np.linspace(band[0], band[1], 12)
+    ns = 0.8 + 2.0 * (wls - wls[0]) / (wls[-1] - wls[0])
+    ks = 4.0 + 3.5 * (wls - wls[0]) / (wls[-1] - wls[0])
+    mirror = Surface(G.round_plate(1.2),
+                     M.fresnel_conductor_homogenous(1.0, (wls, ns, ks)),
+                     rotation=spatial.rotx(-np.pi / 8)[:3, :3],
+                     name="mirror")
+    refl = np.array([0.0, np.sin(np.pi / 4), np.cos(np.pi / 4)])
+    rec = Surface(G.round_plate(1.0), M.absorber(), name="rec",
+                  location=(1.6 * refl).tolist(),
+                  rotation=spatial.rotation_to_z(-refl))
+    table, meta = compile_scene(
+        Assembly([AssembledObject([mirror, rec])]), dtype=jnp.float32)
+    assert "conductor_dispersive" in table.features
+
+    slab = TILE
+    def source_fn(key):
+        k1, k2 = jax.random.split(key)
+        b = disk_bundle(k1, slab, center=[0, 0, 2.0],
+                        direction=[0, 0, -1.0], radius=0.9,
+                        ang_range=2e-3, flux=1000.0)
+        wl = jax.random.uniform(k2, (slab,), minval=band[0],
+                                maxval=band[1])
+        return _f32(b.replace(wavelength=wl))
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0, 0, 2.0], [0, 0, -1.0], 0.9, 2e-3, 1000.0, wl_band=band)
+
+    eng = TracerEngine(table, meta)
+    b = source_fn(jax.random.PRNGKey(1))
+    res = eng.ray_tracer(b, reps=8, key=jax.random.PRNGKey(2),
+                         opts=TraceOptions(max_bounces=8, record=False))
+    f0 = (np.asarray(res.accum.absorbed)
+          / float(np.asarray(b.energy).sum()))
+    assert _frac(meta, f0, "rec") > 0.5
+
+    _interp_env(monkeypatch)
+    with pltpu.force_tpu_interpret_mode():
+        a1, _, se1 = jax.block_until_ready(trace_streaming(
+            table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+            max_rounds=20, max_path=8))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    _closure(a1, se1)
+    for name in ("mirror", "rec"):
+        assert abs(_frac(meta, f1, name) - _frac(meta, f0, name)) < 0.03
+    np.testing.assert_allclose(f1, f0, atol=0.03)
+
+
+def test_spectral_ambient_megakernel_interpret_matches_jnp(monkeypatch):
+    """The spectral megakernel (per-lane wavelengths from the baked
+    source band, in-kernel absorptance-table interpolation, ambient
+    Beer-Lambert attenuation) interpreted on CPU matches the jnp
+    streaming path's surface/medium/escaped fractions."""
+    from tracer_tpu.sources import buie_sunshape, buie_sunshape_pallas_spec
+
+    wls = np.linspace(300e-9, 2500e-9, 16)
+    abss = 0.05 + 0.4 * (wls - wls[0]) / (wls[-1] - wls[0])
+    mirror = Surface(G.round_plate(1.0),
+                     M.reflective_spectral(abss, wls, sigma=1e-3),
+                     rotation=spatial.rotx(-np.pi / 8)[:3, :3],
+                     name="mirror")
+    refl = np.array([0.0, np.sin(np.pi / 4), np.cos(np.pi / 4)])
+    rec = Surface(G.round_plate(0.6), M.absorber(), name="rec",
+                  location=(1.6 * refl).tolist(),
+                  rotation=spatial.rotation_to_z(-refl))
+    asm = Assembly([AssembledObject([mirror, rec])])
+    table, meta = compile_scene(asm, dtype=jnp.float32,
+                                extra_features=("volumetric",))
+    assert "spectral" in table.features
+
+    slab = TILE
+    band, att = (350e-9, 2.4e-6), 0.3
+
+    def source_fn(key):
+        k1, k2 = jax.random.split(key)
+        b = buie_sunshape(k1, slab, center=[0, 0, 2.0],
+                          direction=[0, 0, -1.0], radius=0.95, CSR=0.02,
+                          flux=1000.0)
+        wl = jax.random.uniform(k2, (slab,), minval=band[0],
+                                maxval=band[1])
+        return _f32(b.replace(wavelength=wl,
+                              att_coeff=jnp.full((slab,), att)))
+
+    a0, _, se0 = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+        max_rounds=20, max_path=8))
+    f0 = np.asarray(a0.absorbed) / float(se0)
+
+    _interp_env(monkeypatch)
+    source_fn.pallas_spec = buie_sunshape_pallas_spec(
+        slab, [0, 0, 2.0], [0, 0, -1.0], 0.95, 0.02, 1000.0,
+        wl_band=band, ambient_att=att)
+    with pltpu.force_tpu_interpret_mode():
+        a1, _, se1 = jax.block_until_ready(trace_streaming(
+            table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+            max_rounds=20, max_path=8))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    _closure(a1, se1)
+    np.testing.assert_allclose(f1, f0, atol=0.02)
+    assert abs(float(a1.medium) / float(se1)
+               - float(a0.medium) / float(se0)) < 0.02
+    assert abs(float(a1.escaped) / float(se1)
+               - float(a0.escaped) / float(se0)) < 0.02
+
+
 def test_periodic_megakernel_interpret_matches_oracle(monkeypatch):
     """K_PERIODIC on the interpreted megakernel: the boundary teleports
     rays along the flipped normal (direction and energy unchanged), so

@@ -1154,10 +1154,13 @@ def _sample_disk_buie(spec, shape, cell=None):
         acc = acc * u + c
     theta = jnp.sqrt(u) * acc
     if gamma is not None:  # circumsolar aureole (u3 >= disc_end)
-        base = ((u3 - 1.0) * ((gamma + 2.0) / (10.0 ** (3.0 * gamma)
-                                               * np.exp(kappa)) * integ_sum
-                              - theta_dni ** (gamma + 2.0))
-                + u3 * theta_tot ** (gamma + 2.0))
+        # fold the static scalars in Python: an np.float64 intermediate
+        # (np.exp) would promote the whole direction computation to f64
+        # when x64 is enabled (CPU interpret tests)
+        c_aur = float((gamma + 2.0) / (10.0 ** (3.0 * gamma)
+                                       * float(np.exp(kappa))) * integ_sum
+                      - theta_dni ** (gamma + 2.0))
+        base = (u3 - 1.0) * c_aur + u3 * float(theta_tot ** (gamma + 2.0))
         th_aur = jnp.exp(jnp.log(jnp.maximum(base, 1e-30))
                          * (1.0 / (gamma + 2.0)))
         theta = jnp.where(u3 >= disc_end, th_aur, theta)
