@@ -33,6 +33,16 @@ from tracer_tpu.sources import disk_bundle, disk_pillbox_pallas_spec
 from tracer_tpu.kernels.pallas_intersect import TILE
 
 
+@pytest.fixture(autouse=True)
+def _fresh_jit_caches():
+    """TRACER_FORCE_PALLAS / TRACER_INTERPRET_PRNG are read at trace
+    time inside jitted functions and are NOT part of the jit cache key;
+    clearing the caches after each test guarantees no trace baked with
+    the switches on leaks into later tests (and vice versa)."""
+    yield
+    jax.clear_caches()
+
+
 def _f32(bundle):
     return jax.tree.map(
         lambda a: a.astype(jnp.float32)

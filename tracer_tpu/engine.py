@@ -702,6 +702,47 @@ def _append_split_rays(bundle: RayBundle, prev: RayBundle,
     return merged, accum
 
 
+def _chunked_drain(e, fields, drain_fn, cap: int, accum, key):
+    """Drain the sparse survivors of a streaming slab to death in
+    compacted chunks: top_k the ``cap`` highest-energy lanes (the only
+    positive entries), gather their per-lane ``fields``, zero them in the
+    slab, and hand the chunk to ``drain_fn(ce, cfields, accum, key) ->
+    (ce, accum, key)``; any energy the chunk's round budget leaves alive
+    is accounted into ``accum.residual``. Repeats until the slab is dead
+    — each iteration zeroes ``cap`` lanes, so it terminates in at most
+    ceil(slab/cap) iterations. Shared by the plain streaming tail and the
+    culled path's drain_all (identical budget semantics: each chunk gets
+    a FRESH round counter; the per-ray max_path age cull is what bounds
+    the work)."""
+    if cap >= e.shape[0]:
+        ce, accum, key = drain_fn(e, fields, accum, key)
+        accum = accum.replace(residual=accum.residual + jnp.sum(ce))
+        return jnp.zeros_like(e), accum, key
+
+    def ccond(st):
+        e, accum, key = st
+        return jnp.any(e > 0.0)
+
+    def cbody(st):
+        e, accum, key = st
+        ce, idx = jax.lax.top_k(e, cap)
+        cfields = tuple(None if f is None else f[idx] for f in fields)
+        e = e.at[idx].set(0.0)
+        ce, accum, key = drain_fn(ce, cfields, accum, key)
+        accum = accum.replace(residual=accum.residual + jnp.sum(ce))
+        return e, accum, key
+
+    return jax.lax.while_loop(ccond, cbody, (e, accum, key))
+
+
+def _drain_cap(slab: int) -> int:
+    """Chunk capacity for _chunked_drain: slab//8, rounded UP to a TILE
+    multiple so the Pallas bounce kernels never pad (pad lanes would run
+    dead work every drain round)."""
+    from .kernels.pallas_intersect import TILE
+    return max(TILE, -(-(slab // 8) // TILE) * TILE)
+
+
 @functools.partial(
     jax.jit, static_argnames=("max_bounces", "min_energy", "t_eps",
                               "disc_eps", "block", "fluxspecs"))
@@ -888,15 +929,17 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
     # survivors; finishing them with full-slab rounds costs ~10 rounds at
     # full price while <~20% of lanes are live (the call-size sensitivity
     # previously documented in BENCHMARKS.md). Compact survivors into a
-    # slab//8 buffer (top_k by energy, the culled drain's pattern) and
-    # finish on proportionally cheap rounds.
-    from .kernels.pallas_intersect import TILE as _TILE
-    cap = max(_TILE, slab // 8)
+    # ~slab//8 buffer (top_k by energy, via _chunked_drain — the culled
+    # drain's pattern) and finish on proportionally cheap rounds. Each
+    # chunk gets a FRESH round counter: the per-ray max_path age cull
+    # bounds a chunk to max_path rounds, so the drain always completes
+    # (max_rounds budgets the EMISSION loop only; a shared global counter
+    # would truncate late chunks into residual).
     no_regen = jnp.zeros((1,), dtype=jnp.int32)
 
     def tcond(st):
         i, pos, dirs, e, wl, ri, age, accum, key = st
-        return (i < max_rounds) & jnp.any(e > 0.0)
+        return (i < max_path + 1) & jnp.any(e > 0.0)
 
     def tbody(st):
         i, pos, dirs, e, wl, ri, age, accum, key = st
@@ -905,32 +948,17 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
             pos, dirs, e, e, wl, ri, age, accum, ks, no_regen)
         return (i + 1, pos, dirs, e, wl, ri, age, accum, key)
 
-    if cap >= slab:
-        st = jax.lax.while_loop(
-            tcond, tbody, (i_r, pos, dirs, e, wl, ri, age, accum, key))
-        e, accum = st[3], st[7]
-    else:
-        def ccond(st):
-            e, accum, key, i = st
-            return (i < max_rounds) & jnp.any(e > 0.0)
+    def drain_fn(ce, cfields, accum, key):
+        cpos, cdirs, cwl, cri, cage = cfields
+        tst = jax.lax.while_loop(
+            tcond, tbody,
+            (z32, cpos, cdirs, ce, cwl, cri, cage, accum, key))
+        return tst[3], tst[7], tst[8]
 
-        def cbody(st):
-            e, accum, key, i = st
-            ce, idx = jax.lax.top_k(e, cap)
-            cpos, cdirs, cage = pos[idx], dirs[idx], age[idx]
-            cwl, cri = wl[idx], ri[idx]
-            e = e.at[idx].set(0.0)
-            tst = jax.lax.while_loop(
-                tcond, tbody,
-                (i, cpos, cdirs, ce, cwl, cri, cage, accum, key))
-            i, _, _, ce, _, _, _, accum, key = tst
-            accum = accum.replace(residual=accum.residual + jnp.sum(ce))
-            return e, accum, key, i
-
-        e, accum, _, _ = jax.lax.while_loop(
-            ccond, cbody, (e, accum, key, i_r))
-    # exact closure even on a max_rounds exit: still-alive energy is
-    # accounted, not silently dropped (cf. ref tracer_engine.py:292-294)
+    e, accum, _ = _chunked_drain(e, (pos, dirs, wl, ri, age), drain_fn,
+                                 _drain_cap(slab), accum, key)
+    # exact closure on any exit: still-alive energy is accounted, not
+    # silently dropped (cf. ref tracer_engine.py:292-294)
     accum = accum.replace(residual=accum.residual + jnp.sum(e))
     return accum, emitted, source_e
 
@@ -1125,7 +1153,8 @@ def _trace_streaming_megakernel_culled(
 
     def dcond(st):
         i, pos, dirs, e, wl, age, accum, key = st
-        return (i < max_rounds) & jnp.any(e > 0.0)
+        # fresh per-chunk counter; max_path's age cull is the real bound
+        return (i < max_path + 1) & jnp.any(e > 0.0)
 
     def dbody(st):
         i, pos, dirs, e, wl, age, accum, key = st
@@ -1167,31 +1196,14 @@ def _trace_streaming_megakernel_culled(
     def drain_all(pos, dirs, e, wl, age, accum, key):
         """Trace every live lane (parked or not) to death; returns the
         zeroed energies so the main loop can resume emitting into them."""
-        if cap == slab:
-            dst = (z32, pos, dirs, e, wl, age, accum, key)
-            dst = jax.lax.while_loop(dcond, dbody, dst)
-            _, _, _, de, _, _, accum, key = dst
-            accum = accum.replace(residual=accum.residual + jnp.sum(de))
-            return jnp.zeros_like(e), accum, key
-
-        def ccond(st):
-            e, accum, key = st
-            return jnp.any(e > 0.0)
-
-        def cbody(st):
-            e, accum, key = st
-            ce, idx = jax.lax.top_k(e, cap)
-            cpos, cdirs, cage = pos[idx], dirs[idx], age[idx]
-            cwl = wl[idx]
-            e = e.at[idx].set(0.0)
+        def drain_fn(ce, cfields, accum, key):
+            cpos, cdirs, cwl, cage = cfields
             dst = (z32, cpos, cdirs, ce, cwl, cage, accum, key)
             dst = jax.lax.while_loop(dcond, dbody, dst)
-            _, _, _, ce, _, _, accum, key = dst
-            accum = accum.replace(residual=accum.residual + jnp.sum(ce))
-            return e, accum, key
+            return dst[3], dst[6], dst[7]
 
-        e, accum, key = jax.lax.while_loop(ccond, cbody, (e, accum, key))
-        return e, accum, key
+        return _chunked_drain(e, (pos, dirs, wl, age), drain_fn, cap,
+                              accum, key)
 
     # ---- emit->drain cycles: the main loop exits when no block can make
     # progress (quota done, or every remaining block fully parked); the

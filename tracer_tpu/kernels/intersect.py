@@ -163,7 +163,12 @@ def _use_pallas(pos) -> bool:
     # TRACER_FORCE_PALLAS=1 routes the fast paths through the Pallas
     # kernels regardless of backend — combined with
     # pltpu.force_tpu_interpret_mode() this lets the CPU suite exercise
-    # the megakernel code paths the hardware runs (slow; tests only)
+    # the megakernel code paths the hardware runs (slow; tests only).
+    # CAVEAT: read at trace time inside jitted callers (_bounce_step)
+    # and NOT part of the jit cache key — flipping it mid-process can
+    # reuse a stale cached trace. Tests that toggle it must
+    # jax.clear_caches() around the toggle (see
+    # tests/test_interpret_megakernel.py's autouse fixture).
     import os
     if os.environ.get("TRACER_FORCE_PALLAS", "") == "1":
         return True

@@ -1058,6 +1058,14 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
 # distinct stream; the seed operand varies per round/block on the host
 # side.  uint32 arithmetic is fine here because this branch never lowers
 # through Mosaic.  Statistically adequate for test-scale MC only.
+#
+# CAVEATS (accepted for test-only infrastructure): the armed seed is a
+# live tracer stored in module state — kernel construction must not be
+# concurrent (the suite is single-threaded), and the reference lingers
+# after the trace completes (harmless unless jax_check_tracer_leaks is
+# on).  Like TRACER_FORCE_PALLAS, the env switch is read at trace time
+# and is NOT part of the jit cache key: tests toggling it must
+# jax.clear_caches() around the toggle.
 _interp_prng = {"seed": None, "salt": 0}
 
 
