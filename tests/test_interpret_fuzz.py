@@ -1,0 +1,125 @@
+"""Property-based cross-check of the interpreted megakernel.
+
+Random scenes (mixed geometry kinds, random rigid transforms, random
+megakernel-eligible optics) traced twice — through the fused Pallas
+streaming megakernel under TPU interpret mode, and through the jnp
+regeneration path — must agree on every per-surface absorbed fraction,
+the escaped fraction, and close the energy balance exactly.  This is the
+coverage the curated scenes can't give: arbitrary group orderings,
+aperture-signature mixes, and optics-kind combinations in one table.
+
+Seeded and deterministic; see tests/test_interpret_megakernel.py for the
+env-switch mechanics.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from tracer_tpu import geometry as G
+from tracer_tpu import materials as M
+from tracer_tpu import spatial
+from tracer_tpu.engine import trace_streaming
+from tracer_tpu.scene import Assembly, AssembledObject, Surface, compile_scene
+from tracer_tpu.sources import disk_bundle, disk_pillbox_pallas_spec
+from tracer_tpu.kernels.pallas_intersect import TILE
+
+
+@pytest.fixture(autouse=True)
+def _fresh_jit_caches():
+    yield
+    jax.clear_caches()
+
+
+def _f32(bundle):
+    return jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, bundle)
+
+
+def _random_geometry(rng):
+    kind = rng.integers(0, 6)
+    if kind == 0:
+        return G.rect_plate(rng.uniform(0.5, 2.0), rng.uniform(0.5, 2.0))
+    if kind == 1:
+        return G.round_plate(rng.uniform(0.3, 1.2))
+    if kind == 2:
+        return G.parabolic_dish(rng.uniform(0.8, 2.0),
+                                rng.uniform(0.8, 2.5))
+    if kind == 3:
+        return G.hemisphere(rng.uniform(0.4, 1.0))
+    if kind == 4:
+        return G.ellipsoid(rng.uniform(0.3, 0.8), rng.uniform(0.3, 0.8),
+                           rng.uniform(0.3, 0.8))
+    v = rng.uniform(-1.0, 1.0, (3, 2))
+    return G.triangle(v)
+
+
+def _random_optics(rng):
+    kind = rng.integers(0, 6)
+    if kind == 0:
+        return M.reflective(rng.uniform(0.02, 0.3),
+                            sigma=float(rng.uniform(0.0, 3e-3)),
+                            bi_var=bool(rng.integers(0, 2)))
+    if kind == 1:
+        return M.lambertian(rng.uniform(0.3, 0.95))
+    if kind == 2:
+        return M.absorber(one_sided=bool(rng.integers(0, 2)))
+    if kind == 3:
+        return M.lambertian_specular(rng.uniform(0.05, 0.3),
+                                     rng.uniform(0.2, 0.8),
+                                     float(rng.uniform(0.0, 2e-3)))
+    if kind == 4:
+        return M.semi_lambertian(rng.uniform(0.3, 0.9),
+                                 rng.uniform(np.pi / 6, np.pi / 2))
+    return M.transparent()
+
+
+def _random_scene(seed, n_surf):
+    rng = np.random.default_rng(seed)
+    surfaces = []
+    for i in range(n_surf):
+        loc = rng.uniform(-2.0, 2.0, 3)
+        loc[2] = rng.uniform(-1.0, 2.5)
+        rot = (spatial.rotx(rng.uniform(0, 2 * np.pi))[:3, :3]
+               @ spatial.roty(rng.uniform(0, np.pi))[:3, :3])
+        surfaces.append(Surface(_random_geometry(rng),
+                                _random_optics(rng),
+                                location=loc.tolist(), rotation=rot,
+                                name=f"s{i}"))
+    asm = Assembly([AssembledObject(surfaces)])
+    return compile_scene(asm, dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("seed,n_surf", [(7, 6), (23, 9)])
+def test_fuzzed_scene_interpret_matches_jnp(monkeypatch, seed, n_surf):
+    table, meta = _random_scene(seed, n_surf)
+
+    slab = TILE
+    def source_fn(key):
+        return _f32(disk_bundle(key, slab, center=[0.0, 0.0, 4.0],
+                                direction=[0.0, 0.0, -1.0], radius=2.5,
+                                ang_range=5e-3, flux=1000.0))
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 4.0], [0.0, 0.0, -1.0], 2.5, 5e-3, 1000.0)
+
+    a0, _, se0 = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+        max_rounds=30, max_path=10))
+    f0 = np.asarray(a0.absorbed) / float(se0)
+
+    monkeypatch.setenv("TRACER_FORCE_PALLAS", "1")
+    monkeypatch.setenv("TRACER_INTERPRET_PRNG", "1")
+    with pltpu.force_tpu_interpret_mode():
+        a1, _, se1 = jax.block_until_ready(trace_streaming(
+            table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+            max_rounds=30, max_path=10))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+
+    tot = (np.asarray(a1.absorbed).sum() + float(a1.escaped)
+           + float(a1.culled) + float(a1.medium) + float(a1.residual))
+    np.testing.assert_allclose(tot, float(se1), rtol=1e-5)
+    np.testing.assert_allclose(f1, f0, atol=0.025)
+    assert abs(float(a1.escaped) / float(se1)
+               - float(a0.escaped) / float(se0)) < 0.025
