@@ -92,6 +92,89 @@ def _random_scene(seed, n_surf):
     return compile_scene(asm, dtype=jnp.float32)
 
 
+def _random_field(seed):
+    """Random heliostat-ish field: mirrors ringed around the origin under
+    a one-sided overhead receiver — the culling-eligible scene family."""
+    rng = np.random.default_rng(seed)
+    surfs = []
+    n = int(rng.integers(4, 9))
+    for i in range(n):
+        r = rng.uniform(1.0, 3.0)
+        th = rng.uniform(0, 2 * np.pi)
+        loc = [r * np.cos(th), r * np.sin(th), rng.uniform(-0.2, 0.2)]
+        rot = (spatial.rotx(rng.uniform(-0.4, 0.4))[:3, :3]
+               @ spatial.roty(rng.uniform(-0.4, 0.4))[:3, :3])
+        if rng.integers(0, 2):
+            geom = G.rect_plate(rng.uniform(0.6, 1.4),
+                                rng.uniform(0.6, 1.4))
+        else:
+            geom = G.parabolic_dish(rng.uniform(0.6, 1.4),
+                                    rng.uniform(4.0, 9.0))
+        opt = (M.reflective(rng.uniform(0.02, 0.2),
+                            sigma=float(rng.uniform(0, 2e-3)),
+                            bi_var=bool(rng.integers(0, 2)))
+               if rng.integers(0, 3)
+               else M.lambertian(rng.uniform(0.4, 0.9)))
+        surfs.append(Surface(geom, opt, location=loc, rotation=rot,
+                             name=f"m{i}"))
+    rec = Surface(G.rect_plate(6.0, 6.0), M.absorber(one_sided=True),
+                  name="rec", location=[0.0, 0.0, 7.0],
+                  rotation=spatial.rotx(np.pi)[:3, :3])
+    surfs.append(rec)
+    return compile_scene(Assembly([AssembledObject(surfs)]),
+                         dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_fuzzed_field_culled_interpret_matches_jnp(monkeypatch, seed):
+    """Random mirror fields through the CULLED interpreted megakernel
+    (per-block candidate lists, in-kernel slot-space flux histogram) vs
+    the unculled jnp path: per-surface fractions, the device flux map,
+    and the flux-sum == receiver-absorbed identity must all hold.  This
+    fuzzes the culling soundness analysis itself (corridor closure over
+    random layouts), not just the kernel."""
+    from tracer_tpu.culling import build_block_culling
+    from tracer_tpu.analysis.device_fluxmap import flux_plan
+
+    table, meta = _random_field(seed)
+    slab = 2 * TILE
+
+    def source_fn(key):
+        return _f32(disk_bundle(key, slab, center=[0, 0, 4.0],
+                                direction=[0, 0, -1.0], radius=3.2,
+                                ang_range=5e-3, flux=1000.0))
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0, 0, 4.0], [0, 0, -1.0], 3.2, 5e-3, 1000.0)
+    fspec = (flux_plan(meta, "rec", resolution=12),)
+
+    a0, _, se0 = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+        max_rounds=40, max_path=6, fluxspecs=fspec))
+    f0 = np.asarray(a0.absorbed) / float(se0)
+    h0 = np.asarray(a0.flux[0]) / float(se0)
+
+    monkeypatch.setenv("TRACER_FORCE_PALLAS", "1")
+    monkeypatch.setenv("TRACER_INTERPRET_PRNG", "1")
+    culling = build_block_culling(table, meta, source_fn.pallas_spec, slab)
+    with pltpu.force_tpu_interpret_mode():
+        a1, em1, se1 = jax.block_until_ready(trace_streaming(
+            table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+            max_rounds=40, max_path=6, culling=culling, fluxspecs=fspec))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    h1 = np.asarray(a1.flux[0]) / float(se1)
+
+    tot = (np.asarray(a1.absorbed).sum() + float(a1.escaped)
+           + float(a1.culled) + float(a1.medium) + float(a1.residual))
+    np.testing.assert_allclose(tot, float(se1), rtol=1e-5)
+    np.testing.assert_allclose(f1, f0, atol=0.025)
+    np.testing.assert_allclose(h1, h0, atol=0.01)
+    # the flux grid stochastically rounds absorbed values to bf16 before
+    # the one-hot matmuls (unbiased; ~2^-9 relative per sample), so the
+    # sum identity holds to ~1e-3 relative, not exactly
+    rec_rows = np.asarray(meta.row_logical) == meta.index_of("rec")
+    np.testing.assert_allclose(h1.sum(), f1[rec_rows].sum(), rtol=5e-3)
+
+
 @pytest.mark.parametrize("seed,n_surf", [(7, 6), (23, 9)])
 def test_fuzzed_scene_interpret_matches_jnp(monkeypatch, seed, n_surf):
     table, meta = _random_scene(seed, n_surf)
