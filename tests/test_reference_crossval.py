@@ -660,3 +660,104 @@ def test_fuzzed_field_exact_against_reference(reference, seed):
         tpu_abs[logical] += ab_rows[row]
 
     np.testing.assert_allclose(tpu_abs, ref_abs, atol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [6, 50])
+def test_fuzzed_quadric_field_exact_against_reference(reference, seed):
+    """The curved twin of the exact fuzz test: random paraboloid /
+    hemisphere / finite-cylinder mirrors (the quadric lowering's three
+    root-selection regimes) under the overhead receiver, identical
+    600-ray bundle, 8 bounces — per-surface absorbed energies to float64
+    round-off. Multi-bounce specular chains off CURVED surfaces amplify
+    any root-choice or normal-sign divergence into a changed hit
+    sequence, so exact agreement here pins the whole quadric table
+    against the reference's per-class managers (ref paraboloid.py:71,
+    sphere_surface.py:117, cylinder.py:59)."""
+    import jax.numpy as jnp
+    from tracer.tracer_engine import TracerEngine as RefEngine
+    from tracer.assembly import Assembly as RefAssembly
+    from tracer.object import AssembledObject as RefObject
+    from tracer.surface import Surface as RefSurface
+    from tracer.flat_surface import RectPlateGM
+    from tracer.paraboloid import ParabolicDishGM
+    from tracer.sphere_surface import HemisphereGM
+    from tracer.cylinder import FiniteCylinder
+    from tracer import optics_callables as oc
+    from tracer.spatial_geometry import rotx as ref_rotx, roty as ref_roty
+    from tracer.ray_bundle import RayBundle as RefBundle
+
+    from tracer_tpu import geometry as G, materials as M
+    from tracer_tpu.bundle import RayBundle
+    from tracer_tpu.engine import TracerEngine, TraceOptions
+    from tracer_tpu.scene import (Assembly, AssembledObject, Surface,
+                                  compile_scene)
+
+    rng = np.random.default_rng(seed)
+    ref_surfs, tpu_surfs = [], []
+    for i in range(int(rng.integers(3, 6))):
+        r = rng.uniform(1.2, 3.0)
+        th = rng.uniform(0, 2 * np.pi)
+        loc = np.array([r * np.cos(th), r * np.sin(th),
+                        rng.uniform(-0.2, 0.2)])
+        rot = (ref_rotx(rng.uniform(-0.3, 0.3))
+               @ ref_roty(rng.uniform(-0.3, 0.3)))[:3, :3]
+        ab = rng.uniform(0.05, 0.3)
+        kind = rng.integers(0, 3)
+        if kind == 0:
+            dd, ff = rng.uniform(0.8, 1.6), rng.uniform(3.0, 8.0)
+            rg, tg = ParabolicDishGM(dd, ff), G.parabolic_dish(dd, ff)
+        elif kind == 1:
+            rr = rng.uniform(0.4, 0.8)
+            rg, tg = HemisphereGM(rr), G.hemisphere(rr)
+        else:
+            rr, hh = rng.uniform(0.3, 0.6), rng.uniform(0.6, 1.2)
+            rg, tg = (FiniteCylinder(2 * rr, hh),
+                      G.finite_cylinder(2 * rr, hh))
+        s = RefSurface(rg, oc.ReflectiveAbsorber(ab))
+        s.set_location(loc)
+        s.set_rotation(rot)
+        ref_surfs.append(s)
+        tpu_surfs.append(Surface(tg, M.reflective(ab),
+                                 location=loc.tolist(), rotation=rot,
+                                 name=f"m{i}"))
+    rrot = ref_rotx(np.pi)[:3, :3]
+    rs = RefSurface(RectPlateGM(8.0, 8.0),
+                    oc.OneSidedReflectiveReceiver(1.0))
+    rs.set_location(np.array([0.0, 0.0, 6.0]))
+    rs.set_rotation(rrot)
+    ref_surfs.append(rs)
+    tpu_surfs.append(Surface(G.rect_plate(8.0, 8.0),
+                             M.absorber(one_sided=True),
+                             location=[0.0, 0.0, 6.0], rotation=rrot,
+                             name="rec"))
+
+    n_rays = 600
+    rng2 = np.random.default_rng(seed + 2000)
+    pos = np.c_[rng2.uniform(-3.5, 3.5, n_rays),
+                rng2.uniform(-3.5, 3.5, n_rays),
+                np.full(n_rays, 4.0)].T
+    d = np.c_[rng2.normal(0, 0.04, n_rays),
+              rng2.normal(0, 0.04, n_rays), -np.ones(n_rays)].T
+    d /= np.linalg.norm(d, axis=0)
+    e = rng2.uniform(0.5, 1.5, n_rays)
+
+    reng = RefEngine(RefAssembly(objects=[RefObject(surfs=ref_surfs)]))
+    reng.ray_tracer(RefBundle(vertices=pos.copy(), directions=d.copy(),
+                              energy=e.copy()), 8, 1e-7)
+    ref_abs = np.array([
+        float(np.sum(s.get_optics_manager().get_all_hits()[0]))
+        if len(s.get_optics_manager().get_all_hits()[0]) else 0.0
+        for s in ref_surfs])
+
+    table, meta = compile_scene(Assembly([AssembledObject(tpu_surfs)]),
+                                dtype=jnp.float64)
+    eng = TracerEngine(table, meta)
+    b = RayBundle.create(pos=pos.T, dir=d.T, energy=e)
+    res = eng.ray_tracer(b, reps=8, key=jax.random.PRNGKey(0),
+                         opts=TraceOptions(max_bounces=8, record=False))
+    ab_rows = np.asarray(res.accum.absorbed)
+    tpu_abs = np.zeros(len(ref_abs))
+    for row, logical in enumerate(np.asarray(meta.row_logical)):
+        tpu_abs[logical] += ab_rows[row]
+
+    np.testing.assert_allclose(tpu_abs, ref_abs, atol=1e-9)
