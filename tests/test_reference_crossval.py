@@ -665,8 +665,9 @@ def test_fuzzed_field_exact_against_reference(reference, seed):
 @pytest.mark.parametrize("seed", [6, 50])
 def test_fuzzed_quadric_field_exact_against_reference(reference, seed):
     """The curved twin of the exact fuzz test: random paraboloid /
-    hemisphere / finite-cylinder mirrors (the quadric lowering's three
-    root-selection regimes) under the overhead receiver, identical
+    hemisphere / ellipsoid / annular-plate / finite-cylinder mirrors
+    (the quadric lowering's root-selection regimes plus annular
+    trimming) under the overhead receiver, identical
     600-ray bundle, 8 bounces — per-surface absorbed energies to float64
     round-off. Multi-bounce specular chains off CURVED surfaces amplify
     any root-choice or normal-sign divergence into a changed hit
@@ -678,10 +679,11 @@ def test_fuzzed_quadric_field_exact_against_reference(reference, seed):
     from tracer.assembly import Assembly as RefAssembly
     from tracer.object import AssembledObject as RefObject
     from tracer.surface import Surface as RefSurface
-    from tracer.flat_surface import RectPlateGM
+    from tracer.flat_surface import RectPlateGM, RoundPlateGM
     from tracer.paraboloid import ParabolicDishGM
     from tracer.sphere_surface import HemisphereGM
     from tracer.cylinder import FiniteCylinder
+    from tracer.ellipsoid import Ellipsoid
     from tracer import optics_callables as oc
     from tracer.spatial_geometry import rotx as ref_rotx, roty as ref_roty
     from tracer.ray_bundle import RayBundle as RefBundle
@@ -702,13 +704,22 @@ def test_fuzzed_quadric_field_exact_against_reference(reference, seed):
         rot = (ref_rotx(rng.uniform(-0.3, 0.3))
                @ ref_roty(rng.uniform(-0.3, 0.3)))[:3, :3]
         ab = rng.uniform(0.05, 0.3)
-        kind = rng.integers(0, 3)
+        kind = rng.integers(0, 5)
         if kind == 0:
             dd, ff = rng.uniform(0.8, 1.6), rng.uniform(3.0, 8.0)
             rg, tg = ParabolicDishGM(dd, ff), G.parabolic_dish(dd, ff)
         elif kind == 1:
             rr = rng.uniform(0.4, 0.8)
             rg, tg = HemisphereGM(rr), G.hemisphere(rr)
+        elif kind == 2:
+            ea, eb, ec = (rng.uniform(0.3, 0.7), rng.uniform(0.3, 0.7),
+                          rng.uniform(0.3, 0.7))
+            rg, tg = Ellipsoid(ea, eb, ec), G.ellipsoid(ea, eb, ec)
+        elif kind == 3:
+            ro = rng.uniform(0.5, 1.0)
+            ri = rng.uniform(0.1, 0.4)
+            rg, tg = (RoundPlateGM(Re=ro, Ri=ri),
+                      G.round_plate(ro, ri))
         else:
             rr, hh = rng.uniform(0.3, 0.6), rng.uniform(0.6, 1.2)
             rg, tg = (FiniteCylinder(2 * rr, hh),
