@@ -5,14 +5,118 @@ per-block relevancy culling (tracer_tpu/culling.py).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is the ratio against the north star of 100 Mrays/s/chip.
+
+Failure semantics (round-3 verdict item 1 — the round-3 record was voided
+by an un-diagnosable rc=1 traceback when the TPU tunnel was down):
+the default invocation is a WATCHDOG ORCHESTRATOR. It probes backend
+initialization in a bounded subprocess (120 s, one retry), runs the real
+measurement in a bounded subprocess, and ALWAYS emits one structured JSON
+line:
+
+  - healthy run        -> {"metric", "value", ...}, rc=0
+  - backend down/stall -> {"metric", "error": "tpu_backend_unavailable" |
+                           "tpu_stalled_mid_run", "detail": ...}, rc=0
+  - engine bug         -> {"metric", "error": "engine_failure",
+                           "detail": <traceback tail>}, rc=1
+
+so the round record distinguishes "environment down" from "engine broken"
+without 30 lines of JAX internals.
 """
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
+METRIC = "nsttf_trace_throughput"
+UNIT = "Mrays/s/chip"
+PROBE_TIMEOUT_S = 120
+RUN_TIMEOUT_S = 2400
+
+_BACKEND_ERR_SIGNATURES = (
+    "Unable to initialize backend",
+    "TPU backend setup/compile error",
+    "UNAVAILABLE",
+    "DEADLINE_EXCEEDED",
+    "failed to connect",
+)
+
+
+def _emit(payload, rc):
+    print(json.dumps(payload))
+    sys.exit(rc)
+
+
+def _probe_backend():
+    """Initialize the JAX backend in a bounded subprocess.
+
+    Returns (ok, detail). A bare ``jax.devices()`` through a dead axon
+    tunnel hangs for minutes (observed round 3), so the bound is the
+    whole point.
+    """
+    code = "import jax; print(jax.devices()[0].platform)"
+    last = ""
+    for attempt in range(2):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=PROBE_TIMEOUT_S)
+        except subprocess.TimeoutExpired:
+            last = f"backend init exceeded {PROBE_TIMEOUT_S}s (attempt {attempt + 1})"
+            continue
+        if r.returncode == 0:
+            return True, r.stdout.strip()
+        last = (r.stderr or r.stdout).strip().splitlines()[-1:] or ["unknown"]
+        last = last[0]
+    return False, last
+
+
+def _orchestrate():
+    ok, detail = _probe_backend()
+    if not ok:
+        _emit({"metric": METRIC, "unit": UNIT,
+               "error": "tpu_backend_unavailable", "detail": detail}, 0)
+
+    t0 = time.time()
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            capture_output=True, text=True, timeout=RUN_TIMEOUT_S)
+    except subprocess.TimeoutExpired as e:
+        tail = ((e.stderr or b"").decode(errors="replace")
+                if isinstance(e.stderr, bytes) else (e.stderr or ""))
+        _emit({"metric": METRIC, "unit": UNIT, "error": "tpu_stalled_mid_run",
+               "detail": f"measurement exceeded {RUN_TIMEOUT_S}s; stderr tail: "
+                         + tail[-300:]}, 0)
+
+    # forward the child's progress lines for the human reader
+    if r.stderr:
+        sys.stderr.write(r.stderr)
+
+    if r.returncode == 0:
+        # forward the child's single JSON line verbatim
+        for line in reversed(r.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                print(line)
+                sys.exit(0)
+        _emit({"metric": METRIC, "unit": UNIT, "error": "engine_failure",
+               "detail": "child exited 0 without a JSON line"}, 1)
+
+    blob = (r.stderr or "") + (r.stdout or "")
+    if any(sig in blob for sig in _BACKEND_ERR_SIGNATURES):
+        _emit({"metric": METRIC, "unit": UNIT,
+               "error": "tpu_backend_unavailable",
+               "detail": blob.strip().splitlines()[-1][:300],
+               "elapsed_s": round(time.time() - t0, 1)}, 0)
+    tail = "; ".join(blob.strip().splitlines()[-4:])[-500:]
+    _emit({"metric": METRIC, "unit": UNIT, "error": "engine_failure",
+           "detail": tail}, 1)
 
 
 def main():
+    import jax
+
     from benchmarks.nsttf import build_scene, make_source_fn
     from tracer_tpu.culling import build_block_culling
     from tracer_tpu.engine import trace_streaming
@@ -68,7 +172,6 @@ def main():
     fmap = np.asarray(accum.flux[0])
     assert abs(fmap.sum() - ab.max()) / ab.max() < 5e-3, \
         "flux histogram disagrees with receiver accounting"
-    import sys
     print(f"receiver flux map from the {int(emitted)/1e6:.1f}M-ray culled "
           f"run: total {fmap.sum()/1e3:.1f} kW, peak cell "
           f"{fmap.max() / ((11.0 / 50) ** 2) / 1e3:.0f} kW/m^2",
@@ -92,18 +195,20 @@ def main():
         t0 = time.perf_counter()
         jax.block_until_ready(step_f(jax.random.fold_in(key, 100 + i)))
         best_f = min(best_f, time.perf_counter() - t0)
-    import sys
     print(f"with 50x50 device flux map: {total / best_f / 1e6:.1f} "
           "Mrays/s/chip", file=sys.stderr)
 
     mrays = total / best / 1e6
     print(json.dumps({
-        "metric": "nsttf_trace_throughput",
+        "metric": METRIC,
         "value": round(mrays, 3),
-        "unit": "Mrays/s/chip",
+        "unit": UNIT,
         "vs_baseline": round(mrays / 100.0, 4),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        main()
+    else:
+        _orchestrate()
