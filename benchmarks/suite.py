@@ -174,9 +174,13 @@ def config3_spectral_buie(slab_tiles=114, rounds=64) -> dict:
                                   compile_scene)
     from tracer_tpu.sources import buie_sunshape, buie_sunshape_pallas_spec
 
-    wls = np.linspace(300e-9, 2500e-9, 32)
-    # silver-like spectral absorptance ramp
-    abss = 0.02 + 0.10 * (wls - wls[0]) / (wls[-1] - wls[0])
+    wls = np.linspace(350e-9, 2400e-9, 32)
+    # REAL silver from the bundled n,k database (zero user files —
+    # round-3 verdict item 6): normal-incidence absorptance 1 - R(n, k)
+    from tracer_tpu.optical_constants import from_sopra
+    m = from_sopra("AG").m(wls)
+    n, k = m.real, np.abs(m.imag)
+    abss = 1.0 - ((n - 1.0) ** 2 + k**2) / ((n + 1.0) ** 2 + k**2)
     # mirror tilted pi/8 about x: straight-down rays reflect at 45 deg
     # toward the receiver, which sits outside the incoming beam
     mirror = Surface(G.round_plate(1.0),
