@@ -28,6 +28,12 @@ def _setup_reference(path="/root/reference"):
         stub.Polygon = object
         stub.constrained_delaunay_triangles = None
         sys.modules["shapely"] = stub
+    # Py2 shim: sphere_surface.CutSphereGM._select_coords still uses
+    # xrange (reference sphere_surface.py:198); the module is otherwise
+    # Python-3 clean, so a builtins alias unlocks it for cross-validation
+    import builtins
+    if not hasattr(builtins, "xrange"):
+        builtins.xrange = range
     if path not in sys.path:
         sys.path.insert(0, path)
 

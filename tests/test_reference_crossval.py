@@ -772,3 +772,107 @@ def test_fuzzed_quadric_field_exact_against_reference(reference, seed):
         tpu_abs[logical] += ab_rows[row]
 
     np.testing.assert_allclose(tpu_abs, ref_abs, atol=1e-9)
+
+
+def test_spherical_lens_matches_reference(reference):
+    """Deterministic biconvex-lens comparison (round-3 verdict item 7, ref
+    models/spherical_lens.py:19 + tests/models/test_spherical_lens.py:18):
+    a fan of meridional rays traced through BOTH engines with two-branch
+    Fresnel SPLITTING pins (a) the lensmaker focal length (formula
+    equality), (b) the measured focal power (axis crossings differ between
+    engines by a single CONSTANT z-offset — the reference's documented H'
+    placement bug, models/spherical_lens.py:92-96 — not by ray height),
+    and (c) the transmitted Fresnel fraction to float64 round-off."""
+    from tracer.tracer_engine import TracerEngine as RefEngine
+    from tracer.assembly import Assembly as RefAssembly
+    from tracer.models.spherical_lens import SphericalLens as RefLens
+    from tracer.ray_bundle import RayBundle as RefBundle
+    from tracer import optics_callables as ropt
+
+    heights = np.array([0.0005, 0.001, 0.002, 0.005, 0.01, -0.003, -0.008])
+    K = len(heights)
+    pos = np.zeros((3, K))
+    pos[1] = heights
+    pos[2] = 1.0
+    dirs = np.tile(np.c_[[0.0, 0.0, -1.0]], (1, K))
+
+    lens_r = RefLens(diameter=1.0, depth=0.1, R1=10.0, R2=-10.0,
+                     refr_idx=1.5)
+    f_ref = lens_r.focal_length()
+    # force deterministic two-branch splitting in both engines
+    for s in lens_r.get_surfaces():
+        if isinstance(s.get_optics_manager(), ropt.RefractiveHomogenous):
+            s._opt = ropt.RefractiveHomogenous(1.0, 1.5, single_ray=False)
+    reng = RefEngine(RefAssembly(objects=[lens_r]))
+    v_ref, d_ref = reng.ray_tracer(
+        RefBundle(vertices=pos.copy(), directions=dirs.copy(),
+                  energy=np.ones(K), ref_index=np.ones(K)), 2, 1e-9)
+    # transmitted branch: exits the back face heading down
+    sel = d_ref[2] < -0.5
+    assert sel.sum() == K
+    vt, dt = v_ref[:, sel], d_ref[:, sel]
+    z_cross_ref = vt[2] - vt[1] * dt[2] / dt[1]
+    order_ref = np.argsort(vt[1])
+
+    from tracer_tpu import TracerEngine, materials as M
+    from tracer_tpu.bundle import RayBundle
+    from tracer_tpu.models.spherical_lens import SphericalLens
+    from tracer_tpu.scene import Assembly
+
+    lens_t = SphericalLens(1.0, 0.1, 10.0, -10.0, 1.5)
+    f_tpu = lens_t.focal_length()
+    np.testing.assert_allclose(f_tpu, f_ref, rtol=1e-12)
+    np.testing.assert_allclose(f_ref, 2.0 / (0.2 - 0.05 / 150.0),
+                               rtol=1e-12)
+    for s in lens_t.get_surfaces():
+        if s.optics.kind == M.K_REFRACTIVE:
+            s.optics = M.refractive_homogenous(1.0, 1.5, single_ray=False)
+    eng = TracerEngine(Assembly([lens_t]))
+    b = RayBundle.create(pos=pos.T, dir=dirs.T, energy=np.ones(K),
+                         ref_index=np.ones(K))
+    res = eng.ray_tracer(b, reps=2, key=jax.random.PRNGKey(0))
+
+    # transmitted mains at the back-face bounce
+    rec = res.records[1]
+    alive = np.asarray(rec.alive_in) & (np.asarray(rec.sid) >= 0)
+    dout = np.asarray(rec.dir_out)
+    m = alive & (dout[:, 2] < -0.5)
+    assert m.sum() == K
+    hit = np.asarray(rec.hit)[m]
+    dT = dout[m]
+    eT = np.asarray(rec.e_out)[m]
+    z_cross_tpu = hit[:, 2] - hit[:, 1] * dT[:, 2] / dT[:, 1]
+    order_tpu = np.argsort(hit[:, 1])
+
+    # (b) focal power: axis crossings match up to ONE constant offset
+    diff = z_cross_ref[order_ref] - z_cross_tpu[order_tpu]
+    assert np.ptp(diff) < 1e-9, diff
+    # our H'-at-origin placement puts the paraxial focus at exactly -f
+    parax = np.abs(hit[:, 1]) < 2e-4 / f_tpu * 10  # smallest heights
+    np.testing.assert_allclose(z_cross_tpu[parax], -f_tpu, atol=2e-4)
+
+    # (c) Fresnel transmitted fraction: per-ray T1*T2 identical. The
+    # reference carries no per-ray energy in its return; recompute from
+    # its own optics: total transmitted energy == ours to round-off is
+    # checked through a screen-absorbed comparison instead.
+    from tracer.models.one_sided_mirror import one_sided_receiver
+    from tracer.spatial_geometry import translate as rtranslate
+    lens_r2 = RefLens(diameter=1.0, depth=0.1, R1=10.0, R2=-10.0,
+                      refr_idx=1.5)
+    for s in lens_r2.get_surfaces():
+        if isinstance(s.get_optics_manager(), ropt.RefractiveHomogenous):
+            s._opt = ropt.RefractiveHomogenous(1.0, 1.5, single_ray=False)
+    screen_r = one_sided_receiver(5.0, 5.0)
+    screen_r.set_transform(rtranslate(0, 0, -f_ref))
+    reng2 = RefEngine(RefAssembly(objects=[lens_r2, screen_r]))
+    reng2.ray_tracer(RefBundle(vertices=pos.copy(), directions=dirs.copy(),
+                               energy=np.ones(K), ref_index=np.ones(K)),
+                     3, 1e-9)
+    e_screen_ref = float(np.sum(
+        screen_r.get_surfaces()[0].get_optics_manager().get_all_hits()[0]))
+
+    # ours: transmitted energy from the bounce-2 record directly
+    e_screen_tpu = float(eT.sum())
+    np.testing.assert_allclose(e_screen_tpu, e_screen_ref, rtol=1e-11)
+    # sanity: ~92% of a normal-incidence fan clears two n=1.5 interfaces
+    assert 0.90 < e_screen_tpu / K < 0.94
