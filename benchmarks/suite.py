@@ -375,6 +375,86 @@ def config7_cook_torrance(slab_tiles=114, rounds=32) -> dict:
                 dome_frac=round(dome_frac, 4), closure=float(cl))
 
 
+def config8_volumetric_scattering(slab_tiles=114, rounds=32) -> dict:
+    """Config 8 (round-3/4 verdict item 3): participating-medium enclosure
+    — a closed box of diffuse absorbing walls filled with a homogeneous
+    Henyey-Greenstein scattering + Beer-Lambert absorbing medium (ref
+    Scattering optics_callables.py:946, Absorbant :861). The megakernel
+    lowers exponential free-path sampling + HG phase draws into the shade
+    epilogue (scattered lanes report sid == -2); measured alongside is
+    the general streaming path whose per-ray medium fields drive the
+    engine volumetrics. Physics parity between the two is a CPU
+    interpret-mode test (tests/test_interpret_megakernel.py)."""
+    from tracer_tpu.engine import trace_streaming
+    from tracer_tpu.kernels.pallas_intersect import TILE
+    from tracer_tpu.scene import (Assembly, AssembledObject, Surface,
+                                  compile_scene)
+    from tracer_tpu import geometry as G, materials as M, spatial as sp
+    from tracer_tpu.sources import disk_bundle, disk_pillbox_pallas_spec
+
+    att, scat, g = 0.15, 0.4, 0.6
+    lam = lambda: M.lambertian(absorptivity=0.7)
+    floor = Surface(G.rect_plate(6.0, 6.0), lam(), name="floor")
+    ceil = Surface(G.rect_plate(6.0, 6.0), lam(), location=[0, 0, 4.0],
+                   name="ceil")
+    walls = []
+    for i, (x, y, rot) in enumerate([
+            (3.0, 0.0, sp.roty(np.pi / 2)), (-3.0, 0.0, sp.roty(-np.pi / 2)),
+            (0.0, 3.0, sp.rotx(-np.pi / 2)),
+            (0.0, -3.0, sp.rotx(np.pi / 2))]):
+        walls.append(Surface(G.rect_plate(4.0, 6.0), lam(),
+                             location=[x, y, 2.0], rotation=rot[:3, :3],
+                             name=f"wall{i}"))
+    asm = Assembly([AssembledObject([floor, ceil] + walls)])
+    table, meta = compile_scene(asm, dtype=jnp.float32,
+                                extra_features=("volumetric",))
+
+    slab = slab_tiles * TILE
+    total = rounds * slab
+
+    def measure(with_spec):
+        def source_fn(key):
+            b = disk_bundle(key, slab, center=[0.0, 0.0, 3.7],
+                            direction=[0.0, 0.0, -1.0], radius=1.5,
+                            ang_range=0.2, flux=1000.0)
+            return b.replace(
+                att_coeff=jnp.full((slab,), att, jnp.float32),
+                scat_coeff=jnp.full((slab,), scat, jnp.float32),
+                scat_g=jnp.full((slab,), g, jnp.float32))
+        if with_spec:
+            source_fn.pallas_spec = disk_pillbox_pallas_spec(
+                slab, [0.0, 0.0, 3.7], [0.0, 0.0, -1.0], 1.5, 0.2, 1000.0,
+                ambient_att=att, ambient_scat=scat, ambient_g=g)
+
+        @jax.jit
+        def step(key):
+            return trace_streaming(table, source_fn, key, total_rays=total,
+                                   max_rounds=400, max_path=24)
+
+        keys = [jax.random.fold_in(jax.random.PRNGKey(8), i)
+                for i in range(8)]
+        accum, emitted, se = jax.block_until_ready(step(keys[0]))
+        cl = _closure(accum, se)
+        assert abs(cl) < 1e-4, cl
+        med_frac = float(accum.medium) / float(se)
+        assert med_frac > 0.1, med_frac   # the medium takes real energy
+        floor_frac = (float(np.asarray(accum.absorbed)
+                            [meta.row_logical == meta.index_of("floor")]
+                            .sum()) / float(se))
+        best = _time_best(lambda i: step(keys[i]))
+        return float(emitted) / best / 1e6, med_frac, floor_frac
+
+    mk, med_frac, floor_mk = measure(True)    # volumetric megakernel
+    gen, med_g, floor_g = measure(False)      # general streaming path
+    assert abs(med_frac - med_g) < 0.01       # same medium physics
+    assert abs(floor_mk - floor_g) < 0.01
+    return dict(metric="volumetric_scattering_trace_throughput",
+                value=round(mk, 3), unit="Mrays/s/chip",
+                general_path=round(gen, 3),
+                medium_frac=round(med_frac, 4),
+                floor_frac=round(floor_mk, 4))
+
+
 def config5_cavity_emissive_losses() -> dict:
     """Config 5: 2N-parameter cavity view factors (adaptive MC, 3-sigma
     Welford gates) coupled to the radiosity solver (ref emissive_losses)."""
@@ -432,7 +512,8 @@ def config5_cavity_emissive_losses() -> dict:
 def main(write_md: bool = False, only=None):
     all_cfgs = {1: config1_minidish, 2: config2_slope_error_fluxmap,
                 3: config3_spectral_buie, 5: config5_cavity_emissive_losses,
-                6: config6_spherical_lens, 7: config7_cook_torrance}
+                6: config6_spherical_lens, 7: config7_cook_torrance,
+                8: config8_volumetric_scattering}
     idxs = sorted(only or all_cfgs)
     results = []
     for i in idxs:

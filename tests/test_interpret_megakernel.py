@@ -568,3 +568,105 @@ def test_periodic_megakernel_interpret_matches_oracle(monkeypatch):
     assert _frac(meta, f0, "sink") > 0.5
     assert abs(_frac(meta, f1, "sink") - _frac(meta, f0, "sink")) < 0.02
     np.testing.assert_allclose(f1, f0, atol=0.02)
+
+
+def _enclosure_scene():
+    """Closed 4x4x3 box of diffuse absorbing walls — every ray terminates
+    on a wall, so a participating-medium trace closes exactly."""
+    lam = lambda: M.lambertian(absorptivity=0.7)
+    floor = Surface(G.rect_plate(4.0, 4.0), lam(), name="floor")
+    ceil = Surface(G.rect_plate(4.0, 4.0), lam(), location=[0, 0, 3.0],
+                   name="ceil")
+    walls = []
+    for i, (x, y, rot) in enumerate([
+            (2.0, 0.0, spatial.roty(np.pi / 2)),
+            (-2.0, 0.0, spatial.roty(-np.pi / 2)),
+            (0.0, 2.0, spatial.rotx(-np.pi / 2)),
+            (0.0, -2.0, spatial.rotx(np.pi / 2))]):
+        walls.append(Surface(G.rect_plate(3.0, 4.0), lam(),
+                             location=[x, y, 1.5], rotation=rot[:3, :3],
+                             name=f"wall{i}"))
+    asm = Assembly([AssembledObject([floor, ceil] + walls)])
+    return compile_scene(asm, dtype=jnp.float32,
+                         extra_features=("volumetric",))
+
+
+def test_volumetric_scattering_megakernel_interpret(monkeypatch):
+    """The ambient HG-scattering megakernel lowering (free-path sampling +
+    phase draws + Beer-Lambert in the epilogue, scattered lanes reported
+    as sid == -2), interpreted on CPU, reproduces the general streaming
+    path's per-wall absorbed fractions and medium loss on a
+    participating-medium enclosure (round-3 verdict item 3; ref
+    Scattering/Absorbant optics_callables.py:861-1036)."""
+    att, scat, g = 0.25, 0.6, 0.5
+    table, meta = _enclosure_scene()
+    slab = TILE
+
+    def source_fn(key):
+        b = _f32(disk_bundle(key, slab, center=[0.0, 0.0, 2.8],
+                             direction=[0.0, 0.0, -1.0], radius=1.2,
+                             ang_range=0.3, flux=1000.0))
+        return b.replace(att_coeff=jnp.full((slab,), att, jnp.float32),
+                         scat_coeff=jnp.full((slab,), scat, jnp.float32),
+                         scat_g=jnp.full((slab,), g, jnp.float32))
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 2.8], [0.0, 0.0, -1.0], 1.2, 0.3, 1000.0,
+        ambient_att=att, ambient_scat=scat, ambient_g=g)
+
+    # general streaming path (per-ray media through _bounce_step)
+    a0, _, se0 = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+        max_rounds=24, max_path=12))
+    f0 = np.asarray(a0.absorbed) / float(se0)
+    med0 = float(a0.medium) / float(se0)
+    assert med0 > 0.05            # the medium takes real energy
+    _closure(a0, se0)
+
+    _interp_env(monkeypatch)
+    with pltpu.force_tpu_interpret_mode():
+        a1, _, se1 = jax.block_until_ready(trace_streaming(
+            table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+            max_rounds=24, max_path=12))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    med1 = float(a1.medium) / float(se1)
+    _closure(a1, se1)
+
+    # scattering visibly redistributes energy off the floor: without a
+    # medium the pillbox cone keeps >90% on the floor
+    assert _frac(meta, f1, "floor") < 0.8
+    assert abs(med1 - med0) < 0.03
+    np.testing.assert_allclose(f1, f0, atol=0.03)
+
+
+def test_volumetric_scattering_megakernel_isotropic(monkeypatch):
+    """g = 0 exercises the isotropic phase-function branch (a separate
+    compile-time path in the epilogue)."""
+    att, scat = 0.0, 0.8          # pure scattering, no absorption
+    table, meta = _enclosure_scene()
+    slab = TILE
+
+    def source_fn(key):
+        b = _f32(disk_bundle(key, slab, center=[0.0, 0.0, 2.8],
+                             direction=[0.0, 0.0, -1.0], radius=1.2,
+                             ang_range=0.3, flux=1000.0))
+        return b.replace(scat_coeff=jnp.full((slab,), scat, jnp.float32))
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 2.8], [0.0, 0.0, -1.0], 1.2, 0.3, 1000.0,
+        ambient_scat=scat)
+
+    a0, _, se0 = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(3), total_rays=slab,
+        max_rounds=20, max_path=16))
+    f0 = np.asarray(a0.absorbed) / float(se0)
+    _closure(a0, se0)
+
+    _interp_env(monkeypatch)
+    with pltpu.force_tpu_interpret_mode():
+        a1, _, se1 = jax.block_until_ready(trace_streaming(
+            table, source_fn, jax.random.PRNGKey(3), total_rays=slab,
+            max_rounds=20, max_path=16))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    _closure(a1, se1)
+    # no absorbing medium: walls take everything but the max_path cull
+    assert float(a1.medium) == 0.0
+    np.testing.assert_allclose(f1, f0, atol=0.03)

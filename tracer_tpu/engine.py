@@ -833,6 +833,9 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
 
     e_ray = source_spec[5]
     ambient_att = float(source_spec[14]) if len(source_spec) > 14 else 0.0
+    medium = source_spec[16] if len(source_spec) > 16 else None
+    ambient_scat = float(medium[0]) if medium else 0.0
+    ambient_g = float(medium[1]) if medium else 0.0
     rows = pack_rows(scene)
     spectral_tab = (jnp.stack([scene.spectral_wl, scene.spectral_ab], axis=1)
                     .astype(jnp.float32)
@@ -864,7 +867,8 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
             cook_torrance=cook_torrance, lam_specular=lam_specular,
             semi_lambertian=semi_lambertian, transparent=transparent,
             conductor=conductor, iam=iam, periodic=periodic,
-            piecewise=piecewise)
+            piecewise=piecewise, ambient_scat=ambient_scat,
+            ambient_g=ambient_g)
         pos, dirs, e_new, sid, absorbed = outs[:5]
         k_o = 5
         if spectral:
@@ -874,7 +878,10 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
             ri = outs[k_o]
 
         hit = sid >= 0
-        escaped = (e_before > 0.0) & ~hit
+        # sid == -2: scattered in the ambient medium — alive, no surface
+        scat = (sid == -2) if ambient_scat > 0.0 else jnp.zeros_like(hit)
+        live_hit = hit | scat
+        escaped = (e_before > 0.0) & ~live_hit
         accum = _account(scene, accum, sid, hit, escaped, absorbed,
                          e_before, count_hits=False)
         if fluxspecs:
@@ -882,13 +889,13 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                 accum.flux, fluxspecs, scene, sid, pos, absorbed, key=ks))
         if ambient_att > 0.0:
             # kernel reports surface absorption only; the ambient medium
-            # took the rest of each hit segment's loss
-            med = jnp.where(hit, e_before - absorbed - e_new, 0.0)
+            # took the rest of each hit/scatter segment's loss
+            med = jnp.where(live_hit, e_before - absorbed - e_new, 0.0)
             accum = accum.replace(medium=accum.medium + jnp.sum(med))
-        low = hit & (e_new <= min_energy)
+        low = live_hit & (e_new <= min_energy)
         accum = accum.replace(
             culled=accum.culled + jnp.sum(jnp.where(low, e_new, 0.0)))
-        e_new = jnp.where(hit & ~low, e_new, 0.0)
+        e_new = jnp.where(live_hit & ~low, e_new, 0.0)
         # per-ray bounce budget
         age = jnp.where(e_before > 0.0, age + 1, 0)
         over = (e_new > 0.0) & (age >= max_path)
@@ -1293,11 +1300,16 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     spec_band = spec[13] if spec is not None and len(spec) > 13 else None
     spec_att = (float(spec[14])
                 if spec is not None and len(spec) > 14 else 0.0)
+    spec_med = (spec[16]
+                if spec is not None and len(spec) > 16 else None)
+    spec_scat = float(spec_med[0]) if spec_med else 0.0
     spectral_scene = _M.K_REFLECT_SPECTRAL in scene.kinds_present
     # ambient volumetric media are fusable when the source spec declares
-    # the (absorption-only) coefficient; interface-toggled media are not
+    # the coefficients (absorption-only, or HG scattering + absorption —
+    # the kernel lowers both); interface-toggled media are not
     vol_ok = ("volumetric" not in scene.features) or (
-        spec_att > 0.0 and "dispersive" not in scene.features)
+        (spec_att > 0.0 or spec_scat > 0.0)
+        and "dispersive" not in scene.features)
     # refractive interfaces fuse when non-dispersive, non-splitting and
     # without interface-toggled media (per-lane index threads through the
     # kernel; fresh rays start at n = 1)
@@ -1354,7 +1366,9 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     cullable = (fusable and not refractive_scene and not ct_scene
                 and not ls_scene and not sl_scene and not tr_scene
                 and not pd_scene   # teleports break corridor closure
-                and not lpw_scene)  # diffuse lobe, like the scatterers
+                and not lpw_scene  # diffuse lobe, like the scatterers
+                and spec_scat == 0.0)  # volumetric scattering redirects
+                                       # anywhere: no corridor closure
     if cullable and culling is not None:
         from .kernels.pallas_intersect import TILE
         nb = culling.nb

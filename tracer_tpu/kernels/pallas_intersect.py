@@ -634,7 +634,9 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
                          conductor: bool = False,
                          iam: bool = False,
                          periodic: bool = False,
-                         piecewise: bool = False):
+                         piecewise: bool = False,
+                         ambient_scat: float = 0.0,
+                         ambient_g: float = 0.0):
     """Reflect + slope error + one-sided kill on the carried winner data.
     The per-core PRNG must already be seeded by the caller.
 
@@ -702,7 +704,22 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
     candidate's own incidence angle): w.p. q3 the specular reflection
     (no slope error — the ref piecewise family has none), else
     full-hemisphere cosine diffuse; absorbs q2 (ref
-    optics_callables.py:331-491)."""
+    optics_callables.py:331-491).
+
+    ``ambient_scat`` > 0 compiles VOLUMETRIC SCATTERING in a homogeneous
+    ambient participating medium (the megakernel twin of the engine's
+    general-path volumetrics, engine.py _bounce_step; ref Scattering
+    optics_callables.py:946): each round samples an exponential free path
+    -ln(u)/sigma_s per lane; lanes whose free path ends before their
+    surface hit (or that would have escaped) scatter there instead —
+    position moves to the event point, the direction redraws from the
+    Henyey-Greenstein phase function with static asymmetry ``ambient_g``,
+    Beer-Lambert attenuation (``ambient_att``) applies over the traversed
+    distance, and NO surface absorption occurs. The epilogue then returns
+    an extra trailing ``scat`` mask; the kernel reports scattered live
+    lanes as sid == -2 (alive, no surface). The exponential free path is
+    memoryless, so re-sampling every round is statistically identical to
+    the reference's remaining-path carry-over (optics.py:214)."""
     def epilogue(t_b, ng_x, ng_y, ng_z, upd_b, kf_b, q0_b, q1_b,
                  px, py, pz, dx, dy, dz, e_in, ri=None,
                  q2_b=None, q3_b=None):
@@ -736,6 +753,33 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
             mr = jax.lax.rsqrt(jnp.maximum(mx * mx + my * my + mz * mz,
                                            1e-30))
             return mx * mr, my * mr, mz * mr
+
+        scat = None
+        if ambient_scat > 0.0:
+            # exponential free path in the ambient medium; preempts the
+            # surface hit when shorter (and catches would-be escapes:
+            # t_b = +inf there, so free < t_b almost surely)
+            u_f = _kernel_uniform(px.shape)
+            free = -jnp.log(jnp.maximum(u_f, jnp.float32(1e-12))) \
+                * jnp.float32(1.0 / ambient_scat)
+            scat = free < t_b
+            # Henyey-Greenstein polar angle about the travel direction
+            u_s = _kernel_uniform(px.shape)
+            u_p = _kernel_uniform(px.shape)
+            g = float(ambient_g)
+            if abs(g) < 1e-9:
+                cos_sc = u_s * 2.0 - 1.0
+            else:
+                sg = u_s * 2.0 - 1.0
+                frac = jnp.float32(1.0 - g * g) / (1.0 + jnp.float32(g) * sg)
+                cos_sc = (jnp.float32(1.0 + g * g) - frac * frac) \
+                    * jnp.float32(0.5 / g)
+                cos_sc = jnp.clip(cos_sc, -1.0, 1.0)
+            sin_sc = jnp.sqrt(jnp.maximum(1.0 - cos_sc * cos_sc, 0.0))
+            sphi = jnp.float32(2.0 * np.pi) * u_p
+            sdx, sdy, sdz = rot_about(dx, dy, dz,
+                                      sin_sc * jnp.cos(sphi),
+                                      sin_sc * jnp.sin(sphi), cos_sc)
 
         is_refr = None
         if refractive:
@@ -1015,9 +1059,14 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
 
         e_att = e_in
         if ambient_att > 0.0:
-            e_att = jnp.where(hit,
+            travel = t_safe
+            att_on = hit
+            if scat is not None:
+                travel = jnp.where(scat, free, t_safe)
+                att_on = hit | scat
+            e_att = jnp.where(att_on,
                               e_in * jnp.exp(-jnp.float32(ambient_att)
-                                             * t_safe), e_in)
+                                             * travel), e_in)
         e_out = e_att * (1.0 - q0_eff)
         if one_sided:
             # F_ONE_SIDED is bit 0 of the flags word (kind*1024 + flags,
@@ -1038,9 +1087,26 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
         ndy = jnp.where(hit, ry, dy)
         ndz = jnp.where(hit, rz, dz)
         ne = jnp.where(hit, e_out, e_in)
+        if scat is not None:
+            # scattering preempts the surface interaction: move to the
+            # event point, take the HG direction, keep the attenuated
+            # energy, absorb nothing at a surface
+            npx = jnp.where(scat, px + free * dx, npx)
+            npy = jnp.where(scat, py + free * dy, npy)
+            npz = jnp.where(scat, pz + free * dz, npz)
+            ndx = jnp.where(scat, sdx, ndx)
+            ndy = jnp.where(scat, sdy, ndy)
+            ndz = jnp.where(scat, sdz, ndz)
+            ne = jnp.where(scat, e_att, ne)
+            absorbed = jnp.where(scat, 0.0, absorbed)
+            if refractive:
+                nri = jnp.where(scat, ri, nri)
+        outs = (npx, npy, npz, ndx, ndy, ndz, ne, absorbed)
         if refractive:
-            return npx, npy, npz, ndx, ndy, ndz, ne, absorbed, nri
-        return npx, npy, npz, ndx, ndy, ndz, ne, absorbed
+            outs = outs + (nri,)
+        if scat is not None:
+            outs = outs + (scat,)
+        return outs
 
     return epilogue
 
@@ -1197,7 +1263,7 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                        cook_torrance=False, lam_specular=False,
                        semi_lambertian=False, transparent=False,
                        conductor=False, iam=False, periodic=False,
-                       piecewise=False):
+                       piecewise=False, ambient_scat=0.0, ambient_g=0.0):
     """Fused intersect + shade-epilogue kernel: one HBM round trip of the
     ray state per bounce. Runs one specialized fori per aperture-signature
     group over the shared (t, sid, winner) carry, so multi-group scenes
@@ -1225,7 +1291,9 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                                semi_lambertian=semi_lambertian,
                                transparent=transparent,
                                conductor=conductor, iam=iam,
-                               periodic=periodic, piecewise=piecewise)
+                               periodic=periodic, piecewise=piecewise,
+                               ambient_scat=ambient_scat,
+                               ambient_g=ambient_g)
 
     def kernel(seed_ref, regen_ref, tabx_ref, taby_ref, rows_ref, *io):
         n_in = 7 + int(spectral) + int(refractive)
@@ -1305,7 +1373,15 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
             nri_ref[:] = outs[8]
         # mask stale lanes: only lanes carrying energy report hits
         live = e > 0.0
-        sid_ref[:] = jnp.where(jnp.isfinite(t_b) & live, sid_b, -1)
+        if ambient_scat > 0.0:
+            # scattered live lanes report sid == -2: alive, no surface
+            scat_m = outs[8 + int(refractive)]
+            sid_ref[:] = jnp.where(
+                live & scat_m, jnp.int32(-2),
+                jnp.where(jnp.isfinite(t_b) & live, sid_b,
+                          jnp.int32(-1)))
+        else:
+            sid_ref[:] = jnp.where(jnp.isfinite(t_b) & live, sid_b, -1)
         abs_ref[:] = jnp.where(live, absorbed, 0.0)
 
     return kernel
@@ -1318,7 +1394,8 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                                     "cook_torrance", "lam_specular",
                                     "semi_lambertian", "transparent",
                                     "conductor", "iam", "periodic",
-                                    "piecewise"))
+                                    "piecewise", "ambient_scat",
+                                    "ambient_g"))
 def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                           t_eps: float, disc_eps: float = 1e-6,
                           bivar: bool = True, one_sided: bool = True,
@@ -1332,7 +1409,9 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                           transparent: bool = False,
                           conductor: bool = False, iam: bool = False,
                           periodic: bool = False,
-                          piecewise: bool = False):
+                          piecewise: bool = False,
+                          ambient_scat: float = 0.0,
+                          ambient_g: float = 0.0):
     """Fused intersect+shade bounce for K_REFLECT / K_LAMBERTIAN /
     K_REFLECT_SPECTRAL / K_REFRACTIVE scenes (any number of
     aperture-signature groups).
@@ -1398,7 +1477,9 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                                 semi_lambertian=semi_lambertian,
                                 transparent=transparent,
                                 conductor=conductor, iam=iam,
-                                periodic=periodic, piecewise=piecewise)
+                                periodic=periodic, piecewise=piecewise,
+                                ambient_scat=ambient_scat,
+                                ambient_g=ambient_g)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,   # seed, regen, spectral table x/y, rows
         grid=(nb,),

@@ -184,7 +184,9 @@ def buie_directions(key, num_rays: int, CSR: float,
 def buie_sunshape_pallas_spec(num_rays: int, center, direction,
                               radius: float, CSR: float, flux: float,
                               pre_process_CSR: bool = True,
-                              wl_band=None, ambient_att: float = 0.0) -> tuple:
+                              wl_band=None, ambient_att: float = 0.0,
+                              ambient_scat: float = 0.0,
+                              ambient_g: float = 0.0) -> tuple:
     """Static (hashable) parameter tuple describing a buie_sunshape source
     for in-kernel regeneration by the fused streaming megakernel
     (kernels/pallas_intersect._sample_disk_buie). Energies and geometry
@@ -195,7 +197,12 @@ def buie_sunshape_pallas_spec(num_rays: int, center, direction,
     ambient_att - homogeneous ambient attenuation coefficient [1/m] the
         trace runs in (the kernel Beer-Lamberts every hit segment); the
         source_fn's bundles must carry the same att_coeff so the general
-        path agrees."""
+        path agrees.
+    ambient_scat / ambient_g - homogeneous ambient Henyey-Greenstein
+        scattering coefficient [1/m] and asymmetry: the megakernel lowers
+        exponential free-path sampling + HG phase draws (ref Scattering
+        optics_callables.py:946); the source_fn's bundles must carry the
+        same scat_coeff/scat_g so the general path agrees."""
     tb = _buie_tables(CSR, pre_process_CSR)
     coeffs = tuple(float(c) for c in _buie_inverse_poly(tb))
     center = _as_row3(center)
@@ -208,13 +215,16 @@ def buie_sunshape_pallas_spec(num_rays: int, center, direction,
             tuple(float(r) for r in rot), float(radius), e_ray, coeffs,
             float(tb["cdf"][-1]), gamma, float(tb["kappa"]),
             float(tb["integ_sum"]), float(_THETA_TOT), float(_THETA_DNI),
-            band, float(ambient_att))
+            band, float(ambient_att), None,
+            (float(ambient_scat), float(ambient_g)))
 
 
 def disk_pillbox_pallas_spec(num_rays: int, center, direction,
                              radius: float, ang_range: float,
                              flux: float, wl_band=None,
-                             ambient_att: float = 0.0) -> tuple:
+                             ambient_att: float = 0.0,
+                             ambient_scat: float = 0.0,
+                             ambient_g: float = 0.0) -> tuple:
     """Static spec for in-kernel regeneration of a plain pillbox disk
     source (disk_bundle with default options). Reuses the Buie sampler's
     polynomial-inverse-CDF slot: for a pillbox, theta(u) =
@@ -232,7 +242,8 @@ def disk_pillbox_pallas_spec(num_rays: int, center, direction,
     return (float(center[0]), float(center[1]), float(center[2]),
             tuple(float(r) for r in rot), float(radius), e_ray, coeffs,
             1.0, None, 0.0, 0.0, float(ang_range), float(ang_range),
-            band, float(ambient_att))
+            band, float(ambient_att), None,
+            (float(ambient_scat), float(ambient_g)))
 
 
 def rect_buie_sunshape_pallas_spec(num_rays: int, center, direction,
@@ -240,7 +251,9 @@ def rect_buie_sunshape_pallas_spec(num_rays: int, center, direction,
                                    flux: float, rays_direction=None,
                                    pre_process_CSR: bool = True,
                                    wl_band=None,
-                                   ambient_att: float = 0.0) -> tuple:
+                                   ambient_att: float = 0.0,
+                                   ambient_scat: float = 0.0,
+                                   ambient_g: float = 0.0) -> tuple:
     """Static spec for in-kernel regeneration of a rect_buie_sunshape /
     oblique rect source (ref sources.py:268 oblique_solar_rect_bundle,
     :466 rect_buie_sunshape — the reference's standard heliostat-field
@@ -274,7 +287,8 @@ def rect_buie_sunshape_pallas_spec(num_rays: int, center, direction,
             float(tb["cdf"][-1]), gamma, float(tb["kappa"]),
             float(tb["integ_sum"]), float(_THETA_TOT), float(_THETA_DNI),
             band, float(ambient_att),
-            (float(width), float(height), rays_rot))
+            (float(width), float(height), rays_rot),
+            (float(ambient_scat), float(ambient_g)))
 
 
 def oblique_rect_pillbox_pallas_spec(num_rays: int, center,
@@ -282,7 +296,9 @@ def oblique_rect_pillbox_pallas_spec(num_rays: int, center,
                                      width: float, height: float,
                                      ang_range: float, flux: float,
                                      wl_band=None,
-                                     ambient_att: float = 0.0) -> tuple:
+                                     ambient_att: float = 0.0,
+                                     ambient_scat: float = 0.0,
+                                     ambient_g: float = 0.0) -> tuple:
     """Static spec for an oblique rect source with PILLBOX divergence
     (ref oblique_solar_rect_bundle, sources.py:268). Same rect marker as
     rect_buie_sunshape_pallas_spec; the pillbox angle rides the Buie
@@ -310,7 +326,8 @@ def oblique_rect_pillbox_pallas_spec(num_rays: int, center,
             tuple(float(r) for r in rot), 0.0, e_ray, coeffs,
             1.0, None, 0.0, 0.0, float(ang_range), float(ang_range),
             band, float(ambient_att),
-            (float(width), float(height), rays_rot))
+            (float(width), float(height), rays_rot),
+            (float(ambient_scat), float(ambient_g)))
 
 
 def sunshape_to_ray_directions(key, angles, norm_intensity,
