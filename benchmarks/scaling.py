@@ -87,8 +87,13 @@ def main():
     # 2000 heliostats: the footprint is so large that even the clipped
     # 5472-tile grid leaves cells ~2.6x the tuned size while doubling the
     # per-round slab cost of the 8 SMEM segments — the 2736-tile grid
-    # measures faster (188 vs 154 Mrays/s cross-process)
-    for n, st in ((218, None), (500, None), (1000, None), (2000, 2736)):
+    # measures faster (188 vs 154 Mrays/s cross-process).
+    # 5000/10000 heliostats (5001/10001 rows): beyond the whole-table SMEM
+    # wall — the segments ship per-segment row SHARDS
+    # (culling.seg_row_ids, round-3 verdict item 4) so the culled path
+    # keeps running where round 3 raised "scene too large".
+    for n, st in ((218, None), (500, None), (1000, None), (2000, 2736),
+                  (5000, 2736), (10000, 2736)):
         print(json.dumps(run_size(n, slab_tiles=st)))
 
 

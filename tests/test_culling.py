@@ -208,17 +208,24 @@ def test_smem_segmentation_layouts():
     assert len(bc.seg_lists) == len(bc.seg_counts) \
         == len(bc.seg_group_offsets) == bc.n_segments
     G = bc.counts.shape[1]
+    assert len(bc.seg_row_ids) == bc.n_segments
     for i, (b0, b1) in enumerate(zip(bounds, bounds[1:])):
         seg = bc.seg_lists[i]
         assert seg.shape[0] == b1 - b0
         np.testing.assert_array_equal(bc.seg_counts[i], bc.counts[b0:b1])
+        # segment lists are LOCAL indices into the segment's row shard
+        # (round-3 verdict item 4); mapping through seg_row_ids must
+        # reproduce the global layout exactly
+        ids = bc.seg_row_ids[i]
+        assert (np.diff(ids) > 0).all()          # sorted unique global ids
+        mapped = np.where(seg >= 0, ids[np.maximum(seg, 0)], -1)
         for b in range(b0, b1):
             for g in range(G):
                 off = bc.seg_group_offsets[i][g]
                 n_g = bc.counts[b, g]
                 goff = bc.group_offsets[g]
                 np.testing.assert_array_equal(
-                    seg[b - b0, off:off + n_g],
+                    mapped[b - b0, off:off + n_g],
                     bc.lists[b, goff:goff + n_g])
     # block quotas are global: the segment slices cover them exactly
     q = bc.block_quota(10_000)

@@ -670,3 +670,101 @@ def test_volumetric_scattering_megakernel_isotropic(monkeypatch):
     # no absorbing medium: walls take everything but the max_path cull
     assert float(a1.medium) == 0.0
     np.testing.assert_allclose(f1, f0, atol=0.03)
+
+
+def test_culled_row_shard_segments_interpret(monkeypatch):
+    """Segmented culled trace with per-segment ROW SHARDS (round-3/4
+    verdict item 4: lists and demote rows in LOCAL indices, the kernel
+    shipping only rows[:, seg_row_ids]) reproduces the unculled physics,
+    interpreted on CPU. Two separated mirror+receiver clusters under one
+    wide rect source make the shards PROPER subsets: the left segment's
+    kernel never sees the right cluster's rows."""
+    from tracer_tpu.culling import build_block_culling
+    from tracer_tpu.sources import (oblique_rect_pillbox_pallas_spec,
+                                    rect_bundle)
+
+    surfs = []
+    for side, x0 in (("l", -10.0), ("r", 10.0)):
+        surfs.append(Surface(G.rect_plate(2.0, 2.0), M.reflective(0.1),
+                             location=[x0, 0.0, 0.0], name=f"m_{side}"))
+        surfs.append(Surface(G.rect_plate(4.0, 4.0),
+                             M.absorber(one_sided=True),
+                             location=[x0, 0.0, 5.0],
+                             rotation=spatial.rotx(np.pi)[:3, :3],
+                             name=f"rec_{side}"))
+    table, meta = compile_scene(Assembly([AssembledObject(surfs)]),
+                                dtype=jnp.float32)
+    slab = 4 * TILE
+
+    def source_fn(key):
+        return _f32(rect_bundle(key, slab, center=[0.0, 0.0, 4.0],
+                                direction=[0.0, 0.0, -1.0], x=26.0, y=2.0,
+                                ang_range=1e-3, flux=1000.0))
+    source_fn.pallas_spec = oblique_rect_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 4.0], [0.0, 0.0, -1.0], None, 26.0, 2.0, 1e-3,
+        1000.0)
+
+    a0, _, se0 = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+        max_rounds=40, max_path=6))
+    f0 = np.asarray(a0.absorbed) / float(se0)
+    assert (f0 > 1e-4).all()       # both clusters participate
+
+    monkeypatch.setenv("TRACER_FORCE_PALLAS", "1")
+    monkeypatch.setenv("TRACER_INTERPRET_PRNG", "1")
+    culling = build_block_culling(table, meta, source_fn.pallas_spec, slab,
+                                  min_segments=2)
+    assert culling.n_segments >= 2
+    assert len(culling.seg_row_ids) == culling.n_segments
+    # the shards must be PROPER subsets (that's the point of the test)
+    assert all(len(ids) < table.ap_params.shape[0]
+               for ids in culling.seg_row_ids)
+    with pltpu.force_tpu_interpret_mode():
+        a1, em1, se1 = jax.block_until_ready(trace_streaming(
+            table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+            max_rounds=40, max_path=6, culling=culling))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+
+    np.testing.assert_allclose(f1, f0, atol=0.02)
+    _closure(a1, se1)
+    assert 2 * slab <= int(em1) < 2 * slab + culling.n_cells
+
+
+def test_culled_jnp_drain_matches(monkeypatch):
+    """The jnp-oracle drain branch (drain_jnp=True — taken when the whole
+    rows table exceeds SMEM on multi-k-row scenes) is physics-equivalent
+    to the fused drain."""
+    from tracer_tpu.culling import build_block_culling
+    from tracer_tpu.engine import _trace_streaming_megakernel_culled
+
+    table, meta = _mirror_field_scene()
+    slab = 2 * TILE
+    source_fn = _mirror_field_source(slab)
+    culling = build_block_culling(table, meta, source_fn.pallas_spec, slab)
+    monkeypatch.setenv("TRACER_FORCE_PALLAS", "1")
+    monkeypatch.setenv("TRACER_INTERPRET_PRNG", "1")
+
+    def run(drain_jnp):
+        import jax.numpy as jnp2
+        with pltpu.force_tpu_interpret_mode():
+            return jax.block_until_ready(_trace_streaming_megakernel_culled(
+                table, jax.random.PRNGKey(0),
+                jnp2.asarray(culling.lists), jnp2.asarray(culling.counts),
+                jnp2.arange(culling.nb, dtype=jnp2.int32),
+                jnp2.asarray(culling.cell_bounds),
+                jnp2.asarray(culling.block_quota(2 * slab)),
+                jnp2.asarray(culling.age_caps),
+                source_spec=source_fn.pallas_spec,
+                group_offsets=culling.group_offsets, slab=slab,
+                max_rounds=40, max_path=6, min_energy=1e-6,
+                t_eps=None, disc_eps=1e-6, bivar=False, one_sided=True,
+                slope=False, demote_rows=culling.demote_rows,
+                drain_jnp=drain_jnp))
+
+    a0, em0, se0 = run(False)
+    jax.clear_caches()
+    a1, em1, se1 = run(True)
+    f0 = np.asarray(a0.absorbed) / float(se0)
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    _closure(a1, se1)
+    np.testing.assert_allclose(f1, f0, atol=0.02)

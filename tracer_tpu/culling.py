@@ -93,6 +93,15 @@ class BlockCulling:
     seg_lists: tuple = ()
     seg_counts: tuple = ()
     seg_group_offsets: tuple = ()
+    # Segmented ROW SHARDING (round-3 verdict item 4): each segment's
+    # lists reference only the rows its cells can reach, so the kernel
+    # ships just that subset of the packed rows table — seg_row_ids[i]
+    # maps the segment's LOCAL row indices (what seg_lists[i] and the
+    # kernel's sid output use) back to global scene rows; seg_demote_rows
+    # holds each segment's demoted rows in LOCAL ids. Empty tuples =
+    # global row ids everywhere (legacy layout, rows table fits whole).
+    seg_row_ids: tuple = ()
+    seg_demote_rows: tuple = ()
 
     @property
     def nb(self) -> int:
@@ -185,16 +194,23 @@ def disk_cells(nb: int) -> np.ndarray:
     return np.asarray(cells, dtype=np.float32)
 
 
-def smem_need_bytes(table, nb: int, width: int) -> int:
+def smem_need_bytes(table, nb: int, width: int,
+                    n_rows: Optional[int] = None) -> int:
     """SMEM bytes one culled-kernel call needs for ``nb`` blocks with a
     candidate layout of total ``width`` columns: the packed rows table +
     misc scalar-prefetch arrays + the transposed lists (everything pads
-    its minor dim to 128). The same formula the builder budgets with."""
+    its minor dim to 128). The same formula the builder budgets with.
+
+    ``n_rows`` overrides the rows-table size: a SEGMENT whose lists only
+    reference a subset of the scene rows ships just that subset (the
+    segmented row-sharding that breaks the single-chip multi-k-row wall,
+    round-3 verdict item 4)."""
     def pad(x: int) -> int:
         return -(-x // 128) * 128
     from .kernels.pallas_intersect import ROW_F
     K = ROW_F + 6 * table.ap_params.shape[1]
-    rows_bytes = K * pad(table.ap_params.shape[0]) * 4
+    S = table.ap_params.shape[0] if n_rows is None else n_rows
+    rows_bytes = K * pad(S) * 4
     n_tab = int(table.spectral_wl.shape[0])
     misc = ((8 + len(table.groups)) * pad(nb) * 4
             + 2 * pad(max(n_tab, 2)) * 4 + 32 * 1024)
@@ -292,14 +308,43 @@ def _cone_sweep_hits(spheres: np.ndarray, c0, r0: float, axis, alpha: float,
                      margin: float) -> np.ndarray:
     """Which bounding spheres intersect the volume swept by a direction
     cone (axis, half-angle alpha) from a start sphere (c0, r0). Exact for
-    spheres up to the tan() linearization; conservative by margin."""
+    spheres up to the tan() linearization; conservative by margin.
+    (lat^2 = |d|^2 - t^2 — no (S, 3) temporary.)"""
     d = spheres[:, :3] - np.asarray(c0)
     t = d @ np.asarray(axis)
-    lat = np.linalg.norm(d - t[:, None] * np.asarray(axis), axis=1)
+    lat2 = np.maximum((d * d).sum(axis=1) - t * t, 0.0)
     reach = (r0 + np.maximum(t, 0.0) * math.tan(min(alpha, 1.4))
              + spheres[:, 3] + margin)
     ahead = t + spheres[:, 3] + margin >= 0.0
-    return ahead & (lat <= reach)
+    return ahead & (lat2 <= reach * reach)
+
+
+def _cone_sweep_hits_batch(C: np.ndarray, r: np.ndarray,
+                           c_norm2: np.ndarray,
+                           c0s: np.ndarray, r0s: np.ndarray,
+                           axes: np.ndarray, alphas: np.ndarray,
+                           margin: float) -> np.ndarray:
+    """Batched _cone_sweep_hits: B cones against all S spheres in two
+    (S, 3) x (3, B) GEMMs + elementwise math — one numpy dispatch per BFS
+    LEVEL instead of one per cone (the per-call overhead of ~900k scalar
+    sweeps dominated multi-k-row culling builds). All float32 (the sweep
+    is conservative by ``margin`` >> f32 eps). C (S, 3) f32 centers,
+    r (S,) radii, c_norm2 (S,) |C|^2. Returns (B, S) bool."""
+    c0s = c0s.astype(np.float32)
+    axes = axes.astype(np.float32)
+    t = C @ axes.T                                              # (S, B)
+    t -= (c0s * axes).sum(axis=1)[None, :]
+    d2 = -2.0 * (C @ c0s.T)
+    d2 += c_norm2[:, None]
+    d2 += (c0s * c0s).sum(axis=1)[None, :]
+    d2 -= t * t                                                 # = lat^2
+    tanv = np.tan(np.minimum(alphas, 1.4)).astype(np.float32)
+    reach = np.maximum(t, 0.0)
+    reach *= tanv[None, :]
+    reach += r0s.astype(np.float32)[None, :] + r[:, None] + np.float32(
+        margin)
+    ahead = t + (r[:, None] + np.float32(margin)) >= 0.0
+    return (ahead & (d2 <= reach * reach)).T
 
 
 def _cell_sphere(center, rot, radius: float, bounds,
@@ -329,58 +374,112 @@ def _cell_sphere(center, rot, radius: float, bounds,
     return c, float(np.linalg.norm(pts - c, axis=1).max())
 
 
+class _ReachCache:
+    """Memoized specular-closure sets: ``reach(s, cap)`` = rows reachable
+    from a first-segment hit on row s under the source cone
+    (d0, theta_src), expanded breadth-first up to ``cap`` bounces.
+
+    The incident cone of every FIRST bounce is the source direction cone
+    — identical for every cell — so the closure from a given first-hit
+    row is CELL-INDEPENDENT and one BFS per (row, cap) serves the whole
+    grid. (The round-3 build ran this BFS per (cell, row): ~3 s per cell
+    at 5k rows, hours for a 1.4k-cell grid; memoized it is seconds.)"""
+
+    def __init__(self, spheres, n_axis, widen, expandable_set, margin,
+                 d0, theta_src):
+        self.spheres = spheres
+        self.C32 = np.ascontiguousarray(spheres[:, :3], dtype=np.float32)
+        self.r32 = spheres[:, 3].astype(np.float32)
+        self.c_norm2 = (self.C32 * self.C32).sum(axis=1)
+        self.n_axis = n_axis
+        self.widen = widen
+        self.expandable = expandable_set
+        self.margin = margin
+        self.d0 = np.asarray(d0)
+        self.theta_src = theta_src
+        self.memo: dict = {}
+
+    def reach(self, s0: int, cap: int) -> frozenset:
+        key = (int(s0), int(cap))
+        got = self.memo.get(key)
+        if got is not None:
+            return got
+        cand = set()
+        # level-synchronous BFS: all of one depth's cone sweeps run as a
+        # single batched GEMM (per-cone numpy dispatch dominated builds)
+        frontier = [(int(s0), self.d0, self.theta_src)]
+        seen = {}   # row -> list of (axis, alpha) cones already expanded
+
+        def dominated(s, axis, alpha):
+            """True if an already-expanded cone at s contains this one
+            (angle between axes + new half-angle <= old half-angle) —
+            skipping is then sound because the old sweep was wider."""
+            for old_axis, old_alpha in seen.get(s, ()):
+                gap = math.acos(float(np.clip(np.dot(old_axis, axis),
+                                              -1.0, 1.0)))
+                if gap + alpha <= old_alpha + 1e-9:
+                    return True
+            return False
+
+        for depth in range(1, cap):
+            todo = []
+            for s, in_axis, in_alpha in frontier:
+                in_axis = np.asarray(in_axis)
+                if dominated(s, in_axis, in_alpha):
+                    continue
+                seen.setdefault(s, []).append((in_axis, in_alpha))
+                todo.append((s, _reflect(in_axis, self.n_axis[s]),
+                             in_alpha + self.widen[s]))
+            if not todo:
+                break
+            idx = np.array([s for s, _, _ in todo])
+            axes = np.stack([a for _, a, _ in todo])
+            alphas = np.array([al for _, _, al in todo])
+            hits_mat = _cone_sweep_hits_batch(
+                self.C32, self.r32, self.c_norm2, self.spheres[idx, :3],
+                self.spheres[idx, 3], axes, alphas, self.margin)
+            frontier = []
+            for j in range(len(todo)):
+                hits = np.nonzero(hits_mat[j])[0].tolist()
+                cand.update(hits)
+                if depth + 1 < cap:
+                    out_axis, out_alpha = todo[j][1], todo[j][2]
+                    for c in hits:
+                        if c in self.expandable:
+                            frontier.append((int(c), out_axis, out_alpha))
+        out = frozenset(cand)
+        self.memo[key] = out
+        return out
+
+
 def _one_cell_list(bounds, center, rot, radius, theta_src, spheres,
                    n_axis, widen, expandable_set, age_cap, margin, d0,
-                   rect_wh=None):
+                   rect_wh=None, reach_cache=None):
     """Candidate row list for one source cell: first-segment cone sweep +
     breadth-first closure under specular reflection up to ``age_cap``
-    bounces (see module doc)."""
+    bounces (see module doc). The closure from each first-hit row is
+    cell-independent, so it is served by the shared ``reach_cache``
+    (a fresh one is built here when not supplied)."""
+    if reach_cache is None:
+        reach_cache = _ReachCache(spheres, n_axis, widen, expandable_set,
+                                  margin, d0, theta_src)
     c0, r0 = _cell_sphere(center, rot, radius, bounds, rect_wh=rect_wh)
     first = np.nonzero(_cone_sweep_hits(spheres, c0, r0, d0, theta_src,
                                         margin))[0]
     cand = set(first.tolist())
-    frontier = [(int(s), d0, theta_src, 1) for s in first
-                if int(s) in expandable_set]
-    seen = {}   # row -> list of (axis, alpha) cones already expanded
-
-    def dominated(s, axis, alpha):
-        """True if an already-expanded cone at s contains this one
-        (angle between axes + new half-angle <= old half-angle) —
-        skipping is then sound because the old sweep was wider."""
-        for old_axis, old_alpha in seen.get(s, ()):
-            gap = math.acos(float(np.clip(np.dot(old_axis, axis),
-                                          -1.0, 1.0)))
-            if gap + alpha <= old_alpha + 1e-9:
-                return True
-        return False
-
-    while frontier:
-        s, in_axis, in_alpha, depth = frontier.pop()
-        if depth >= age_cap:
-            continue
-        in_axis = np.asarray(in_axis)
-        if dominated(s, in_axis, in_alpha):
-            continue
-        seen.setdefault(s, []).append((in_axis, in_alpha))
-        out_axis = _reflect(in_axis, n_axis[s])
-        out_alpha = in_alpha + widen[s]
-        hits = np.nonzero(_cone_sweep_hits(
-            spheres, spheres[s, :3], spheres[s, 3], out_axis, out_alpha,
-            margin))[0]
-        for c in hits.tolist():
-            cand.add(c)
-            if c in expandable_set:
-                frontier.append((c, out_axis, out_alpha, depth + 1))
+    for s in first.tolist():
+        if s in expandable_set:
+            cand |= reach_cache.reach(s, age_cap)
     return sorted(cand)
 
 
 def _cell_lists(cell_bounds, center, rot, radius, theta_src, spheres,
                 n_axis, widen, expandable_set, age_cap, margin, d0,
-                rect_wh=None):
+                rect_wh=None, reach_cache=None):
     """Candidate row lists for each source cell (see _one_cell_list)."""
     return [_one_cell_list(bounds, center, rot, radius, theta_src, spheres,
                            n_axis, widen, expandable_set, age_cap, margin,
-                           d0, rect_wh=rect_wh)
+                           d0, rect_wh=rect_wh, reach_cache=reach_cache)
             for bounds in cell_bounds]
 
 
@@ -438,20 +537,26 @@ def _pilot_survival(cell_bounds, center, rot, radius, theta_dni,
     dirs = (ld @ Rd.T).astype(np.float32)
 
     c = spheres[:, :3].astype(np.float32)
+    cT = np.ascontiguousarray(c.T)
+    c_norm2 = (c * c).sum(axis=1)
     r2 = (spheres[:, 3] ** 2).astype(np.float32)
     na32 = n_axis.T.astype(np.float32)
     # first interaction weight = (1-a) * fill * |cos| of the nearest
-    # sphere the ray pierces (chunked: every N x S intermediate,
-    # including the cosine matrix, stays ~16 MB)
+    # sphere the ray pierces. GEMM formulation: with b = c - P,
+    # b.D = D@c.T - (D.P) and |b|^2 = |c|^2 - 2 P@c.T + |P|^2, so the
+    # two (N, S, 3) temporaries of the naive einsum become two BLAS
+    # sgemms of (N, 3) x (3, S) — ~10x faster at multi-k-row scenes
+    # (chunked: every N x S intermediate stays ~16 MB)
     surv = np.zeros(nc * n_rays, dtype=np.float32)
     w_row = ((1.0 - absorb) * fill).astype(np.float32)
     chunk = max(1, (1 << 22) // max(len(c), 1))
     for i0 in range(0, len(pos), chunk):
         P = pos[i0:i0 + chunk]
         D = dirs[i0:i0 + chunk]
-        b = c[None, :, :] - P[:, None, :]
-        tt = np.einsum("nsk,nk->ns", b, D)
-        miss = (tt < 0.0) | ((b * b).sum(-1) - tt * tt > r2[None, :])
+        tt = D @ cT - (D * P).sum(axis=1, keepdims=True)
+        b2 = (c_norm2[None, :] - 2.0 * (P @ cT)
+              + (P * P).sum(axis=1)[:, None])
+        miss = (tt < 0.0) | (b2 - tt * tt > r2[None, :])
         tt = np.where(miss, np.inf, tt)
         s = np.argmin(tt, axis=1)
         lane = np.arange(len(P))
@@ -488,7 +593,8 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
                         balance: bool = True,
                         pilot_rays: int = 256,
                         max_smem_bytes: int = 1 << 20,
-                        max_segments: int = 8) -> BlockCulling:
+                        max_segments: int = 16,
+                        min_segments: int = 1) -> BlockCulling:
     """Build per-block candidate lists for a disk source
     (``buie_sunshape_pallas_spec`` / ``disk_pillbox_pallas_spec``) or a
     rect source (``rect_buie_sunshape_pallas_spec`` /
@@ -583,8 +689,13 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
         # ONE pilot on the finest grid; candidate partitions aggregate it
         fine = cells_fn(nb)
         fill = _row_fill(meta, spheres, resolution)
+        # the pilot is O(cells x rays x rows) and only feeds load
+        # balancing — scale rays down as the scene grows (relative
+        # survival needs ~1/sqrt(n) accuracy, not absolute precision)
+        pilot_eff = max(48, int(pilot_rays
+                                * min(1.0, (1500.0 / S) ** 0.5)))
         fine_h = _pilot_survival(fine, center, rot, radius,
-                                 float(theta_dni), pilot_rays,
+                                 float(theta_dni), pilot_eff,
                                  spheres, n_axis, fill, absorptivity,
                                  rect_wh=rect_wh, rays_rot=rays_rot)
         best = None
@@ -618,9 +729,11 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
         _, n_cells, mult = best
     cells = cells_fn(n_cells)
 
+    reach_cache = _ReachCache(spheres, n_axis, widen, expandable_set,
+                              margin, d0, theta_src)
     cl = _cell_lists(cells, center, rot, radius, theta_src, spheres,
                      n_axis, widen, expandable_set, age_cap, margin, d0,
-                     rect_wh=rect_wh)
+                     rect_wh=rect_wh, reach_cache=reach_cache)
 
     # ---- SMEM budget: the lists ride in SMEM transposed (L_max, nb),
     # padded to (L_max, ceil(nb/128)*128) int32, alongside the (K, S)
@@ -637,11 +750,12 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
     #      exactly against the full surface list.
     groups = table.groups
     G = len(groups)
-    if smem_need_bytes(table, 1, 1) > max_smem_bytes:
-        raise ValueError(
-            f"scene too large for the culled megakernel's SMEM rows table "
-            f"({table.ap_params.shape[0]} rows); shard the scene or use "
-            "the general streaming path")
+    # Whether the WHOLE packed rows table fits SMEM next to a minimal
+    # layout. When it doesn't (multi-k-row scenes), the single-call layout
+    # is impossible — but segments can still run by shipping only the row
+    # SUBSET their candidate lists reference (seg_row_ids), so this is no
+    # longer a hard error (round-3 verdict item 4).
+    rows_fit_whole = smem_need_bytes(table, 1, 1) <= max_smem_bytes
     cell_depth = np.full(n_cells, age_cap, dtype=np.int64)
 
     def _cell_group_counts():
@@ -654,9 +768,23 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
     cell_of_block = np.repeat(np.arange(n_cells), mult).astype(np.int32)
     assert len(cell_of_block) == nb
 
+    def _seg_rows(b0: int, b1: int) -> int:
+        """Number of distinct rows the cells of block range [b0, b1)
+        reference — the size of that segment's row shard."""
+        cells_in = np.unique(cell_of_block[b0:b1])
+        if not len(cells_in):
+            return 0
+        return len(np.unique(np.concatenate(
+            [np.asarray(cl[c], dtype=np.int64) for c in cells_in])))
+
     def _seg_fit(cgc, k: int):
         """Even contiguous split of the block grid into k segments; None
-        unless every segment's layout fits its SMEM budget."""
+        unless every segment's layout fits its SMEM budget. k == 1 keeps
+        the legacy single-call layout (whole rows table); k > 1 segments
+        ship only their candidate-row subset, so the budget uses the
+        per-segment row-union size."""
+        if k == 1 and not rows_fit_whole:
+            return None
         cuts = [round(i * nb / k) for i in range(k + 1)]
         if any(b1 - b0 < 1 for b0, b1 in zip(cuts, cuts[1:])):
             return None
@@ -664,17 +792,71 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
             cells_in = np.unique(cell_of_block[b0:b1])
             width = int(sum(max(1, int(cgc[cells_in, g].max()))
                             for g in range(G)))
-            if smem_need_bytes(table, b1 - b0, width) > max_smem_bytes:
+            n_rows = None if k == 1 else _seg_rows(b0, b1)
+            if smem_need_bytes(table, b1 - b0, width,
+                               n_rows=n_rows) > max_smem_bytes:
+                return None
+        return tuple(cuts)
+
+    def _seg_fit_greedy(cgc):
+        """Leftmost-maximal contiguous segments: extend each segment while
+        its (row union, per-group widths, block count) budget fits, cut
+        when it stops. Minimizes the segment count for the given block
+        order, and — unlike even cuts — adapts the cut positions to the
+        row LOCALITY of the cells, so dense multi-k-row fields segment
+        without degrading corridors to depth 1. Incremental unions keep
+        it O(total list entries). None if any single block overflows or
+        more than max_segments result."""
+        cuts = [0]
+        b = 0
+        while b < nb:
+            rows_u: set = set()
+            gmax = np.zeros(G, dtype=np.int64)
+            seen_cells: set = set()
+            end = b
+            while end < nb:
+                c = int(cell_of_block[end])
+                if c in seen_cells:
+                    add_rows = 0
+                    n_gmax = gmax
+                else:
+                    new = [r for r in cl[c] if r not in rows_u]
+                    add_rows = len(new)
+                    n_gmax = np.maximum(gmax, cgc[c])
+                width = int(np.maximum(n_gmax, 1).sum())
+                if smem_need_bytes(table, end - b + 1, width,
+                                   n_rows=len(rows_u) + add_rows
+                                   ) > max_smem_bytes:
+                    break
+                if c not in seen_cells:
+                    rows_u.update(cl[c])
+                    gmax = n_gmax
+                    seen_cells.add(c)
+                end += 1
+            if end == b:
+                return None          # one block alone overflows
+            cuts.append(end)
+            b = end
+            if len(cuts) - 1 > max_segments:
                 return None
         return tuple(cuts)
 
     cgc = _cell_group_counts()
     seg_bounds = None
     while seg_bounds is None:
-        for k in range(1, max_segments + 1):
-            seg_bounds = _seg_fit(cgc, k)
-            if seg_bounds is not None:
-                break
+        if min_segments <= 1:
+            seg_bounds = _seg_fit(cgc, 1)
+        if seg_bounds is None:
+            gb = _seg_fit_greedy(cgc)
+            if gb is not None and len(gb) - 1 >= min_segments:
+                seg_bounds = gb
+        if seg_bounds is None:
+            for k in range(max(2, min_segments), max_segments + 1):
+                seg_bounds = _seg_fit(cgc, k)
+                if seg_bounds is not None:
+                    break
+        if seg_bounds is not None:
+            break
         if seg_bounds is not None:
             break
         # degrade the widest still-degradable group's binding cells;
@@ -697,7 +879,8 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
             cl[c] = _one_cell_list(cells[c], center, rot, radius,
                                    theta_src, spheres, n_axis, widen,
                                    expandable_set, int(cell_depth[c]),
-                                   margin, d0, rect_wh=rect_wh)
+                                   margin, d0, rect_wh=rect_wh,
+                                   reach_cache=reach_cache)
         cgc = _cell_group_counts()
     lists = [cl[c] for c in cell_of_block]
     cell_bounds = cells[cell_of_block]
@@ -730,30 +913,52 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
     counts = np.asarray([[len(gl) for gl in pg] for pg in per_group],
                         dtype=np.int32)
 
-    def _layout(b0: int, b1: int):
-        """Per-group column layout for a contiguous block range."""
+    def _layout(b0: int, b1: int, subset: bool = False):
+        """Per-group column layout for a contiguous block range. With
+        ``subset``, list entries are remapped to LOCAL indices into the
+        segment's row shard (the sorted union of referenced rows) and the
+        shard's global ids + local demoted rows are returned alongside."""
         w_g = tuple(max(1, int(counts[b0:b1, g].max())) for g in range(G))
         off = tuple(int(sum(w_g[:g])) for g in range(G))
         a = np.full((b1 - b0, sum(w_g)), -1, dtype=np.int32)
         for b in range(b0, b1):
             for g, gl in enumerate(per_group[b]):
                 a[b - b0, off[g]:off[g] + len(gl)] = gl
-        return a, off
+        if not subset:
+            return a, off, None, None
+        ids = np.unique(a[a >= 0]).astype(np.int32)
+        if len(ids) == 0:
+            # all-empty segment (cells beyond the field): keep one dummy
+            # row so the kernel's SMEM operand is never zero-sized
+            ids = np.array([0], dtype=np.int32)
+        local = np.full(S, -1, dtype=np.int32)
+        local[ids] = np.arange(len(ids), dtype=np.int32)
+        a = np.where(a >= 0, local[np.maximum(a, 0)], -1).astype(np.int32)
+        dem_local = tuple(int(local[r]) for r in np.nonzero(demote)[0]
+                          if local[r] >= 0)
+        return a, off, ids, dem_local
 
-    arr, offsets = _layout(0, nb)
+    arr, offsets, _, _ = _layout(0, nb)
     seg_lists, seg_counts, seg_offsets = (), (), ()
-    if len(seg_bounds) > 2:
-        outs = [_layout(b0, b1)
+    seg_row_ids, seg_demote = (), ()
+    # a single greedy segment still needs the seg arrays when the whole
+    # rows table does not fit SMEM (its shard is what makes it runnable)
+    use_segments = len(seg_bounds) > 2 or not rows_fit_whole
+    if use_segments:
+        outs = [_layout(b0, b1, subset=True)
                 for b0, b1 in zip(seg_bounds, seg_bounds[1:])]
-        seg_lists = tuple(a for a, _ in outs)
+        seg_lists = tuple(a for a, _, _, _ in outs)
         seg_counts = tuple(counts[b0:b1]
                            for b0, b1 in zip(seg_bounds, seg_bounds[1:]))
-        seg_offsets = tuple(off for _, off in outs)
+        seg_offsets = tuple(off for _, off, _, _ in outs)
+        seg_row_ids = tuple(ids for _, _, ids, _ in outs)
+        seg_demote = tuple(dem for _, _, _, dem in outs)
         import logging
         logging.getLogger("tracer_tpu").info(
             "culled block grid split into %d sequential SMEM segments "
-            "(widths %s)", len(outs),
-            [a.shape[1] for a in seg_lists])
+            "(widths %s, row shards %s of %d)", len(outs),
+            [a.shape[1] for a in seg_lists],
+            [len(ids) for ids in seg_row_ids], S)
     n_cand = counts.sum(axis=1)
     stats = dict(nb=nb, n_cells=n_cells, mult_max=int(mult.max()),
                  L_max=int(n_cand.max()), n_groups=G,
@@ -768,6 +973,8 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
                                           np.nonzero(demote)[0]),
                         stats=stats,
                         segment_bounds=(tuple(seg_bounds)
-                                        if len(seg_bounds) > 2 else ()),
+                                        if use_segments else ()),
                         seg_lists=seg_lists, seg_counts=seg_counts,
-                        seg_group_offsets=seg_offsets)
+                        seg_group_offsets=seg_offsets,
+                        seg_row_ids=seg_row_ids,
+                        seg_demote_rows=seg_demote)

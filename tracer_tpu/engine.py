@@ -203,7 +203,8 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
     # the kernel threads a per-lane refraction index and Russian-roulettes
     # Fresnel reflection vs Snell refraction (shade.py's branch, fused).
     from . import materials as _M
-    from .kernels.intersect import _use_pallas, default_t_eps
+    from .kernels.intersect import (_use_pallas, default_t_eps,
+                                    pallas_rows_fit)
     fusable_kinds = {_M.K_REFLECT, _M.K_LAMBERTIAN, _M.K_COOK_TORRANCE,
                      _M.K_LAMBERTIAN_SPECULAR, _M.K_SEMI_LAMBERTIAN,
                      _M.K_TRANSPARENT, _M.K_FRESNEL_CONDUCTOR,
@@ -220,7 +221,8 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
                  and set(scene.kinds_present) <= fusable_kinds
                  and "volumetric" not in scene.features
                  and "iam_nonmirror" not in scene.features
-                 and _use_pallas(bundle.pos))
+                 and _use_pallas(bundle.pos)
+                 and pallas_rows_fit(scene))
     if use_fused:
         from .kernels.pallas_intersect import (bounce_reflect_pallas,
                                                pack_rows)
@@ -976,7 +978,7 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                               "t_eps", "disc_eps", "bivar", "one_sided",
                               "slope", "lambertian", "spectral",
                               "ambient_att", "demote_rows", "fluxspecs",
-                              "conductor", "iam"))
+                              "conductor", "iam", "drain_jnp"))
 def _trace_streaming_megakernel_culled(
         scene: SceneTable, key, lists, counts, cells, cell_bounds, quota_b,
         age_caps, source_spec, group_offsets,
@@ -985,7 +987,8 @@ def _trace_streaming_megakernel_culled(
         slope: bool, demote_rows: tuple,
         lambertian: bool = False, spectral: bool = False,
         ambient_att: float = 0.0, fluxspecs: tuple = (),
-        conductor: bool = False, iam: bool = False):
+        conductor: bool = False, iam: bool = False,
+        row_map=None, drain_jnp: bool = False):
     """Relevancy-culled streaming megakernel (see culling.py): each grid
     block owns one equal-area source cell and intersects only its static
     candidate list; per-block quotas keep the stratified emission unbiased
@@ -1002,15 +1005,27 @@ def _trace_streaming_megakernel_culled(
     SHARD of the global per-block arrays
     (parallel.trace_streaming_sharded): the local block count is
     lists.shape[0] and ``cells`` carries global block ids (independent
-    PRNG streams per block, invariant to device placement)."""
-    from .kernels.intersect import default_t_eps
+    PRNG streams per block, invariant to device placement).
+
+    With ``row_map`` (an (S_seg,) int32 local->global row map,
+    culling.seg_row_ids), ``lists`` and ``demote_rows`` carry LOCAL
+    indices into the segment's row SHARD: the kernel ships only
+    rows[:, row_map] through SMEM, which is what breaks the single-chip
+    multi-k-row wall (round-3 verdict item 4). The drain phase always
+    traces the FULL scene; ``drain_jnp`` (set when the whole rows table
+    exceeds SMEM, kernels.intersect.pallas_rows_fit) switches it to the
+    jnp brute-force + shade path — survivors are sparse and compacted,
+    so the slower oracle path costs little."""
+    from .kernels.intersect import default_t_eps, nearest_hit
     from .kernels.pallas_intersect import (TILE, bounce_reflect_culled_pallas,
                                            bounce_reflect_pallas, pack_rows)
+    from .kernels.shade import shade as _shade
 
     nb = lists.shape[0]            # LOCAL blocks (may be a mesh shard)
     assert slab == nb * TILE, "culled path needs ray count == nb * TILE"
     e_ray = source_spec[5]
     rows = pack_rows(scene)
+    rows_k = rows if row_map is None else rows[:, row_map]
     te = default_t_eps(jnp.float32) if t_eps is None else t_eps
     spectral_tab = (jnp.stack([scene.spectral_wl, scene.spectral_ab],
                               axis=1).astype(jnp.float32)
@@ -1075,7 +1090,7 @@ def _trace_streaming_megakernel_culled(
         age = jnp.where(reborn, 0, age)
 
         outs = bounce_reflect_culled_pallas(
-            rows, lists, counts, cells, cell_bounds, seed, remaining_b,
+            rows_k, lists, counts, cells, cell_bounds, seed, remaining_b,
             pos, dirs, e, scene.groups, group_offsets, te, disc_eps,
             bivar=bivar,
             one_sided=one_sided, slope=slope, lambertian=lambertian,
@@ -1095,6 +1110,11 @@ def _trace_streaming_megakernel_culled(
         sid = jnp.where(parked, -1, sid)
         absorbed = jnp.where(parked, 0.0, absorbed)
         hit = sid >= 0
+        # with a row shard, the kernel's sid is LOCAL; global ids are
+        # only needed for the spatial flux maps (the slot histogram and
+        # demote checks stay in local space)
+        sid_g = sid if row_map is None else jnp.where(
+            hit, row_map[jnp.maximum(sid, 0)], sid)
         escaped = ~parked & (e_before > 0.0) & ~hit
         # absorbed energy goes into a per-(block, slot) histogram against
         # the SHORT candidate list (L_max-wide one-hot, ~15x cheaper than
@@ -1120,7 +1140,7 @@ def _trace_streaming_megakernel_culled(
             preferred_element_type=jnp.float32)
         if fluxspecs:
             accum = accum.replace(flux=_dfm.accumulate(
-                accum.flux, fluxspecs, scene, sid, npos, absorbed,
+                accum.flux, fluxspecs, scene, sid_g, npos, absorbed,
                 key=kd))
         accum = accum.replace(
             escaped=accum.escaped + jnp.sum(jnp.where(escaped, e_before,
@@ -1166,19 +1186,42 @@ def _trace_streaming_megakernel_culled(
     def dbody(st):
         i, pos, dirs, e, wl, age, accum, key = st
         key, ks = jax.random.split(key)
-        seed = jax.random.randint(ks, (1,), 0, jnp.iinfo(jnp.int32).max,
-                                  dtype=jnp.int32)
-        outs = bounce_reflect_pallas(
-            rows, seed, pos, dirs, e, scene.groups, te, disc_eps,
-            bivar=bivar, one_sided=one_sided, slope=slope,
-            lambertian=lambertian,
-            wavelength=wl if spectral else None,
-            spectral_tab=spectral_tab, ambient_att=ambient_att,
-            conductor=conductor, iam=iam)
-        if spectral:
-            pos, dirs, ne, sid, absorbed, wl = outs
+        if drain_jnp:
+            # full-scene brute force via the jnp oracle path: the rows
+            # table exceeds SMEM (pallas_rows_fit False), and the drain
+            # buffer is small, so the slower path is fine
+            t, sid = nearest_hit(scene, pos, dirs, t_eps=te,
+                                 disc_eps=disc_eps, use_pallas=False)
+            sid = jnp.where(e > 0.0, sid, -1)
+            hit = sid >= 0
+            e_att = e
+            if ambient_att > 0.0:
+                tr = jnp.exp(-jnp.asarray(ambient_att, e.dtype)
+                             * jnp.where(hit, t, 0.0))
+                e_att = jnp.where(hit, e * tr, e)
+            zeros = jnp.zeros_like(e)
+            res = _shade(scene, sid, t, pos, dirs, e_att, wl,
+                         jnp.ones_like(e), ks,
+                         medium=(zeros, zeros, zeros))
+            pos = jnp.where(hit[:, None], res.out_pos, pos)
+            dirs = jnp.where(hit[:, None], res.out_dir, dirs)
+            ne = jnp.where(hit, res.out_energy, e)
+            absorbed = jnp.where(hit, res.absorbed, 0.0)
         else:
-            pos, dirs, ne, sid, absorbed = outs
+            seed = jax.random.randint(ks, (1,), 0,
+                                      jnp.iinfo(jnp.int32).max,
+                                      dtype=jnp.int32)
+            outs = bounce_reflect_pallas(
+                rows, seed, pos, dirs, e, scene.groups, te, disc_eps,
+                bivar=bivar, one_sided=one_sided, slope=slope,
+                lambertian=lambertian,
+                wavelength=wl if spectral else None,
+                spectral_tab=spectral_tab, ambient_att=ambient_att,
+                conductor=conductor, iam=iam)
+            if spectral:
+                pos, dirs, ne, sid, absorbed, wl = outs
+            else:
+                pos, dirs, ne, sid, absorbed = outs
         hit = sid >= 0
         escaped = (e > 0.0) & ~hit
         accum = _account(scene, accum, sid, hit, escaped, absorbed, e,
@@ -1239,9 +1282,13 @@ def _trace_streaming_megakernel_culled(
      source_e) = st
     # max_rounds exhaustion can leave live lanes: account, don't drop
     accum = accum.replace(residual=accum.residual + jnp.sum(e))
-    # fold the slot histogram into per-row absorbed energy (one scatter)
-    rows_flat = jnp.maximum(lists.reshape(-1), 0)
-    vals_flat = jnp.where(lists.reshape(-1) >= 0, hist.reshape(-1), 0.0)
+    # fold the slot histogram into per-row absorbed energy (one scatter);
+    # with a row shard the list entries are local — map them to global
+    lists_g = (lists if row_map is None
+               else jnp.where(lists >= 0,
+                              row_map[jnp.maximum(lists, 0)], -1))
+    rows_flat = jnp.maximum(lists_g.reshape(-1), 0)
+    vals_flat = jnp.where(lists_g.reshape(-1) >= 0, hist.reshape(-1), 0.0)
     accum = accum.replace(absorbed=accum.absorbed.at[rows_flat].add(
         vals_flat))
     return accum, jnp.sum(emitted_b), source_e
@@ -1293,7 +1340,7 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     # the scene qualifies for the fused reflect bounce, regeneration happens
     # inside the kernel (one HBM round trip of the ray state per round).
     from . import materials as _M
-    from .kernels.intersect import _use_pallas
+    from .kernels.intersect import _use_pallas, pallas_rows_fit
     spec = getattr(source_fn, "pallas_spec", None)
     probe = source_fn(key)
     n = probe.num_rays
@@ -1333,7 +1380,7 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     # bilinear (theta, wl) piecewise grids need the wavelength thread
     lpw_wl = (lpw_scene
               and "lambertian_piecewise_spectral" in scene.features)
-    fusable = (spec is not None
+    kernel_ok = (spec is not None
                and set(scene.kinds_present) <= {_M.K_REFLECT,
                                                 _M.K_LAMBERTIAN,
                                                 _M.K_REFLECT_SPECTRAL,
@@ -1350,6 +1397,11 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
                and vol_ok and refr_ok
                and "iam_nonmirror" not in scene.features
                and _use_pallas(probe.pos))
+    # the PLAIN megakernel (and the culled drain's fused brute force)
+    # needs the whole packed rows table in SMEM; the culled path does not
+    # (segments ship row shards) — it only switches its drain to the jnp
+    # oracle when the full table exceeds SMEM
+    fusable = kernel_ok and pallas_rows_fit(scene)
     # the culled kernel handles any number of aperture-signature groups
     # (one specialized candidate loop per group), spectral scenes, and
     # ambient attenuation — same eligibility as the plain megakernel
@@ -1363,7 +1415,7 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     # conductor and IAM are direction-preserving (specular reflection /
     # absorptivity-only modifier), so the specular corridor analysis —
     # and hence culling — stays sound for them
-    cullable = (fusable and not refractive_scene and not ct_scene
+    cullable = (kernel_ok and not refractive_scene and not ct_scene
                 and not ls_scene and not sl_scene and not tr_scene
                 and not pd_scene   # teleports break corridor closure
                 and not lpw_scene  # diffuse lobe, like the scatterers
@@ -1384,13 +1436,15 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             slope="slope_error" in scene.features,
             lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
             spectral=spectral_scene or fc_wl, ambient_att=spec_att,
-            demote_rows=culling.demote_rows, fluxspecs=fluxspecs,
-            conductor=fc_scene, iam=iam_scene)
+            fluxspecs=fluxspecs,
+            conductor=fc_scene, iam=iam_scene,
+            drain_jnp=not fusable)
         if culling.segment_bounds:
             # single-chip SMEM segmentation (culling.py): blocks never
             # interact, so the culled trace decomposes EXACTLY into
             # sequential kernel calls over contiguous block ranges, each
-            # with its own (narrower) per-group candidate layout
+            # with its own (narrower) per-group candidate layout and its
+            # own row SHARD (seg_row_ids — local list/demote indices)
             quota = culling.block_quota(total_rays)
             accum = emitted = source_e = None
             bounds = culling.segment_bounds
@@ -1404,6 +1458,8 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
                     jnp.asarray(quota[b0:b1]),
                     jnp.asarray(culling.age_caps[b0:b1]),
                     group_offsets=culling.seg_group_offsets[i],
+                    demote_rows=culling.seg_demote_rows[i],
+                    row_map=jnp.asarray(culling.seg_row_ids[i]),
                     slab=(b1 - b0) * TILE, **common)
                 accum = a if accum is None else accum + a
                 emitted = em if emitted is None else emitted + em
@@ -1416,7 +1472,8 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             jnp.asarray(culling.cell_bounds),
             jnp.asarray(culling.block_quota(total_rays)),
             jnp.asarray(culling.age_caps),
-            group_offsets=culling.group_offsets, slab=n, **common)
+            group_offsets=culling.group_offsets,
+            demote_rows=culling.demote_rows, slab=n, **common)
     if culling is not None:
         import logging
         logging.getLogger("tracer_tpu").warning(

@@ -290,6 +290,18 @@ def nearest_hit_candidates(scene, cand, pos, dirs,
     return t_best, sid_best
 
 
+def pallas_rows_fit(scene) -> bool:
+    """Whether the packed (K, S) rows table fits the 1 MB SMEM next to the
+    kernels' misc scalar-prefetch arrays. Beyond ~6k rows it does not; the
+    brute-force Pallas kernels then hand off to the jnp path, and the
+    culled megakernel ships per-segment row SHARDS instead
+    (culling.seg_row_ids)."""
+    from .pallas_intersect import ROW_F
+    K = ROW_F + 6 * scene.ap_params.shape[1]
+    S = scene.ap_params.shape[0]
+    return K * (-(-S // 128) * 128) * 4 + 64 * 1024 <= (1 << 20)
+
+
 def nearest_hit_aux(scene, pos, dirs, t_eps=None, disc_eps: float = 1e-6,
                     block=None, need_local: bool = True):
     """Like nearest_hit, but on the Pallas path also returns the winner's
@@ -299,7 +311,7 @@ def nearest_hit_aux(scene, pos, dirs, t_eps=None, disc_eps: float = 1e-6,
     point (3 selects/surface) when no per-bounce records are kept."""
     if t_eps is None:
         t_eps = default_t_eps(pos.dtype)
-    if _use_pallas(pos):
+    if _use_pallas(pos) and pallas_rows_fit(scene):
         from .pallas_intersect import nearest_hit_pallas, pack_rows
         return nearest_hit_pallas(pack_rows(scene), pos, dirs, scene.groups,
                                   t_eps, disc_eps, need_local=need_local)
@@ -359,10 +371,13 @@ def _group_nearest(scene, start, end, sig, pos, dirs, t_eps, disc_eps,
     return carry
 
 
-@functools.partial(jax.jit, static_argnames=("t_eps", "disc_eps", "block"))
+@functools.partial(jax.jit, static_argnames=("t_eps", "disc_eps", "block",
+                                             "use_pallas"))
 def nearest_hit(scene, pos: jnp.ndarray, dirs: jnp.ndarray,
                 t_eps: Optional[float] = None, disc_eps: float = 1e-6,
-                block: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                block: Optional[int] = None,
+                use_pallas: Optional[bool] = None
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Nearest surface hit per ray over the whole scene table.
 
     Returns (t, sid): t (N,) hit distance (+inf = escaped), sid (N,) int32
@@ -376,8 +391,12 @@ def nearest_hit(scene, pos: jnp.ndarray, dirs: jnp.ndarray,
 
     # TPU + float32: use the Pallas kernel (single HBM pass, all
     # intermediates in VMEM). The jnp path below stays as the float64/CPU
-    # oracle and the fallback for exotic backends.
-    if _use_pallas(pos):
+    # oracle and the fallback for exotic backends, for scenes whose rows
+    # table exceeds SMEM, and for callers forcing it (use_pallas=False —
+    # e.g. the culled driver's jnp drain on multi-k-row scenes).
+    if use_pallas is None:
+        use_pallas = _use_pallas(pos) and pallas_rows_fit(scene)
+    if use_pallas:
         from .pallas_intersect import nearest_hit_pallas, pack_rows
         t, sid, _aux = nearest_hit_pallas(pack_rows(scene), pos, dirs,
                                           scene.groups, t_eps, disc_eps)

@@ -1690,7 +1690,9 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
 
     The ray count must be exactly nb * TILE (block b <-> source cell b)."""
     spectral = wavelength is not None
-    assert groups[0][0] == 0 and groups[-1][1] == rows.shape[1]
+    # rows may be a per-segment row SHARD (culling.seg_row_ids): fewer
+    # columns than the global groups span, with lists carrying LOCAL ids
+    assert groups[0][0] == 0 and groups[-1][1] >= rows.shape[1]
     assert len(group_offsets) == len(groups) == counts.shape[1]
     group_specs = tuple(
         (sig, tag, off)
