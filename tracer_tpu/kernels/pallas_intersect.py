@@ -776,10 +776,9 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
                     * jnp.float32(0.5 / g)
                 cos_sc = jnp.clip(cos_sc, -1.0, 1.0)
             sin_sc = jnp.sqrt(jnp.maximum(1.0 - cos_sc * cos_sc, 0.0))
-            sphi = jnp.float32(2.0 * np.pi) * u_p
+            s_sp, c_sp = _sincos_turns(u_p)
             sdx, sdy, sdz = rot_about(dx, dy, dz,
-                                      sin_sc * jnp.cos(sphi),
-                                      sin_sc * jnp.sin(sphi), cos_sc)
+                                      sin_sc * c_sp, sin_sc * s_sp, cos_sc)
 
         is_refr = None
         if refractive:
@@ -798,8 +797,8 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
                 return _kernel_uniform(px.shape)
             u1, u2 = uniform(), uniform()
             rr = jnp.sqrt(-2.0 * jnp.log(u1))
-            ang = 2.0 * np.pi * u2
-            nrm1 = rr * jnp.cos(ang)
+            s_bm, c_bm = _sincos_turns(u2)
+            nrm1 = rr * c_bm
             sigma = q1_b
             if lambertian:
                 # Lambertian lanes carry ang_range in q1, not a slope
@@ -830,18 +829,18 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
                 # slope error (the ref piecewise family has none)
                 sigma = jnp.where(is_lpw, 0.0, sigma)
             if bivar in (True, "mixed"):
-                nrm2 = rr * jnp.sin(ang)
-                tx = jnp.tan(nrm1 * sigma)
-                ty = jnp.tan(nrm2 * sigma)
+                nrm2 = rr * s_bm
+                s_tx, c_tx = _sincos_rad(nrm1 * sigma)
+                s_ty, c_ty = _sincos_rad(nrm2 * sigma)
+                tx = s_tx / c_tx
+                ty = s_ty / c_ty
                 bvz = jax.lax.rsqrt(1.0 + tx * tx + ty * ty)
                 bvx, bvy = tx * bvz, ty * bvz
             if bivar in (False, "mixed"):
                 u3 = uniform()
-                th = nrm1 * sigma
-                phi = 2.0 * np.pi * u3
-                s_th = jnp.sin(th)
-                rdx, rdy, rdz = (s_th * jnp.cos(phi), s_th * jnp.sin(phi),
-                                 jnp.cos(th))
+                s_th, c_th = _sincos_rad(nrm1 * sigma)
+                s_ph, c_ph = _sincos_turns(u3)
+                rdx, rdy, rdz = s_th * c_ph, s_th * s_ph, c_th
             if bivar == "mixed":
                 # per-lane error model from the carried flags word:
                 # F_BIVAR is bit 1, so (kf mod 4) >= 2 tests exactly it
@@ -907,13 +906,13 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
             # reflected below the surface (d_ct.n <= 0) are absorbed.
             alpha_ct, mn_ct, mk_ct, rl_ct = q0_b, q1_b, q2_b, q3_b
             u_ct = _kernel_uniform(px.shape)
-            phi_ct = 2.0 * np.pi * _kernel_uniform(px.shape)
+            u_pc = _kernel_uniform(px.shape)
             tan2 = -alpha_ct * alpha_ct * jnp.log(u_ct)
             cos_h = jax.lax.rsqrt(1.0 + tan2)
             sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h * cos_h, 0.0))
+            s_pc, c_pc = _sincos_turns(u_pc)
             hvx, hvy, hvz = rot_about(n0x, n0y, n0z,
-                                      sin_h * jnp.cos(phi_ct),
-                                      sin_h * jnp.sin(phi_ct), cos_h)
+                                      sin_h * c_pc, sin_h * s_pc, cos_h)
             d_h = dx * hvx + dy * hvy + dz * hvz
             cdx = dx - 2.0 * d_h * hvx
             cdy = dy - 2.0 * d_h * hvy
@@ -1000,7 +999,7 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
             kq = jnp.floor(kf_b * (1.0 / 1024.0))
             ul1 = _kernel_uniform(px.shape)
             ul2 = _kernel_uniform(px.shape)
-            sin_cap = jnp.sin(q1_b)
+            sin_cap, cos_cap = _sincos_rad(q1_b)
             if lam_specular:
                 sin_cap = jnp.where(kq == 3.0, 1.0, sin_cap)
             if piecewise:
@@ -1008,11 +1007,10 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
                 # full-hemisphere (ref pillbox ang_range = pi/2)
                 sin_cap = jnp.where(kq == 11.0, 1.0, sin_cap)
             sinsq = sin_cap * jnp.sqrt(ul1)
-            phl = 2.0 * np.pi * ul2
+            s_pl, c_pl = _sincos_turns(ul2)
             lz = jnp.sqrt(jnp.maximum(1.0 - sinsq * sinsq, 0.0))
             ldx, ldy, ldz = rot_about(n0x, n0y, n0z,
-                                      sinsq * jnp.cos(phl),
-                                      sinsq * jnp.sin(phl), lz)
+                                      sinsq * c_pl, sinsq * s_pl, lz)
             go_diff = jnp.zeros_like(hit)
             if lambertian:
                 go_diff = go_diff | (kq == 2.0)
@@ -1024,8 +1022,7 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
                 # incidence angle <= ang_range  <=>  cos >= cos(ang_range)
                 # (Mosaic has no acos lowering; cos is monotone on [0, pi])
                 cos_in = jnp.abs(dx * n0x + dy * n0y + dz * n0z)
-                go_diff = go_diff | ((kq == 4.0)
-                                     & (cos_in >= jnp.cos(q1_b)))
+                go_diff = go_diff | ((kq == 4.0) & (cos_in >= cos_cap))
             if piecewise:
                 # w.p. the interpolated specular probability (q3) keep
                 # the specular reflection, else diffuse
@@ -1176,6 +1173,39 @@ def _kernel_uniform(shape):
             * (1.0 / (1 << 24)) + 1e-12)
 
 
+def _sincos_turns(t):
+    """(sin, cos) of 2*pi*t — ``t`` in TURNS — via branchless quarter-wave
+    cephes-style minimax polynomials (max abs error ~6e-8, below f32
+    round-off of the downstream physics). Mosaic lowers jnp.sin/cos
+    through a generic radian range reduction that costs ~2x this PAIR;
+    the regen sampling + shade epilogues draw 2-6 angles per lane per
+    round, which is most of the fixed VPU cost that bounds the few-
+    surface configs (round-3 verdict item 8). Sampling in turns also
+    skips the 2*pi multiply most call sites used to feed jnp.sin/cos."""
+    tf = t * 4.0
+    q = jnp.round(tf)
+    z = (tf - q) * jnp.float32(np.pi / 2.0)     # |z| <= pi/4
+    z2 = z * z
+    sz = ((jnp.float32(-1.9515295891e-4) * z2
+           + jnp.float32(8.3321608736e-3)) * z2
+          + jnp.float32(-1.6666654611e-1)) * z2 * z + z
+    cz = (((jnp.float32(2.4433157e-5) * z2
+            + jnp.float32(-1.3887316e-3)) * z2
+           + jnp.float32(4.1666645683e-2)) * z2
+          - jnp.float32(0.5)) * z2 + jnp.float32(1.0)
+    qm = q - 4.0 * jnp.floor(q * 0.25)          # quadrant mod 4: 0..3
+    sq = (jnp.where(qm == 1.0, 1.0, 0.0)
+          - jnp.where(qm == 3.0, 1.0, 0.0))
+    cq = (jnp.where(qm == 0.0, 1.0, 0.0)
+          - jnp.where(qm == 2.0, 1.0, 0.0))
+    return sz * cq + cz * sq, cz * cq - sz * sq
+
+
+def _sincos_rad(x):
+    """(sin, cos) of ``x`` radians via _sincos_turns."""
+    return _sincos_turns(x * jnp.float32(1.0 / (2.0 * np.pi)))
+
+
 def _sample_disk_buie(spec, shape, cell=None):
     """In-kernel disk/rect + Buie-sunshape source sampling (all parameters
     are static Python floats baked into the kernel; cf.
@@ -1212,12 +1242,12 @@ def _sample_disk_buie(spec, shape, cell=None):
     elif cell is not None:
         a0, a1, th0, th1 = cell
         rr = radius * jnp.sqrt(a0 + u1 * (a1 - a0))
-        phv = th0 + u2 * (th1 - th0)
-        lx, ly = rr * jnp.cos(phv), rr * jnp.sin(phv)
+        s_v, c_v = _sincos_rad(th0 + u2 * (th1 - th0))
+        lx, ly = rr * c_v, rr * s_v
     else:
         rr = radius * jnp.sqrt(u1)
-        phv = 2.0 * np.pi * u2
-        lx, ly = rr * jnp.cos(phv), rr * jnp.sin(phv)
+        s_v, c_v = _sincos_turns(u2)
+        lx, ly = rr * c_v, rr * s_v
     fpx = rot[0] * lx + rot[1] * ly + cx
     fpy = rot[3] * lx + rot[4] * ly + cy
     fpz = rot[6] * lx + rot[7] * ly + cz
@@ -1238,9 +1268,9 @@ def _sample_disk_buie(spec, shape, cell=None):
         th_aur = jnp.exp(jnp.log(jnp.maximum(base, 1e-30))
                          * (1.0 / (gamma + 2.0)))
         theta = jnp.where(u3 >= disc_end, th_aur, theta)
-    phd = 2.0 * np.pi * u4
-    s_t = jnp.sin(theta)
-    ax, ay, az = s_t * jnp.cos(phd), s_t * jnp.sin(phd), jnp.cos(theta)
+    s_t, c_t = _sincos_rad(theta)
+    s_d, c_d = _sincos_turns(u4)
+    ax, ay, az = s_t * c_d, s_t * s_d, c_t
     # oblique rect sources carry a separate direction frame (rays leave
     # along rays_rot's +z, positions lie in rot's xy plane)
     drot = rot
@@ -1563,13 +1593,20 @@ def _make_fused_kernel_culled(group_specs, t_eps, disc_eps, bivar,
     their absorptance from the SMEM table, and hit segments Beer-Lambert
     attenuate in the ambient medium. ``conductor``/``iam`` mirror
     _make_fused_kernel too (both are direction-preserving, so the
-    corridor analysis is unaffected; they ride the extra_q carry)."""
+    corridor analysis is unaffected; they ride the extra_q carry).
+
+    active_ref[b] == 0 marks a block with nothing to do this round (quota
+    spent, no live unparked lane): it skips the candidate loops and the
+    epilogue entirely and passes its ray state through. Without the skip
+    the EMISSION TAIL — the last rounds where a few slow cells finish
+    their quotas — costs a full slab of candidate-loop work per round
+    even though almost every block is idle (round-3 verdict item 5)."""
     extra_q = conductor or iam
     epi = _make_shade_epilogue(bivar, one_sided, slope, lambertian,
                                ambient_att, conductor=conductor, iam=iam)
 
-    def kernel(seed_ref, remaining_ref, lists_ref, counts_ref, cells_ref,
-               cellb_ref, tabx_ref, taby_ref, rows_ref, *io):
+    def kernel(seed_ref, remaining_ref, active_ref, lists_ref, counts_ref,
+               cells_ref, cellb_ref, tabx_ref, taby_ref, rows_ref, *io):
         if spectral:
             (px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref, e_ref, wl_ref,
              npx_ref, npy_ref, npz_ref, ndx_ref, ndy_ref, ndz_ref,
@@ -1579,71 +1616,91 @@ def _make_fused_kernel_culled(group_specs, t_eps, disc_eps, bivar,
              npx_ref, npy_ref, npz_ref, ndx_ref, ndy_ref, ndz_ref,
              ne_ref, sid_ref, abs_ref) = io
         b = pl.program_id(0)
-        # global block id: distinct PRNG stream per block, invariant to
-        # how blocks shard over devices (several blocks may serve the
-        # same source cell — load balancing — so streams key on the block)
-        cell = cells_ref[b]
-        _prng_seed(seed_ref[0] + cell)
-        px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
-        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-        e = e_ref[:]
-        wl = wl_ref[:] if spectral else None
 
-        dead = e <= 0.0
-        rank = _dead_lane_rank(dead.astype(jnp.float32))
-        do = dead & (rank < remaining_ref[b].astype(jnp.float32))
-        bounds = (cellb_ref[0, b], cellb_ref[1, b],
-                  cellb_ref[2, b], cellb_ref[3, b])
-        f = _sample_disk_buie(source_spec, px.shape, cell=bounds)
-        e_ray = jnp.float32(source_spec[5])
-        px = jnp.where(do, f[0], px)
-        py = jnp.where(do, f[1], py)
-        pz = jnp.where(do, f[2], pz)
-        dx = jnp.where(do, f[3], dx)
-        dy = jnp.where(do, f[4], dy)
-        dz = jnp.where(do, f[5], dz)
-        e = jnp.where(do, e_ray, e)
-        if spectral and len(f) > 6:
-            wl = jnp.where(do, f[6], wl)
+        @pl.when(active_ref[b] == 0)
+        def _idle_passthrough():
+            # dead lanes stay dead, parked lanes' results are discarded
+            # by the caller anyway — write-through is exact
+            npx_ref[:] = px_ref[:]
+            npy_ref[:] = py_ref[:]
+            npz_ref[:] = pz_ref[:]
+            ndx_ref[:] = dx_ref[:]
+            ndy_ref[:] = dy_ref[:]
+            ndz_ref[:] = dz_ref[:]
+            ne_ref[:] = e_ref[:]
+            if spectral:
+                nwl_ref[:] = wl_ref[:]
+            sid_ref[:] = jnp.full(px_ref.shape, -1, dtype=jnp.int32)
+            abs_ref[:] = jnp.zeros(px_ref.shape, dtype=jnp.float32)
 
-        rays = (px, py, pz, dx, dy, dz)
-        big = jnp.float32(np.inf)
-        zero = jnp.zeros_like(px)
-        carry = (jnp.full_like(px, big),
-                 jnp.full_like(px, -1, dtype=jnp.int32),
-                 zero, zero, zero, zero, zero, zero, zero)
-        if extra_q:
-            carry = carry + (zero, zero)
-        for g, (sig, tag, off) in enumerate(group_specs):
-            body = _surface_body(sig, 0, t_eps, disc_eps, tag, False,
-                                 rows_ref, rays, lists_ref=lists_ref,
-                                 block=b, col_offset=off,
-                                 spectral=spectral, wl=wl,
-                                 tabx_ref=tabx_ref, taby_ref=taby_ref,
-                                 n_tab=n_tab, extra_q=extra_q,
-                                 conductor=conductor)
-            carry = jax.lax.fori_loop(0, counts_ref[g, b], body, carry)
-        q2_b = q3_b = None
-        if extra_q:
-            carry, (q2_b, q3_b) = carry[:-2], carry[-2:]
-        (t_b, sid_b, ngx, ngy, ngz, upd_b, kf_b, q0_b, q1_b) = carry
+        @pl.when(active_ref[b] != 0)
+        def _active_body():
+            # global block id: distinct PRNG stream per block, invariant
+            # to how blocks shard over devices (several blocks may serve
+            # the same source cell — load balancing — so streams key on
+            # the block)
+            cell = cells_ref[b]
+            _prng_seed(seed_ref[0] + cell)
+            px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
+            dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+            e = e_ref[:]
+            wl = wl_ref[:] if spectral else None
 
-        outs = epi(t_b, ngx, ngy, ngz, upd_b, kf_b, q0_b,
-                   q1_b, px, py, pz, dx, dy, dz, e,
-                   q2_b=q2_b, q3_b=q3_b)
-        npx, npy, npz, ndx, ndy, ndz, ne, absorbed = outs
-        npx_ref[:] = npx
-        npy_ref[:] = npy
-        npz_ref[:] = npz
-        ndx_ref[:] = ndx
-        ndy_ref[:] = ndy
-        ndz_ref[:] = ndz
-        ne_ref[:] = ne
-        if spectral:
-            nwl_ref[:] = wl
-        live = e > 0.0
-        sid_ref[:] = jnp.where(jnp.isfinite(t_b) & live, sid_b, -1)
-        abs_ref[:] = jnp.where(live, absorbed, 0.0)
+            dead = e <= 0.0
+            rank = _dead_lane_rank(dead.astype(jnp.float32))
+            do = dead & (rank < remaining_ref[b].astype(jnp.float32))
+            bounds = (cellb_ref[0, b], cellb_ref[1, b],
+                      cellb_ref[2, b], cellb_ref[3, b])
+            f = _sample_disk_buie(source_spec, px.shape, cell=bounds)
+            e_ray = jnp.float32(source_spec[5])
+            px = jnp.where(do, f[0], px)
+            py = jnp.where(do, f[1], py)
+            pz = jnp.where(do, f[2], pz)
+            dx = jnp.where(do, f[3], dx)
+            dy = jnp.where(do, f[4], dy)
+            dz = jnp.where(do, f[5], dz)
+            e = jnp.where(do, e_ray, e)
+            if spectral and len(f) > 6:
+                wl = jnp.where(do, f[6], wl)
+
+            rays = (px, py, pz, dx, dy, dz)
+            big = jnp.float32(np.inf)
+            zero = jnp.zeros_like(px)
+            carry = (jnp.full_like(px, big),
+                     jnp.full_like(px, -1, dtype=jnp.int32),
+                     zero, zero, zero, zero, zero, zero, zero)
+            if extra_q:
+                carry = carry + (zero, zero)
+            for g, (sig, tag, off) in enumerate(group_specs):
+                body = _surface_body(sig, 0, t_eps, disc_eps, tag, False,
+                                     rows_ref, rays, lists_ref=lists_ref,
+                                     block=b, col_offset=off,
+                                     spectral=spectral, wl=wl,
+                                     tabx_ref=tabx_ref, taby_ref=taby_ref,
+                                     n_tab=n_tab, extra_q=extra_q,
+                                     conductor=conductor)
+                carry = jax.lax.fori_loop(0, counts_ref[g, b], body, carry)
+            q2_b = q3_b = None
+            if extra_q:
+                carry, (q2_b, q3_b) = carry[:-2], carry[-2:]
+            (t_b, sid_b, ngx, ngy, ngz, upd_b, kf_b, q0_b, q1_b) = carry
+
+            outs = epi(t_b, ngx, ngy, ngz, upd_b, kf_b, q0_b,
+                       q1_b, px, py, pz, dx, dy, dz, e,
+                       q2_b=q2_b, q3_b=q3_b)
+            npx, npy, npz, ndx, ndy, ndz, ne, absorbed = outs
+            npx_ref[:] = npx
+            npy_ref[:] = npy
+            npz_ref[:] = npz
+            ndx_ref[:] = ndx
+            ndy_ref[:] = ndy
+            ndz_ref[:] = ndz
+            ne_ref[:] = ne
+            if spectral:
+                nwl_ref[:] = wl
+            live = e > 0.0
+            sid_ref[:] = jnp.where(jnp.isfinite(t_b) & live, sid_b, -1)
+            abs_ref[:] = jnp.where(live, absorbed, 0.0)
 
     return kernel
 
@@ -1655,7 +1712,7 @@ def _make_fused_kernel_culled(group_specs, t_eps, disc_eps, bivar,
                                     "source_spec", "ambient_att",
                                     "conductor", "iam"))
 def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
-                                 seed, remaining,
+                                 seed, remaining, active,
                                  pos, dirs, energy, groups,
                                  group_offsets, t_eps: float,
                                  disc_eps: float = 1e-6, bivar=True,
@@ -1681,6 +1738,9 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
               (culling.disk_cells; the same shard as lists/cells)
     remaining (nb,) int32 outstanding emission quota per block; exactly
               min(remaining[b], #dead lanes) rays regenerate in block b
+    active    (nb,) int32; 0 = the block has no work this round (quota
+              spent, no live unparked lane) and passes its state through
+              without tracing — the emission-tail skip
 
     With ``wavelength`` (N,) + ``spectral_tab`` (L, 2), per-lane
     wavelengths thread through the kernel (regenerated lanes sample the
@@ -1717,8 +1777,9 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
         tabx = spectral_tab[:, 0].astype(jnp.float32)
         taby = spectral_tab[:, 1].astype(jnp.float32)
 
-    def ray_idx(i, seed_ref, remaining_ref, lists_ref, counts_ref,
-                cells_ref, cellb_ref, tabx_ref, taby_ref, rows_ref):
+    def ray_idx(i, seed_ref, remaining_ref, active_ref, lists_ref,
+                counts_ref, cells_ref, cellb_ref, tabx_ref, taby_ref,
+                rows_ref):
         return (i, 0)
 
     n_io = 8 if spectral else 7
@@ -1733,8 +1794,8 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
                                        ambient_att=ambient_att,
                                        conductor=conductor, iam=iam)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        # seed, quotas, lists, counts, ids, bounds, table x/y, rows
-        num_scalar_prefetch=9,
+        # seed, quotas, active, lists, counts, ids, bounds, table x/y, rows
+        num_scalar_prefetch=10,
         grid=(nb,),
         in_specs=[ray_spec] * n_io,
         out_specs=tuple([ray_spec] * (n_io + 2)),
@@ -1747,8 +1808,8 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-    )(seed, remaining, lists.T, counts.T, cells, cell_bounds.T, tabx, taby,
-      rows, *comps)
+    )(seed, remaining, active, lists.T, counts.T, cells, cell_bounds.T,
+      tabx, taby, rows, *comps)
 
     flat_outs = [a.reshape(n) for a in outs]
     new_pos = jnp.stack(flat_outs[0:3], axis=1)
