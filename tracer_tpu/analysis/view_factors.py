@@ -201,8 +201,13 @@ class RTVFBase:
     # --- batched device helpers (shared by the drivers) ---------------------
     def _alpha_rows(self):
         """Per-table-row absorbed fraction for a single bounce, or None if
-        any row's optics can't be reduced to one (the batched path then
-        falls back to the per-element engine loop)."""
+        the batched one-bounce path would not be exact (it then falls back
+        to the per-element engine loop). One bounce is exact only when
+        every surface absorbs FULLY on first hit — the black-surface
+        condition a geometric view factor requires anyway (ref builds its
+        VF cavities from absorptivity-1 LambertianReceiver surfaces,
+        view_factors_3D.py:432-460); with any reflecting row the engine
+        loop's multi-bounce redistribution matters."""
         from .. import materials as M
         meta = self.engine.meta
         kinds = np.asarray(meta.host_opt_kind)
@@ -210,7 +215,10 @@ class RTVFBase:
         if not ok.all():
             return None
         p0 = np.asarray(meta.host_opt_params)[:, 0]
-        return jnp.asarray(np.where(kinds == M.K_ABSORBER, 1.0, p0))
+        alpha = np.where(kinds == M.K_ABSORBER, 1.0, p0)
+        if not (alpha >= 1.0 - 1e-9).all():
+            return None
+        return jnp.asarray(alpha)
 
     def _concat_sources(self, key):
         """Sample every element's emission bundle under jit and concatenate
