@@ -519,6 +519,81 @@ def test_dispersive_conductor_megakernel_interpret_matches_oracle(
     np.testing.assert_allclose(f1, f0, atol=0.03)
 
 
+def test_dispersive_refractive_megakernel_interpret(monkeypatch, caplog):
+    """Dispersive K_REFRACTIVE on the interpreted megakernel (round 4):
+    the candidate loop interpolates n1(wl)/n2(wl) from the shared
+    spectral table, so an oblique beam with a uniform wavelength band
+    splits chromatically. Two floor strips straddle the n = 1.55 landing
+    point: correct dispersion puts ~25%/75% of the refracted power on
+    them (wl uniform in [400, 700] nm with n linear 1.6 -> 1.4); the
+    mean-index fallback (n = 1.5 for every lane) would put ~0%/100%.
+    Also A/B'd against the host-stepped jnp oracle, whose Snell-at-wl
+    physics test_engine.py pins analytically."""
+    import logging
+    from tracer_tpu.engine import TracerEngine, TraceOptions
+
+    band = (400e-9, 700e-9)
+    iface = Surface(G.rect_plate(4.0, 4.0),
+                    M.refractive_material(
+                        1.0, ([band[0], band[1]], [1.6, 1.4])),
+                    name="iface")
+    # landing x at z=-2 for index n: -2 tan(asin(sin(30deg)/n))
+    def landing(n):
+        return -2.0 * np.tan(np.arcsin(0.5 / n))
+    # landing(n) is monotone increasing in n: n in (1.55, 1.6] lands in
+    # (x_split, x_hi), n in [1.4, 1.55) in (x_lo, x_split)
+    x_split = landing(1.55)                      # ~-0.6814
+    x_hi = landing(1.6) + 0.06                   # ~-0.598
+    x_lo = landing(1.4) - 0.06                   # ~-0.825
+    plate_a = Surface(G.rect_plate(x_hi - x_split, 1.0),
+                      M.absorber(one_sided=False), name="plate_a",
+                      location=[(x_split + x_hi) / 2.0, 0.0, -2.0])
+    plate_b = Surface(G.rect_plate(x_split - x_lo, 1.0),
+                      M.absorber(one_sided=False), name="plate_b",
+                      location=[(x_lo + x_split) / 2.0, 0.0, -2.0])
+    table, meta = compile_scene(
+        Assembly([AssembledObject([iface, plate_a, plate_b])]),
+        dtype=jnp.float32)
+    assert "dispersive" in table.features
+
+    slab = TILE
+    d = [-0.5, 0.0, -np.sqrt(3.0) / 2.0]         # 30 deg incidence
+    center = [2.0 / np.sqrt(3.0), 0.0, 2.0]      # aimed at the origin
+    def source_fn(key):
+        k1, k2 = jax.random.split(key)
+        b = disk_bundle(k1, slab, center=center, direction=d,
+                        radius=0.01, ang_range=1e-4, flux=1000.0)
+        wl = jax.random.uniform(k2, (slab,), minval=band[0],
+                                maxval=band[1])
+        return _f32(b.replace(wavelength=wl))
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, center, d, 0.01, 1e-4, 1000.0, wl_band=band)
+
+    eng = TracerEngine(table, meta)
+    b = source_fn(jax.random.PRNGKey(1))
+    res = eng.ray_tracer(b, reps=6, key=jax.random.PRNGKey(2),
+                         opts=TraceOptions(max_bounces=6, record=False))
+    f0 = (np.asarray(res.accum.absorbed)
+          / float(np.asarray(b.energy).sum()))
+    a0f, b0f = _frac(meta, f0, "plate_a"), _frac(meta, f0, "plate_b")
+    assert a0f + b0f > 0.85                      # ~5% Fresnel reflection
+    assert abs(a0f / (a0f + b0f) - 0.25) < 0.06  # chromatic split
+
+    _interp_env(monkeypatch)
+    with caplog.at_level(logging.DEBUG, logger="tracer_tpu"):
+        with pltpu.force_tpu_interpret_mode():
+            a1, _, se1 = jax.block_until_ready(trace_streaming(
+                table, source_fn, jax.random.PRNGKey(0),
+                total_rays=2 * slab, max_rounds=20, max_path=6))
+    assert any("dispatch: megakernel" in r.getMessage()
+               for r in caplog.records)
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    _closure(a1, se1)
+    a1f, b1f = _frac(meta, f1, "plate_a"), _frac(meta, f1, "plate_b")
+    assert abs(a1f / (a1f + b1f) - 0.25) < 0.06
+    np.testing.assert_allclose(f1, f0, atol=0.03)
+
+
 def test_spectral_ambient_megakernel_interpret_matches_jnp(monkeypatch):
     """The spectral megakernel (per-lane wavelengths from the baked
     source band, in-kernel absorptance-table interpolation, ambient

@@ -807,7 +807,7 @@ def trace_fused(scene: SceneTable, bundle: RayBundle, key: jax.Array,
                               "refractive", "cook_torrance",
                               "lam_specular", "semi_lambertian",
                               "transparent", "conductor", "iam",
-                              "periodic", "piecewise"))
+                              "periodic", "piecewise", "refr_disp"))
 def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                                 total_rays: int, slab: int,
                                 max_rounds: int, max_path: int,
@@ -824,7 +824,8 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                                 conductor: bool = False,
                                 iam: bool = False,
                                 periodic: bool = False,
-                                piecewise: bool = False):
+                                piecewise: bool = False,
+                                refr_disp: bool = False):
     """Streaming trace where regeneration happens INSIDE the fused bounce
     kernel (single-group pure-specular scenes with a bakeable source): the
     ray state makes exactly one HBM round trip per bounce. The emission
@@ -870,7 +871,7 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
             semi_lambertian=semi_lambertian, transparent=transparent,
             conductor=conductor, iam=iam, periodic=periodic,
             piecewise=piecewise, ambient_scat=ambient_scat,
-            ambient_g=ambient_g)
+            ambient_g=ambient_g, refr_disp=refr_disp)
         pos, dirs, e_new, sid, absorbed = outs[:5]
         k_o = 5
         if spectral:
@@ -1365,15 +1366,19 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     vol_ok = ("volumetric" not in scene.features) or (
         (spec_att > 0.0 or spec_scat > 0.0)
         and "dispersive" not in scene.features)
-    # refractive interfaces fuse when non-dispersive, non-splitting and
-    # without interface-toggled media (per-lane index threads through the
-    # kernel; fresh rays start at n = 1)
+    # refractive interfaces fuse when non-splitting and without
+    # interface-toggled media (per-lane index threads through the kernel;
+    # fresh rays start at n = 1); DISPERSIVE interfaces fuse too — the
+    # candidate loop interpolates n1(wl)/n2(wl) from the shared spectral
+    # table (round 4) — which needs the per-lane wavelength thread and
+    # hence a bakeable source band
     refractive_scene = _M.K_REFRACTIVE in scene.kinds_present
     refr_ok = (not refractive_scene
                or ("volumetric" not in scene.features
-                   and "dispersive" not in scene.features
                    and "split" not in scene.features
                    and "refractive_slope" not in scene.features))
+    refr_wl = (refractive_scene and refr_ok
+               and "dispersive" in scene.features)
     ct_scene = _M.K_COOK_TORRANCE in scene.kinds_present
     ls_scene = _M.K_LAMBERTIAN_SPECULAR in scene.kinds_present
     sl_scene = _M.K_SEMI_LAMBERTIAN in scene.kinds_present
@@ -1400,7 +1405,7 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
                                                 _M.K_FRESNEL_CONDUCTOR,
                                                 _M.K_PERIODIC,
                                                 _M.K_LAMBERTIAN_PIECEWISE}
-               and (not (spectral_scene or fc_wl or lpw_wl)
+               and (not (spectral_scene or fc_wl or lpw_wl or refr_wl)
                     or spec_band is not None)
                and vol_ok and refr_ok
                and "iam_nonmirror" not in scene.features
@@ -1501,12 +1506,12 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             one_sided="one_sided" in scene.features,
             slope="slope_error" in scene.features,
             lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
-            spectral=spectral_scene or fc_wl or lpw_wl,
+            spectral=spectral_scene or fc_wl or lpw_wl or refr_wl,
             fluxspecs=fluxspecs,
             refractive=refractive_scene, cook_torrance=ct_scene,
             lam_specular=ls_scene, semi_lambertian=sl_scene,
             transparent=tr_scene, conductor=fc_scene, iam=iam_scene,
-            periodic=pd_scene, piecewise=lpw_scene)
+            periodic=pd_scene, piecewise=lpw_scene, refr_disp=refr_wl)
     import logging
     logging.getLogger("tracer_tpu").debug(
         "streaming dispatch: general (kinds=%s features=%s)",

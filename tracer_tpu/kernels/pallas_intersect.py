@@ -228,7 +228,7 @@ def _surface_body(sig, base_sid, t_eps, disc_eps, tag, need_local,
                   col_offset=0,
                   spectral=False, wl=None, tabx_ref=None, taby_ref=None,
                   n_tab=0, extra_q=False, conductor=False,
-                  piecewise=False):
+                  piecewise=False, refr_disp=False):
     """Per-surface fori body shared by the plain and fused group kernels:
     running (t, sid) min plus the winner's shading data (global geometric
     normal, optionally local hit point, up-component, optics
@@ -428,6 +428,31 @@ def _surface_body(sig, base_sid, t_eps, disc_eps, tag, need_local,
                                               tabx_ref, taby_ref, n_tab),
                     lambda: jnp.full_like(px, r[ROW_P0]))
                 q1_new = jnp.where(is_spec, r[ROW_P0 + 2], r[ROW_P0 + 1])
+                if refr_disp:
+                    # DISPERSIVE K_REFRACTIVE rows (materials.
+                    # refractive_material; ref Refractive
+                    # optics_callables.py:726): p3 = chunk start of the
+                    # two n(wl) segments in the shared table, p4/p5
+                    # their lengths. q0/q1 then carry the per-lane
+                    # n1(wl)/n2(wl) the Fresnel epilogue consumes in
+                    # place of the constant p0/p1 fallback.
+                    is_rd = ((jnp.floor(r[ROW_KIND] * (1.0 / 1024.0))
+                              == 6.0) & (r[ROW_P0 + 5] > 0.0))
+                    q1_arr = q1_new * jnp.ones_like(px)
+
+                    def rd_q():
+                        st_r = r[ROW_P0 + 3].astype(jnp.int32)
+                        L1_r = r[ROW_P0 + 4].astype(jnp.int32)
+                        L2_r = r[ROW_P0 + 5].astype(jnp.int32)
+                        return (_interp_row_table(wl, st_r, L1_r,
+                                                  tabx_ref, taby_ref,
+                                                  n_tab),
+                                _interp_row_table(wl, st_r + L1_r, L2_r,
+                                                  tabx_ref, taby_ref,
+                                                  n_tab))
+
+                    q0_new, q1_new = jax.lax.cond(
+                        is_rd, rd_q, lambda: (q0_new, q1_arr))
                 q0_b = jnp.where(upd, q0_new, q0_b)
                 q1_b = jnp.where(upd, q1_new, q1_b)
             else:
@@ -1293,7 +1318,8 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                        cook_torrance=False, lam_specular=False,
                        semi_lambertian=False, transparent=False,
                        conductor=False, iam=False, periodic=False,
-                       piecewise=False, ambient_scat=0.0, ambient_g=0.0):
+                       piecewise=False, ambient_scat=0.0, ambient_g=0.0,
+                       refr_disp=False):
     """Fused intersect + shade-epilogue kernel: one HBM round trip of the
     ray state per bounce. Runs one specialized fori per aperture-signature
     group over the shared (t, sid, winner) carry, so multi-group scenes
@@ -1379,7 +1405,8 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                                  spectral=spectral, wl=wl,
                                  tabx_ref=tabx_ref, taby_ref=taby_ref,
                                  n_tab=n_tab, extra_q=extra_q,
-                                 conductor=conductor, piecewise=piecewise)
+                                 conductor=conductor, piecewise=piecewise,
+                                 refr_disp=refr_disp)
             carry = jax.lax.fori_loop(start, end, body, carry)
         q2_b = q3_b = None
         if extra_q:
@@ -1425,7 +1452,7 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                                     "semi_lambertian", "transparent",
                                     "conductor", "iam", "periodic",
                                     "piecewise", "ambient_scat",
-                                    "ambient_g"))
+                                    "ambient_g", "refr_disp"))
 def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                           t_eps: float, disc_eps: float = 1e-6,
                           bivar: bool = True, one_sided: bool = True,
@@ -1441,10 +1468,16 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                           periodic: bool = False,
                           piecewise: bool = False,
                           ambient_scat: float = 0.0,
-                          ambient_g: float = 0.0):
+                          ambient_g: float = 0.0,
+                          refr_disp: bool = False):
     """Fused intersect+shade bounce for K_REFLECT / K_LAMBERTIAN /
     K_REFLECT_SPECTRAL / K_REFRACTIVE scenes (any number of
     aperture-signature groups).
+
+    ``refr_disp`` (needs both spectral and refractive modes) compiles the
+    dispersive-interface branch: K_REFRACTIVE rows with n(wl) tables
+    (materials.refractive_material) interpolate per-lane n1/n2 in the
+    candidate loop and the Fresnel epilogue consumes them.
 
     Returns (new_pos, new_dir, new_energy, sid, absorbed
     [, new_wavelength][, new_ref_index]); non-hit lanes pass their state
@@ -1509,7 +1542,8 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                                 conductor=conductor, iam=iam,
                                 periodic=periodic, piecewise=piecewise,
                                 ambient_scat=ambient_scat,
-                                ambient_g=ambient_g)
+                                ambient_g=ambient_g,
+                                refr_disp=refr_disp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,   # seed, regen, spectral table x/y, rows
         grid=(nb,),
