@@ -40,6 +40,11 @@ _BACKEND_ERR_SIGNATURES = (
 STEPS = (
     # (name, argv, timeout_s)
     ("bench", [sys.executable, "bench.py"], 3000),
+    # Mosaic lowering check of the round's new kernel code paths
+    # (pl.when idle skip, polynomial sin/cos, dispersive refraction) —
+    # interpret mode checks logic, only hardware checks the lowering
+    ("tpu_tests", [sys.executable, "-m", "pytest", "tests/", "-m", "tpu",
+                   "-q", "--no-header"], 3600, {"TRACER_TESTS_TPU": "1"}),
     ("suite_123", [sys.executable, "-m", "benchmarks.suite", "1", "2", "3"],
      2400),
     ("suite_678", [sys.executable, "-m", "benchmarks.suite", "6", "7", "8"],
@@ -80,11 +85,15 @@ def _wait_for_backend(deadline: float, poll_s: float = 300.0) -> bool:
         time.sleep(sleep)
 
 
-def _run_step(name, argv, timeout_s, out_dir):
+def _run_step(name, argv, timeout_s, out_dir, env_extra=None):
     t0 = time.time()
+    env = None
+    if env_extra:
+        env = dict(os.environ)
+        env.update(env_extra)
     try:
         r = subprocess.run(argv, capture_output=True, text=True,
-                           timeout=timeout_s,
+                           timeout=timeout_s, env=env,
                            cwd=os.path.dirname(os.path.dirname(
                                os.path.abspath(__file__))))
         rc, out, err = r.returncode, r.stdout, r.stderr
@@ -132,7 +141,9 @@ def main() -> int:
     record_path = os.path.join(args.out, "capture.jsonl")
 
     steps = [s for s in STEPS if not args.steps or s[0] in args.steps]
-    for name, argv, timeout_s in steps:
+    for step in steps:
+        name, argv, timeout_s = step[:3]
+        env_extra = step[3] if len(step) > 3 else None
         for attempt in range(3):
             if not _wait_for_backend(deadline):
                 print(f"[capture] deadline passed before {name}",
@@ -140,7 +151,7 @@ def main() -> int:
                 return 2
             print(f"[capture] running {name} (attempt {attempt + 1})",
                   file=sys.stderr)
-            rec = _run_step(name, argv, timeout_s, args.out)
+            rec = _run_step(name, argv, timeout_s, args.out, env_extra)
             rec["attempt"] = attempt + 1
             rec["ts"] = time.strftime("%F %T")
             with open(record_path, "a") as f:
