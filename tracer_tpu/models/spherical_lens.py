@@ -19,9 +19,25 @@ class SphericalLens(AssembledObject):
     def __init__(self, diameter, depth, R1, R2, refr_idx, transform=None):
         """diameter, depth - aperture and center thickness; R1, R2 - front /
         back radii of curvature (positive = center of curvature down the Z
-        axis; 0/None/inf = flat); refr_idx - lens material index."""
+        axis; 0/None/inf = flat); refr_idx - lens material: a constant
+        index, OR a dispersive material — an optical_constants object
+        (anything with .m(wl)), or an explicit (wavelengths, n) table —
+        mirroring the reference's material-based Refractive manager
+        (optics_callables.py:726). Dispersive faces evaluate n at each
+        ray's wavelength; focal_length()/positioning use the table's mean
+        index (call focal_length(wavelength=...) for a specific color)."""
         flip = sp.rotx(np.pi)[:3, :3]
-        refr = lambda: M.refractive_homogenous(1.0, refr_idx)
+        if np.isscalar(refr_idx):
+            self._n_table = None
+            refr = lambda n=refr_idx: M.refractive_homogenous(1.0, n)
+            refr_out = lambda n=refr_idx: M.refractive_homogenous(n, 1.0)
+        else:
+            self._n_table = M._index_table(refr_idx,
+                                           (300e-9, 2500e-9), 64)
+            refr = lambda m=refr_idx: M.refractive_material(1.0, m)
+            refr_out = lambda m=refr_idx: M.refractive_material(m, 1.0)
+            # positioning + default focal length use the mean index
+            refr_idx = float(self._n_table[:, 1].mean())
         surfs = []
 
         # face geometry: spherical cap cut at |z| = sqrt(R^2 - (D/2)^2)
@@ -79,13 +95,23 @@ class SphericalLens(AssembledObject):
         if cyl_height > 0:
             self._cyl = Surface(
                 G.finite_cylinder(diameter, cyl_height),
-                M.refractive_homogenous(refr_idx, 1.0),
+                refr_out(),
                 location=[0.0, 0.0, cyl_loc], name="lens_rim")
             surfs.append(self._cyl)
 
         AssembledObject.__init__(self, surfs=surfs, transform=transform)
         self._f = f
+        self._lensmaker = (R1, R2, depth)
 
-    def focal_length(self) -> float:
-        """Effective focal length from the back principal point at Z=0."""
-        return self._f
+    def focal_length(self, wavelength=None) -> float:
+        """Effective focal length from the back principal point at Z=0.
+        For a dispersive lens, ``wavelength`` [m] gives the lensmaker
+        focal length at that color (n interpolated from the table);
+        default = the mean-index value the lens was positioned with."""
+        if wavelength is None or self._n_table is None:
+            return self._f
+        R1, R2, depth = self._lensmaker
+        n = float(np.interp(wavelength, self._n_table[:, 0],
+                            self._n_table[:, 1]))
+        return 1.0 / ((n - 1.0) * (1.0 / R1 - 1.0 / R2
+                                   + depth * (n - 1.0) / (R1 * R2 * n)))
