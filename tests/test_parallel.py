@@ -181,3 +181,40 @@ def test_streaming_sharded_fluxmap_matches_single_device():
     mask = (H_s + H_1) > 0.5 * (H_s + H_1).max() / 4
     assert mask.sum() >= 4
     np.testing.assert_allclose(H_s[mask], H_1[mask], rtol=0.25)
+
+
+def test_streaming_sharded_culled_rejects_ambient_scattering():
+    """A source spec declaring ambient HG scattering (spec[16]) must be
+    rejected by the culled sharded path: the culled kernel has no
+    scattering epilogue and the corridor analysis has no closure for
+    redirected rays — same gate as trace_streaming's spec_scat == 0.0
+    cullable condition (round-4 review finding)."""
+    import pytest
+    from tracer_tpu import spatial as sp
+    from tracer_tpu.culling import build_block_culling
+    from tracer_tpu.parallel import trace_streaming_sharded
+    from tracer_tpu.sources import disk_bundle, disk_pillbox_pallas_spec
+    from tracer_tpu.kernels.pallas_intersect import TILE
+
+    mirror = Surface(G.rect_plate(3.0, 3.0), M.reflective(0.1))
+    rec = Surface(G.rect_plate(3.0, 3.0), M.absorber(),
+                  location=[0.0, 0.0, 2.0],
+                  rotation=sp.rotx(np.pi)[:3, :3], name="rec")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([mirror, rec])]), dtype=jnp.float64)
+
+    slab = 8 * TILE
+
+    def source_fn(key):
+        return disk_bundle(key, slab, center=[0.0, 0.0, 1.0],
+                           direction=[0.0, 0.0, -1.0], radius=1.2,
+                           ang_range=2e-3, flux=1000.0)
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 1.0], [0.0, 0.0, -1.0], 1.2, 2e-3, 1000.0,
+        ambient_scat=0.4, ambient_g=0.6)
+
+    culling = build_block_culling(table, meta, source_fn.pallas_spec, slab)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("rays",))
+    with pytest.raises(ValueError, match="ambient HG scattering"):
+        trace_streaming_sharded(table, source_fn, jax.random.PRNGKey(0),
+                                8 * slab, mesh, culling=culling)

@@ -857,8 +857,6 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
                     break
         if seg_bounds is not None:
             break
-        if seg_bounds is not None:
-            break
         # degrade the widest still-degradable group's binding cells;
         # fall through to narrower groups when the widest is already at
         # depth 1 (any width reduction shrinks the combined layout)

@@ -292,14 +292,21 @@ def nearest_hit_candidates(scene, cand, pos, dirs,
 
 def pallas_rows_fit(scene) -> bool:
     """Whether the packed (K, S) rows table fits the 1 MB SMEM next to the
-    kernels' misc scalar-prefetch arrays. Beyond ~6k rows it does not; the
+    kernels' misc scalar-prefetch arrays — INCLUDING the shared spectral
+    table, which also rides SMEM (a scene with thousands of n,k samples
+    can overflow with few rows). Beyond ~6k rows it does not; the
     brute-force Pallas kernels then hand off to the jnp path, and the
     culled megakernel ships per-segment row SHARDS instead
     (culling.seg_row_ids)."""
     from .pallas_intersect import ROW_F
+
+    def pad(x: int) -> int:
+        return -(-x // 128) * 128
     K = ROW_F + 6 * scene.ap_params.shape[1]
     S = scene.ap_params.shape[0]
-    return K * (-(-S // 128) * 128) * 4 + 64 * 1024 <= (1 << 20)
+    n_tab = int(scene.spectral_wl.shape[0])
+    misc = 2 * pad(max(n_tab, 2)) * 4 + 64 * 1024
+    return K * pad(S) * 4 + misc <= (1 << 20)
 
 
 def nearest_hit_aux(scene, pos, dirs, t_eps=None, disc_eps: float = 1e-6,

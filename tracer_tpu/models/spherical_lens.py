@@ -32,10 +32,15 @@ class SphericalLens(AssembledObject):
             refr = lambda n=refr_idx: M.refractive_homogenous(1.0, n)
             refr_out = lambda n=refr_idx: M.refractive_homogenous(n, 1.0)
         else:
+            # build the n(wl) table ONCE and hand the same (wl, n) pair to
+            # every face, so focal_length(wavelength) and the traced
+            # interfaces always share one table (refractive_material
+            # defaults would otherwise re-derive it independently)
             self._n_table = M._index_table(refr_idx,
                                            (300e-9, 2500e-9), 64)
-            refr = lambda m=refr_idx: M.refractive_material(1.0, m)
-            refr_out = lambda m=refr_idx: M.refractive_material(m, 1.0)
+            pair = (self._n_table[:, 0], self._n_table[:, 1])
+            refr = lambda: M.refractive_material(1.0, pair)
+            refr_out = lambda: M.refractive_material(pair, 1.0)
             # positioning + default focal length use the mean index
             refr_idx = float(self._n_table[:, 1].mean())
         surfs = []

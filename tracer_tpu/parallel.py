@@ -165,6 +165,15 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
         raise ValueError("spectral scene needs a source spec with a "
                          "wl_band (buie_sunshape_pallas_spec(..., "
                          "wl_band=...)) for the culled sharded path")
+    spec_med = spec[16] if len(spec) > 16 else None
+    if spec_med and float(spec_med[0]) > 0.0:
+        # same gate as trace_streaming's `spec_scat == 0.0` cullable
+        # condition: volumetric scattering redirects rays anywhere, so
+        # the corridor analysis has no closure and the culled kernel has
+        # no scattering epilogue — running would silently drop the medium
+        raise ValueError("ambient HG scattering (spec ambient_scat > 0) "
+                         "is not culled-megakernel eligible; use "
+                         "trace_streaming_sharded without culling")
 
     def worker(scene, lists, counts, cells, cell_bounds, quota_b,
                age_caps, key):
