@@ -1176,3 +1176,83 @@ def test_piecewise_megakernel_matches_general_path():
         d1, d0 = frac(f1, name), frac(f0, name)
         assert abs(d1 - d0) / d0 < 0.03, (name, d1, d0)
     np.testing.assert_allclose(f1, f0, atol=0.01)
+
+
+def test_dispersive_refractive_megakernel_matches_general_path():
+    """Dispersive K_REFRACTIVE on hardware (round 4): the candidate
+    loop's in-kernel n1(wl)/n2(wl) interpolation must reproduce the
+    host-stepped jnp oracle's chromatic split. An oblique 400-700 nm
+    beam refracts through a flat dispersive interface (n linear
+    1.6 -> 1.4) onto two floor strips straddling the n = 1.55 landing
+    point: correct dispersion puts ~25%/75% of the refracted power on
+    them; the mean-index fallback would put ~0%/100%."""
+    from tracer_tpu.engine import (TracerEngine, TraceOptions,
+                                   trace_streaming)
+    from tracer_tpu.kernels.pallas_intersect import TILE
+    from tracer_tpu.sources import disk_bundle, disk_pillbox_pallas_spec
+
+    band = (400e-9, 700e-9)
+    iface = Surface(G.rect_plate(4.0, 4.0),
+                    M.refractive_material(
+                        1.0, ([band[0], band[1]], [1.6, 1.4])),
+                    name="iface")
+
+    def landing(n):
+        return -2.0 * np.tan(np.arcsin(0.5 / n))
+    x_split = landing(1.55)
+    x_hi = landing(1.6) + 0.06
+    x_lo = landing(1.4) - 0.06
+    plate_a = Surface(G.rect_plate(x_hi - x_split, 1.0),
+                      M.absorber(one_sided=False), name="plate_a",
+                      location=[(x_split + x_hi) / 2.0, 0.0, -2.0])
+    plate_b = Surface(G.rect_plate(x_split - x_lo, 1.0),
+                      M.absorber(one_sided=False), name="plate_b",
+                      location=[(x_lo + x_split) / 2.0, 0.0, -2.0])
+    table, meta = compile_scene(
+        Assembly([AssembledObject([iface, plate_a, plate_b])]),
+        dtype=jnp.float32)
+    assert "dispersive" in table.features
+
+    slab = 8 * TILE
+    d = [-0.5, 0.0, -np.sqrt(3.0) / 2.0]
+    center = [2.0 / np.sqrt(3.0), 0.0, 2.0]
+
+    def source_fn(key):
+        k1, k2 = jax.random.split(key)
+        b = disk_bundle(k1, slab, center=center, direction=d,
+                        radius=0.01, ang_range=1e-4, flux=1000.0)
+        wl = jax.random.uniform(k2, (slab,), minval=band[0],
+                                maxval=band[1])
+        return jax.tree.map(
+            lambda a: a.astype(jnp.float32)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            b.replace(wavelength=wl))
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, center, d, 0.01, 1e-4, 1000.0, wl_band=band)
+
+    a1, _, se1 = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(0), total_rays=4 * slab,
+        max_rounds=60, max_path=6))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    cl1 = (float(se1) - np.asarray(a1.absorbed).sum() - float(a1.escaped)
+           - float(a1.culled) - float(a1.medium)
+           - float(a1.residual)) / float(se1)
+    assert abs(cl1) < 1e-5
+
+    eng = TracerEngine(table, meta)
+    b = source_fn(jax.random.PRNGKey(1))
+    res = eng.ray_tracer(b, reps=6, key=jax.random.PRNGKey(2),
+                         opts=TraceOptions(max_bounces=6, record=False))
+    f0 = (np.asarray(res.accum.absorbed)
+          / float(np.asarray(b.energy).sum()))
+
+    def frac(f, name):
+        rows = np.nonzero(np.asarray(meta.row_logical)
+                          == meta.index_of(name))[0]
+        return f[rows].sum()
+
+    for f in (f0, f1):
+        af, bf = frac(f, "plate_a"), frac(f, "plate_b")
+        assert af + bf > 0.85
+        assert abs(af / (af + bf) - 0.25) < 0.04
+    np.testing.assert_allclose(f1, f0, atol=0.02)
