@@ -349,6 +349,85 @@ def test_refractive_split_exact_against_reference(reference):
         np.testing.assert_allclose(e_t, e_ref[j], atol=1e-12)
 
 
+def test_dispersive_refractive_exact_against_reference(reference):
+    """Deterministic DISPERSIVE interface: two oblique rays (400 nm and
+    700 nm) onto a flat boundary whose far side is a material with
+    n(400 nm) = 1.6 linearly falling to n(700 nm) = 1.4, with energy
+    splitting — both engines must produce identical per-wavelength
+    refracted/reflected directions and energies to float64 round-off
+    (ref material-based Refractive, optics_callables.py:726, which
+    evaluates material.m(wavelengths) per ray)."""
+    from tracer.tracer_engine import TracerEngine as RefEngine
+    from tracer.assembly import Assembly as RefAssembly
+    from tracer.object import AssembledObject as RefObject
+    from tracer.surface import Surface as RefSurface
+    from tracer.flat_surface import RectPlateGM
+    from tracer import optics_callables as opt
+    from tracer.ray_bundle import RayBundle as RefBundle
+
+    wls_tab = np.array([400e-9, 700e-9])
+    ns_tab = np.array([1.6, 1.4])
+
+    class _Mat:
+        def __init__(self, fn):
+            self._fn = fn
+
+        def m(self, wl):
+            return self._fn(np.asarray(wl, dtype=float))
+
+    air = _Mat(lambda wl: np.ones_like(wl))
+    glass = _Mat(lambda wl: np.interp(wl, wls_tab, ns_tab))
+
+    d0 = np.array([0.3, 0.2, -0.9])
+    d0 /= np.linalg.norm(d0)
+    wls = np.array([400e-9, 700e-9])
+
+    surf = RefSurface(RectPlateGM(4.0, 4.0),
+                      opt.Refractive(air, glass, single_ray=False))
+    asm = RefAssembly(objects=[RefObject(surfs=[surf])])
+    bundle = RefBundle(vertices=np.tile([[0.0], [0.0], [1.0]], 2),
+                       directions=np.c_[d0, d0], energy=np.r_[1.0, 1.0],
+                       wavelengths=wls, ref_index=np.r_[1.0, 1.0])
+    eng = RefEngine(asm)
+    eng.ray_tracer(bundle, 1, 1e-9)
+    b1 = eng.tree._bunds[1]
+    dirs_ref = np.asarray(b1.get_directions())       # (3, 4)
+    e_ref = np.asarray(b1.get_energy())
+    wl_ref = np.asarray(b1.get_wavelengths())
+    assert dirs_ref.shape[1] == 4                    # 2 rays x 2 branches
+
+    from tracer_tpu import geometry as G, materials as M
+    from tracer_tpu.engine import TracerEngine
+    from tracer_tpu.bundle import RayBundle
+    from tracer_tpu.scene import Assembly, AssembledObject, Surface
+
+    s2 = Surface(G.rect_plate(4.0, 4.0),
+                 M.refractive_material(1.0, (wls_tab, ns_tab),
+                                       single_ray=False))
+    eng2 = TracerEngine(Assembly([AssembledObject([s2])]))
+    b = RayBundle.create(pos=[[0.0, 0.0, 1.0]] * 2, dir=[d0.tolist()] * 2,
+                         energy=[1.0, 1.0], wavelength=wls.tolist(),
+                         ref_index=[1.0, 1.0])
+    res = eng2.ray_tracer(b, reps=1, key=jax.random.PRNGKey(0))
+    rec = res.records[0]
+    mask, se, sd = (np.asarray(a) for a in rec.split)
+    assert mask.all()
+
+    for i, wl in enumerate(wls):
+        ref_rays = np.nonzero(np.isclose(wl_ref, wl))[0]
+        assert len(ref_rays) == 2
+        branches = [(np.asarray(rec.dir_out)[i],
+                     float(np.asarray(rec.e_out)[i])),    # refracted
+                    (sd[i], float(se[i]))]                # reflected
+        np.testing.assert_allclose(sum(e for _, e in branches), 1.0,
+                                   atol=1e-12)
+        for d_t, e_t in branches:
+            j = ref_rays[int(np.argmin(np.linalg.norm(
+                dirs_ref[:, ref_rays].T - d_t, axis=1)))]
+            np.testing.assert_allclose(d_t, dirs_ref[:, j], atol=1e-12)
+            np.testing.assert_allclose(e_t, e_ref[j], atol=1e-12)
+
+
 def test_cylinder_hits_exact_against_reference(reference):
     """Deterministic curved-geometry comparison: hand-placed rays onto a
     mirrored FiniteCylinder — hit points and reflected directions from
