@@ -594,6 +594,62 @@ def test_dispersive_refractive_megakernel_interpret(monkeypatch, caplog):
     np.testing.assert_allclose(f1, f0, atol=0.03)
 
 
+def test_frosted_refractive_megakernel_interpret(monkeypatch, caplog):
+    """Frosted (slope-error) refractive interface on the interpreted
+    megakernel (round 4): refractive lanes draw their sigma from the q2
+    carry and Fresnel/Snell uses the perturbed normal (ref Refractive
+    sigma=..., optics_callables.py:732). A vertical beam through frosted
+    glass spreads, so a small deep target catches far less than the
+    specular case — the spread fraction must match the host-stepped
+    oracle."""
+    import logging
+    from tracer_tpu.engine import TracerEngine, TraceOptions
+
+    def build(sigma):
+        iface = Surface(G.rect_plate(4.0, 4.0),
+                        M.refractive_homogenous(1.0, 1.5, sigma=sigma),
+                        name="iface")
+        target = Surface(G.round_plate(0.1), M.absorber(one_sided=False),
+                         location=[0.0, 0.0, -10.0], name="target")
+        return compile_scene(
+            Assembly([AssembledObject([iface, target])]),
+            dtype=jnp.float32)
+
+    slab = TILE
+    def source_fn(key):
+        return _f32(disk_bundle(key, slab, center=[0.0, 0.0, 1.0],
+                                direction=[0.0, 0.0, -1.0], radius=0.02,
+                                ang_range=1e-5, flux=1000.0))
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 1.0], [0.0, 0.0, -1.0], 0.02, 1e-5, 1000.0)
+
+    table, meta = build(sigma=0.05)
+    assert "refractive_slope" in table.features
+    eng = TracerEngine(table, meta)
+    b = source_fn(jax.random.PRNGKey(1))
+    res = eng.ray_tracer(b, reps=6, key=jax.random.PRNGKey(2),
+                         opts=TraceOptions(max_bounces=6, record=False))
+    f0 = (np.asarray(res.accum.absorbed)
+          / float(np.asarray(b.energy).sum()))
+    t0 = _frac(meta, f0, "target")
+    # the frost spreads the beam: the small target catches a strict
+    # subset (specular would deliver ~96%, the Fresnel-transmitted lot)
+    assert 0.02 < t0 < 0.6
+
+    _interp_env(monkeypatch)
+    with caplog.at_level(logging.DEBUG, logger="tracer_tpu"):
+        with pltpu.force_tpu_interpret_mode():
+            a1, _, se1 = jax.block_until_ready(trace_streaming(
+                table, source_fn, jax.random.PRNGKey(0),
+                total_rays=2 * slab, max_rounds=20, max_path=6))
+    assert any("dispatch: megakernel" in r.getMessage()
+               for r in caplog.records)
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    _closure(a1, se1)
+    t1 = _frac(meta, f1, "target")
+    assert abs(t1 - t0) < 0.05, (t1, t0)
+
+
 def test_spectral_ambient_megakernel_interpret_matches_jnp(monkeypatch):
     """The spectral megakernel (per-lane wavelengths from the baked
     source band, in-kernel absorptance-table interpolation, ambient

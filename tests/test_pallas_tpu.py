@@ -1256,3 +1256,60 @@ def test_dispersive_refractive_megakernel_matches_general_path():
         assert af + bf > 0.85
         assert abs(af / (af + bf) - 0.25) < 0.04
     np.testing.assert_allclose(f1, f0, atol=0.02)
+
+
+def test_frosted_refractive_megakernel_matches_general_path():
+    """Frosted refractive interface on hardware (round 4): the q2-carried
+    sigma perturbs the Fresnel/Snell normal, spreading a vertical beam;
+    a small deep target's catch fraction must match the host-stepped
+    oracle (ref Refractive sigma=..., optics_callables.py:732)."""
+    from tracer_tpu.engine import (TracerEngine, TraceOptions,
+                                   trace_streaming)
+    from tracer_tpu.kernels.pallas_intersect import TILE
+    from tracer_tpu.sources import disk_bundle, disk_pillbox_pallas_spec
+
+    iface = Surface(G.rect_plate(4.0, 4.0),
+                    M.refractive_homogenous(1.0, 1.5, sigma=0.05),
+                    name="iface")
+    target = Surface(G.round_plate(0.1), M.absorber(one_sided=False),
+                     location=[0.0, 0.0, -10.0], name="target")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([iface, target])]), dtype=jnp.float32)
+    assert "refractive_slope" in table.features
+
+    slab = 8 * TILE
+
+    def source_fn(key):
+        b = disk_bundle(key, slab, center=[0.0, 0.0, 1.0],
+                        direction=[0.0, 0.0, -1.0], radius=0.02,
+                        ang_range=1e-5, flux=1000.0)
+        return jax.tree.map(
+            lambda a: a.astype(jnp.float32)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, b)
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 1.0], [0.0, 0.0, -1.0], 0.02, 1e-5, 1000.0)
+
+    a1, _, se1 = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(0), total_rays=4 * slab,
+        max_rounds=60, max_path=6))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    cl1 = (float(se1) - np.asarray(a1.absorbed).sum() - float(a1.escaped)
+           - float(a1.culled) - float(a1.medium)
+           - float(a1.residual)) / float(se1)
+    assert abs(cl1) < 1e-5
+
+    eng = TracerEngine(table, meta)
+    b = source_fn(jax.random.PRNGKey(1))
+    res = eng.ray_tracer(b, reps=6, key=jax.random.PRNGKey(2),
+                         opts=TraceOptions(max_bounces=6, record=False))
+    f0 = (np.asarray(res.accum.absorbed)
+          / float(np.asarray(b.energy).sum()))
+
+    def frac(f, name):
+        rows = np.nonzero(np.asarray(meta.row_logical)
+                          == meta.index_of(name))[0]
+        return f[rows].sum()
+
+    t0, t1 = frac(f0, "target"), frac(f1, "target")
+    assert 0.02 < t0 < 0.6       # the frost spreads the beam
+    assert abs(t1 - t0) < 0.03, (t1, t0)

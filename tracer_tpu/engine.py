@@ -212,8 +212,7 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
     refr_ok = (_M.K_REFRACTIVE in scene.kinds_present
                and "volumetric" not in scene.features
                and "dispersive" not in scene.features
-               and "split" not in scene.features
-               and "refractive_slope" not in scene.features)
+               and "split" not in scene.features)
     if refr_ok:
         fusable_kinds = fusable_kinds | {_M.K_REFRACTIVE}
     use_fused = (cand is None
@@ -261,7 +260,9 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
             transparent=_M.K_TRANSPARENT in scene.kinds_present,
             conductor=fc_scene, iam="iam" in scene.features,
             periodic=_M.K_PERIODIC in scene.kinds_present,
-            piecewise=lpw_scene)
+            piecewise=lpw_scene,
+            refr_frost=(refractive
+                        and "refractive_slope" in scene.features))
         new_pos, new_dir, new_e, sid, absorbed_f = outs[:5]
         k_o = 5 + int(need_wl)  # spectral mode returns the (unchanged) wl
         new_ri = outs[k_o] if refractive else bundle.ref_index
@@ -807,7 +808,8 @@ def trace_fused(scene: SceneTable, bundle: RayBundle, key: jax.Array,
                               "refractive", "cook_torrance",
                               "lam_specular", "semi_lambertian",
                               "transparent", "conductor", "iam",
-                              "periodic", "piecewise", "refr_disp"))
+                              "periodic", "piecewise", "refr_disp",
+                              "refr_frost"))
 def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                                 total_rays: int, slab: int,
                                 max_rounds: int, max_path: int,
@@ -825,7 +827,8 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                                 iam: bool = False,
                                 periodic: bool = False,
                                 piecewise: bool = False,
-                                refr_disp: bool = False):
+                                refr_disp: bool = False,
+                                refr_frost: bool = False):
     """Streaming trace where regeneration happens INSIDE the fused bounce
     kernel (single-group pure-specular scenes with a bakeable source): the
     ray state makes exactly one HBM round trip per bounce. The emission
@@ -871,7 +874,8 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
             semi_lambertian=semi_lambertian, transparent=transparent,
             conductor=conductor, iam=iam, periodic=periodic,
             piecewise=piecewise, ambient_scat=ambient_scat,
-            ambient_g=ambient_g, refr_disp=refr_disp)
+            ambient_g=ambient_g, refr_disp=refr_disp,
+            refr_frost=refr_frost)
         pos, dirs, e_new, sid, absorbed = outs[:5]
         k_o = 5
         if spectral:
@@ -1375,10 +1379,13 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     refractive_scene = _M.K_REFRACTIVE in scene.kinds_present
     refr_ok = (not refractive_scene
                or ("volumetric" not in scene.features
-                   and "split" not in scene.features
-                   and "refractive_slope" not in scene.features))
+                   and "split" not in scene.features))
     refr_wl = (refractive_scene and refr_ok
                and "dispersive" in scene.features)
+    # frosted (slope-error) interfaces fuse too: sigma rides the q2
+    # carry and the Fresnel/Snell branch uses the perturbed normal
+    refr_frost = (refractive_scene and refr_ok
+                  and "refractive_slope" in scene.features)
     ct_scene = _M.K_COOK_TORRANCE in scene.kinds_present
     ls_scene = _M.K_LAMBERTIAN_SPECULAR in scene.kinds_present
     sl_scene = _M.K_SEMI_LAMBERTIAN in scene.kinds_present
@@ -1511,7 +1518,8 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             refractive=refractive_scene, cook_torrance=ct_scene,
             lam_specular=ls_scene, semi_lambertian=sl_scene,
             transparent=tr_scene, conductor=fc_scene, iam=iam_scene,
-            periodic=pd_scene, piecewise=lpw_scene, refr_disp=refr_wl)
+            periodic=pd_scene, piecewise=lpw_scene, refr_disp=refr_wl,
+            refr_frost=refr_frost)
     import logging
     logging.getLogger("tracer_tpu").debug(
         "streaming dispatch: general (kinds=%s features=%s)",

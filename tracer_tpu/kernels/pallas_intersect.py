@@ -660,6 +660,7 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
                          iam: bool = False,
                          periodic: bool = False,
                          piecewise: bool = False,
+                         refr_frost: bool = False,
                          ambient_scat: float = 0.0,
                          ambient_g: float = 0.0):
     """Reflect + slope error + one-sided kill on the carried winner data.
@@ -831,8 +832,14 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
                 is_lam_s = jnp.floor(kf_b * (1.0 / 1024.0)) == 2.0
                 sigma = jnp.where(is_lam_s, 0.0, sigma)
             if refractive:
-                # refractive lanes carry n2 in q1, not a slope sigma
-                sigma = jnp.where(is_refr, 0.0, sigma)
+                # refractive lanes carry n2 in q1, not a slope sigma;
+                # FROSTED interfaces (ref Refractive sigma=...,
+                # optics_callables.py:732) carry their sigma in q2 (p2)
+                # and perturb the interface normal like the host path's
+                # n_eff (shade.py) — rows without F_BIVAR draw the
+                # radial model, exactly the reference's normal(th)/phi
+                sigma = jnp.where(is_refr,
+                                  q2_b if refr_frost else 0.0, sigma)
             if cook_torrance:
                 # Cook-Torrance lanes carry m_n in q1, not a slope sigma
                 sigma = jnp.where(is_ct, 0.0, sigma)
@@ -888,24 +895,26 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
         nri = ri
         q0_eff = q0_b
         if refractive:
-            # Fresnel interface about the UNPERTURBED flipped normal n0
-            # (c1 = d.n0 < 0). Mirrors optics.refractions/fresnel and the
-            # shade.py nearest-match medium toggle exactly.
+            # Fresnel interface about the (possibly slope-perturbed)
+            # flipped normal (c1 = d.n < 0) — identical to n0 unless the
+            # row is frosted (sigma forced to 0 otherwise). Mirrors
+            # optics.refractions/fresnel and the shade.py nearest-match
+            # medium toggle exactly (shade.py uses n_eff the same way).
             n1s, n2s = q0_b, q1_b
             in1 = jnp.abs(ri - n1s) <= jnp.abs(ri - n2s)
             n_next = jnp.where(in1, n2s, n1s)
             safe_ri = jnp.where(ri == 0.0, 1.0, ri)
             safe_nx = jnp.where(n_next == 0.0, 1.0, n_next)
             nrat = safe_nx / safe_ri                  # n2/n1
-            c1 = dx * n0x + dy * n0y + dz * n0z
+            c1 = dx * nx + dy * ny + dz * nz
             refr_ok = c1 * c1 >= 1.0 - nrat * nrat
             inv_nr = 1.0 / nrat
             cos2 = jnp.sqrt(jnp.maximum(
                 1.0 - (1.0 - c1 * c1) * inv_nr * inv_nr, 0.0))
             sgn = jnp.where(c1 < 0.0, -1.0, 1.0)
-            tx = (dx - c1 * n0x) * inv_nr + n0x * cos2 * sgn
-            ty = (dy - c1 * n0y) * inv_nr + n0y * cos2 * sgn
-            tz = (dz - c1 * n0z) * inv_nr + n0z * cos2 * sgn
+            tx = (dx - c1 * nx) * inv_nr + nx * cos2 * sgn
+            ty = (dy - c1 * ny) * inv_nr + ny * cos2 * sgn
+            tz = (dz - c1 * nz) * inv_nr + nz * cos2 * sgn
             # unpolarized Fresnel R (optics.fresnel); R = 1 on TIR
             cos1a = jnp.abs(c1)
             under = 1.0 - (safe_ri / safe_nx) ** 2 * (1.0 - cos1a * cos1a)
@@ -1319,7 +1328,7 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                        semi_lambertian=False, transparent=False,
                        conductor=False, iam=False, periodic=False,
                        piecewise=False, ambient_scat=0.0, ambient_g=0.0,
-                       refr_disp=False):
+                       refr_disp=False, refr_frost=False):
     """Fused intersect + shade-epilogue kernel: one HBM round trip of the
     ray state per bounce. Runs one specialized fori per aperture-signature
     group over the shared (t, sid, winner) carry, so multi-group scenes
@@ -1339,7 +1348,7 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
     branches; ``semi_lambertian``/``transparent`` compile theirs on the
     two-parameter carry."""
     extra_q = (cook_torrance or lam_specular or conductor or iam
-               or piecewise)
+               or piecewise or refr_frost)
     epi = _make_shade_epilogue(bivar, one_sided, slope, lambertian,
                                ambient_att, refractive=refractive,
                                cook_torrance=cook_torrance,
@@ -1348,6 +1357,7 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                                transparent=transparent,
                                conductor=conductor, iam=iam,
                                periodic=periodic, piecewise=piecewise,
+                               refr_frost=refr_frost,
                                ambient_scat=ambient_scat,
                                ambient_g=ambient_g)
 
@@ -1452,7 +1462,8 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                                     "semi_lambertian", "transparent",
                                     "conductor", "iam", "periodic",
                                     "piecewise", "ambient_scat",
-                                    "ambient_g", "refr_disp"))
+                                    "ambient_g", "refr_disp",
+                                    "refr_frost"))
 def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                           t_eps: float, disc_eps: float = 1e-6,
                           bivar: bool = True, one_sided: bool = True,
@@ -1469,7 +1480,8 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                           piecewise: bool = False,
                           ambient_scat: float = 0.0,
                           ambient_g: float = 0.0,
-                          refr_disp: bool = False):
+                          refr_disp: bool = False,
+                          refr_frost: bool = False):
     """Fused intersect+shade bounce for K_REFLECT / K_LAMBERTIAN /
     K_REFLECT_SPECTRAL / K_REFRACTIVE scenes (any number of
     aperture-signature groups).
@@ -1478,6 +1490,10 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
     dispersive-interface branch: K_REFRACTIVE rows with n(wl) tables
     (materials.refractive_material) interpolate per-lane n1/n2 in the
     candidate loop and the Fresnel epilogue consumes them.
+    ``refr_frost`` compiles frosted interfaces (ref Refractive sigma,
+    optics_callables.py:732): refractive lanes draw a slope-error
+    perturbation with their p2 sigma (via the q2 carry) and the Fresnel/
+    Snell branch uses the perturbed normal.
 
     Returns (new_pos, new_dir, new_energy, sid, absorbed
     [, new_wavelength][, new_ref_index]); non-hit lanes pass their state
@@ -1543,7 +1559,8 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                                 periodic=periodic, piecewise=piecewise,
                                 ambient_scat=ambient_scat,
                                 ambient_g=ambient_g,
-                                refr_disp=refr_disp)
+                                refr_disp=refr_disp,
+                                refr_frost=refr_frost)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,   # seed, regen, spectral table x/y, rows
         grid=(nb,),

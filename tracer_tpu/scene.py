@@ -413,9 +413,9 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
         if opt.kind == M.K_REFRACTIVE and opt.spectral_table is not None:
             features.add("dispersive")
         if opt.kind == M.K_REFRACTIVE and opt.params[2] > 0:
-            # frosted (slope-error) interface: the fused megakernel
-            # carries only (n1, n2) for refractive lanes, so these scenes
-            # must stay on the general shade path (engine gates on this)
+            # frosted (slope-error) interface: the fused megakernels
+            # carry its sigma through the q2 slot (refr_frost mode) and
+            # perturb the Fresnel/Snell normal
             features.add("refractive_slope")
         if opt.kind == M.K_REFRACTIVE and np.any(opt.params[6:12] != 0.0):
             features.add("volumetric")
