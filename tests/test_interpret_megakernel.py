@@ -594,6 +594,63 @@ def test_dispersive_refractive_megakernel_interpret(monkeypatch, caplog):
     np.testing.assert_allclose(f1, f0, atol=0.03)
 
 
+def test_tabulated_sunshape_megakernel_interpret(monkeypatch, caplog):
+    """A TABULATED radiance profile baked with
+    tabulated_sunshape_pallas_spec regenerates in-kernel (round 4): the
+    inner-disc / outer-annulus energy split of a limb-darkened sunshape
+    at 10 m must match the host sampler sunshape_to_ray_directions (ref
+    sources.py:386)."""
+    import logging
+    from tracer_tpu.sources import (sunshape_to_ray_directions,
+                                    tabulated_sunshape_pallas_spec)
+
+    th_max = 5e-3
+    angles = np.linspace(0.0, th_max, 64)
+    inten = 1.0 - 0.7 * (angles / th_max) ** 2
+
+    inner = Surface(G.round_plate(0.025), M.absorber(one_sided=False),
+                    name="inner")
+    outer = Surface(G.round_plate(0.08, 0.025),
+                    M.absorber(one_sided=False), name="outer")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([inner, outer])]), dtype=jnp.float32)
+
+    slab = TILE
+    center, d = [0.0, 0.0, 10.0], [0.0, 0.0, -1.0]
+
+    def source_fn(key):
+        k1, k2 = jax.random.split(key)
+        b = disk_bundle(k1, slab, center=center, direction=d,
+                        radius=0.01, ang_range=1e-9, flux=1000.0)
+        rot = spatial.rotation_to_z(np.asarray(d, dtype=float))
+        dirs = sunshape_to_ray_directions(k2, angles, inten, slab) @ rot.T
+        return _f32(b.replace(dir=dirs))
+    source_fn.pallas_spec = tabulated_sunshape_pallas_spec(
+        slab, center, d, 0.01, angles, inten, 1000.0)
+
+    # host-sampled general path (the oracle)
+    a0, _, se0 = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(1), total_rays=4 * slab,
+        max_rounds=30, max_path=3))
+    f0 = np.asarray(a0.absorbed) / float(se0)
+
+    _interp_env(monkeypatch)
+    with caplog.at_level(logging.DEBUG, logger="tracer_tpu"):
+        with pltpu.force_tpu_interpret_mode():
+            a1, _, se1 = jax.block_until_ready(trace_streaming(
+                table, source_fn, jax.random.PRNGKey(0),
+                total_rays=2 * slab, max_rounds=20, max_path=3))
+    assert any("dispatch: megakernel" in r.getMessage()
+               for r in caplog.records)
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    _closure(a1, se1)
+    i0, i1 = _frac(meta, f0, "inner"), _frac(meta, f1, "inner")
+    o0, o1 = _frac(meta, f0, "outer"), _frac(meta, f1, "outer")
+    assert 0.1 < i0 < 0.9 and o0 > 0.05    # the split is non-trivial
+    assert abs(i1 - i0) < 0.04, (i1, i0)
+    assert abs(o1 - o0) < 0.04, (o1, o0)
+
+
 def test_frosted_refractive_megakernel_interpret(monkeypatch, caplog):
     """Frosted (slope-error) refractive interface on the interpreted
     megakernel (round 4): refractive lanes draw their sigma from the q2

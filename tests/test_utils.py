@@ -395,3 +395,42 @@ def test_bdrf_distribution_incidence_dependent():
     np.testing.assert_allclose(
         ((np.asarray(p0) < np.pi / 2) | (np.asarray(p0) > 3 * np.pi / 2)).mean(),
         0.5, atol=0.01)
+
+
+def test_tabulated_sunshape_pallas_spec_fit_and_distribution():
+    """tabulated_sunshape_pallas_spec bakes a measured radiance profile
+    into the megakernel's polynomial-inverse-CDF slot: the fitted
+    theta(u) must match the exact numeric inverse CDF (and hence the
+    host sampler sunshape_to_ray_directions, ref sources.py:386), and
+    hopeless profiles must be refused instead of silently distorted."""
+    import jax
+    import numpy as np
+    from tracer_tpu.sources import (sunshape_to_ray_directions,
+                                    tabulated_sunshape_pallas_spec)
+
+    th_max = 5e-3
+    angles = np.linspace(0.0, th_max, 64)
+    inten = 1.0 - 0.7 * (angles / th_max) ** 2   # limb-darkened disc
+
+    spec = tabulated_sunshape_pallas_spec(
+        1000, [0.0, 0.0, 1.0], [0.0, 0.0, -1.0], 0.1, angles, inten,
+        1000.0)
+    coeffs = np.asarray(spec[6])
+    assert spec[11] == th_max          # theta_tot = table end
+
+    # fitted quantiles against the host sampler's empirical quantiles
+    u = np.linspace(1e-6, 1.0 - 1e-6, 4001)
+    theta_fit = np.sqrt(u) * np.polyval(coeffs, u)
+    dirs = np.asarray(sunshape_to_ray_directions(
+        jax.random.PRNGKey(3), angles, inten, 200_000))
+    th_emp = np.arccos(np.clip(dirs[:, 2], -1.0, 1.0))
+    th_q = np.quantile(th_emp, u)
+    # equal-quantile agreement well below the table resolution
+    assert np.abs(theta_fit - th_q).max() < 5e-5
+
+    # a near-delta profile cannot be fitted by a smooth polynomial
+    spik = np.where(np.abs(angles - 3e-3) < 5e-5, 1.0, 1e-9)
+    with pytest.raises(ValueError, match="too sharp"):
+        tabulated_sunshape_pallas_spec(
+            1000, [0.0, 0.0, 1.0], [0.0, 0.0, -1.0], 0.1, angles, spik,
+            1000.0)

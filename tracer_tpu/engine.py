@@ -1329,6 +1329,14 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     their energy accounted, which bounds the straggler tail that would
     otherwise keep the whole slab looping for rare long paths.
 
+    Energy-splitting interfaces (``single_ray=False``, F_SPLIT) stream as
+    Russian roulette: the slab cannot grow, so each hit keeps ONE branch
+    with full energy at probability R — the same expectation as the
+    reference's two-branch split (optics_callables.py:732), higher
+    variance per ray. Use the host-stepped ``TracerEngine.ray_tracer``
+    when true per-ray branch pairs are required (e.g. deterministic
+    beam-splitting studies).
+
     ``fluxspecs`` (static tuple of device_fluxmap.FluxSpec) accumulates
     per-surface spatial flux histograms on device across ALL streaming
     paths (culled/plain megakernel and the general path); they come back

@@ -246,6 +246,57 @@ def disk_pillbox_pallas_spec(num_rays: int, center, direction,
             (float(ambient_scat), float(ambient_g)))
 
 
+def tabulated_sunshape_pallas_spec(num_rays: int, center, direction,
+                                   radius: float, angles, norm_intensity,
+                                   flux: float, wl_band=None,
+                                   ambient_att: float = 0.0,
+                                   ambient_scat: float = 0.0,
+                                   ambient_g: float = 0.0,
+                                   fit_tol: float = 1e-5) -> tuple:
+    """Bakeable spec for a TABULATED radiance profile — the megakernel
+    twin of sunshape_to_ray_directions (ref sources.py:386), so measured
+    sunshapes get in-kernel regeneration like pillbox/Buie discs.
+
+    The numeric inverse CDF theta(u) of intensity(theta)*cos*sin is
+    fitted as sqrt(u) * poly(u) — exactly the polynomial slot the Buie
+    disc branch evaluates (the sqrt factor captures theta ~ sqrt(u) near
+    the axis for any finite on-axis radiance, so smooth profiles fit to
+    ~1e-7 rad). ``fit_tol`` [rad] bounds the accepted max |fit - exact|
+    polar-angle error; profiles too spiky to fit raise instead of
+    silently distorting the sunshape — use the host-sampled source
+    (general streaming path) for those."""
+    angles = np.asarray(angles, dtype=float)
+    inten = np.asarray(norm_intensity, dtype=float)
+    if angles[0] > 1e-12 or not (np.diff(angles) > 0).all():
+        raise ValueError("angles must start at 0 and increase")
+    # dense exact inverse CDF of intensity * cos * sin (trapezoid)
+    th_d = np.linspace(0.0, angles[-1], 20001)
+    w_d = np.interp(th_d, angles, inten) * np.cos(th_d) * np.sin(th_d)
+    cdf_d = np.concatenate([[0.0], np.cumsum(
+        0.5 * (w_d[:-1] + w_d[1:]) * np.diff(th_d))])
+    cdf_d /= cdf_d[-1]
+    u = np.linspace(1e-9, 1.0, 8193)
+    theta_exact = np.interp(u, cdf_d, th_d)
+    coeffs = tuple(float(c) for c in np.polyfit(
+        u, theta_exact / np.sqrt(u), _BUIE_POLY_DEG))
+    err = np.abs(np.sqrt(u) * np.polyval(coeffs, u) - theta_exact).max()
+    if err > fit_tol:
+        raise ValueError(
+            f"inverse-CDF polynomial fit error {err:.2e} rad exceeds "
+            f"fit_tol={fit_tol:.0e}; this profile is too sharp for the "
+            "baked sampler — trace it with the host-sampled source")
+    center = _as_row3(center)
+    rot = spatial.rotation_to_z(_as_row3(direction)).reshape(-1)
+    e_ray = float(flux * np.pi * radius**2 / num_rays)
+    band = (None if wl_band is None
+            else (float(wl_band[0]), float(wl_band[1])))
+    return (float(center[0]), float(center[1]), float(center[2]),
+            tuple(float(r) for r in rot), float(radius), e_ray, coeffs,
+            1.0, None, 0.0, 0.0, float(angles[-1]), float(angles[-1]),
+            band, float(ambient_att), None,
+            (float(ambient_scat), float(ambient_g)))
+
+
 def rect_buie_sunshape_pallas_spec(num_rays: int, center, direction,
                                    width: float, height: float, CSR: float,
                                    flux: float, rays_direction=None,
