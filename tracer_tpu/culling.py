@@ -976,3 +976,50 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
                         seg_group_offsets=seg_offsets,
                         seg_row_ids=seg_row_ids,
                         seg_demote_rows=seg_demote)
+
+
+def device_row_shards(culling: BlockCulling, n_rows: int, n_dev: int):
+    """Per-device row shards for the mesh-sharded culled path — the
+    shard_map twin of the single-chip SMEM segments (seg_row_ids): device
+    d's contiguous block range [d*nb/D, (d+1)*nb/D) references only a
+    subset of the scene rows, so each device can ship just that subset
+    through SMEM. Without this, a >6k-row scene cannot shard at all: the
+    WHOLE packed rows table exceeds the 1 MB SMEM on every device no
+    matter how many devices share the block grid.
+
+    Returns (lists_local, row_maps, demote_masks):
+      lists_local (nb, W) int32 — the global candidate layout with every
+          entry remapped to its device's LOCAL row index;
+      row_maps (n_dev, S_pad) int32 — device d's sorted global row ids,
+          edge-padded to the widest shard (padding rows are shipped but
+          never referenced);
+      demote_masks (n_dev, S_pad) bool — device-local demotion masks
+          (the static demote_rows tuple cannot vary across shard_map
+          programs, so sharded workers use this data-driven mask).
+    """
+    nb = culling.nb
+    if nb % n_dev:
+        raise ValueError(f"{nb} blocks not divisible by {n_dev} devices")
+    per = nb // n_dev
+    ids_per_dev = []
+    for d in range(n_dev):
+        sub = culling.lists[d * per:(d + 1) * per]
+        ids = np.unique(sub[sub >= 0]).astype(np.int32)
+        if len(ids) == 0:
+            ids = np.array([0], dtype=np.int32)  # never zero-sized SMEM
+        ids_per_dev.append(ids)
+    s_pad = max(len(i) for i in ids_per_dev)
+    row_maps = np.stack([np.pad(i, (0, s_pad - len(i)), mode="edge")
+                         for i in ids_per_dev])
+    lists_local = np.full_like(culling.lists, -1)
+    demote_masks = np.zeros((n_dev, s_pad), dtype=bool)
+    for d, ids in enumerate(ids_per_dev):
+        local = np.full(n_rows, -1, dtype=np.int32)
+        local[ids] = np.arange(len(ids), dtype=np.int32)
+        sub = culling.lists[d * per:(d + 1) * per]
+        lists_local[d * per:(d + 1) * per] = np.where(
+            sub >= 0, local[np.maximum(sub, 0)], -1)
+        for r in culling.demote_rows:
+            if local[r] >= 0:
+                demote_masks[d, local[r]] = True
+    return lists_local, row_maps, demote_masks

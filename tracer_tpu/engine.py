@@ -993,7 +993,7 @@ def _trace_streaming_megakernel_culled(
         lambertian: bool = False, spectral: bool = False,
         ambient_att: float = 0.0, fluxspecs: tuple = (),
         conductor: bool = False, iam: bool = False,
-        row_map=None, drain_jnp: bool = False):
+        row_map=None, drain_jnp: bool = False, demote_mask=None):
     """Relevancy-culled streaming megakernel (see culling.py): each grid
     block owns one equal-area source cell and intersects only its static
     candidate list; per-block quotas keep the stratified emission unbiased
@@ -1016,7 +1016,11 @@ def _trace_streaming_megakernel_culled(
     culling.seg_row_ids), ``lists`` and ``demote_rows`` carry LOCAL
     indices into the segment's row SHARD: the kernel ships only
     rows[:, row_map] through SMEM, which is what breaks the single-chip
-    multi-k-row wall (round-3 verdict item 4). The drain phase always
+    multi-k-row wall (round-3 verdict item 4). ``demote_mask`` is the
+    data-driven twin of the static ``demote_rows`` tuple (a bool array
+    over the LOCAL row space) for shard_map workers, whose single traced
+    program cannot carry per-device static tuples
+    (culling.device_row_shards). The drain phase always
     traces the FULL scene; ``drain_jnp`` (set when the whole rows table
     exceeds SMEM, kernels.intersect.pallas_rows_fit) switches it to the
     jnp brute-force + shade path — survivors are sparse and compacted,
@@ -1172,6 +1176,12 @@ def _trace_streaming_megakernel_culled(
         demote_hit = jnp.zeros_like(hit)
         for r in demote_rows:
             demote_hit = demote_hit | (sid == r)
+        if demote_mask is not None:
+            # data-driven twin of the static demote_rows tuple (LOCAL row
+            # space): shard_map workers use this because static values
+            # cannot vary across the single traced program
+            demote_hit = demote_hit | (hit
+                                       & demote_mask[jnp.maximum(sid, 0)])
         age_cap_lane = jnp.repeat(age_caps, TILE)
         newly = ~parked & (ne > 0.0) & (demote_hit | (age >= age_cap_lane))
         pos = jnp.where(parked[:, None], pos, npos)

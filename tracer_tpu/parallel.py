@@ -68,7 +68,8 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
                             max_rounds: int = 10_000, max_path: int = 100,
                             min_energy: float = 1e-6, t_eps=None,
                             disc_eps: float = 1e-6, block: int = 64,
-                            culling=None, fluxspecs: tuple = ()):
+                            culling=None, fluxspecs: tuple = (),
+                            _force_row_shards: bool = False):
     """Streaming wavefront trace sharded over a device mesh: every device
     runs its own regeneration loop on a private slab (source_fn's bundle
     size is the PER-DEVICE slab) with an independent folded key, and the
@@ -78,7 +79,13 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
     device d owns cells [d*nb/D, (d+1)*nb/D) with their candidate lists,
     so the relevancy-culled megakernel scales over ICI with zero
     cross-device traffic until the final psum. Requires nb % D == 0 and a
-    megakernel-eligible scene (same gates as trace_streaming).
+    megakernel-eligible scene (same gates as trace_streaming). When the
+    whole packed rows table no longer fits each device's SMEM (>~6k
+    rows), every device automatically ships only the row SHARD its
+    candidate lists reference (culling.device_row_shards) — the
+    shard_map twin of trace_streaming's sequential SMEM segments.
+    ``_force_row_shards`` is a test hook that takes the row-shard path
+    on scenes that would fit whole.
 
     Returns (accum [replicated totals], emitted, source_e).
     """
@@ -113,24 +120,36 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
         raise ValueError(f"{nb} source cells not divisible by {n_dev} "
                          "devices; choose a slab with a divisible block "
                          "count")
-    from .culling import smem_need_bytes
-    if smem_need_bytes(scene, nb // n_dev,
-                       culling.lists.shape[1]) > (1 << 20):
-        # each device gets nb/n_dev blocks of the GLOBAL layout; if that
-        # still overflows the 1 MB SMEM (the mesh split plays the same
-        # role as single-chip segmentation), fail at build time with a
-        # clear message instead of a Mosaic compile error
-        raise ValueError(
-            f"per-device culled layout ({nb // n_dev} blocks x "
-            f"{culling.lists.shape[1]} candidate columns) exceeds SMEM; "
-            "use more devices, a larger slab (smaller cells), or "
-            "trace_streaming's sequential SMEM segmentation")
+    from .culling import device_row_shards, smem_need_bytes
+    W = culling.lists.shape[1]
+    n_rows = int(scene.ap_params.shape[0])
+    # each device gets nb/n_dev blocks of the GLOBAL layout; when the
+    # whole rows table no longer fits SMEM next to it (>~6k rows), each
+    # device ships only the row SHARD its blocks reference — the
+    # shard_map twin of trace_streaming's sequential SMEM segments
+    use_row_shards = (_force_row_shards
+                      or smem_need_bytes(scene, nb // n_dev, W)
+                      > (1 << 20))
+    row_maps = demote_masks = None
+    if use_row_shards:
+        lists_np, row_maps, demote_masks = device_row_shards(
+            culling, n_rows, n_dev)
+        if smem_need_bytes(scene, nb // n_dev, W,
+                           n_rows=row_maps.shape[1]) > (1 << 20):
+            raise ValueError(
+                f"per-device culled layout ({nb // n_dev} blocks x {W} "
+                f"candidate columns + {row_maps.shape[1]}-row shard) "
+                "exceeds SMEM; use more devices, a larger slab (smaller "
+                "cells), or trace_streaming's sequential SMEM "
+                "segmentation")
+    else:
+        lists_np = culling.lists
     spec = getattr(source_fn, "pallas_spec", None)
     if spec is None:
         raise ValueError("culled sharded streaming needs a source with a "
                          "pallas_spec")
 
-    lists = jnp.asarray(culling.lists)
+    lists = jnp.asarray(lists_np)
     counts = jnp.asarray(culling.counts)
     cells = jnp.arange(nb, dtype=jnp.int32)
     cell_bounds = jnp.asarray(culling.cell_bounds)
@@ -175,8 +194,11 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
                          "is not culled-megakernel eligible; use "
                          "trace_streaming_sharded without culling")
 
+    from .kernels.intersect import pallas_rows_fit
+    drain_jnp = not pallas_rows_fit(scene)
+
     def worker(scene, lists, counts, cells, cell_bounds, quota_b,
-               age_caps, key):
+               age_caps, key, row_map=None, demote_mask=None):
         key = jax.random.fold_in(key, jax.lax.axis_index("rays"))
         accum, emitted, source_e = _trace_streaming_megakernel_culled(
             scene, key, lists, counts, cells, cell_bounds, quota_b,
@@ -189,12 +211,34 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
             slope="slope_error" in scene.features,
             lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
             spectral=spectral_scene or fc_wl, ambient_att=spec_att,
-            demote_rows=culling.demote_rows, fluxspecs=fluxspecs,
-            conductor=fc_scene, iam=iam_scene)
+            demote_rows=(() if row_map is not None
+                         else culling.demote_rows),
+            fluxspecs=fluxspecs,
+            conductor=fc_scene, iam=iam_scene,
+            row_map=row_map, demote_mask=demote_mask,
+            drain_jnp=drain_jnp)
         return (jax.tree_util.tree_map(
                     lambda a: jax.lax.psum(a, "rays"), accum),
                 jax.lax.psum(emitted, "rays"),
                 jax.lax.psum(source_e, "rays"))
+
+    if use_row_shards:
+        # row_maps/demote_masks shard over their leading device axis; the
+        # worker squeezes it away (each device sees its (1, S_pad) slice)
+        def worker_rs(scene, lists, counts, cells, cell_bounds, quota_b,
+                      age_caps, rm, dm, key):
+            return worker(scene, lists, counts, cells, cell_bounds,
+                          quota_b, age_caps, key, row_map=rm[0],
+                          demote_mask=dm[0])
+
+        fn = jax.shard_map(worker_rs, mesh=mesh,
+                           in_specs=(P(), P("rays"), P("rays"), P("rays"),
+                                     P("rays"), P("rays"), P("rays"),
+                                     P("rays"), P("rays"), P()),
+                           out_specs=(P(), P(), P()), check_vma=False)
+        return fn(scene, lists, counts, cells, cell_bounds, quota_b,
+                  age_caps, jnp.asarray(row_maps),
+                  jnp.asarray(demote_masks), key)
 
     fn = jax.shard_map(worker, mesh=mesh,
                        in_specs=(P(), P("rays"), P("rays"), P("rays"),
