@@ -924,16 +924,7 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
                 a[b - b0, off[g]:off[g] + len(gl)] = gl
         if not subset:
             return a, off, None, None
-        ids = np.unique(a[a >= 0]).astype(np.int32)
-        if len(ids) == 0:
-            # all-empty segment (cells beyond the field): keep one dummy
-            # row so the kernel's SMEM operand is never zero-sized
-            ids = np.array([0], dtype=np.int32)
-        local = np.full(S, -1, dtype=np.int32)
-        local[ids] = np.arange(len(ids), dtype=np.int32)
-        a = np.where(a >= 0, local[np.maximum(a, 0)], -1).astype(np.int32)
-        dem_local = tuple(int(local[r]) for r in np.nonzero(demote)[0]
-                          if local[r] >= 0)
+        a, ids, _, dem_local = _localize_rows(a, S, np.nonzero(demote)[0])
         return a, off, ids, dem_local
 
     arr, offsets, _, _ = _layout(0, nb)
@@ -978,6 +969,26 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
                         seg_demote_rows=seg_demote)
 
 
+def _localize_rows(a: np.ndarray, n_rows: int, demote_rows):
+    """Remap an array of global row ids (-1 padded) onto its own row
+    shard. Returns (a_local, ids, local, dem_local): ids the sorted
+    unique referenced rows (never empty — a zero-sized SMEM operand is
+    illegal), local the (n_rows,) global->local map, dem_local the
+    demoted rows present in the shard in LOCAL ids. Shared by the
+    single-chip SMEM segmenter and the per-device mesh shards so the
+    two cannot drift apart."""
+    ids = np.unique(a[a >= 0]).astype(np.int32)
+    if len(ids) == 0:
+        ids = np.array([0], dtype=np.int32)
+    local = np.full(n_rows, -1, dtype=np.int32)
+    local[ids] = np.arange(len(ids), dtype=np.int32)
+    a_local = np.where(a >= 0, local[np.maximum(a, 0)],
+                       -1).astype(np.int32)
+    dem_local = tuple(int(local[r]) for r in demote_rows
+                      if local[r] >= 0)
+    return a_local, ids, local, dem_local
+
+
 def device_row_shards(culling: BlockCulling, n_rows: int, n_dev: int):
     """Per-device row shards for the mesh-sharded culled path — the
     shard_map twin of the single-chip SMEM segments (seg_row_ids): device
@@ -1001,25 +1012,18 @@ def device_row_shards(culling: BlockCulling, n_rows: int, n_dev: int):
     if nb % n_dev:
         raise ValueError(f"{nb} blocks not divisible by {n_dev} devices")
     per = nb // n_dev
-    ids_per_dev = []
+    lists_local = np.full_like(culling.lists, -1)
+    outs = []
     for d in range(n_dev):
         sub = culling.lists[d * per:(d + 1) * per]
-        ids = np.unique(sub[sub >= 0]).astype(np.int32)
-        if len(ids) == 0:
-            ids = np.array([0], dtype=np.int32)  # never zero-sized SMEM
-        ids_per_dev.append(ids)
-    s_pad = max(len(i) for i in ids_per_dev)
-    row_maps = np.stack([np.pad(i, (0, s_pad - len(i)), mode="edge")
-                         for i in ids_per_dev])
-    lists_local = np.full_like(culling.lists, -1)
+        a_local, ids, _, dem_local = _localize_rows(
+            sub, n_rows, culling.demote_rows)
+        lists_local[d * per:(d + 1) * per] = a_local
+        outs.append((ids, dem_local))
+    s_pad = max(len(ids) for ids, _ in outs)
+    row_maps = np.stack([np.pad(ids, (0, s_pad - len(ids)), mode="edge")
+                         for ids, _ in outs])
     demote_masks = np.zeros((n_dev, s_pad), dtype=bool)
-    for d, ids in enumerate(ids_per_dev):
-        local = np.full(n_rows, -1, dtype=np.int32)
-        local[ids] = np.arange(len(ids), dtype=np.int32)
-        sub = culling.lists[d * per:(d + 1) * per]
-        lists_local[d * per:(d + 1) * per] = np.where(
-            sub >= 0, local[np.maximum(sub, 0)], -1)
-        for r in culling.demote_rows:
-            if local[r] >= 0:
-                demote_masks[d, local[r]] = True
+    for d, (_, dem_local) in enumerate(outs):
+        demote_masks[d, list(dem_local)] = True
     return lists_local, row_maps, demote_masks

@@ -864,8 +864,13 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
                 nrm2 = rr * s_bm
                 s_tx, c_tx = _sincos_rad(nrm1 * sigma)
                 s_ty, c_ty = _sincos_rad(nrm2 * sigma)
-                tx = s_tx / c_tx
-                ty = s_ty / c_ty
+                # tan = s/c; the polynomial cos can land on EXACTLY 0 at
+                # odd quarter-turns (unlike correctly-rounded cos), and
+                # inf * rsqrt(inf) below would poison the slab with NaN —
+                # clip to tan(~89.99994 deg), far beyond any physical
+                # slope error (s and c are never both 0, so no 0/0)
+                tx = jnp.clip(s_tx / c_tx, -1e6, 1e6)
+                ty = jnp.clip(s_ty / c_ty, -1e6, 1e6)
                 bvz = jax.lax.rsqrt(1.0 + tx * tx + ty * ty)
                 bvx, bvy = tx * bvz, ty * bvz
             if bivar in (False, "mixed"):

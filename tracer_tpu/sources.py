@@ -267,8 +267,12 @@ def tabulated_sunshape_pallas_spec(num_rays: int, center, direction,
     (general streaming path) for those."""
     angles = np.asarray(angles, dtype=float)
     inten = np.asarray(norm_intensity, dtype=float)
-    if angles[0] > 1e-12 or not (np.diff(angles) > 0).all():
+    if abs(angles[0]) > 1e-12 or not (np.diff(angles) > 0).all():
         raise ValueError("angles must start at 0 and increase")
+    if (not np.isfinite(inten).all()) or (inten < 0).any() \
+            or not (inten > 0).any():
+        raise ValueError("norm_intensity must be finite, non-negative "
+                         "and not identically zero")
     # dense exact inverse CDF of intensity * cos * sin (trapezoid)
     th_d = np.linspace(0.0, angles[-1], 20001)
     w_d = np.interp(th_d, angles, inten) * np.cos(th_d) * np.sin(th_d)
@@ -280,7 +284,8 @@ def tabulated_sunshape_pallas_spec(num_rays: int, center, direction,
     coeffs = tuple(float(c) for c in np.polyfit(
         u, theta_exact / np.sqrt(u), _BUIE_POLY_DEG))
     err = np.abs(np.sqrt(u) * np.polyval(coeffs, u) - theta_exact).max()
-    if err > fit_tol:
+    # NaN err must REJECT (a NaN > tol comparison is False)
+    if not (err <= fit_tol):
         raise ValueError(
             f"inverse-CDF polynomial fit error {err:.2e} rad exceeds "
             f"fit_tol={fit_tol:.0e}; this profile is too sharp for the "
