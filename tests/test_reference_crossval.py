@@ -741,11 +741,16 @@ def test_fuzzed_field_exact_against_reference(reference, seed):
     np.testing.assert_allclose(tpu_abs, ref_abs, atol=1e-9)
 
 
-@pytest.mark.parametrize("seed", [6, 50])
+# seeds chosen so the drawn kinds jointly cover all SEVEN geometry
+# families: 6->{annular, frustum}, 50->{frustum, annular, cylinder,
+# cone}, 77->{frustum, dish, hemisphere}, 301->{ellipsoid, cylinder}
+@pytest.mark.parametrize("seed", [6, 50, 77, 301])
 def test_fuzzed_quadric_field_exact_against_reference(reference, seed):
     """The curved twin of the exact fuzz test: random paraboloid /
-    hemisphere / ellipsoid / annular-plate / finite-cylinder mirrors
-    (the quadric lowering's root-selection regimes plus annular
+    hemisphere / ellipsoid / annular-plate / finite-cone /
+    conical-frustum / finite-cylinder mirrors
+    (the quadric lowering's root-selection regimes — including the
+    cone's apex normal special case, ref cone.py:50 — plus annular
     trimming) under the overhead receiver, identical
     600-ray bundle, 8 bounces — per-surface absorbed energies to float64
     round-off. Multi-bounce specular chains off CURVED surfaces amplify
@@ -762,6 +767,7 @@ def test_fuzzed_quadric_field_exact_against_reference(reference, seed):
     from tracer.paraboloid import ParabolicDishGM
     from tracer.sphere_surface import HemisphereGM
     from tracer.cylinder import FiniteCylinder
+    from tracer.cone import ConicalFrustum, FiniteCone
     from tracer.ellipsoid import Ellipsoid
     from tracer import optics_callables as oc
     from tracer.spatial_geometry import rotx as ref_rotx, roty as ref_roty
@@ -783,7 +789,7 @@ def test_fuzzed_quadric_field_exact_against_reference(reference, seed):
         rot = (ref_rotx(rng.uniform(-0.3, 0.3))
                @ ref_roty(rng.uniform(-0.3, 0.3)))[:3, :3]
         ab = rng.uniform(0.05, 0.3)
-        kind = rng.integers(0, 5)
+        kind = rng.integers(0, 7)
         if kind == 0:
             dd, ff = rng.uniform(0.8, 1.6), rng.uniform(3.0, 8.0)
             rg, tg = ParabolicDishGM(dd, ff), G.parabolic_dish(dd, ff)
@@ -799,6 +805,15 @@ def test_fuzzed_quadric_field_exact_against_reference(reference, seed):
             ri = rng.uniform(0.1, 0.4)
             rg, tg = (RoundPlateGM(Re=ro, Ri=ri),
                       G.round_plate(ro, ri))
+        elif kind == 4:
+            rr, hh = rng.uniform(0.4, 0.8), rng.uniform(0.6, 1.2)
+            rg, tg = FiniteCone(rr, hh), G.finite_cone(rr, hh)
+        elif kind == 5:
+            z1 = rng.uniform(0.0, 0.2)
+            z2 = z1 + rng.uniform(0.4, 0.8)
+            r1, r2 = rng.uniform(0.2, 0.4), rng.uniform(0.5, 0.9)
+            rg, tg = (ConicalFrustum(z1, r1, z2, r2),
+                      G.conical_frustum(z1, r1, z2, r2))
         else:
             rr, hh = rng.uniform(0.3, 0.6), rng.uniform(0.6, 1.2)
             rg, tg = (FiniteCylinder(2 * rr, hh),
