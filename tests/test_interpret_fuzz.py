@@ -57,7 +57,7 @@ def _random_geometry(rng):
 
 
 def _random_optics(rng):
-    kind = rng.integers(0, 6)
+    kind = rng.integers(0, 7)
     if kind == 0:
         return M.reflective(rng.uniform(0.02, 0.3),
                             sigma=float(rng.uniform(0.0, 3e-3)),
@@ -73,6 +73,17 @@ def _random_optics(rng):
     if kind == 4:
         return M.semi_lambertian(rng.uniform(0.3, 0.9),
                                  rng.uniform(np.pi / 6, np.pi / 2))
+    if kind == 5:
+        # refractive interface: plain, FROSTED (sigma > 0), or
+        # DISPERSIVE (n(wl) table) — all megakernel-fused as of round 4
+        sig = (float(rng.uniform(0.0, 0.04))
+               if rng.integers(0, 2) else 0.0)
+        if rng.integers(0, 2):
+            return M.refractive_homogenous(
+                1.0, float(rng.uniform(1.2, 1.8)), sigma=sig)
+        wls = np.array([400e-9, 700e-9])
+        ns = np.sort(rng.uniform(1.2, 1.8, 2))[::-1]
+        return M.refractive_material(1.0, (wls, ns), sigma=sig)
     return M.transparent()
 
 
@@ -175,17 +186,31 @@ def test_fuzzed_field_culled_interpret_matches_jnp(monkeypatch, seed):
     np.testing.assert_allclose(h1.sum(), f1[rec_rows].sum(), rtol=5e-3)
 
 
-@pytest.mark.parametrize("seed,n_surf", [(7, 6), (23, 9)])
+# seed 53 draws a scene whose features include BOTH dispersive and
+# frosted (slope-sigma) refractive interfaces alongside bivar mirrors —
+# the round-4 megakernel additions under fuzz
+@pytest.mark.parametrize("seed,n_surf", [(7, 6), (23, 9), (53, 8)])
 def test_fuzzed_scene_interpret_matches_jnp(monkeypatch, seed, n_surf):
     table, meta = _random_scene(seed, n_surf)
 
     slab = TILE
+    # the source always carries a wavelength band so scenes that drew
+    # DISPERSIVE interfaces stay megakernel-eligible (their n(wl)
+    # interpolation needs the per-lane wavelength thread); both paths
+    # sample the same uniform band
+    band = (400e-9, 700e-9)
+
     def source_fn(key):
-        return _f32(disk_bundle(key, slab, center=[0.0, 0.0, 4.0],
-                                direction=[0.0, 0.0, -1.0], radius=2.5,
-                                ang_range=5e-3, flux=1000.0))
+        k1, k2 = jax.random.split(key)
+        b = disk_bundle(k1, slab, center=[0.0, 0.0, 4.0],
+                        direction=[0.0, 0.0, -1.0], radius=2.5,
+                        ang_range=5e-3, flux=1000.0)
+        wl = jax.random.uniform(k2, (slab,), minval=band[0],
+                                maxval=band[1])
+        return _f32(b.replace(wavelength=wl))
     source_fn.pallas_spec = disk_pillbox_pallas_spec(
-        slab, [0.0, 0.0, 4.0], [0.0, 0.0, -1.0], 2.5, 5e-3, 1000.0)
+        slab, [0.0, 0.0, 4.0], [0.0, 0.0, -1.0], 2.5, 5e-3, 1000.0,
+        wl_band=band)
 
     a0, _, se0 = jax.block_until_ready(trace_streaming(
         table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
