@@ -45,11 +45,15 @@ STEPS = (
     # interpret mode checks logic, only hardware checks the lowering
     ("tpu_tests", [sys.executable, "-m", "pytest", "tests/", "-m", "tpu",
                    "-q", "--no-header"], 3600, {"TRACER_TESTS_TPU": "1"}),
-    ("suite_123", [sys.executable, "-m", "benchmarks.suite", "1", "2", "3"],
+    # --md rewrites the measured rows of BENCHMARKS.md in place, so the
+    # numbers persist in the round record even if the tunnel returns
+    # after the interactive session ended
+    ("suite_123", [sys.executable, "-m", "benchmarks.suite", "1", "2", "3",
+                   "--md"], 2400),
+    ("suite_678", [sys.executable, "-m", "benchmarks.suite", "6", "7", "8",
+                   "--md"], 2400),
+    ("suite_5", [sys.executable, "-m", "benchmarks.suite", "5", "--md"],
      2400),
-    ("suite_678", [sys.executable, "-m", "benchmarks.suite", "6", "7", "8"],
-     2400),
-    ("suite_5", [sys.executable, "-m", "benchmarks.suite", "5"], 2400),
     ("curved", [sys.executable, "-m", "benchmarks.curved"], 2400),
     ("scaling", [sys.executable, "-m", "benchmarks.scaling"], 5400),
 )

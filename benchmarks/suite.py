@@ -529,9 +529,11 @@ def main(write_md: bool = False, only=None):
         with open("BENCHMARKS.md") as fi:
             text = fi.read()
         for r in results:
+            # the value cell may be a number OR a placeholder word
+            # ("pending-TPU" — config 8 pre-measurement)
             pat = re.compile(
                 r"^(\| *\d+ *\| *" + re.escape(r["metric"])
-                + r" *\| *)[-0-9.]+( *\|)", re.M)
+                + r" *\| *)[-0-9.A-Za-z]+( *\|)", re.M)
             text, n = pat.subn(
                 lambda m: f"{m.group(1)}{r['value']}{m.group(2)}", text)
             if n != 1:
