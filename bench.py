@@ -31,7 +31,11 @@ import time
 METRIC = "nsttf_trace_throughput"
 UNIT = "Mrays/s/chip"
 PROBE_TIMEOUT_S = 120
-RUN_TIMEOUT_S = 2400
+# generous: a healthy run is ~4 min, but the tunneled host has observed
+# 10-20x whole-process degradation windows and the remote compiler can
+# take minutes per program inside one — a structured timeout after 55
+# min still beats a voided round record
+RUN_TIMEOUT_S = 3300
 
 _BACKEND_ERR_SIGNATURES = (
     "Unable to initialize backend",
