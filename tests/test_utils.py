@@ -434,3 +434,60 @@ def test_tabulated_sunshape_pallas_spec_fit_and_distribution():
         tabulated_sunshape_pallas_spec(
             1000, [0.0, 0.0, 1.0], [0.0, 0.0, -1.0], 0.1, angles, spik,
             1000.0)
+
+
+def test_sincos_turns_edges():
+    """The branchless quarter-wave sin/cos used by every kernel angle
+    draw: exact quadrant points, negative arguments, and large radian
+    inputs all stay within the polynomial's error bound."""
+    import jax
+    import numpy as np
+    from tracer_tpu.kernels.pallas_intersect import (_sincos_rad,
+                                                     _sincos_turns)
+    import jax.numpy as jnp
+
+    # exact quadrant points (z == 0 after reduction)
+    t = jnp.asarray(np.array([0.0, 0.25, 0.5, 0.75, 1.0, -0.25, -0.5],
+                             np.float32))
+    s, c = _sincos_turns(t)
+    np.testing.assert_allclose(np.asarray(s),
+                               [0, 1, 0, -1, 0, -1, 0], atol=2e-7)
+    np.testing.assert_allclose(np.asarray(c),
+                               [1, 0, -1, 0, 1, 0, -1], atol=2e-7)
+
+    # negative and multi-revolution radians
+    x = jnp.asarray(np.linspace(-20.0, 20.0, 20001, dtype=np.float32))
+    s2, c2 = _sincos_rad(x)
+    x64 = np.asarray(x, np.float64)
+    assert np.abs(np.asarray(s2) - np.sin(x64)).max() < 3e-6
+    assert np.abs(np.asarray(c2) - np.cos(x64)).max() < 3e-6
+    # sin^2 + cos^2 stays on the unit circle to float32 precision
+    nrm = np.asarray(s2) ** 2 + np.asarray(c2) ** 2
+    assert np.abs(nrm - 1.0).max() < 1e-5
+
+
+def test_device_row_shards_validation():
+    """device_row_shards refuses a block count not divisible by the
+    device count (the shard_map in_specs would silently misalign)."""
+    import dataclasses
+    import numpy as np
+    from tracer_tpu.culling import BlockCulling, device_row_shards
+
+    bc = BlockCulling(
+        lists=np.array([[0, 1, -1], [1, 2, -1], [2, -1, -1]], np.int32),
+        counts=np.array([[2], [2], [1]], np.int32),
+        cell_bounds=np.zeros((3, 4), np.float32),
+        cell_of_block=np.arange(3, dtype=np.int32), n_cells=3,
+        age_caps=np.full(3, 3, np.int32), group_offsets=(0,),
+        demote_rows=(1,), stats={})
+    with pytest.raises(ValueError, match="not divisible"):
+        device_row_shards(bc, 4, 2)
+    lists_local, row_maps, masks = device_row_shards(bc, 4, 3)
+    # each device's shard maps back to the global ids exactly
+    for d in range(3):
+        sub = lists_local[d:d + 1]
+        mapped = np.where(sub >= 0, row_maps[d][np.maximum(sub, 0)], -1)
+        np.testing.assert_array_equal(mapped, bc.lists[d:d + 1])
+        # the demote mask marks exactly global row 1 where present
+        marked = row_maps[d][masks[d]]
+        assert set(marked.tolist()) <= {1}
