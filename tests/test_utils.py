@@ -491,3 +491,94 @@ def test_device_row_shards_validation():
         # the demote mask marks exactly global row 1 where present
         marked = row_maps[d][masks[d]]
         assert set(marked.tolist()) <= {1}
+
+
+def test_lincossin_integral_exact():
+    """PWLinCosSinDistribution's per-segment integrals of
+    ys(x)*cos(x)*sin(x) must match quadrature for non-uniform slopes
+    (regression: the a-dependent antiderivative term was evaluated with
+    the NEXT segment's slope at each upper node)."""
+    from scipy.integrate import quad
+    from tracer_tpu.sampling import PWLinCosSinDistribution
+
+    xs = np.array([0.0, 0.4, 0.9, 1.4])
+    ys = np.array([1.0, 2.0, 1.5, 3.0])
+    d = PWLinCosSinDistribution(xs, ys)
+    f = lambda x: np.interp(x, xs, ys) * np.cos(x) * np.sin(x)
+    for i in range(3):
+        ref, _ = quad(f, xs[i], xs[i + 1])
+        np.testing.assert_allclose(d.integ_cs[i], ref, atol=1e-10)
+    np.testing.assert_allclose(d.tot_integ_cs, quad(f, 0, 1.4)[0],
+                               atol=1e-9)
+    np.testing.assert_allclose(d.pdf_cossin(0.65),
+                               f(0.65) / quad(f, 0, 1.4)[0], rtol=1e-9)
+
+
+def test_bilinear_vector_pdf():
+    """PWBilinearDistribution.pdf accepts array inputs (regression: the
+    row interpolation broadcast (n, ny) rows against an (n,) weight)."""
+    from tracer_tpu.sampling import PWBilinearDistribution
+
+    xu = np.linspace(0.0, 1.0, 8)
+    yu = np.linspace(0.0, 2.0, 9)
+    zs = 1.0 + np.add.outer(np.sin(xu), np.cos(yu)) ** 2
+    db = PWBilinearDistribution(xu, yu, zs)
+    xq = np.array([0.3, 0.5, 0.85])
+    yq = np.array([0.7, 1.1, 1.9])
+    v = db.pdf(xq, yq)
+    for k in range(3):
+        np.testing.assert_allclose(v[k], db.pdf(float(xq[k]),
+                                                float(yq[k])))
+
+
+def test_fluxmap_trimmed_areas():
+    """rect-cut cylinder and spherical rect facet cell areas honor the
+    box trims (regression: full untrimmed bands were returned)."""
+    from tracer_tpu.analysis.fluxmap import areas_of
+
+    full = areas_of("rect_cut_cylinder",
+                    dict(R=1.0, h=2.0, w=4.0, hf=4.0), 32).sum()
+    np.testing.assert_allclose(full, 4.0 * np.pi, rtol=1e-9)
+    # |x| <= 0.5 on a unit circle keeps 1/3 of the circumference
+    cut = areas_of("rect_cut_cylinder",
+                   dict(R=1.0, h=2.0, w=1.0, hf=4.0), 64).sum()
+    np.testing.assert_allclose(cut / full, 1.0 / 3.0, atol=0.01)
+    facet = areas_of("spherical_rect_facet",
+                     dict(R=1.0, lx=10.0, ly=10.0), 48).sum()
+    np.testing.assert_allclose(facet, 2.0 * np.pi, rtol=0.005)
+
+
+def test_write_chunks_keeps_all_rays(tmp_path):
+    """Binary source chunking keeps every ray and gives each file exactly
+    total_power (regression: round() dropped trailing rays and the short
+    final file carried the wrong power)."""
+    from tracer_tpu.io_utils import _write_chunks, load_source
+
+    rng = np.random.default_rng(0)
+    pos = rng.normal(size=(249, 3))
+    dirs = rng.normal(size=(249, 3))
+    paths = _write_chunks(pos, dirs, total_power=1000.0,
+                          rays_per_source=100, target_dir=str(tmp_path))
+    assert len(paths) == 3
+    n_tot = 0
+    for p in paths:
+        v, d, e = load_source(p)
+        n_tot += len(e)
+        np.testing.assert_allclose(e.sum(), 1000.0, rtol=1e-12)
+    assert n_tot == 249
+
+
+def test_hist_csv_2d_single_row(tmp_path):
+    """A (1, k) 2-D histogram round-trips with its shape (regression: a
+    single data row collapsed to 1-D while bins stayed 2-D)."""
+    import os
+    from tracer_tpu.io_utils import load_hist_data_csv, save_hist_data_csv
+
+    path = os.path.join(str(tmp_path), "h.csv")
+    hist = np.arange(5.0).reshape(1, 5)
+    bx = np.array([0.0, 1.0])
+    by = np.linspace(0.0, 1.0, 6)
+    save_hist_data_csv(hist, [bx, by], "flux", ["x", "y"], "meta", path)
+    bins, data, *_ = load_hist_data_csv(path)
+    assert data.shape == (1, 5)
+    assert len(bins) == 2

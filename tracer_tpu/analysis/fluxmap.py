@@ -149,7 +149,19 @@ def areas_of(kind: str, extent: dict, resolution: int) -> np.ndarray:
             / (12.0 * qa**2)
         return np.outer(shell, np.diff(ve))
     if kind in ("finite_cylinder", "rect_cut_cylinder"):
-        return np.outer(np.diff(ue), extent["R"] * np.diff(ve))
+        full = np.outer(np.diff(ue), extent["R"] * np.diff(ve))
+        if kind == "rect_cut_cylinder":
+            # (z, theta) bands clipped by the |x|<=w/2, |y|<=h/2 box
+            # trim (the cut is theta-only on a cylinder); sub-sampled
+            # like the chord-clipped cut disc
+            R = extent["R"]
+            w2, h2 = extent["w"] / 2.0, extent["hf"] / 2.0
+            frac = _cell_fraction_outside(
+                ue, ve,
+                lambda Z, A: (np.abs(R * np.cos(A)) <= w2 + 1e-12)
+                & (np.abs(R * np.sin(A)) <= h2 + 1e-12))
+            return full * frac
+        return full
     if kind == "conical_frustum":
         c, a = extent["c"], extent["a"]
         slant = np.sqrt(1.0 + c**2)
@@ -159,7 +171,17 @@ def areas_of(kind: str, extent: dict, resolution: int) -> np.ndarray:
     if kind in _SPHERICAL:
         R = extent["R"]
         band = R**2 * (np.cos(ue[:-1]) - np.cos(ue[1:]))
-        return np.outer(band, np.diff(ve))
+        full = np.outer(band, np.diff(ve))
+        if kind == "spherical_rect_facet":
+            # z<=0 half-sphere trimmed to |x|<=lx/2, |y|<=ly/2
+            lx2, ly2 = extent["lx"] / 2.0, extent["ly"] / 2.0
+            frac = _cell_fraction_outside(
+                ue, ve,
+                lambda TH, PH: (np.cos(TH) <= 1e-12)
+                & (np.abs(R * np.sin(TH) * np.cos(PH)) <= lx2 + 1e-12)
+                & (np.abs(R * np.sin(TH) * np.sin(PH)) <= ly2 + 1e-12))
+            return full * frac
+        return full
     raise NotImplementedError(f"no fluxmap for geometry kind {kind}")
 
 

@@ -153,7 +153,6 @@ class RTVFBase:
                        fire_element) -> None:
         """Fire ``fire_element(key, el) -> VF row`` per unconverged element
         until the precision gates pass."""
-        import jax as _jax
         stable = 0
         it = 0
         while (self.progress.any() or stable < 2) and it < max_iters:
@@ -161,7 +160,7 @@ class RTVFBase:
             for el in range(self.n_elements):
                 if self.ray_counts[el] == 0.0:
                     continue
-                key, sub = _jax.random.split(key)
+                key, sub = jax.random.split(key)
                 self.VF[el] = fire_element(sub, el)
             self.p += self.ray_counts
             self._test_precision()
@@ -208,7 +207,6 @@ class RTVFBase:
         VF cavities from absorptivity-1 LambertianReceiver surfaces,
         view_factors_3D.py:432-460); with any reflecting row the engine
         loop's multi-bounce redistribution matters."""
-        from .. import materials as M
         meta = self.engine.meta
         kinds = np.asarray(meta.host_opt_kind)
         ok = np.isin(kinds, [M.K_LAMBERTIAN, M.K_REFLECT, M.K_ABSORBER])
@@ -393,6 +391,11 @@ class TwoNParametersCavityRTVF(RTVFBase):
         self.cone_depth = float(coneDepth)
         self.el_FRUs = [int(e) for e in np.atleast_1d(el_FRUs)]
         self.el_CON = int(el_CON)
+        for d, el in zip(self.frusta_depths, self.el_FRUs):
+            if d == 0.0 and el != 1:
+                # a flat annular step has no depth axis to slice along
+                raise ValueError("zero-depth (flat annular step) sections "
+                                 "support exactly one element")
         self.num_rays = int(num_rays)
         self.precision = precision
         self.precision_rec = precision_rec or precision
@@ -449,6 +452,10 @@ class TwoNParametersCavityRTVF(RTVFBase):
             dst = jnp.full(sid.shape, n, dtype=jnp.int32)  # n = escaped
             dst = jnp.where(valid & (logical == ap_l), 0, dst)
             for (f_l, i0, el, z0, d) in frusta:
+                if d == 0.0:
+                    # flat annular step: single element (no depth axis)
+                    dst = jnp.where(valid & (logical == f_l), i0, dst)
+                    continue
                 rel = (hit[:, 2] - z0) / d * el
                 b = jnp.clip(rel.astype(jnp.int32), 0, el - 1)
                 dst = jnp.where(valid & (logical == f_l), i0 + b, dst)
@@ -539,6 +546,17 @@ class TwoNParametersCavityRTVF(RTVFBase):
                                                      - radii_chain[k]) / el
                     depth = d / el
                     center = [0, 0, z + e * d / el]
+                    if d == 0.0:
+                        # flat annular step: Lambertian annulus facing
+                        # the WIDER side's cavity section (el == 1,
+                        # validated in __init__)
+                        r_lo, r_hi = sorted((r0, r1))
+                        dirn = [0, 0, 1.0] if r1 > r0 else [0, 0, -1.0]
+                        return disk_bundle(
+                            key, nrays, center=[0, 0, z], direction=dirn,
+                            radius=r_hi, radius_in=r_lo,
+                            ang_range=np.pi / 2,
+                            flux=1.0 / (np.pi * (r_hi**2 - r_lo**2)))
                     if r0 == r1:
                         return vf_cylinder_bundle(
                             key, nrays, rc=r0, lc=abs(depth),
@@ -594,8 +612,11 @@ class TwoNParametersCavityRTVF(RTVFBase):
             f_l = names.index(f"frustum_{k}")
             m = valid & (logical == f_l)
             if m.any():
-                rel = (hit[m, 2] - z) / d * el
-                b = np.clip(rel.astype(int), 0, el - 1)
+                if d == 0.0:     # flat annular step: single element
+                    b = np.zeros(int(m.sum()), dtype=int)
+                else:
+                    rel = (hit[m, 2] - z) / d * el
+                    b = np.clip(rel.astype(int), 0, el - 1)
                 np.add.at(out, idx + b, absorbed[m])
             idx += el
             z += d

@@ -68,12 +68,16 @@ def load_hist_data_csv(path, separator=","):
                 vals = [v for v in row.split(separator) if v != ""]
                 if vals:
                     rows.append(np.array(vals, dtype=float))
-            data = rows[0] if len(rows) == 1 else np.stack(rows)
+            data = np.stack(rows)
             break
         else:
             i += 1
     if len(bins) == 1:
         bins, bins_label = bins[0], bins_label[0]
+        # 1-D histograms are stored as one row; 2-D histograms keep
+        # their (1, k) shape even with a single row (two bins arrays)
+        if data is not None and data.shape[0] == 1:
+            data = data[0]
     return bins, data, bins_label, data_label, info
 
 
@@ -81,7 +85,12 @@ def load_hist_data_csv(path, separator=","):
 
 def binarize_source(path, vertices, directions, energy) -> None:
     """Write a binary ray-source file: raveled [vertices(3n), directions(3n),
-    energy(n)] float64 (the reference's on-disk layout, :203)."""
+    energy(n)] float64 (the reference's on-disk layout, :203).
+
+    Arrays may be (3, n) — the canonical layout — or (n, 3), which is
+    transposed automatically. A 3x3 array is AMBIGUOUS and is always
+    interpreted as (3, n) = one coordinate per row; pass exactly-three-ray
+    sets in the (3, n) layout."""
     vertices = np.asarray(vertices, dtype=float)
     directions = np.asarray(directions, dtype=float)
     energy = np.asarray(energy, dtype=float)
@@ -195,15 +204,20 @@ def import_solstice(results_dir: str, total_power: float,
 
 
 def _write_chunks(pos, dirs, total_power, rays_per_source, target_dir):
+    """Split rays into replayable source files of ``rays_per_source`` each.
+    Every file carries exactly ``total_power``: the final (possibly short)
+    chunk keeps ALL its rays at proportionally higher per-ray energy —
+    rounding the chunk count would silently drop up to half a chunk of
+    samples and skew the last file's power."""
     os.makedirs(target_dir, exist_ok=True)
-    n_src = max(1, int(round(len(pos) / rays_per_source)))
+    n_src = max(1, -(-len(pos) // rays_per_source))   # ceil
     out = []
     for i in range(n_src):
         sl = slice(i * rays_per_source, (i + 1) * rays_per_source)
         v, d = pos[sl], dirs[sl]
         if len(v) == 0:
             break
-        e = np.full(len(v), total_power / rays_per_source)
+        e = np.full(len(v), total_power / len(v))
         p = os.path.join(target_dir, str(i))
         binarize_source(p, v.T, d.T, e)
         out.append(p)

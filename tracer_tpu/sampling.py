@@ -148,10 +148,16 @@ class PWLinCosSinDistribution(PWLinearDistribution):
         super().__init__(xs, ys * np.cos(xs) * np.sin(xs))
         self.a_cs = (ys[1:] - ys[:-1]) / (xs[1:] - xs[:-1])
         self.b_cs = ys[:-1] - self.a_cs * xs[:-1]
-        a_ext = np.concatenate([self.a_cs, self.a_cs[-1:]])
-        integral = (ys / 2.0 * np.sin(xs) ** 2
-                    - a_ext / 4.0 * (xs - np.sin(xs) * np.cos(xs)))
-        self.integ_cs = integral[1:] - integral[:-1]
+        # per-segment exact integral of (a_i x + b_i) cos x sin x:
+        # F_i(x) = y(x)/2 sin^2 x - a_i/4 (x - sin x cos x); the first
+        # term is continuous across nodes (y is), but the a-dependent
+        # term must use THIS segment's slope at BOTH endpoints — a
+        # single node-indexed antiderivative array would evaluate the
+        # upper endpoint with the NEXT segment's slope
+        s2 = np.sin(xs) ** 2
+        t = xs - np.sin(xs) * np.cos(xs)
+        self.integ_cs = (ys[1:] / 2.0 * s2[1:] - ys[:-1] / 2.0 * s2[:-1]
+                         - self.a_cs / 4.0 * (t[1:] - t[:-1]))
         self.tot_integ_cs = self.integ_cs.sum()
 
     def f(self, x):
@@ -197,11 +203,18 @@ class PWBilinearDistribution:
             self._y_dists.append(PWLinearDistribution(self.yu, z_mid))
         self._y_inv = jnp.asarray(np.stack(
             [np.asarray(d._inv) for d in self._y_dists]))
+        # sampling-density coefficients, stacked once (sample() gathers)
+        self._y_a = jnp.asarray(np.stack([d.a for d in self._y_dists]))
+        self._y_b = jnp.asarray(np.stack([d.b for d in self._y_dists]))
+        self._y_tot = jnp.asarray(np.array(
+            [d.tot_integ for d in self._y_dists]))
 
     def _interp_rows(self, x):
         i = np.clip(np.searchsorted(self.xu, x, side="right") - 1,
                     0, len(self.xu) - 2)
         w = (x - self.xu[i]) / (self.xu[i + 1] - self.xu[i])
+        if np.ndim(x):
+            w = np.asarray(w)[..., None]   # broadcast over the y axis
         return self.zs[i] * (1 - w) + self.zs[i + 1] * w
 
     def __call__(self, x, y):
@@ -247,10 +260,7 @@ class PWBilinearDistribution:
         p_x = self.dist_x._pdf_jnp(x)
         p_cond = (z / self.tot_integ) / jnp.maximum(p_x, 1e-300)
         # sampling density: the per-x-interval midpoint conditional
-        a_c = jnp.asarray(np.stack([d.a for d in self._y_dists]))
-        b_c = jnp.asarray(np.stack([d.b for d in self._y_dists]))
-        tot_c = jnp.asarray(np.array([d.tot_integ for d in self._y_dists]))
-        p_sample = (a_c[i, j] * y + b_c[i, j]) / tot_c[i]
+        p_sample = (self._y_a[i, j] * y + self._y_b[i, j]) / self._y_tot[i]
         w = p_cond / jnp.maximum(p_sample, 1e-300)
         return x, y, w
 

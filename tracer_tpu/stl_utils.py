@@ -25,11 +25,13 @@ def cylinder_verts_faces(radius: float, length: float, angbins: int = 24,
     verts = []
     faces = []
     if capped:
+        # bottom cap winds clockwise seen from +z => outward (-z) normal,
+        # consistent with the outward-facing wall quads below
         verts.append((0.0, 0.0, ls[0]))
         for th in thetas:
             verts.append((radius * np.cos(th), radius * np.sin(th), ls[0]))
         for i in range(angbins):
-            faces.append((0, 1 + i, 1 + (i + 1) % angbins))
+            faces.append((0, 1 + (i + 1) % angbins, 1 + i))
     base = len(verts)
     for z in ls:
         for th in thetas:
@@ -43,12 +45,13 @@ def cylinder_verts_faces(radius: float, length: float, angbins: int = 24,
             faces.append((a, b, c))
             faces.append((b, d, c))
     if capped:
+        # top cap winds counterclockwise seen from +z => outward (+z)
         top0 = len(verts)
         verts.append((0.0, 0.0, ls[-1]))
         for th in thetas:
             verts.append((radius * np.cos(th), radius * np.sin(th), ls[-1]))
         for i in range(angbins):
-            faces.append((top0, top0 + 1 + (i + 1) % angbins, top0 + 1 + i))
+            faces.append((top0, top0 + 1 + i, top0 + 1 + (i + 1) % angbins))
     return np.asarray(verts), np.asarray(faces, dtype=int)
 
 
@@ -81,8 +84,9 @@ def disc_verts_faces(radius: float, angbins: int = 24, rbins: int = 5,
             b = start + (k - 1) * angbins + (j + 1) % angbins
             c = start + k * angbins + j
             d = start + k * angbins + (j + 1) % angbins
-            faces.append((a, b, c))
-            faces.append((b, d, c))
+            # counterclockwise seen from +z, matching the center fan
+            faces.append((a, c, b))
+            faces.append((b, c, d))
     return np.asarray(verts), np.asarray(faces, dtype=int)
 
 
