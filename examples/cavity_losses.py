@@ -33,8 +33,10 @@ def main(num_rays=100_000, vf_rays=4000):
                          min_energy=1e-3)
     bal = res.energy_balance()
     src = bal["source"]
-    print(f"solar input {src / 1e3:.1f} kW: absorbed "
-          f"{100 * bal['absorbed'] / src:.1f}%, back out the aperture "
+    solar_in = cav.bin_hits(res)
+    print(f"solar input {src / 1e3:.1f} kW: walls absorb "
+          f"{100 * solar_in[1:].sum() / src:.1f}%, back out the "
+          f"aperture {100 * solar_in[0] / src:.1f}%, missed "
           f"{100 * bal['escaped'] / src:.1f}%")
 
     # adaptive MC view factors (Welford 3-sigma + reciprocity + sum=1

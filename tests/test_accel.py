@@ -130,3 +130,37 @@ def _sun_down(n):
     return disk_bundle(jax.random.PRNGKey(1), n, center=[0.0, 0.0, 6.0],
                        direction=[0.0, 0.0, -1.0], radius=8.0,
                        ang_range=0.01, flux=1000.0)
+
+
+def test_unbounded_kinds_always_relevant():
+    """Rows with no finite extent (infinite plane/paraboloid) cannot be
+    bounded: the KdTree marks them always relevant instead of building a
+    bogus token box that would silently cull real hits (ref
+    accel_tree.py:59-73 boundary-less objects)."""
+    from tracer_tpu import geometry as G, materials as M
+    from tracer_tpu.accel import KdTree
+    from tracer_tpu.engine import TracerEngine
+    from tracer_tpu.scene import Assembly, AssembledObject, Surface
+
+    plane = Surface(G.flat(), M.absorber(), location=[50.0, 0.0, 0.0])
+    plate = Surface(G.rect_plate(1.0, 1.0), M.absorber(),
+                    location=[0.0, 0.0, 2.0])
+    eng = TracerEngine(Assembly(objects=[AssembledObject(
+        surfs=[plane, plate])]))
+    tree = KdTree(eng.meta)
+    assert len(tree.always_relevant) == 1
+    # a ray far outside any token box still gets the plane as relevant
+    mask = tree.traversal(np.array([[200.0, 0.0, 1.0]]),
+                          np.array([[0.0, 0.0, -1.0]]))
+    assert mask[tree.always_relevant[0], 0]
+
+
+def test_intersect_bounds_on_slab_plane_parallel_ray():
+    """A ray origin exactly on an AABB face with the matching direction
+    component zero used to produce 0*inf = NaN and cull the ray."""
+    from tracer_tpu.accel import KdTree
+
+    bounds = np.array([[0.0, -1.0, -1.0], [2.0, 1.0, 1.0]])
+    pos = np.array([[0.0, 0.0, 5.0]])     # x exactly on the lower face
+    dirs = np.array([[0.0, 0.0, -1.0]])   # dx == 0
+    assert KdTree.intersect_bounds(bounds, pos, dirs)[0]

@@ -194,3 +194,30 @@ def test_compat_names_resolve():
     # accountant-suffix parsing still composes with the new bases
     s = opt.FresnelConductorHomogenousReceiver(1.0, 1.0 + 5.0j)
     assert "absorption" in s.record
+
+
+def test_bifacial_mirror_and_transparent_backs():
+    """Bifacial rows are visible only from their own face
+    (F_BACKSIDE_MISS): a mirror or transparent BACK must reflect / pass
+    rays, not die to the front row's coincident-tie one-sided kill
+    (regression: back-face rays were zeroed regardless of back optics)."""
+    from tracer_tpu.bundle import RayBundle
+
+    b = RayBundle.create(pos=[[0.0, 0.0, -1.0]], dir=[[0.0, 0.0, 1.0]])
+    opt = M.bifacial(M.absorber(), M.reflective(0.0))
+    eng = TracerEngine(Assembly(objects=[AssembledObject(
+        surfs=[Surface(G.rect_plate(2, 2), opt)])]))
+    res = eng.ray_tracer(b, reps=1, key=jax.random.PRNGKey(0))
+    rec = res.records[0]
+    assert float(np.asarray(rec.e_out)[0]) == 1.0
+    np.testing.assert_allclose(np.asarray(rec.dir_out)[0], [0, 0, -1.0])
+
+    opt2 = M.bifacial(M.absorber(), M.transparent())
+    eng2 = TracerEngine(Assembly(objects=[AssembledObject(
+        surfs=[Surface(G.rect_plate(2, 2), opt2)])]))
+    res2 = eng2.ray_tracer(b, reps=3, key=jax.random.PRNGKey(0))
+    assert float(res2.accum.escaped) == 1.0        # passed through
+    b2 = RayBundle.create(pos=[[0.0, 0.0, 1.0]], dir=[[0.0, 0.0, -1.0]])
+    res3 = eng2.ray_tracer(b2, reps=3, key=jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        float(np.asarray(res3.accum.absorbed).sum()), 1.0, atol=1e-12)

@@ -26,9 +26,20 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 
+# geometry kinds with no finite extent: their "mesh" is a token patch for
+# rendering, so NO bounding volume derived from it is sound — the Kd-tree
+# treats their rows as always relevant (the reference does the same for
+# objects without boundaries, accel_tree.py:59-73) and the culling
+# builder refuses them
+UNBOUNDED_KINDS = frozenset({"flat", "paraboloid", "flat_quadric",
+                             "parabolic_cylinder", "cylinder", "cone"})
+
+
 def row_aabbs(meta, resolution: int = 8, pad: float = 1e-9) -> np.ndarray:
     """(S, 2, 3) world AABBs of every scene-table row, from meshed surface
-    points (the analog of per-object BoundaryBox AABBs, accel_tree.py:59)."""
+    points (the analog of per-object BoundaryBox AABBs, accel_tree.py:59).
+    Rows whose kind is in UNBOUNDED_KINDS get token boxes — consumers must
+    special-case them (KdTree marks them always relevant)."""
     boxes = []
     for g, frame in zip(_row_geometries(meta), meta.frames):
         pts = _row_points(g, frame, resolution)
@@ -84,15 +95,26 @@ class KdTree:
                  min_leaf: int = 2):
         self.boxes = row_aabbs(meta)
         n = len(self.boxes)
+        # rows with no finite extent cannot be bounded: they are ALWAYS
+        # relevant (ref accel_tree.py:59-73 for boundary-less objects)
+        # and stay out of the tree so their token boxes don't skew it
+        self.always_relevant = [
+            i for i, g in enumerate(_row_geometries(meta))
+            if g.kind in UNBOUNDED_KINDS]
+        bounded = [i for i in range(n) if i not in set(self.always_relevant)]
         self.max_depth = max_depth or int(8 + 1.3 * math.log(max(n, 2)))
         self.t_trav, self.t_isec = t_trav, t_isec
         self.empty_bonus = empty_bonus
         self.fast = fast
         self.min_leaf = min_leaf
         self.nodes: List[Node] = []
-        root_bounds = np.stack([self.boxes[:, 0].min(axis=0),
-                                self.boxes[:, 1].max(axis=0)])
-        self._build(root_bounds, list(range(n)), 0)
+        if bounded:
+            bb = self.boxes[bounded]
+            root_bounds = np.stack([bb[:, 0].min(axis=0),
+                                    bb[:, 1].max(axis=0)])
+        else:
+            root_bounds = np.stack([np.full(3, -1.0), np.full(3, 1.0)])
+        self._build(root_bounds, bounded, 0)
 
     # -- SAH build ------------------------------------------------------------
     def _build(self, bounds, rows, depth) -> int:
@@ -159,6 +181,12 @@ class KdTree:
             inv = 1.0 / dirs
             t0 = (bounds[0] - pos) * inv
             t1 = (bounds[1] - pos) * inv
+        # 0 * inf -> NaN when a ray origin sits EXACTLY on a slab plane
+        # with the matching direction component 0; the limit is "inside
+        # that slab, unconstrained" — a propagated NaN would compare
+        # False and wrongly cull a ray that passes through the box
+        t0 = np.nan_to_num(t0, nan=-np.inf)
+        t1 = np.nan_to_num(t1, nan=np.inf)
         tmin = np.minimum(t0, t1).max(axis=1)
         tmax = np.maximum(t0, t1).min(axis=1)
         return (tmax >= np.maximum(tmin, 0.0))
@@ -172,6 +200,8 @@ class KdTree:
         n_rays = len(pos)
         n_rows = len(self.boxes)
         mask = np.zeros((n_rows, n_rays), dtype=bool)
+        for r in self.always_relevant:
+            mask[r, :] = True
         stack: List[Tuple[int, np.ndarray]] = [
             (0, np.arange(n_rays))]
         while stack:

@@ -34,23 +34,30 @@ from ..sources import disk_bundle, vf_cylinder_bundle, vf_frustum_bundle
 
 def build_two_n_cavity(aperture_radius: float, frusta_radii: Sequence[float],
                        frusta_depths: Sequence[float], cone_depth: float,
-                       optics=None) -> Assembly:
+                       optics=None, aperture_optics=None) -> Assembly:
     """Axisymmetric cavity: aperture disc at z=0, a chain of frusta /
     cylinders, closed by a cone (or flat plate). Mirrors the geometry
     construction of ref Two_N_parameters_cavity_RTVF (:436-476).
 
     optics - per-surface OpticsSpec factory (default: absorptivity-1
         Lambertian, the VF configuration).
+    aperture_optics - separate factory for the aperture disc (default:
+        same as ``optics`` — the VF convention's black virtual element;
+        the SOLAR model passes a bifacial transparent-outside disc so
+        concentrated sunlight can enter, models/two_n_cavity.py).
     """
     frusta_radii = list(frusta_radii)
     frusta_depths = list(frusta_depths)
     if optics is None:
         optics = lambda: M.lambertian(absorptivity=1.0)
+    if aperture_optics is None:
+        aperture_optics = optics
 
     objs = []
     # aperture
     objs.append(AssembledObject(surfs=[Surface(
-        G.round_plate(aperture_radius), optics(), name="aperture")]))
+        G.round_plate(aperture_radius), aperture_optics(),
+        name="aperture")]))
 
     radii = [aperture_radius] + frusta_radii
     z = 0.0

@@ -15,6 +15,18 @@ from __future__ import annotations
 from . import materials as M
 
 # base optics name -> factory(**kwargs) (longest names first when parsing)
+def _reject_nonzero(spec, hint="", **params):
+    """Refuse reference parameters this rebuild does not wire through,
+    instead of silently dropping them (a ported script would otherwise
+    trace with different physics and no warning)."""
+    bad = {k: v for k, v in params.items() if v}
+    if bad:
+        raise NotImplementedError(
+            f"compat: parameter(s) {sorted(bad)} are not supported by "
+            f"this factory ({hint})")
+    return spec
+
+
 _BASES = {
     "OneSidedRealReflective": lambda absorptivity=0.0, sigma=0.0,
         bi_var=True: M.reflective(absorptivity, sigma, bi_var,
@@ -55,9 +67,16 @@ _BASES = {
         M.iam(M.lambertian(absorptivity), a_r, c),
     "LambertianAbsorbant": lambda absorptivity=0.0,
         attenuation_coefficient=0.0, ang_range=1.5707963, scaling=1.0:
-        M.lambertian(absorptivity, ang_range),
+        _reject_nonzero(
+            M.lambertian(absorptivity, ang_range),
+            attenuation_coefficient=attenuation_coefficient,
+            hint="give the enclosing medium its attenuation via the "
+                 "bundle's att_coeff fields or an ambient_att source "
+                 "spec instead (engine volumetrics)"),
     "SemiLambertian": lambda absorptivity=0.0, angular_range=None, **kw:
-        M.semi_lambertian(absorptivity, angular_range or 1.5707963),
+        M.semi_lambertian(absorptivity,
+                          1.5707963 if angular_range is None
+                          else angular_range),
     "Lambertian": lambda absorptivity=0.0, ang_range=1.5707963:
         M.lambertian(absorptivity, ang_range),
     "RefractiveTransmissiveHomogenous": lambda n1, n2,
@@ -78,7 +97,11 @@ _BASES = {
     "FresnelConductorHomogenous": lambda n1, material:
         M.fresnel_conductor_homogenous(n1, material),
     "Absorbant": lambda attenuation_coefficients=0.0, scaling=1.0, n=1.0:
-        M.absorbant_interface(attenuation_coefficients, n),
+        _reject_nonzero(
+            M.absorbant_interface(attenuation_coefficients, n),
+            scaling=(scaling - 1.0),
+            hint="free-path scaling is not supported; rescale the "
+                 "attenuation coefficient instead"),
     "Scattering": lambda s_c=0.0, g_HG=0.0, n=1.0:
         M.scattering_interface(s_c, g_HG, n=n),
     "PeriodicBoundary": lambda period: M.periodic_boundary(period),

@@ -609,9 +609,22 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
     them): otherwise those cells' slow emission (refill only replaces dead
     lanes) sets the round count for the whole grid."""
     from .kernels.pallas_intersect import TILE
+    from .accel import UNBOUNDED_KINDS
     tile = tile or TILE
     if slab % tile != 0:
         raise ValueError(f"slab {slab} not a multiple of the ray tile {tile}")
+    unbounded = [i for i, g in enumerate(_row_geometries(meta))
+                 if g.kind in UNBOUNDED_KINDS]
+    if unbounded:
+        # the corridor analysis bounds every surface by a sphere from its
+        # mesh; an infinite plane/quadric has no such bound, so any
+        # candidate list would be unsound — refuse instead of silently
+        # mis-culling (use the bounded variants: rect_plate, round_plate,
+        # parabolic_dish, finite_cylinder, ...)
+        raise ValueError(
+            f"culling needs bounded surfaces; rows {unbounded} have "
+            "unbounded kinds "
+            f"({sorted({_row_geometries(meta)[i].kind for i in unbounded})})")
     nb = slab // tile
 
     (cx, cy, cz, rot, radius, _e_ray, _coeffs, _disc_end, gamma, _kappa,

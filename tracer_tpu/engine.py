@@ -262,7 +262,8 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
             periodic=_M.K_PERIODIC in scene.kinds_present,
             piecewise=lpw_scene,
             refr_frost=(refractive
-                        and "refractive_slope" in scene.features))
+                        and "refractive_slope" in scene.features),
+            backside_miss="bifacial" in scene.features)
         new_pos, new_dir, new_e, sid, absorbed_f = outs[:5]
         k_o = 5 + int(need_wl)  # spectral mode returns the (unchanged) wl
         new_ri = outs[k_o] if refractive else bundle.ref_index
@@ -809,7 +810,7 @@ def trace_fused(scene: SceneTable, bundle: RayBundle, key: jax.Array,
                               "lam_specular", "semi_lambertian",
                               "transparent", "conductor", "iam",
                               "periodic", "piecewise", "refr_disp",
-                              "refr_frost"))
+                              "refr_frost", "backside_miss"))
 def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                                 total_rays: int, slab: int,
                                 max_rounds: int, max_path: int,
@@ -828,7 +829,8 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                                 periodic: bool = False,
                                 piecewise: bool = False,
                                 refr_disp: bool = False,
-                                refr_frost: bool = False):
+                                refr_frost: bool = False,
+                                backside_miss: bool = False):
     """Streaming trace where regeneration happens INSIDE the fused bounce
     kernel (single-group pure-specular scenes with a bakeable source): the
     ray state makes exactly one HBM round trip per bounce. The emission
@@ -875,7 +877,8 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
             conductor=conductor, iam=iam, periodic=periodic,
             piecewise=piecewise, ambient_scat=ambient_scat,
             ambient_g=ambient_g, refr_disp=refr_disp,
-            refr_frost=refr_frost)
+            refr_frost=refr_frost,
+            backside_miss=backside_miss)
         pos, dirs, e_new, sid, absorbed = outs[:5]
         k_o = 5
         if spectral:
@@ -983,7 +986,8 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                               "t_eps", "disc_eps", "bivar", "one_sided",
                               "slope", "lambertian", "spectral",
                               "ambient_att", "demote_rows", "fluxspecs",
-                              "conductor", "iam", "drain_jnp"))
+                              "conductor", "iam", "drain_jnp",
+                              "backside_miss"))
 def _trace_streaming_megakernel_culled(
         scene: SceneTable, key, lists, counts, cells, cell_bounds, quota_b,
         age_caps, source_spec, group_offsets,
@@ -993,7 +997,8 @@ def _trace_streaming_megakernel_culled(
         lambertian: bool = False, spectral: bool = False,
         ambient_att: float = 0.0, fluxspecs: tuple = (),
         conductor: bool = False, iam: bool = False,
-        row_map=None, drain_jnp: bool = False, demote_mask=None):
+        row_map=None, drain_jnp: bool = False, demote_mask=None,
+        backside_miss: bool = False):
     """Relevancy-culled streaming megakernel (see culling.py): each grid
     block owns one equal-area source cell and intersects only its static
     candidate list; per-block quotas keep the stratified emission unbiased
@@ -1114,7 +1119,8 @@ def _trace_streaming_megakernel_culled(
             source_spec=source_spec,
             wavelength=wl if spectral else None,
             spectral_tab=spectral_tab, ambient_att=ambient_att,
-            conductor=conductor, iam=iam)
+            conductor=conductor, iam=iam,
+            backside_miss=backside_miss)
         if spectral:
             npos, ndirs, ne, sid, absorbed, nwl = outs
         else:
@@ -1240,7 +1246,8 @@ def _trace_streaming_megakernel_culled(
                 lambertian=lambertian,
                 wavelength=wl if spectral else None,
                 spectral_tab=spectral_tab, ambient_att=ambient_att,
-                conductor=conductor, iam=iam)
+                conductor=conductor, iam=iam,
+                backside_miss=backside_miss)
             if spectral:
                 pos, dirs, ne, sid, absorbed, wl = outs
             else:
@@ -1476,7 +1483,8 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             spectral=spectral_scene or fc_wl, ambient_att=spec_att,
             fluxspecs=fluxspecs,
             conductor=fc_scene, iam=iam_scene,
-            drain_jnp=not fusable)
+            drain_jnp=not fusable,
+            backside_miss="bifacial" in scene.features)
         if culling.segment_bounds:
             # single-chip SMEM segmentation (culling.py): blocks never
             # interact, so the culled trace decomposes EXACTLY into
@@ -1537,7 +1545,8 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             lam_specular=ls_scene, semi_lambertian=sl_scene,
             transparent=tr_scene, conductor=fc_scene, iam=iam_scene,
             periodic=pd_scene, piecewise=lpw_scene, refr_disp=refr_wl,
-            refr_frost=refr_frost)
+            refr_frost=refr_frost,
+            backside_miss="bifacial" in scene.features)
     import logging
     logging.getLogger("tracer_tpu").debug(
         "streaming dispatch: general (kinds=%s features=%s)",

@@ -94,9 +94,12 @@ def aperture_mask_static(sig, ap_params, pt):
     return ok
 
 
-def _surface_t(inv_frame, quad, ap_params, pos, dirs, t_eps, disc_eps, sig):
+def _surface_t(inv_frame, quad, ap_params, pos, dirs, t_eps, disc_eps, sig,
+               flags=None):
     """Hit distance of every ray against ONE surface with static aperture
-    signature ``sig``. Returns t (N,), +inf on miss."""
+    signature ``sig``. Returns t (N,), +inf on miss. With ``flags`` (the
+    row's optics flags), F_BACKSIDE_MISS rows reject rays arriving along
+    local +Z — the bifacial-pair face selector."""
     rot = inv_frame[:3, :3]
     trn = inv_frame[:3, 3]
     # apply_rot, not `@`: tiny matmuls must stay off the bf16-rounded MXU
@@ -154,7 +157,12 @@ def _surface_t(inv_frame, quad, ap_params, pos, dirs, t_eps, disc_eps, sig):
             ok = ok & aperture_mask_static(sig, ap_params, pt)
         return jnp.where(ok, t, inf)
 
-    return jnp.minimum(root_t(t0), root_t(t1))
+    t_best = jnp.minimum(root_t(t0), root_t(t1))
+    if flags is not None:
+        from .. import materials as _M
+        bmiss = (flags.astype(jnp.int32) & _M.F_BACKSIDE_MISS) != 0
+        t_best = jnp.where(bmiss & (d[..., 2] > 0.0), inf, t_best)
+    return t_best
 
 
 def _use_pallas(pos) -> bool:
@@ -265,6 +273,11 @@ def _candidate_t(scene, rows, pos, dirs, t_eps: float, disc_eps: float):
         return jnp.where(ok, t, inf)
 
     t = jnp.minimum(root_t(t0), root_t(t1))
+    # bifacial face selector: F_BACKSIDE_MISS rows reject local +Z arrivals
+    from .. import materials as _M
+    fl = jnp.take(scene.opt_flags, s, axis=0)
+    bmiss = (fl.astype(jnp.int32) & _M.F_BACKSIDE_MISS) != 0
+    t = jnp.where(bmiss & (d[..., 2] > 0.0), inf, t)
     return jnp.where(rows >= 0, t, inf)
 
 
@@ -321,7 +334,9 @@ def nearest_hit_aux(scene, pos, dirs, t_eps=None, disc_eps: float = 1e-6,
     if _use_pallas(pos) and pallas_rows_fit(scene):
         from .pallas_intersect import nearest_hit_pallas, pack_rows
         return nearest_hit_pallas(pack_rows(scene), pos, dirs, scene.groups,
-                                  t_eps, disc_eps, need_local=need_local)
+                                  t_eps, disc_eps, need_local=need_local,
+                                  backside_miss="bifacial"
+                                  in scene.features)
     t, sid = nearest_hit(scene, pos, dirs, t_eps=t_eps, disc_eps=disc_eps,
                          block=block)
     return t, sid, None
@@ -350,17 +365,19 @@ def _group_nearest(scene, start, end, sig, pos, dirs, t_eps, disc_eps,
     inv_frames = prep(scene.inv_frame)
     quads = prep(scene.quadric)
     ap_p = prep(scene.ap_params)
+    flags = prep(scene.opt_flags)
     sids = prep(jnp.arange(scene.num_rows, dtype=jnp.int32))
     # padded rows have quad == 0 -> linear branch with B == 0 -> never hit
 
     per_surface = jax.vmap(
-        lambda invf, qd, app: _surface_t(invf, qd, app, pos, dirs,
-                                         t_eps, disc_eps, sig))
+        lambda invf, qd, app, fl: _surface_t(invf, qd, app, pos, dirs,
+                                             t_eps, disc_eps, sig,
+                                             flags=fl))
 
     def body(c, blk_data):
         t_best, sid_best = c
-        invf, qd, app, sid = blk_data
-        t_blk = per_surface(invf, qd, app)                 # (blk, N)
+        invf, qd, app, fl, sid = blk_data
+        t_blk = per_surface(invf, qd, app, fl)             # (blk, N)
         if blk == 1:
             t_min, sid_min = t_blk[0], sid[0]
         else:
@@ -372,9 +389,11 @@ def _group_nearest(scene, start, end, sig, pos, dirs, t_eps, disc_eps,
                 jnp.where(upd, sid_min, sid_best)), None
 
     if nb == 1:
-        carry, _ = body(carry, (inv_frames[0], quads[0], ap_p[0], sids[0]))
+        carry, _ = body(carry, (inv_frames[0], quads[0], ap_p[0], flags[0],
+                                sids[0]))
         return carry
-    carry, _ = jax.lax.scan(body, carry, (inv_frames, quads, ap_p, sids))
+    carry, _ = jax.lax.scan(body, carry,
+                            (inv_frames, quads, ap_p, flags, sids))
     return carry
 
 
@@ -406,7 +425,9 @@ def nearest_hit(scene, pos: jnp.ndarray, dirs: jnp.ndarray,
     if use_pallas:
         from .pallas_intersect import nearest_hit_pallas, pack_rows
         t, sid, _aux = nearest_hit_pallas(pack_rows(scene), pos, dirs,
-                                          scene.groups, t_eps, disc_eps)
+                                          scene.groups, t_eps, disc_eps,
+                                          backside_miss="bifacial"
+                                          in scene.features)
         return t, sid
 
     # full_like: inherits shard_map varying-axis tags of the ray arrays

@@ -228,7 +228,7 @@ def _surface_body(sig, base_sid, t_eps, disc_eps, tag, need_local,
                   col_offset=0,
                   spectral=False, wl=None, tabx_ref=None, taby_ref=None,
                   n_tab=0, extra_q=False, conductor=False,
-                  piecewise=False, refr_disp=False):
+                  piecewise=False, refr_disp=False, backside_miss=False):
     """Per-surface fori body shared by the plain and fused group kernels:
     running (t, sid) min plus the winner's shading data (global geometric
     normal, optionally local hit point, up-component, optics
@@ -386,6 +386,13 @@ def _surface_body(sig, base_sid, t_eps, disc_eps, tag, need_local,
                 ta = root_t(t0)
                 tb = root_t(t1)
                 t_surf = jnp.minimum(ta, tb)
+                if backside_miss:
+                    # bifacial face selector (F_BACKSIDE_MISS, bit 4 of
+                    # the flags word): local +Z arrivals MISS this row —
+                    # its pi-flipped twin carries the other face's optics
+                    bm = jnp.mod(jnp.floor(r[ROW_KIND] * (1.0 / 16.0)),
+                                 2.0) >= 1.0
+                    t_surf = jnp.where(bm & (ddz > 0.0), big, t_surf)
                 hx = vx + t_surf * ddx
                 hy = vy + t_surf * ddy
                 hz = vz + t_surf * ddz
@@ -541,7 +548,8 @@ def _surface_body(sig, base_sid, t_eps, disc_eps, tag, need_local,
 
 
 def _make_kernel(sig, n_surf: int, base_sid: int, t_eps: float,
-                 disc_eps: float, tag: str, need_local: bool = True):
+                 disc_eps: float, tag: str, need_local: bool = True,
+                 backside_miss: bool = False):
     """Plain group kernel: fori over surfaces, state carried in/out via
     aliased buffers so multiple groups chain."""
     n_state = N_STATE if need_local else N_STATE_NOLOCAL
@@ -553,7 +561,8 @@ def _make_kernel(sig, n_surf: int, base_sid: int, t_eps: float,
         rays = (px_ref[:], py_ref[:], pz_ref[:],
                 dx_ref[:], dy_ref[:], dz_ref[:])
         body = _surface_body(sig, base_sid, t_eps, disc_eps, tag,
-                             need_local, rows_ref, rays)
+                             need_local, rows_ref, rays,
+                             backside_miss=backside_miss)
         carry = jax.lax.fori_loop(
             0, n_surf, body, tuple(ref[:] for ref in ins))
         for ref, val in zip(outs, carry):
@@ -564,10 +573,11 @@ def _make_kernel(sig, n_surf: int, base_sid: int, t_eps: float,
 
 @functools.partial(jax.jit,
                    static_argnames=("groups", "t_eps", "disc_eps",
-                                    "need_local"))
+                                    "need_local", "backside_miss"))
 def nearest_hit_pallas(rows: jnp.ndarray, pos: jnp.ndarray,
                        dirs: jnp.ndarray, groups, t_eps: float,
-                       disc_eps: float = 1e-6, need_local: bool = True):
+                       disc_eps: float = 1e-6, need_local: bool = True,
+                       backside_miss: bool = False):
     """Nearest hit over all surface groups. rows is the packed, transposed
     (K, S) table (pack_rows); groups a static tuple of (start, end, sig,
     tag). Rays
@@ -601,7 +611,8 @@ def nearest_hit_pallas(rows: jnp.ndarray, pos: jnp.ndarray,
 
     for (start, end, sig, tag) in groups:
         kernel = _make_kernel(sig, end - start, start, t_eps, disc_eps,
-                              tag=tag, need_local=need_local)
+                              tag=tag, need_local=need_local,
+                              backside_miss=backside_miss)
         # surface rows ride in SMEM (scalar prefetch): per-surface scalar
         # reads are far cheaper there than VMEM vector-lane extracts
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1333,7 +1344,8 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                        semi_lambertian=False, transparent=False,
                        conductor=False, iam=False, periodic=False,
                        piecewise=False, ambient_scat=0.0, ambient_g=0.0,
-                       refr_disp=False, refr_frost=False):
+                       refr_disp=False, refr_frost=False,
+                       backside_miss=False):
     """Fused intersect + shade-epilogue kernel: one HBM round trip of the
     ray state per bounce. Runs one specialized fori per aperture-signature
     group over the shared (t, sid, winner) carry, so multi-group scenes
@@ -1421,7 +1433,8 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                                  tabx_ref=tabx_ref, taby_ref=taby_ref,
                                  n_tab=n_tab, extra_q=extra_q,
                                  conductor=conductor, piecewise=piecewise,
-                                 refr_disp=refr_disp)
+                                 refr_disp=refr_disp,
+                                 backside_miss=backside_miss)
             carry = jax.lax.fori_loop(start, end, body, carry)
         q2_b = q3_b = None
         if extra_q:
@@ -1468,7 +1481,7 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                                     "conductor", "iam", "periodic",
                                     "piecewise", "ambient_scat",
                                     "ambient_g", "refr_disp",
-                                    "refr_frost"))
+                                    "refr_frost", "backside_miss"))
 def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                           t_eps: float, disc_eps: float = 1e-6,
                           bivar: bool = True, one_sided: bool = True,
@@ -1486,7 +1499,8 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                           ambient_scat: float = 0.0,
                           ambient_g: float = 0.0,
                           refr_disp: bool = False,
-                          refr_frost: bool = False):
+                          refr_frost: bool = False,
+                          backside_miss: bool = False):
     """Fused intersect+shade bounce for K_REFLECT / K_LAMBERTIAN /
     K_REFLECT_SPECTRAL / K_REFRACTIVE scenes (any number of
     aperture-signature groups).
@@ -1565,7 +1579,8 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                                 ambient_scat=ambient_scat,
                                 ambient_g=ambient_g,
                                 refr_disp=refr_disp,
-                                refr_frost=refr_frost)
+                                refr_frost=refr_frost,
+                                backside_miss=backside_miss)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,   # seed, regen, spectral table x/y, rows
         grid=(nb,),
@@ -1632,7 +1647,8 @@ def _make_fused_kernel_culled(group_specs, t_eps, disc_eps, bivar,
                               lambertian: bool = False,
                               spectral: bool = False, n_tab: int = 0,
                               ambient_att: float = 0.0,
-                              conductor: bool = False, iam: bool = False):
+                              conductor: bool = False, iam: bool = False,
+                              backside_miss: bool = False):
     """Culled group kernel: per-block candidate-list fori loops (one
     specialized loop per aperture-signature group, group_specs =
     ((sig, flat, col_offset), ...)) + per-block cell-stratified
@@ -1734,7 +1750,8 @@ def _make_fused_kernel_culled(group_specs, t_eps, disc_eps, bivar,
                                      spectral=spectral, wl=wl,
                                      tabx_ref=tabx_ref, taby_ref=taby_ref,
                                      n_tab=n_tab, extra_q=extra_q,
-                                     conductor=conductor)
+                                     conductor=conductor,
+                                     backside_miss=backside_miss)
                 carry = jax.lax.fori_loop(0, counts_ref[g, b], body, carry)
             q2_b = q3_b = None
             if extra_q:
@@ -1766,7 +1783,7 @@ def _make_fused_kernel_culled(group_specs, t_eps, disc_eps, bivar,
                                     "disc_eps", "bivar",
                                     "one_sided", "slope", "lambertian",
                                     "source_spec", "ambient_att",
-                                    "conductor", "iam"))
+                                    "conductor", "iam", "backside_miss"))
 def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
                                  seed, remaining, active,
                                  pos, dirs, energy, groups,
@@ -1778,7 +1795,8 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
                                  wavelength=None, spectral_tab=None,
                                  ambient_att: float = 0.0,
                                  conductor: bool = False,
-                                 iam: bool = False):
+                                 iam: bool = False,
+                                 backside_miss: bool = False):
     """Relevancy-culled fused bounce (pure-specular/Lambertian scenes,
     any number of aperture-signature groups — one specialized candidate
     loop per group over its static column segment of ``lists``).
@@ -1848,7 +1866,8 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
                                        spectral=spectral,
                                        n_tab=tabx.shape[0],
                                        ambient_att=ambient_att,
-                                       conductor=conductor, iam=iam)
+                                       conductor=conductor, iam=iam,
+                                       backside_miss=backside_miss)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         # seed, quotas, active, lists, counts, ids, bounds, table x/y, rows
         num_scalar_prefetch=10,

@@ -42,6 +42,11 @@ F_ONE_SIDED = 1 << 0   # zero energy for rays arriving along local +Z
 F_BIVAR = 1 << 1       # bivariate (tan-gauss) slope error instead of radial
 F_IAM = 1 << 2         # Martin-Ruiz incidence-angle modifier active
 F_SPLIT = 1 << 3       # refractive: split energy instead of Russian roulette
+F_BACKSIDE_MISS = 1 << 4  # rays arriving along local +Z MISS this row
+#                           entirely (bifacial lowering: each row of the
+#                           coincident pair is visible only from its face,
+#                           so the twin — not a one-sided kill — handles
+#                           the other side)
 
 
 @dataclasses.dataclass
@@ -330,10 +335,14 @@ def lambertian_directional_spectral_piecewise(thetas, wavelengths,
 
 def bifacial(front: OpticsSpec, back: OpticsSpec) -> OpticsSpec:
     """Different optics per face side (ref BiFacial :1877). Lowered by the
-    scene compiler into two coincident one-sided rows (front as-is, back on
-    a pi-flipped frame), so the kernels never branch on face side."""
-    out = front.replace(flags=front.flags | F_ONE_SIDED)
-    out.back_spec = back.replace(flags=back.flags | F_ONE_SIDED)
+    scene compiler into two coincident rows (front as-is, back on a
+    pi-flipped frame), each carrying F_BACKSIDE_MISS so it is visible
+    ONLY from its own face — rays from the other side intersect the twin
+    instead. (A one-sided KILL on the pair would be wrong: the front row
+    could win the coincident nearest-hit tie and zero rays that should
+    have seen the back optics — e.g. a transparent or mirror back.)"""
+    out = front.replace(flags=front.flags | F_BACKSIDE_MISS)
+    out.back_spec = back.replace(flags=back.flags | F_BACKSIDE_MISS)
     return out
 
 

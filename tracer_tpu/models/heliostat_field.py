@@ -195,8 +195,12 @@ class HeliostatField(Assembly):
         if tracking == "azimuth_elevation":
             ang1 = np.arctan2(trac[:, 1], trac[:, 0]) + err1
             ang2 = np.arccos(np.clip(trac[:, 2], -1.0, 1.0)) + err2
-            ang1 = np.where(ang1 < -np.pi, ang1 + np.pi, ang1)
-            ang1 = np.where(ang1 > np.pi, ang1 - np.pi, ang1)
+            # principal-branch wrap is +/- 2*pi; the reference wraps by
+            # +/- pi (heliostat_field.py:136-139), flipping the azimuth
+            # 180 deg whenever tracking error pushes ang1 past +/- pi —
+            # a documented defect not replicated (SURVEY 2.11 policy)
+            ang1 = np.where(ang1 < -np.pi, ang1 + 2.0 * np.pi, ang1)
+            ang1 = np.where(ang1 > np.pi, ang1 - 2.0 * np.pi, ang1)
             primary = ang1 + np.pi / 2.0
         elif tracking == "tilt_roll":
             ang1 = np.arctan2(trac[:, 1], trac[:, 2]) + err1

@@ -44,11 +44,18 @@ class Target(AssembledObject):
         self.fluxmap = Estimator()
 
     def evaluate_fluxmap(self, result):
-        """Update the fluxmap estimator from a TraceResult's hits."""
+        """Update the fluxmap estimator from a TraceResult's hits. Local
+        hit coordinates are shifted by the bin arrays' center so
+        non-centered bins still address the plate (the plate geometry is
+        bin-span-sized and centered on its own origin; the reference
+        histograms raw local coordinates, silently yielding an empty map
+        for non-centered bins — deviation documented)."""
         hits = result.hits_of(self.name)
+        cx = 0.5 * (self.binx[0] + self.binx[-1])
+        cy = 0.5 * (self.biny[0] + self.biny[-1])
         if len(hits["e_in"]):
             power, _, _ = np.histogram2d(
-                hits["local"][:, 0], hits["local"][:, 1],
+                hits["local"][:, 0] + cx, hits["local"][:, 1] + cy,
                 bins=(self.binx, self.biny), weights=hits["e_in"])
         else:
             power = np.zeros((len(self.binx) - 1, len(self.biny) - 1))
@@ -139,7 +146,12 @@ class SimulatorLampZhu:
 
     def generate_rays(self, key, n_rays, part_load=1.0) -> RayBundle:
         import jax.numpy as jnp
-        P = part_load * self.P
+        # per-fraction unit so emitted power totals self.P exactly: the
+        # reference multiplies each component by its fraction AGAIN on
+        # top of P = eff*(a+b+g)*P_elec (solar_simulator.py:296-307),
+        # over/under-counting whenever the fractions don't sum to 1 —
+        # deviation documented (defaults sum to 1, where both agree)
+        P_unit = part_load * self.P / (self.a_s + self.b_c1 + self.g_c2)
         n_s = int(n_rays * self.a_s)
         n_c1 = int(n_rays * self.b_c1)
         n_c2 = n_rays - n_s - n_c1
@@ -149,14 +161,14 @@ class SimulatorLampZhu:
         vs = vs.at[:, 2].add(-(self.l_c / 2 - self.r_s))
         ds = lambertian_directions_sampling(ks[1], n_s, normals=nms)
         b_s = RayBundle.create(pos=vs, dir=ds,
-                               energy=np.full(n_s, P * self.a_s / n_s))
+                               energy=np.full(n_s, P_unit * self.a_s / n_s))
         parts = [b_s]
         for n_c, r, frac, k_i in ((n_c1, self.r_s, self.b_c1, 2),
                                   (n_c2, self.r_c2, self.g_c2, 4)):
             vc, nc = cylinder_sampling(ks[k_i], r, self.l_c, n_c)
             dc = lambertian_directions_sampling(ks[k_i + 1], n_c, normals=nc)
             parts.append(RayBundle.create(
-                pos=vc, dir=dc, energy=np.full(n_c, P * frac / n_c)))
+                pos=vc, dir=dc, energy=np.full(n_c, P_unit * frac / n_c)))
         bund = concatenate_rays(parts)
         pos = rotate_z_to_normal(np.asarray(bund.pos), self.dir) + self.loc
         dirs = rotate_z_to_normal(np.asarray(bund.dir), self.dir)

@@ -79,22 +79,27 @@ class SphericalLens(AssembledObject):
         # positioning bug confirmed by tracing; not replicated.)
         pd = -f * depth * (refr_idx - 1.0) / (refr_idx * R1)
 
-        cyl_height = 0.0
-        cyl_loc = 0.0
+        # back vertex at z = pd, front vertex at z = pd + depth — flat
+        # faces sit AT their vertex plane (they previously stayed at the
+        # origin, collapsing plano lenses' center thickness)
         if R2 != np.inf:
             locb = pd - R2
             self._back.set_location([0.0, 0.0, locb])
             z_cut2 = np.sign(R2) * np.sqrt(R2**2 - diameter**2 / 4.0)
             edge_b = locb + z_cut2
-            cyl_loc += edge_b / 2.0
-            cyl_height -= edge_b
+        else:
+            self._back.set_location([0.0, 0.0, pd])
+            edge_b = pd
         if R1 != np.inf:
             locf = pd + depth - R1
             self._front.set_location([0.0, 0.0, locf])
             z_cut1 = np.sign(R1) * np.sqrt(R1**2 - diameter**2 / 4.0)
             edge_f = locf + z_cut1
-            cyl_loc += edge_f / 2.0
-            cyl_height += edge_f
+        else:
+            self._front.set_location([0.0, 0.0, pd + depth])
+            edge_f = pd + depth
+        cyl_loc = (edge_b + edge_f) / 2.0
+        cyl_height = edge_f - edge_b
 
         surfs = [self._front, self._back]
         if cyl_height > 0:

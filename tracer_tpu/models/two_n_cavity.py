@@ -37,10 +37,20 @@ class TwoNParamCav(Assembly):
         self.el_FRUs = [int(e) for e in np.atleast_1d(el_FRUs)]
         self.el_CON = int(el_CON)
 
+        # walls: absorbing Lambertian receivers. Aperture: the reference's
+        # solar cavity has an OPEN aperture (rays enter freely,
+        # Two_N_parameters_cavity.py builds no aperture disc); here a
+        # BIFACIAL disc keeps the VF element-0 bookkeeping while letting
+        # solar in — transparent seen from outside, black absorber seen
+        # from inside, so bin_hits' "aperture" element measures exactly
+        # the power escaping back out the opening.
         asm = build_two_n_cavity(
             self.aperture_radius, self.frusta_radii, self.frusta_depths,
             self.cone_depth,
-            optics=lambda: M.receiver(M.lambertian(absorptivity=eps_wall)))
+            optics=lambda: M.receiver(M.lambertian(absorptivity=eps_wall)),
+            aperture_optics=lambda: M.bifacial(
+                M.receiver(M.lambertian(absorptivity=1.0)),
+                M.transparent()))
         Assembly.__init__(self, objects=asm.objects,
                           subassemblies=asm.assemblies)
         self.VF = None

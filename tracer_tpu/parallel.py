@@ -216,7 +216,8 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
             fluxspecs=fluxspecs,
             conductor=fc_scene, iam=iam_scene,
             row_map=row_map, demote_mask=demote_mask,
-            drain_jnp=drain_jnp)
+            drain_jnp=drain_jnp,
+            backside_miss="bifacial" in scene.features)
         return (jax.tree_util.tree_map(
                     lambda a: jax.lax.psum(a, "rays"), accum),
                 jax.lax.psum(emitted, "rays"),

@@ -391,6 +391,8 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
                 features.add("iam_nonmirror")
         if opt.flags & M.F_ONE_SIDED:
             features.add("one_sided")
+        if opt.flags & M.F_BACKSIDE_MISS:
+            features.add("bifacial")
         if opt.flags & M.F_BIVAR:
             features.add("bivar")
         if opt.flags & M.F_SPLIT:

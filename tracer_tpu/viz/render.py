@@ -67,7 +67,8 @@ def mesh_of(geom: Geometry, resolution: int = 20):
                 np.broadcast_to(R * np.cos(th), (len(th), ph.shape[1])).copy())
     if k in ("conical_frustum", "finite_cone", "rect_cut_cone", "cone",
              "rect_cut_conical_frustum"):
-        c = e["c"]
+        # rect_cut_cone's extent stores (r, h) instead of the gradient c
+        c = e["c"] if "c" in e else e["r"] / e["h"]
         a = e.get("a", 0.0)
         if "z1" in e:
             z0, z1 = sorted((e["z1"], e["z2"]))
