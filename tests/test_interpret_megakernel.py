@@ -1048,3 +1048,166 @@ def test_culled_jnp_drain_matches(monkeypatch):
     f1 = np.asarray(a1.absorbed) / float(se1)
     _closure(a1, se1)
     np.testing.assert_allclose(f1, f0, atol=0.02)
+
+
+def test_media_absorbing_volume_megakernel_interpret(monkeypatch, caplog):
+    """Per-surface-toggled volumetric media on the interpreted megakernel
+    (round 4 media mode): an absorbing slab bounded by two index-matched
+    absorbant_interface discs (ref Absorbant used as a volume boundary,
+    optics_callables.py:861). A collimated beam crosses boundary 1 (its
+    per-lane medium id toggles to the absorbing side), Beer-Lamberts over
+    the 0.4 m interior, exits at boundary 2 (id toggles back by the
+    id-compare twin of shade.py's medium-tuple compare — the index is
+    matched, so only the medium can route the toggle) and lands on the
+    absorber plate: plate fraction = exp(-att * 0.4) analytically."""
+    import logging
+
+    att_in = 1.5
+    b1 = Surface(G.round_plate(1.0), M.absorbant_interface(att_in),
+                 name="b1", location=[0.0, 0.0, 0.6])
+    b2 = Surface(G.round_plate(1.0), M.absorbant_interface(att_in),
+                 name="b2", location=[0.0, 0.0, 0.2])
+    plate = Surface(G.round_plate(1.0), M.absorber(one_sided=False),
+                    name="plate")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([b1, b2, plate])]), dtype=jnp.float32)
+    assert "volumetric" in table.features
+
+    slab = TILE
+    def source_fn(key):
+        return _f32(disk_bundle(key, slab, center=[0.0, 0.0, 1.2],
+                                direction=[0.0, 0.0, -1.0], radius=0.3,
+                                ang_range=1e-5, flux=1000.0))
+
+    expect = np.exp(-att_in * 0.4)
+    # host-stepped general path (the oracle)
+    a0, _, se0 = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+        max_rounds=20, max_path=8))
+    f0 = np.asarray(a0.absorbed) / float(se0)
+    assert abs(_frac(meta, f0, "plate") - expect) < 2e-3
+    assert abs(float(a0.medium) / float(se0) - (1.0 - expect)) < 2e-3
+
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 1.2], [0.0, 0.0, -1.0], 0.3, 1e-5, 1000.0)
+    _interp_env(monkeypatch)
+    with caplog.at_level(logging.DEBUG, logger="tracer_tpu"):
+        with pltpu.force_tpu_interpret_mode():
+            a1, _, se1 = jax.block_until_ready(trace_streaming(
+                table, source_fn, jax.random.PRNGKey(0),
+                total_rays=2 * slab, max_rounds=20, max_path=8))
+    assert any("dispatch: megakernel" in r.getMessage()
+               for r in caplog.records)
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    _closure(a1, se1)
+    assert abs(_frac(meta, f1, "plate") - expect) < 2e-3
+    assert abs(float(a1.medium) / float(se1) - (1.0 - expect)) < 2e-3
+    np.testing.assert_allclose(f1, f0, atol=2e-3)
+
+
+def test_media_scattering_volume_megakernel_interpret(monkeypatch, caplog):
+    """A Henyey-Greenstein scattering + absorbing volume bounded by
+    index-matched scattering_interface discs (ref Scattering
+    optics_callables.py:946) through the interpreted megakernel's media
+    mode: per-lane free paths, per-lane asymmetry draws and Beer-Lambert
+    all key on the lane's toggled medium. Surface/medium/escaped
+    fractions match the host-stepped general path within MC noise."""
+    import logging
+
+    spec = M.scattering_interface(2.5, g=0.5, att_inside=0.3)
+    b1 = Surface(G.round_plate(2.0), spec, name="b1",
+                 location=[0.0, 0.0, 0.6])
+    b2 = Surface(G.round_plate(2.0), spec, name="b2",
+                 location=[0.0, 0.0, 0.2])
+    plate = Surface(G.round_plate(3.0), M.absorber(one_sided=False),
+                    name="plate")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([b1, b2, plate])]), dtype=jnp.float32)
+    assert "volumetric" in table.features
+
+    slab = TILE
+    def source_fn(key):
+        return _f32(disk_bundle(key, slab, center=[0.0, 0.0, 1.2],
+                                direction=[0.0, 0.0, -1.0], radius=0.3,
+                                ang_range=1e-5, flux=1000.0))
+
+    a0, _, se0 = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+        max_rounds=60, max_path=24))
+    f0 = np.asarray(a0.absorbed) / float(se0)
+    # the optical depth is 2.5 * 0.4 = 1: most lanes scatter inside
+    assert float(a0.medium) / float(se0) > 0.05
+
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 1.2], [0.0, 0.0, -1.0], 0.3, 1e-5, 1000.0)
+    _interp_env(monkeypatch)
+    with caplog.at_level(logging.DEBUG, logger="tracer_tpu"):
+        with pltpu.force_tpu_interpret_mode():
+            a1, _, se1 = jax.block_until_ready(trace_streaming(
+                table, source_fn, jax.random.PRNGKey(0),
+                total_rays=2 * slab, max_rounds=60, max_path=24))
+    assert any("dispatch: megakernel" in r.getMessage()
+               for r in caplog.records)
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    _closure(a1, se1)
+    np.testing.assert_allclose(f1, f0, atol=0.04)
+    assert abs(float(a1.medium) / float(se1)
+               - float(a0.medium) / float(se0)) < 0.04
+    assert abs(float(a1.escaped) / float(se1)
+               - float(a0.escaped) / float(se0)) < 0.04
+
+
+def test_media_ambient_plus_glass_megakernel_interpret(monkeypatch,
+                                                       caplog):
+    """Ambient attenuation + a plain (media-free) refractive glass slab
+    through the media mode: the ambient folds into medium id 0, and
+    crossing into the glass drops it (the glass rows' side media are
+    (0, 0, 0)) — exactly the general path's semantics, where crossing
+    overwrites the bundle's medium with the row's tuple. Index-DIFFERENT
+    interfaces route the toggle by the nearest-index compare."""
+    import logging
+
+    glass = M.refractive_homogenous(1.0, 1.5)
+    w1 = Surface(G.round_plate(1.5), glass, name="w1",
+                 location=[0.0, 0.0, 0.5])
+    w2 = Surface(G.round_plate(1.5), glass, name="w2",
+                 location=[0.0, 0.0, 0.3])
+    plate = Surface(G.round_plate(1.5), M.absorber(one_sided=False),
+                    name="plate")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([w1, w2, plate])]), dtype=jnp.float32,
+        extra_features=("volumetric",))
+
+    slab = TILE
+    amb = 0.5
+    def source_fn(key):
+        b = disk_bundle(key, slab, center=[0.0, 0.0, 1.0],
+                        direction=[0.0, 0.0, -1.0], radius=0.3,
+                        ang_range=1e-5, flux=1000.0)
+        return _f32(b.replace(att_coeff=jnp.full((slab,), amb)))
+
+    a0, _, se0 = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+        max_rounds=30, max_path=10))
+    f0 = np.asarray(a0.absorbed) / float(se0)
+    # only the 0.5 m above the glass attenuates (~22%); the plate takes
+    # roughly exp(-0.25) * 0.96^2 of the power
+    assert abs(float(a0.medium) / float(se0)
+               - (1.0 - np.exp(-amb * 0.5))) < 0.02
+
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 1.0], [0.0, 0.0, -1.0], 0.3, 1e-5, 1000.0,
+        ambient_att=amb)
+    _interp_env(monkeypatch)
+    with caplog.at_level(logging.DEBUG, logger="tracer_tpu"):
+        with pltpu.force_tpu_interpret_mode():
+            a1, _, se1 = jax.block_until_ready(trace_streaming(
+                table, source_fn, jax.random.PRNGKey(0),
+                total_rays=2 * slab, max_rounds=30, max_path=10))
+    assert any("dispatch: megakernel" in r.getMessage()
+               for r in caplog.records)
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    _closure(a1, se1)
+    np.testing.assert_allclose(f1, f0, atol=0.03)
+    assert abs(float(a1.medium) / float(se1)
+               - float(a0.medium) / float(se0)) < 0.02

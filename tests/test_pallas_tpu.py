@@ -1313,3 +1313,80 @@ def test_frosted_refractive_megakernel_matches_general_path():
     t0, t1 = frac(f0, "target"), frac(f1, "target")
     assert 0.02 < t0 < 0.6       # the frost spreads the beam
     assert abs(t1 - t0) < 0.03, (t1, t0)
+
+
+def test_media_toggled_volumes_megakernel_matches_general_path():
+    """Per-surface-toggled volumetric media in the fused megakernel
+    (round 4 media mode): an index-matched scattering + absorbing slab
+    (ref Scattering/Absorbant as volume boundaries through the medium
+    tuple, optics_callables.py:861-1036) stacked over a plain absorbing
+    slab, with an ambient attenuating medium outside — per-lane medium
+    ids toggle at each crossing, free paths / HG draws / Beer-Lambert
+    key on the lane's medium, and the Mosaic lowering must reproduce the
+    host-stepped general path's physics (the interpret-mode twin checks
+    the logic; this checks the lowering)."""
+    from tracer_tpu.engine import trace_streaming
+    from tracer_tpu.kernels.pallas_intersect import TILE
+    from tracer_tpu.sources import disk_bundle, disk_pillbox_pallas_spec
+
+    scat_spec = M.scattering_interface(2.0, g=0.5, att_inside=0.2)
+    abs_spec = M.absorbant_interface(1.0)
+    b1 = Surface(G.round_plate(2.0), scat_spec, name="b1",
+                 location=[0.0, 0.0, 0.8])
+    b2 = Surface(G.round_plate(2.0), scat_spec, name="b2",
+                 location=[0.0, 0.0, 0.5])
+    b3 = Surface(G.round_plate(2.0), abs_spec, name="b3",
+                 location=[0.0, 0.0, 0.3])
+    b4 = Surface(G.round_plate(2.0), abs_spec, name="b4",
+                 location=[0.0, 0.0, 0.1])
+    plate = Surface(G.round_plate(3.0), M.absorber(one_sided=False),
+                    name="plate")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([b1, b2, b3, b4, plate])]),
+        dtype=jnp.float32)
+    assert "volumetric" in table.features
+
+    slab = 20 * TILE
+    total = 6 * slab
+    amb = 0.1
+
+    def source_fn(key):
+        b = disk_bundle(key, slab, center=[0.0, 0.0, 1.5],
+                        direction=[0.0, 0.0, -1.0], radius=0.3,
+                        ang_range=1e-4, flux=1000.0)
+        return b.replace(att_coeff=jnp.full((slab,), amb,
+                                            dtype=b.pos.dtype))
+
+    # general path first (no pallas spec attached yet)
+    a0, _, se0 = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(0), total_rays=total,
+        max_rounds=200, max_path=30))
+    f0 = np.asarray(a0.absorbed) / float(se0)
+
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 1.5], [0.0, 0.0, -1.0], 0.3, 1e-4, 1000.0,
+        ambient_att=amb)
+    a1, _, se1 = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(3), total_rays=total,
+        max_rounds=200, max_path=30))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    cl1 = (float(se1) - np.asarray(a1.absorbed).sum() - float(a1.escaped)
+           - float(a1.culled) - float(a1.medium)
+           - float(a1.residual)) / float(se1)
+    assert abs(cl1) < 1e-5
+
+    def frac(f, name):
+        rows = np.nonzero(np.asarray(meta.row_logical)
+                          == meta.index_of(name))[0]
+        return f[rows].sum()
+
+    # both volumes participate: medium loss is substantial, the plate
+    # still collects the ballistic + forward-scattered power
+    m0, m1 = float(a0.medium) / float(se0), float(a1.medium) / float(se1)
+    assert m0 > 0.2
+    assert abs(m1 - m0) < 0.01, (m1, m0)
+    assert frac(f0, "plate") > 0.1
+    assert abs(frac(f1, "plate") - frac(f0, "plate")) < 0.01
+    assert abs(float(a1.escaped) / float(se1)
+               - float(a0.escaped) / float(se0)) < 0.01
+    np.testing.assert_allclose(f1, f0, atol=0.01)

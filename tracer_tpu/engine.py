@@ -810,7 +810,7 @@ def trace_fused(scene: SceneTable, bundle: RayBundle, key: jax.Array,
                               "lam_specular", "semi_lambertian",
                               "transparent", "conductor", "iam",
                               "periodic", "piecewise", "refr_disp",
-                              "refr_frost", "backside_miss"))
+                              "refr_frost", "backside_miss", "media"))
 def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                                 total_rays: int, slab: int,
                                 max_rounds: int, max_path: int,
@@ -830,12 +830,20 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
                                 piecewise: bool = False,
                                 refr_disp: bool = False,
                                 refr_frost: bool = False,
-                                backside_miss: bool = False):
+                                backside_miss: bool = False,
+                                media=None):
     """Streaming trace where regeneration happens INSIDE the fused bounce
     kernel (single-group pure-specular scenes with a bakeable source): the
     ray state makes exactly one HBM round trip per bounce. The emission
     budget is enforced per-round (the final emission round may overshoot by
-    up to one slab; the returned ``emitted`` is exact)."""
+    up to one slab; the returned ``emitted`` is exact).
+
+    ``media`` (static (media_tab, media_rows), see
+    pallas_intersect._make_shade_epilogue) enables per-surface-toggled
+    volumetric media: a per-lane medium id threads through the kernel
+    next to the refraction index (fresh rays start in medium 0, the
+    ambient — whose coefficients the caller folds into media_tab[0], so
+    the kernel's static ambient constants are superseded)."""
     from .kernels.intersect import default_t_eps
     from .kernels.pallas_intersect import bounce_reflect_pallas, pack_rows
 
@@ -844,6 +852,10 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
     medium = source_spec[16] if len(source_spec) > 16 else None
     ambient_scat = float(medium[0]) if medium else 0.0
     ambient_g = float(medium[1]) if medium else 0.0
+    media_att = media is not None and any(
+        a_m > 0.0 for (a_m, _, _) in media[0])
+    media_scat = media is not None and any(
+        s_m > 0.0 for (_, s_m, _) in media[0])
     rows = pack_rows(scene)
     spectral_tab = (jnp.stack([scene.spectral_wl, scene.spectral_ab], axis=1)
                     .astype(jnp.float32)
@@ -856,11 +868,12 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
     e0 = jnp.zeros((slab,), dtype=jnp.float32)
     wl0 = jnp.zeros((slab,), dtype=jnp.float32)
     ri0 = jnp.ones((slab,), dtype=jnp.float32)
+    mid0 = jnp.zeros((slab,), dtype=jnp.float32)
     age0 = jnp.zeros((slab,), dtype=jnp.int32)
     accum0 = TraceAccum.zeros(scene.num_rows, fluxspecs=fluxspecs)
     z32 = jnp.array(0, dtype=jnp.int32)
 
-    def _round(pos, dirs, e, e_before, wl, ri, age, accum, ks, regen):
+    def _round(pos, dirs, e, e_before, wl, ri, mid, age, accum, ks, regen):
         """One fused bounce round + accounting, any slab length (the
         emission loop and the compacted tail share it)."""
         seed = jax.random.randint(ks, (1,), 0, jnp.iinfo(jnp.int32).max,
@@ -878,7 +891,8 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
             piecewise=piecewise, ambient_scat=ambient_scat,
             ambient_g=ambient_g, refr_disp=refr_disp,
             refr_frost=refr_frost,
-            backside_miss=backside_miss)
+            backside_miss=backside_miss,
+            medium_id=mid if media is not None else None, media=media)
         pos, dirs, e_new, sid, absorbed = outs[:5]
         k_o = 5
         if spectral:
@@ -886,10 +900,16 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
             k_o += 1
         if refractive:
             ri = outs[k_o]
+            k_o += 1
+        if media is not None:
+            mid = outs[k_o]
 
         hit = sid >= 0
-        # sid == -2: scattered in the ambient medium — alive, no surface
-        scat = (sid == -2) if ambient_scat > 0.0 else jnp.zeros_like(hit)
+        # sid == -2: scattered in a participating medium — alive, no
+        # surface (ambient, or the lane's per-surface-toggled medium)
+        scat = ((sid == -2)
+                if (ambient_scat > 0.0 and media is None) or media_scat
+                else jnp.zeros_like(hit))
         live_hit = hit | scat
         escaped = (e_before > 0.0) & ~live_hit
         accum = _account(scene, accum, sid, hit, escaped, absorbed,
@@ -897,9 +917,9 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
         if fluxspecs:
             accum = accum.replace(flux=_dfm.accumulate(
                 accum.flux, fluxspecs, scene, sid, pos, absorbed, key=ks))
-        if ambient_att > 0.0:
-            # kernel reports surface absorption only; the ambient medium
-            # took the rest of each hit/scatter segment's loss
+        if (ambient_att > 0.0 and media is None) or media_att:
+            # kernel reports surface absorption only; the participating
+            # medium took the rest of each hit/scatter segment's loss
             med = jnp.where(live_hit, e_before - absorbed - e_new, 0.0)
             accum = accum.replace(medium=accum.medium + jnp.sum(med))
         low = live_hit & (e_new <= min_energy)
@@ -912,14 +932,16 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
         accum = accum.replace(
             culled=accum.culled + jnp.sum(jnp.where(over, e_new, 0.0)))
         e_new = jnp.where(over, 0.0, e_new)
-        return pos, dirs, e_new, wl, ri, age, accum
+        return pos, dirs, e_new, wl, ri, mid, age, accum
 
     def cond(st):
-        i, pos, dirs, e, wl, ri, age, accum, key, emitted, source_e = st
+        (i, pos, dirs, e, wl, ri, mid, age, accum, key, emitted,
+         source_e) = st
         return (i < max_rounds) & (emitted < total_rays)
 
     def body(st):
-        i, pos, dirs, e, wl, ri, age, accum, key, emitted, source_e = st
+        (i, pos, dirs, e, wl, ri, mid, age, accum, key, emitted,
+         source_e) = st
         key, ks = jax.random.split(key)
         # explicit accumulator dtype: under x64 (CPU interpret tests)
         # jnp.sum would promote int32 to int64 and break the loop carry
@@ -932,15 +954,16 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
         reborn = e <= 0.0
         e_before = jnp.where(reborn, e_ray, e)
         age = jnp.where(reborn, 0, age)  # fresh rays restart their budget
-        pos, dirs, e_new, wl, ri, age, accum = _round(
-            pos, dirs, e, e_before, wl, ri, age, accum, ks, regen)
-        return (i + 1, pos, dirs, e_new, wl, ri, age, accum, key, emitted,
-                source_e)
+        pos, dirs, e_new, wl, ri, mid, age, accum = _round(
+            pos, dirs, e, e_before, wl, ri, mid, age, accum, ks, regen)
+        return (i + 1, pos, dirs, e_new, wl, ri, mid, age, accum, key,
+                emitted, source_e)
 
-    st = (z32, pos0, dir0, e0, wl0, ri0, age0, accum0, key, z32,
+    st = (z32, pos0, dir0, e0, wl0, ri0, mid0, age0, accum0, key, z32,
           jnp.zeros((), dtype=jnp.float32))
     st = jax.lax.while_loop(cond, body, st)
-    i_r, pos, dirs, e, wl, ri, age, accum, key, emitted, source_e = st
+    (i_r, pos, dirs, e, wl, ri, mid, age, accum, key, emitted,
+     source_e) = st
 
     # ---- tail: the last emission round leaves a mostly-dead slab of
     # survivors; finishing them with full-slab rounds costs ~10 rounds at
@@ -955,25 +978,25 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
     no_regen = jnp.zeros((1,), dtype=jnp.int32)
 
     def tcond(st):
-        i, pos, dirs, e, wl, ri, age, accum, key = st
+        i, pos, dirs, e, wl, ri, mid, age, accum, key = st
         return (i < max_path + 1) & jnp.any(e > 0.0)
 
     def tbody(st):
-        i, pos, dirs, e, wl, ri, age, accum, key = st
+        i, pos, dirs, e, wl, ri, mid, age, accum, key = st
         key, ks = jax.random.split(key)
-        pos, dirs, e, wl, ri, age, accum = _round(
-            pos, dirs, e, e, wl, ri, age, accum, ks, no_regen)
-        return (i + 1, pos, dirs, e, wl, ri, age, accum, key)
+        pos, dirs, e, wl, ri, mid, age, accum = _round(
+            pos, dirs, e, e, wl, ri, mid, age, accum, ks, no_regen)
+        return (i + 1, pos, dirs, e, wl, ri, mid, age, accum, key)
 
     def drain_fn(ce, cfields, accum, key):
-        cpos, cdirs, cwl, cri, cage = cfields
+        cpos, cdirs, cwl, cri, cmid, cage = cfields
         tst = jax.lax.while_loop(
             tcond, tbody,
-            (z32, cpos, cdirs, ce, cwl, cri, cage, accum, key))
-        return tst[3], tst[7], tst[8]
+            (z32, cpos, cdirs, ce, cwl, cri, cmid, cage, accum, key))
+        return tst[3], tst[8], tst[9]
 
-    e, accum, _ = _chunked_drain(e, (pos, dirs, wl, ri, age), drain_fn,
-                                 _drain_cap(slab), accum, key)
+    e, accum, _ = _chunked_drain(e, (pos, dirs, wl, ri, mid, age),
+                                 drain_fn, _drain_cap(slab), accum, key)
     # exact closure on any exit: still-alive energy is accounted, not
     # silently dropped (cf. ref tracer_engine.py:292-294)
     accum = accum.replace(residual=accum.residual + jnp.sum(e))
@@ -1324,6 +1347,40 @@ def _trace_streaming_megakernel_culled(
     return accum, jnp.sum(emitted_b), source_e
 
 
+def _bake_media(scene, spec_att: float, spec_scat: float, spec_g: float):
+    """Static ``(media_tab, media_rows)`` for the megakernel's
+    per-surface-toggled media mode (pallas_intersect._make_shade_epilogue):
+    medium 0 is the ambient (the source spec's coefficients); every
+    K_REFRACTIVE row contributes its two side media (p6..p11, ref
+    RefractiveHomogenous's medium tuple / Absorbant / Scattering
+    optics_callables.py:861-1186), deduplicated by value so the per-lane
+    id compare mirrors shade.py's tuple compare exactly. Returns None
+    when the scene table is abstract (trace_streaming called on traced
+    scene arguments — close over a concrete table instead, as every
+    model/benchmark does)."""
+    from . import materials as _M
+    try:
+        okind = np.asarray(scene.opt_kind)
+        oprm = np.asarray(scene.opt_params)
+    except Exception:
+        import logging
+        logging.getLogger("tracer_tpu").warning(
+            "media fusion skipped: scene table is abstract (pass a "
+            "concrete/closed-over table to bake the media mode)")
+        return None
+    tab = [(float(spec_att), float(spec_scat), float(spec_g))]
+    rows_map = []
+    for s in np.nonzero(okind == _M.K_REFRACTIVE)[0]:
+        ids = []
+        for cols in ((6, 8, 10), (7, 9, 11)):
+            m = tuple(float(oprm[s, c]) for c in cols)
+            if m not in tab:
+                tab.append(m)
+            ids.append(tab.index(m))
+        rows_map.append((int(s), ids[0], ids[1]))
+    return (tuple(tab), tuple(rows_map))
+
+
 def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
                     total_rays: int, max_rounds: int = 10_000,
                     max_path: int = 100, min_energy: float = 1e-6,
@@ -1388,22 +1445,34 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     spec_med = (spec[16]
                 if spec is not None and len(spec) > 16 else None)
     spec_scat = float(spec_med[0]) if spec_med else 0.0
+    spec_g = float(spec_med[1]) if spec_med else 0.0
     spectral_scene = _M.K_REFLECT_SPECTRAL in scene.kinds_present
+    refractive_scene = _M.K_REFRACTIVE in scene.kinds_present
+    # per-surface-toggled volumetric media fuse through the MEDIA mode
+    # (round 4): a per-lane medium id threads through the kernel next to
+    # the refraction index, toggled at interface crossings against a
+    # static deduplicated media table baked from the (concrete) scene
+    # rows; ambient coefficients fold into medium 0. Splitting
+    # interfaces stay on the general path.
+    media = None
+    if (refractive_scene and "volumetric" in scene.features
+            and "split" not in scene.features and spec is not None):
+        media = _bake_media(scene, spec_att, spec_scat, spec_g)
+    media_mode = media is not None
     # ambient volumetric media are fusable when the source spec declares
     # the coefficients (absorption-only, or HG scattering + absorption —
-    # the kernel lowers both); interface-toggled media are not
-    vol_ok = ("volumetric" not in scene.features) or (
+    # the kernel lowers both); interface-toggled media ride the media
+    # mode above
+    vol_ok = ("volumetric" not in scene.features) or media_mode or (
         (spec_att > 0.0 or spec_scat > 0.0)
         and "dispersive" not in scene.features)
-    # refractive interfaces fuse when non-splitting and without
-    # interface-toggled media (per-lane index threads through the kernel;
-    # fresh rays start at n = 1); DISPERSIVE interfaces fuse too — the
-    # candidate loop interpolates n1(wl)/n2(wl) from the shared spectral
-    # table (round 4) — which needs the per-lane wavelength thread and
-    # hence a bakeable source band
-    refractive_scene = _M.K_REFRACTIVE in scene.kinds_present
+    # refractive interfaces fuse when non-splitting (per-lane index
+    # threads through the kernel; fresh rays start at n = 1); DISPERSIVE
+    # interfaces fuse too — the candidate loop interpolates n1(wl)/n2(wl)
+    # from the shared spectral table (round 4) — which needs the per-lane
+    # wavelength thread and hence a bakeable source band
     refr_ok = (not refractive_scene
-               or ("volumetric" not in scene.features
+               or (("volumetric" not in scene.features or media_mode)
                    and "split" not in scene.features))
     refr_wl = (refractive_scene and refr_ok
                and "dispersive" in scene.features)
@@ -1546,7 +1615,8 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             transparent=tr_scene, conductor=fc_scene, iam=iam_scene,
             periodic=pd_scene, piecewise=lpw_scene, refr_disp=refr_wl,
             refr_frost=refr_frost,
-            backside_miss="bifacial" in scene.features)
+            backside_miss="bifacial" in scene.features,
+            media=media)
     import logging
     logging.getLogger("tracer_tpu").debug(
         "streaming dispatch: general (kinds=%s features=%s)",

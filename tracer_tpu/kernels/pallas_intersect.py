@@ -673,7 +673,8 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
                          piecewise: bool = False,
                          refr_frost: bool = False,
                          ambient_scat: float = 0.0,
-                         ambient_g: float = 0.0):
+                         ambient_g: float = 0.0,
+                         media=None):
     """Reflect + slope error + one-sided kill on the carried winner data.
     The per-core PRNG must already be seeded by the caller.
 
@@ -756,10 +757,35 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
     an extra trailing ``scat`` mask; the kernel reports scattered live
     lanes as sid == -2 (alive, no surface). The exponential free path is
     memoryless, so re-sampling every round is statistically identical to
-    the reference's remaining-path carry-over (optics.py:214)."""
+    the reference's remaining-path carry-over (optics.py:214).
+
+    ``media`` compiles PER-SURFACE-TOGGLED volumetric media (the
+    megakernel twin of the general path's per-ray (att, scat, g) bundle
+    state; ref Absorbant/Scattering used as volume boundaries through
+    RefractiveHomogenous's medium tuple, optics_callables.py:861-1036,
+    materials.absorbant_interface/scattering_interface). It is a static
+    pair ``(media_tab, media_rows)``: ``media_tab[k] = (att, scat, g)``
+    of medium id k (id 0 = the ambient medium — the caller folds the
+    spec's ambient coefficients there, and the static
+    ``ambient_att``/``ambient_scat`` are IGNORED); ``media_rows`` maps
+    each K_REFRACTIVE row sid to its (side-1 id, side-2 id). The
+    epilogue then takes per-lane ``mid`` (medium id, f32) and the winner
+    ``sid_b``, draws free paths / HG angles / Beer-Lambert with the
+    LANE's medium, toggles ``mid`` on interface crossings (index-matched
+    interfaces compare ids, the id twin of shade.py's tuple compare),
+    and returns the new ``mid`` between the refraction-index and scat
+    outputs. Requires ``refractive``."""
+    media_tab = media_rows = None
+    media_scat_on = media_att_on = False
+    if media is not None:
+        assert refractive, "media mode rides the refractive epilogue"
+        media_tab, media_rows = media
+        media_scat_on = any(s_m > 0.0 for (_, s_m, _) in media_tab)
+        media_att_on = any(a_m > 0.0 for (a_m, _, _) in media_tab)
+
     def epilogue(t_b, ng_x, ng_y, ng_z, upd_b, kf_b, q0_b, q1_b,
                  px, py, pz, dx, dy, dz, e_in, ri=None,
-                 q2_b=None, q3_b=None):
+                 q2_b=None, q3_b=None, mid=None, sid_b=None):
         hit = jnp.isfinite(t_b)
         t_safe = jnp.where(hit, t_b, 0.0)
         hx = px + t_safe * dx
@@ -791,27 +817,60 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
                                            1e-30))
             return mx * mr, my * mr, mz * mr
 
+        m_att = m_scat = m_g = nmid = None
+        if media is not None:
+            # per-lane medium values from the lane's medium id (masked
+            # accumulation over the small static table — no gathers)
+            m_att = jnp.zeros_like(px)
+            m_scat = jnp.zeros_like(px)
+            m_g = jnp.zeros_like(px)
+            for k_m, (a_m, s_m, g_m) in enumerate(media_tab):
+                sel_m = mid == jnp.float32(k_m)
+                m_att = jnp.where(sel_m, jnp.float32(a_m), m_att)
+                m_scat = jnp.where(sel_m, jnp.float32(s_m), m_scat)
+                m_g = jnp.where(sel_m, jnp.float32(g_m), m_g)
+            nmid = mid
+
         scat = None
-        if ambient_scat > 0.0:
-            # exponential free path in the ambient medium; preempts the
+        if (ambient_scat > 0.0 and media is None) or media_scat_on:
+            # exponential free path in the lane's medium; preempts the
             # surface hit when shorter (and catches would-be escapes:
             # t_b = +inf there, so free < t_b almost surely)
             u_f = _kernel_uniform(px.shape)
-            free = -jnp.log(jnp.maximum(u_f, jnp.float32(1e-12))) \
-                * jnp.float32(1.0 / ambient_scat)
+            logu = -jnp.log(jnp.maximum(u_f, jnp.float32(1e-12)))
+            if media is not None:
+                scat_able = m_scat > 0.0
+                free = jnp.where(
+                    scat_able,
+                    logu / jnp.where(scat_able, m_scat, 1.0),
+                    jnp.float32(np.inf))
+            else:
+                free = logu * jnp.float32(1.0 / ambient_scat)
             scat = free < t_b
             # Henyey-Greenstein polar angle about the travel direction
             u_s = _kernel_uniform(px.shape)
             u_p = _kernel_uniform(px.shape)
-            g = float(ambient_g)
-            if abs(g) < 1e-9:
-                cos_sc = u_s * 2.0 - 1.0
-            else:
+            if media is not None:
+                # per-lane asymmetry: branchless general HG inverse CDF
                 sg = u_s * 2.0 - 1.0
-                frac = jnp.float32(1.0 - g * g) / (1.0 + jnp.float32(g) * sg)
-                cos_sc = (jnp.float32(1.0 + g * g) - frac * frac) \
-                    * jnp.float32(0.5 / g)
-                cos_sc = jnp.clip(cos_sc, -1.0, 1.0)
+                iso = jnp.abs(m_g) < 1e-9
+                safe_g = jnp.where(iso, 1.0, m_g)
+                frac = (1.0 - m_g * m_g) / (1.0 + m_g * sg)
+                cos_sc = jnp.where(
+                    iso, sg,
+                    jnp.clip((1.0 + m_g * m_g - frac * frac)
+                             * (0.5 / safe_g), -1.0, 1.0))
+            else:
+                g = float(ambient_g)
+                if abs(g) < 1e-9:
+                    cos_sc = u_s * 2.0 - 1.0
+                else:
+                    sg = u_s * 2.0 - 1.0
+                    frac = jnp.float32(1.0 - g * g) \
+                        / (1.0 + jnp.float32(g) * sg)
+                    cos_sc = (jnp.float32(1.0 + g * g) - frac * frac) \
+                        * jnp.float32(0.5 / g)
+                    cos_sc = jnp.clip(cos_sc, -1.0, 1.0)
             sin_sc = jnp.sqrt(jnp.maximum(1.0 - cos_sc * cos_sc, 0.0))
             s_sp, c_sp = _sincos_turns(u_p)
             sdx, sdy, sdz = rot_about(dx, dy, dz,
@@ -918,6 +977,20 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
             # medium toggle exactly (shade.py uses n_eff the same way).
             n1s, n2s = q0_b, q1_b
             in1 = jnp.abs(ri - n1s) <= jnp.abs(ri - n2s)
+            if media is not None:
+                # index-matched interfaces (n1 == n2: pure volume
+                # boundaries, materials.absorbant_interface) cannot
+                # toggle on the index — compare the lane's medium id to
+                # the winner row's side-1 id instead (the id twin of
+                # shade.py's per-component medium-tuple compare)
+                mid1_l = jnp.zeros_like(px)
+                mid2_l = jnp.zeros_like(px)
+                for (s_r, i1_r, i2_r) in media_rows:
+                    sel_r = sid_b == s_r
+                    mid1_l = jnp.where(sel_r, jnp.float32(i1_r), mid1_l)
+                    mid2_l = jnp.where(sel_r, jnp.float32(i2_r), mid2_l)
+                in1 = jnp.where(jnp.abs(n1s - n2s) > 1e-9, in1,
+                                mid == mid1_l)
             n_next = jnp.where(in1, n2s, n1s)
             safe_ri = jnp.where(ri == 0.0, 1.0, ri)
             safe_nx = jnp.where(n_next == 0.0, 1.0, n_next)
@@ -946,6 +1019,10 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
             ry = jnp.where(crossed, ty, ry)
             rz = jnp.where(crossed, tz, rz)
             nri = jnp.where(crossed, n_next, ri)
+            if media is not None:
+                # crossing lanes pick up the entered medium's id
+                nmid = jnp.where(crossed,
+                                 jnp.where(in1, mid2_l, mid1_l), mid)
             # no interface absorption: Russian roulette keeps full energy
             q0_eff = jnp.where(is_refr, 0.0, q0_b)
 
@@ -1105,15 +1182,16 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
             q0_eff = jnp.where(is_pd, 0.0, q0_eff)
 
         e_att = e_in
-        if ambient_att > 0.0:
+        if (ambient_att > 0.0 and media is None) or media_att_on:
             travel = t_safe
             att_on = hit
             if scat is not None:
                 travel = jnp.where(scat, free, t_safe)
                 att_on = hit | scat
+            coeff = (m_att if media is not None
+                     else jnp.float32(ambient_att))
             e_att = jnp.where(att_on,
-                              e_in * jnp.exp(-jnp.float32(ambient_att)
-                                             * travel), e_in)
+                              e_in * jnp.exp(-coeff * travel), e_in)
         e_out = e_att * (1.0 - q0_eff)
         if one_sided:
             # F_ONE_SIDED is bit 0 of the flags word (kind*1024 + flags,
@@ -1148,9 +1226,14 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
             absorbed = jnp.where(scat, 0.0, absorbed)
             if refractive:
                 nri = jnp.where(scat, ri, nri)
+            if media is not None:
+                # a scattering event stays inside the lane's medium
+                nmid = jnp.where(scat, mid, nmid)
         outs = (npx, npy, npz, ndx, ndy, ndz, ne, absorbed)
         if refractive:
             outs = outs + (nri,)
+        if media is not None:
+            outs = outs + (nmid,)
         if scat is not None:
             outs = outs + (scat,)
         return outs
@@ -1345,7 +1428,7 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                        conductor=False, iam=False, periodic=False,
                        piecewise=False, ambient_scat=0.0, ambient_g=0.0,
                        refr_disp=False, refr_frost=False,
-                       backside_miss=False):
+                       backside_miss=False, media=None):
     """Fused intersect + shade-epilogue kernel: one HBM round trip of the
     ray state per bounce. Runs one specialized fori per aperture-signature
     group over the shared (t, sid, winner) carry, so multi-group scenes
@@ -1366,6 +1449,8 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
     two-parameter carry."""
     extra_q = (cook_torrance or lam_specular or conductor or iam
                or piecewise or refr_frost)
+    media_scat = media is not None and any(
+        s_m > 0.0 for (_, s_m, _) in media[0])
     epi = _make_shade_epilogue(bivar, one_sided, slope, lambertian,
                                ambient_att, refractive=refractive,
                                cook_torrance=cook_torrance,
@@ -1376,16 +1461,19 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                                periodic=periodic, piecewise=piecewise,
                                refr_frost=refr_frost,
                                ambient_scat=ambient_scat,
-                               ambient_g=ambient_g)
+                               ambient_g=ambient_g, media=media)
+    has_mid = media is not None
 
     def kernel(seed_ref, regen_ref, tabx_ref, taby_ref, rows_ref, *io):
-        n_in = 7 + int(spectral) + int(refractive)
+        n_in = 7 + int(spectral) + int(refractive) + int(has_mid)
         ins, outs_ref = io[:n_in], io[n_in:]
         px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref, e_ref = ins[:7]
         k = 7
         wl_ref = ins[k] if spectral else None
         k += int(spectral)
         ri_ref = ins[k] if refractive else None
+        k += int(refractive)
+        mid_ref = ins[k] if has_mid else None
         (npx_ref, npy_ref, npz_ref, ndx_ref, ndy_ref, ndz_ref,
          ne_ref) = outs_ref[:7]
         k = 7
@@ -1393,6 +1481,8 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
         k += int(spectral)
         nri_ref = outs_ref[k] if refractive else None
         k += int(refractive)
+        nmid_ref = outs_ref[k] if has_mid else None
+        k += int(has_mid)
         sid_ref, abs_ref = outs_ref[k], outs_ref[k + 1]
 
         _prng_seed(seed_ref[0] + pl.program_id(0))
@@ -1401,6 +1491,7 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
         e = e_ref[:]
         wl = wl_ref[:] if spectral else None
         ri = ri_ref[:] if refractive else None
+        mid = mid_ref[:] if has_mid else None
 
         if source_spec is not None:
             do = (e <= 0.0) & (regen_ref[0] > 0)
@@ -1417,6 +1508,8 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                 wl = jnp.where(do, f[6], wl)
             if refractive:
                 ri = jnp.where(do, 1.0, ri)   # fresh rays start in air
+            if has_mid:
+                mid = jnp.where(do, 0.0, mid)  # ... in the ambient medium
 
         rays = (px, py, pz, dx, dy, dz)
         big = jnp.float32(np.inf)
@@ -1443,7 +1536,7 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
 
         outs = epi(t_b, ngx, ngy, ngz, upd_b, kf_b, q0_b,
                    q1_b, px, py, pz, dx, dy, dz, e, ri=ri,
-                   q2_b=q2_b, q3_b=q3_b)
+                   q2_b=q2_b, q3_b=q3_b, mid=mid, sid_b=sid_b)
         npx, npy, npz, ndx, ndy, ndz, ne, absorbed = outs[:8]
         npx_ref[:] = npx
         npy_ref[:] = npy
@@ -1454,13 +1547,18 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
         ne_ref[:] = ne
         if spectral:
             nwl_ref[:] = wl
+        k_e = 8
         if refractive:
-            nri_ref[:] = outs[8]
+            nri_ref[:] = outs[k_e]
+            k_e += 1
+        if has_mid:
+            nmid_ref[:] = outs[k_e]
+            k_e += 1
         # mask stale lanes: only lanes carrying energy report hits
         live = e > 0.0
-        if ambient_scat > 0.0:
+        if (ambient_scat > 0.0 and not has_mid) or media_scat:
             # scattered live lanes report sid == -2: alive, no surface
-            scat_m = outs[8 + int(refractive)]
+            scat_m = outs[k_e]
             sid_ref[:] = jnp.where(
                 live & scat_m, jnp.int32(-2),
                 jnp.where(jnp.isfinite(t_b) & live, sid_b,
@@ -1481,7 +1579,8 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                                     "conductor", "iam", "periodic",
                                     "piecewise", "ambient_scat",
                                     "ambient_g", "refr_disp",
-                                    "refr_frost", "backside_miss"))
+                                    "refr_frost", "backside_miss",
+                                    "media"))
 def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                           t_eps: float, disc_eps: float = 1e-6,
                           bivar: bool = True, one_sided: bool = True,
@@ -1500,7 +1599,8 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                           ambient_g: float = 0.0,
                           refr_disp: bool = False,
                           refr_frost: bool = False,
-                          backside_miss: bool = False):
+                          backside_miss: bool = False,
+                          medium_id=None, media=None):
     """Fused intersect+shade bounce for K_REFLECT / K_LAMBERTIAN /
     K_REFLECT_SPECTRAL / K_REFRACTIVE scenes (any number of
     aperture-signature groups).
@@ -1524,9 +1624,16 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
     their absorptance exactly. Passing ``ref_index`` (N,) enables the
     refractive mode: per-lane indices thread through and K_REFRACTIVE
     rows Russian-roulette between Fresnel reflection and Snell
-    refraction (regenerated lanes restart at index 1.0)."""
+    refraction (regenerated lanes restart at index 1.0). Passing
+    ``medium_id`` (N, f32) plus the static ``media`` pair (see
+    _make_shade_epilogue) enables per-surface-toggled volumetric media:
+    the lane's medium id threads through and is returned after the
+    refraction index."""
     spectral = wavelength is not None
     refractive = ref_index is not None
+    has_mid = medium_id is not None
+    if has_mid != (media is not None):
+        raise ValueError("medium_id and media must be passed together")
     n = pos.shape[0]
     n_pad = -(-n // TILE) * TILE
     pad = n_pad - n
@@ -1539,7 +1646,7 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                 c = jnp.pad(c, (0, pad), constant_values=1.0)
             comps.append(c.reshape(n_pad // LANE, LANE))
     for extra, on in ((energy, True), (wavelength, spectral),
-                      (ref_index, refractive)):
+                      (ref_index, refractive), (medium_id, has_mid)):
         if not on:
             continue
         c = extra
@@ -1561,7 +1668,7 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
         tabx = spectral_tab[:, 0].astype(jnp.float32)
         taby = spectral_tab[:, 1].astype(jnp.float32)
 
-    n_io = 7 + int(spectral) + int(refractive)
+    n_io = 7 + int(spectral) + int(refractive) + int(has_mid)
     ray_spec = pl.BlockSpec((SUB, LANE), ray_idx, memory_space=pltpu.VMEM)
     kernel = _make_fused_kernel(groups, t_eps, disc_eps, bivar=bivar,
                                 one_sided=one_sided, slope=slope,
@@ -1580,7 +1687,8 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                                 ambient_g=ambient_g,
                                 refr_disp=refr_disp,
                                 refr_frost=refr_frost,
-                                backside_miss=backside_miss)
+                                backside_miss=backside_miss,
+                                media=media)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,   # seed, regen, spectral table x/y, rows
         grid=(nb,),
@@ -1609,6 +1717,9 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
         res.append(flat_outs[k])
         k += 1
     if refractive:
+        res.append(flat_outs[k])
+        k += 1
+    if has_mid:
         res.append(flat_outs[k])
     return tuple(res)
 
