@@ -448,9 +448,60 @@ def config8_volumetric_scattering(slab_tiles=114, rounds=32) -> dict:
     gen, med_g, floor_g = measure(False)      # general streaming path
     assert abs(med_frac - med_g) < 0.01       # same medium physics
     assert abs(floor_mk - floor_g) < 0.01
+
+    # VOLUME-BOUNDED variant (round-4 media mode): the same medium
+    # confined between two index-matched scattering_interface sheets at
+    # z = 1..3 — per-lane medium ids toggle at the crossings and the free
+    # path / HG / Beer-Lambert draws key on the lane's medium (ref
+    # Scattering/Absorbant as volume boundaries, optics_callables.py
+    # :861-1036). Measures the fused media-mode megakernel.
+    bound = lambda: M.scattering_interface(scat, g=g, att_inside=att)
+    m1 = Surface(G.rect_plate(6.0, 6.0), bound(), location=[0, 0, 3.0],
+                 name="m1")
+    m2 = Surface(G.rect_plate(6.0, 6.0), bound(), location=[0, 0, 1.0],
+                 name="m2")
+    floor_b = Surface(G.rect_plate(6.0, 6.0), lam(), name="floor")
+    ceil_b = Surface(G.rect_plate(6.0, 6.0), lam(), location=[0, 0, 4.0],
+                     name="ceil")
+    walls_b = [Surface(G.rect_plate(4.0, 6.0), lam(),
+                       location=[x, y, 2.0], rotation=rot[:3, :3],
+                       name=f"wall{i}")
+               for i, (x, y, rot) in enumerate([
+                   (3.0, 0.0, sp.roty(np.pi / 2)),
+                   (-3.0, 0.0, sp.roty(-np.pi / 2)),
+                   (0.0, 3.0, sp.rotx(-np.pi / 2)),
+                   (0.0, -3.0, sp.rotx(np.pi / 2))])]
+    table_b, meta_b = compile_scene(
+        Assembly([AssembledObject([floor_b, ceil_b, m1, m2] + walls_b)]),
+        dtype=jnp.float32)
+    assert "volumetric" in table_b.features
+
+    def source_b(key):
+        return disk_bundle(key, slab, center=[0.0, 0.0, 3.7],
+                           direction=[0.0, 0.0, -1.0], radius=1.5,
+                           ang_range=0.2, flux=1000.0)
+    source_b.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 3.7], [0.0, 0.0, -1.0], 1.5, 0.2, 1000.0)
+
+    @jax.jit
+    def step_b(key):
+        return trace_streaming(table_b, source_b, key, total_rays=total,
+                               max_rounds=400, max_path=24)
+
+    keys_b = [jax.random.fold_in(jax.random.PRNGKey(88), i)
+              for i in range(8)]
+    accum_b, emitted_b, se_b = jax.block_until_ready(step_b(keys_b[0]))
+    cl_b = _closure(accum_b, se_b)
+    assert abs(cl_b) < 1e-4, cl_b
+    med_b = float(accum_b.medium) / float(se_b)
+    assert med_b > 0.05, med_b   # the bounded medium takes real energy
+    mb = float(emitted_b) / _time_best(lambda i: step_b(keys_b[i])) / 1e6
+
     return dict(metric="volumetric_scattering_trace_throughput",
                 value=round(mk, 3), unit="Mrays/s/chip",
                 general_path=round(gen, 3),
+                media_bounded=round(mb, 3),
+                media_bounded_medium_frac=round(med_b, 4),
                 medium_frac=round(med_frac, 4),
                 floor_frac=round(floor_mk, 4))
 
