@@ -1211,3 +1211,62 @@ def test_media_ambient_plus_glass_megakernel_interpret(monkeypatch,
     np.testing.assert_allclose(f1, f0, atol=0.03)
     assert abs(float(a1.medium) / float(se1)
                - float(a0.medium) / float(se0)) < 0.02
+
+
+def test_media_sharded_megakernel_interpret(monkeypatch):
+    """The media mode engages through trace_streaming_sharded: the
+    static media table is baked on the CONCRETE table before shard_map
+    (inside the worker the scene is traced and a bake would silently
+    fall back to the general path), and the deterministic absorbing-slab
+    physics of test_media_absorbing_volume_megakernel_interpret holds on
+    every device shard."""
+    from jax.sharding import Mesh
+    from tracer_tpu.parallel import trace_streaming_sharded
+
+    att_in = 1.5
+    b1 = Surface(G.round_plate(1.0), M.absorbant_interface(att_in),
+                 name="b1", location=[0.0, 0.0, 0.6])
+    b2 = Surface(G.round_plate(1.0), M.absorbant_interface(att_in),
+                 name="b2", location=[0.0, 0.0, 0.2])
+    plate = Surface(G.round_plate(1.0), M.absorber(one_sided=False),
+                    name="plate")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([b1, b2, plate])]), dtype=jnp.float32)
+
+    slab = TILE   # per-device
+    def source_fn(key):
+        return _f32(disk_bundle(key, slab, center=[0.0, 0.0, 1.2],
+                                direction=[0.0, 0.0, -1.0], radius=0.3,
+                                ang_range=1e-5, flux=1000.0))
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 1.2], [0.0, 0.0, -1.0], 0.3, 1e-5, 1000.0)
+
+    _interp_env(monkeypatch)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("rays",))
+    with pltpu.force_tpu_interpret_mode():
+        a, em, se = jax.block_until_ready(trace_streaming_sharded(
+            table, source_fn, jax.random.PRNGKey(0), 2 * 2 * slab, mesh,
+            max_rounds=20, max_path=8))
+    _closure(a, se)
+    f = np.asarray(a.absorbed) / float(se)
+    expect = np.exp(-att_in * 0.4)
+    assert abs(_frac(meta, f, "plate") - expect) < 2e-3
+    assert abs(float(a.medium) / float(se) - (1.0 - expect)) < 2e-3
+
+
+def test_bake_media_dedups_spec_ambient_in_scene_dtype():
+    """An ambient medium meant to EQUAL an interface's outside medium
+    must get the same medium id (review finding, round 4): the spec
+    holds float64 0.1 while the scene row stores float32(0.1) — the
+    bake dedups in the scene dtype, like the general path's tuple
+    compare (shade.py) which runs on table-dtype values."""
+    from tracer_tpu.engine import _bake_media
+
+    bound = M.refractive_homogenous(1.0, 1.0, att1=0.1, att2=0.5)
+    b = Surface(G.round_plate(1.0), bound, name="b")
+    table, _ = compile_scene(Assembly([AssembledObject([b])]),
+                             dtype=jnp.float32)
+    tab, rows = _bake_media(table, 0.1, 0.0, 0.0)
+    (sid, i1, i2) = rows[0]
+    assert i1 == 0, (tab, rows)   # side 1 == the ambient medium
+    assert i2 != 0

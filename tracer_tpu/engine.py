@@ -845,17 +845,15 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
     ambient — whose coefficients the caller folds into media_tab[0], so
     the kernel's static ambient constants are superseded)."""
     from .kernels.intersect import default_t_eps
-    from .kernels.pallas_intersect import bounce_reflect_pallas, pack_rows
+    from .kernels.pallas_intersect import (bounce_reflect_pallas,
+                                           media_flags, pack_rows)
 
     e_ray = source_spec[5]
     ambient_att = float(source_spec[14]) if len(source_spec) > 14 else 0.0
     medium = source_spec[16] if len(source_spec) > 16 else None
     ambient_scat = float(medium[0]) if medium else 0.0
     ambient_g = float(medium[1]) if medium else 0.0
-    media_att = media is not None and any(
-        a_m > 0.0 for (a_m, _, _) in media[0])
-    media_scat = media is not None and any(
-        s_m > 0.0 for (_, s_m, _) in media[0])
+    media_att, media_scat = media_flags(media)
     rows = pack_rows(scene)
     spectral_tab = (jnp.stack([scene.spectral_wl, scene.spectral_ab], axis=1)
                     .astype(jnp.float32)
@@ -1357,7 +1355,8 @@ def _bake_media(scene, spec_att: float, spec_scat: float, spec_g: float):
     id compare mirrors shade.py's tuple compare exactly. Returns None
     when the scene table is abstract (trace_streaming called on traced
     scene arguments — close over a concrete table instead, as every
-    model/benchmark does)."""
+    model/benchmark does; trace_streaming_sharded pre-bakes on the
+    concrete table before shard_map)."""
     from . import materials as _M
     try:
         okind = np.asarray(scene.opt_kind)
@@ -1368,7 +1367,11 @@ def _bake_media(scene, spec_att: float, spec_scat: float, spec_g: float):
             "media fusion skipped: scene table is abstract (pass a "
             "concrete/closed-over table to bake the media mode)")
         return None
-    tab = [(float(spec_att), float(spec_scat), float(spec_g))]
+    # dedup in the SCENE dtype: the general path's tuple compare
+    # (shade.py) runs on table-dtype values, so a float64 spec ambient
+    # meant to equal a float32 row medium must round the same way here
+    tab = [tuple(float(np.asarray(v, dtype=oprm.dtype))
+                 for v in (spec_att, spec_scat, spec_g))]
     rows_map = []
     for s in np.nonzero(okind == _M.K_REFRACTIVE)[0]:
         ids = []
@@ -1381,11 +1384,29 @@ def _bake_media(scene, spec_att: float, spec_scat: float, spec_g: float):
     return (tuple(tab), tuple(rows_map))
 
 
+def _media_for(scene, spec):
+    """The media-mode gate + bake in one place: returns the static media
+    pair when the scene has per-surface-toggled volumetric media the
+    megakernel can fuse (refractive, non-splitting, bakeable source),
+    else None. Callable on a CONCRETE table only — shard_map callers run
+    it before tracing (parallel.trace_streaming_sharded)."""
+    from . import materials as _M
+    if (spec is None or _M.K_REFRACTIVE not in scene.kinds_present
+            or "volumetric" not in scene.features
+            or "split" in scene.features):
+        return None
+    spec_att = float(spec[14]) if len(spec) > 14 else 0.0
+    spec_med = spec[16] if len(spec) > 16 else None
+    spec_scat = float(spec_med[0]) if spec_med else 0.0
+    spec_g = float(spec_med[1]) if spec_med else 0.0
+    return _bake_media(scene, spec_att, spec_scat, spec_g)
+
+
 def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
                     total_rays: int, max_rounds: int = 10_000,
                     max_path: int = 100, min_energy: float = 1e-6,
                     t_eps=None, disc_eps: float = 1e-6, block: int = 64,
-                    culling=None, fluxspecs: tuple = ()):
+                    culling=None, fluxspecs: tuple = (), _media="auto"):
     """Streaming wavefront trace with on-device ray regeneration.
 
     The reference (and trace_fused) lets the ray population decay across
@@ -1445,7 +1466,6 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     spec_med = (spec[16]
                 if spec is not None and len(spec) > 16 else None)
     spec_scat = float(spec_med[0]) if spec_med else 0.0
-    spec_g = float(spec_med[1]) if spec_med else 0.0
     spectral_scene = _M.K_REFLECT_SPECTRAL in scene.kinds_present
     refractive_scene = _M.K_REFRACTIVE in scene.kinds_present
     # per-surface-toggled volumetric media fuse through the MEDIA mode
@@ -1453,11 +1473,10 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     # the refraction index, toggled at interface crossings against a
     # static deduplicated media table baked from the (concrete) scene
     # rows; ambient coefficients fold into medium 0. Splitting
-    # interfaces stay on the general path.
-    media = None
-    if (refractive_scene and "volumetric" in scene.features
-            and "split" not in scene.features and spec is not None):
-        media = _bake_media(scene, spec_att, spec_scat, spec_g)
+    # interfaces stay on the general path. ``_media`` overrides the
+    # bake for callers whose scene is traced here (shard_map workers —
+    # parallel.trace_streaming_sharded pre-bakes on the concrete table).
+    media = _media if _media != "auto" else _media_for(scene, spec)
     media_mode = media is not None
     # ambient volumetric media are fusable when the source spec declares
     # the coefficients (absorption-only, or HG scattering + absorption —

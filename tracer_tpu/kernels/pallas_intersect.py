@@ -659,6 +659,17 @@ def nearest_hit_pallas(rows: jnp.ndarray, pos: jnp.ndarray,
 # static kinds_present). RNG comes from the per-core Pallas PRNG.
 # ---------------------------------------------------------------------------
 
+def media_flags(media):
+    """(any attenuation, any scattering) of a static media pair — the
+    single source for the kernel compile gates (scat output presence,
+    attenuation code) and the engine's accounting/scat-mask conditions,
+    so the kernel output layout and its consumers cannot desynchronize."""
+    if media is None:
+        return False, False
+    return (any(a_m > 0.0 for (a_m, _, _) in media[0]),
+            any(s_m > 0.0 for (_, s_m, _) in media[0]))
+
+
 def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
                          lambertian: bool = False,
                          ambient_att: float = 0.0,
@@ -776,12 +787,10 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
     and returns the new ``mid`` between the refraction-index and scat
     outputs. Requires ``refractive``."""
     media_tab = media_rows = None
-    media_scat_on = media_att_on = False
+    media_att_on, media_scat_on = media_flags(media)
     if media is not None:
         assert refractive, "media mode rides the refractive epilogue"
         media_tab, media_rows = media
-        media_scat_on = any(s_m > 0.0 for (_, s_m, _) in media_tab)
-        media_att_on = any(a_m > 0.0 for (a_m, _, _) in media_tab)
 
     def epilogue(t_b, ng_x, ng_y, ng_z, upd_b, kf_b, q0_b, q1_b,
                  px, py, pz, dx, dy, dz, e_in, ri=None,
@@ -1449,8 +1458,7 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
     two-parameter carry."""
     extra_q = (cook_torrance or lam_specular or conductor or iam
                or piecewise or refr_frost)
-    media_scat = media is not None and any(
-        s_m > 0.0 for (_, s_m, _) in media[0])
+    _, media_scat = media_flags(media)
     epi = _make_shade_epilogue(bivar, one_sided, slope, lambertian,
                                ambient_att, refractive=refractive,
                                cook_torrance=cook_torrance,

@@ -89,19 +89,26 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
 
     Returns (accum [replicated totals], emitted, source_e).
     """
-    from .engine import (_bivar_mode, _trace_streaming_megakernel_culled,
+    from .engine import (_bivar_mode, _media_for,
+                         _trace_streaming_megakernel_culled,
                          trace_streaming)
     n_dev = mesh.devices.size
 
     if culling is None:
         per_dev = -(-total_rays // n_dev)
+        # bake the media-mode table on the CONCRETE scene here — inside
+        # the shard_map worker the table is traced and the bake would
+        # silently fall back to the general path
+        media = _media_for(scene,
+                           getattr(source_fn, "pallas_spec", None))
 
         def worker(scene, key):
             key = jax.random.fold_in(key, jax.lax.axis_index("rays"))
             accum, emitted, source_e = trace_streaming(
                 scene, source_fn, key, per_dev, max_rounds=max_rounds,
                 max_path=max_path, min_energy=min_energy, t_eps=t_eps,
-                disc_eps=disc_eps, block=block, fluxspecs=fluxspecs)
+                disc_eps=disc_eps, block=block, fluxspecs=fluxspecs,
+                _media=media)
             return (jax.tree_util.tree_map(
                         lambda a: jax.lax.psum(a, "rays"), accum),
                     jax.lax.psum(emitted, "rays"),
