@@ -970,3 +970,95 @@ def test_spherical_lens_matches_reference(reference):
     np.testing.assert_allclose(e_screen_tpu, e_screen_ref, rtol=1e-11)
     # sanity: ~92% of a normal-incidence fan clears two n=1.5 interfaces
     assert 0.90 < e_screen_tpu / K < 0.94
+
+
+def test_volumetric_absorbant_matches_reference_engine(reference):
+    """Volumetric Beer-Lambert cross-validation: two facing
+    LambertianAbsorbant plates in an absorbing medium (ref Absorbant
+    optics_callables.py:861 mixed into Lambertian :891 — every segment
+    ending on a plate attenuates over its path length) traced through
+    BOTH engines. The reference accountant books attenuation + surface
+    absorption together per interaction, so the tracer_tpu side
+    reconstructs the same quantity from its slot-aligned per-bounce
+    records: (previous e_out - this e_out) for every interaction on the
+    plate, with the engine volumetrics carrying the per-ray att_coeff."""
+    import jax.numpy as jnp
+    import tracer.optics_callables as oc
+    from tracer.flat_surface import RectPlateGM
+    from tracer.surface import Surface as RSurface
+    from tracer.object import AssembledObject as RObject
+    from tracer.assembly import Assembly as RAssembly
+    from tracer.tracer_engine import TracerEngine as RefEngine
+    from tracer import spatial_geometry as rsp
+    from tracer.sources import oblique_solar_rect_bundle as ref_source
+
+    from tracer_tpu import geometry as G, materials as M, spatial as sp
+    from tracer_tpu.engine import TracerEngine, TraceOptions
+    from tracer_tpu.scene import (Assembly, AssembledObject, Surface,
+                                  compile_scene)
+    from tracer_tpu.sources import oblique_solar_rect_bundle
+
+    alpha, k, n = 0.3, 0.4, 20_000
+    d = np.r_[0.15, 0.0, -np.sqrt(1.0 - 0.15 ** 2)]
+
+    # ---- reference engine
+    np.random.seed(42)
+    f_opt = oc.LambertianAbsorbantReceiver(absorptivity=alpha,
+                                           attenuation_coefficient=[k])
+    c_opt = oc.LambertianAbsorbantReceiver(absorptivity=alpha,
+                                           attenuation_coefficient=[k])
+    r_floor = RSurface(RectPlateGM(4.0, 4.0), f_opt)
+    r_ceil = RSurface(RectPlateGM(4.0, 4.0), c_opt,
+                      location=np.r_[0.0, 0.0, 1.0],
+                      rotation=rsp.rotx(np.pi)[:3, :3])
+    r_asm = RAssembly(objects=[RObject(surfs=[r_floor, r_ceil])])
+    sun = ref_source(n, np.vstack([[0.0], [0.0], [0.999]]),
+                     np.r_[0.0, 0.0, -1.0], d, 1.0, 1.0, 4.65e-3, 1000.0)
+    se_ref = float(sun.get_energy().sum())
+    RefEngine(r_asm).ray_tracer(sun, 30, 1e-6)
+    ref_floor = float(f_opt.get_all_hits()[0].sum()) / se_ref
+    ref_ceil = float(c_opt.get_all_hits()[0].sum()) / se_ref
+
+    # ---- tracer_tpu (CPU float64, host-stepped with records)
+    floor = Surface(G.rect_plate(4.0, 4.0), M.lambertian(alpha),
+                    name="floor")
+    ceil = Surface(G.rect_plate(4.0, 4.0), M.lambertian(alpha),
+                   name="ceil", location=[0.0, 0.0, 1.0],
+                   rotation=sp.rotx(np.pi)[:3, :3])
+    table, meta = compile_scene(
+        Assembly([AssembledObject([floor, ceil])]),
+        extra_features=("volumetric",))
+    b = oblique_solar_rect_bundle(
+        jax.random.PRNGKey(0), n, [0.0, 0.0, 0.999], [0.0, 0.0, -1.0],
+        list(d), 1.0, 1.0, 4.65e-3, 1000.0)
+    b = b.replace(att_coeff=jnp.full((n,), k, b.pos.dtype))
+    se = float(np.asarray(b.energy).sum())
+    np.testing.assert_allclose(se, se_ref, rtol=1e-12)  # same cos-flux
+    eng = TracerEngine(table, meta)
+    res = eng.ray_tracer(b, reps=30, min_energy=1e-6,
+                         key=jax.random.PRNGKey(1),
+                         opts=TraceOptions(max_bounces=30))
+
+    def rows_of(name):
+        return np.nonzero(np.asarray(meta.row_logical)
+                          == meta.index_of(name))[0]
+
+    prev = np.asarray(b.energy).copy()
+    dep = {"floor": 0.0, "ceil": 0.0}
+    for rec in res.records:
+        sid = np.asarray(rec.sid)
+        ok = np.asarray(rec.alive_in) & (sid >= 0)
+        e_out = np.asarray(rec.e_out)
+        for name in dep:
+            m = ok & np.isin(sid, rows_of(name))
+            dep[name] += float((prev[m] - e_out[m]).sum())
+        prev = np.where(ok, e_out, prev)
+
+    # 3-sigma-ish MC band for two independent 20k-ray estimates of
+    # fractions ~0.25-0.6 (binomial bound: sqrt(2 f(1-f)/n) ~ 0.005)
+    for name, ref_frac in (("floor", ref_floor), ("ceil", ref_ceil)):
+        sigma = np.sqrt(2.0 * ref_frac * (1.0 - ref_frac) / n)
+        assert abs(dep[name] / se - ref_frac) < 4.0 * sigma, \
+            (name, dep[name] / se, ref_frac)
+    assert ref_floor > 0.5     # the scenario is what we think it is
+    assert ref_ceil > 0.15
