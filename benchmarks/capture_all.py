@@ -43,8 +43,10 @@ STEPS = (
     # Mosaic lowering check of the round's new kernel code paths
     # (pl.when idle skip, polynomial sin/cos, dispersive refraction) —
     # interpret mode checks logic, only hardware checks the lowering
+    # ~27 tpu-marked tests, each compile-heavy through the tunnel (1-5
+    # min apiece in degradation windows) — 2h bound, not 1h
     ("tpu_tests", [sys.executable, "-m", "pytest", "tests/", "-m", "tpu",
-                   "-q", "--no-header"], 3600, {"TRACER_TESTS_TPU": "1"}),
+                   "-q", "--no-header"], 7200, {"TRACER_TESTS_TPU": "1"}),
     # --md rewrites the measured rows of BENCHMARKS.md in place, so the
     # numbers persist in the round record even if the tunnel returns
     # after the interactive session ended
