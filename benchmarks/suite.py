@@ -398,11 +398,14 @@ def config8_volumetric_scattering(slab_tiles=114, rounds=32) -> dict:
     ceil = Surface(G.rect_plate(6.0, 6.0), lam(), location=[0, 0, 4.0],
                    name="ceil")
     walls = []
-    for i, (x, y, rot) in enumerate([
-            (3.0, 0.0, sp.roty(np.pi / 2)), (-3.0, 0.0, sp.roty(-np.pi / 2)),
-            (0.0, 3.0, sp.rotx(-np.pi / 2)),
-            (0.0, -3.0, sp.rotx(np.pi / 2))]):
-        walls.append(Surface(G.rect_plate(4.0, 6.0), lam(),
+    # roty walls: local x -> global z (4 tall); rotx walls: local x stays
+    # global x (6 wide), local y -> global z (4 tall)
+    for i, (x, y, w, h, rot) in enumerate([
+            (3.0, 0.0, 4.0, 6.0, sp.roty(np.pi / 2)),
+            (-3.0, 0.0, 4.0, 6.0, sp.roty(-np.pi / 2)),
+            (0.0, 3.0, 6.0, 4.0, sp.rotx(-np.pi / 2)),
+            (0.0, -3.0, 6.0, 4.0, sp.rotx(np.pi / 2))]):
+        walls.append(Surface(G.rect_plate(w, h), lam(),
                              location=[x, y, 2.0], rotation=rot[:3, :3],
                              name=f"wall{i}"))
     asm = Assembly([AssembledObject([floor, ceil] + walls)])
@@ -463,14 +466,14 @@ def config8_volumetric_scattering(slab_tiles=114, rounds=32) -> dict:
     floor_b = Surface(G.rect_plate(6.0, 6.0), lam(), name="floor")
     ceil_b = Surface(G.rect_plate(6.0, 6.0), lam(), location=[0, 0, 4.0],
                      name="ceil")
-    walls_b = [Surface(G.rect_plate(4.0, 6.0), lam(),
+    walls_b = [Surface(G.rect_plate(w, h), lam(),
                        location=[x, y, 2.0], rotation=rot[:3, :3],
                        name=f"wall{i}")
-               for i, (x, y, rot) in enumerate([
-                   (3.0, 0.0, sp.roty(np.pi / 2)),
-                   (-3.0, 0.0, sp.roty(-np.pi / 2)),
-                   (0.0, 3.0, sp.rotx(-np.pi / 2)),
-                   (0.0, -3.0, sp.rotx(np.pi / 2))])]
+               for i, (x, y, w, h, rot) in enumerate([
+                   (3.0, 0.0, 4.0, 6.0, sp.roty(np.pi / 2)),
+                   (-3.0, 0.0, 4.0, 6.0, sp.roty(-np.pi / 2)),
+                   (0.0, 3.0, 6.0, 4.0, sp.rotx(-np.pi / 2)),
+                   (0.0, -3.0, 6.0, 4.0, sp.rotx(np.pi / 2))])]
     table_b, meta_b = compile_scene(
         Assembly([AssembledObject([floor_b, ceil_b, m1, m2] + walls_b)]),
         dtype=jnp.float32)

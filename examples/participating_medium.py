@@ -28,12 +28,14 @@ def build_box(absorptivity=0.7):
     ceil = Surface(G.rect_plate(6.0, 6.0), lam(), location=[0, 0, 4.0],
                    name="ceil")
     walls = []
-    for i, (x, y, rot) in enumerate([
-            (3.0, 0.0, sp.roty(np.pi / 2)),
-            (-3.0, 0.0, sp.roty(-np.pi / 2)),
-            (0.0, 3.0, sp.rotx(-np.pi / 2)),
-            (0.0, -3.0, sp.rotx(np.pi / 2))]):
-        walls.append(Surface(G.rect_plate(4.0, 6.0), lam(),
+    # roty walls: local x -> global z (4 tall); rotx walls: local x stays
+    # global x (6 wide), local y -> global z (4 tall)
+    for i, (x, y, w, h, rot) in enumerate([
+            (3.0, 0.0, 4.0, 6.0, sp.roty(np.pi / 2)),
+            (-3.0, 0.0, 4.0, 6.0, sp.roty(-np.pi / 2)),
+            (0.0, 3.0, 6.0, 4.0, sp.rotx(-np.pi / 2)),
+            (0.0, -3.0, 6.0, 4.0, sp.rotx(np.pi / 2))]):
+        walls.append(Surface(G.rect_plate(w, h), lam(),
                              location=[x, y, 2.0], rotation=rot[:3, :3],
                              name=f"wall{i}"))
     return Assembly([AssembledObject([floor, ceil] + walls)])
@@ -69,6 +71,40 @@ def main(num_rays=100_000, att=0.15, scat=0.4, g=0.6):
     return res
 
 
+def main_bounded(num_rays=100_000, att=0.15, scat=0.4, g=0.6):
+    """Same box, but the medium is CONFINED to a layer between two
+    index-matched boundary sheets (materials.scattering_interface — the
+    reference's Scattering/Absorbant used as volume boundaries): rays
+    pick up the medium on crossing in and drop it on crossing out. On
+    the fused streaming path this runs the megakernel's media mode
+    (per-lane medium ids toggled at the crossings)."""
+    bound = lambda: M.scattering_interface(scat, g=g, att_inside=att)
+    m1 = Surface(G.rect_plate(6.0, 6.0), bound(), location=[0, 0, 3.0],
+                 name="medium_top")
+    m2 = Surface(G.rect_plate(6.0, 6.0), bound(), location=[0, 0, 1.0],
+                 name="medium_bot")
+    asm = build_box()
+    asm.add_object(AssembledObject([m1, m2]))
+    table, meta = compile_scene(asm)
+    assert "volumetric" in table.features   # set by the boundary rows
+    eng = TracerEngine(table, meta)
+
+    beam = disk_bundle(jax.random.PRNGKey(12), num_rays,
+                       center=[0.0, 0.0, 3.7], direction=[0.0, 0.0, -1.0],
+                       radius=1.5, ang_range=0.2, flux=1000.0)
+    res = eng.ray_tracer(beam, reps=60, key=jax.random.PRNGKey(2),
+                         min_energy=1e-5)
+    bal = res.energy_balance()
+    src = bal["source"]
+    print("bounded-layer medium absorbed "
+          f"{100 * bal['medium'] / src:5.1f}% "
+          f"(vs the filled box above — the layer is half the depth)")
+    assert bal["escaped"] / src < 1e-6
+    assert abs(bal["closure"]) < 1e-4
+    return res
+
+
 if __name__ == "__main__":
     jax.config.update("jax_enable_x64", True)
     main()
+    main_bounded()

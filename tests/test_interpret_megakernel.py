@@ -814,12 +814,14 @@ def _enclosure_scene():
     ceil = Surface(G.rect_plate(4.0, 4.0), lam(), location=[0, 0, 3.0],
                    name="ceil")
     walls = []
-    for i, (x, y, rot) in enumerate([
-            (2.0, 0.0, spatial.roty(np.pi / 2)),
-            (-2.0, 0.0, spatial.roty(-np.pi / 2)),
-            (0.0, 2.0, spatial.rotx(-np.pi / 2)),
-            (0.0, -2.0, spatial.rotx(np.pi / 2))]):
-        walls.append(Surface(G.rect_plate(3.0, 4.0), lam(),
+    # roty walls: local x -> global z (3 tall); rotx walls: local x stays
+    # global x (4 wide), local y -> global z (3 tall)
+    for i, (x, y, w, h, rot) in enumerate([
+            (2.0, 0.0, 3.0, 4.0, spatial.roty(np.pi / 2)),
+            (-2.0, 0.0, 3.0, 4.0, spatial.roty(-np.pi / 2)),
+            (0.0, 2.0, 4.0, 3.0, spatial.rotx(-np.pi / 2)),
+            (0.0, -2.0, 4.0, 3.0, spatial.rotx(np.pi / 2))]):
+        walls.append(Surface(G.rect_plate(w, h), lam(),
                              location=[x, y, 1.5], rotation=rot[:3, :3],
                              name=f"wall{i}"))
     asm = Assembly([AssembledObject([floor, ceil] + walls)])
