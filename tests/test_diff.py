@@ -1,0 +1,188 @@
+"""Differentiable tracing (tracer_tpu.diff): gradient correctness against
+central finite differences, and end-to-end gradient optimization.
+
+All on CPU float64 (conftest) with fixed PRNG keys — the pathwise
+estimator differentiates one fixed realization, so grad and FD see the
+same piecewise-smooth function. No reference anchor: the reference has
+no gradient capability."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tracer_tpu import diff, geometry as G, materials as M, spatial as sp
+from tracer_tpu.scene import (Assembly, AssembledObject, Surface,
+                              compile_scene)
+from tracer_tpu.sources import disk_bundle
+
+
+def _rows_of(meta, name):
+    return np.nonzero(meta.row_logical == meta.index_of(name))[0]
+
+
+def _mirror_receiver_scene():
+    """45-degree flat mirror deflecting a downward beam onto a receiver
+    plate at x = 6 facing the mirror."""
+    mirror = Surface(G.rect_plate(3.0, 3.0), M.reflective(absorptivity=0.1),
+                     rotation=sp.roty(np.pi / 4)[:3, :3], name="mirror")
+    recv = Surface(G.rect_plate(8.0, 8.0), M.lambertian(absorptivity=0.9),
+                   location=[6.0, 0.0, 0.0],
+                   rotation=sp.roty(np.pi / 2)[:3, :3], name="receiver")
+    return compile_scene(Assembly([AssembledObject([mirror, recv])]),
+                         dtype=jnp.float64)
+
+
+def _beam(n=2048, key=7):
+    return disk_bundle(jax.random.PRNGKey(key), n, center=[0.0, 0.0, 4.0],
+                       direction=[0.0, 0.0, -1.0], radius=0.8,
+                       ang_range=1e-4, flux=1000.0)
+
+
+def test_tilt_gradient_matches_finite_difference():
+    """d(spot RMS about a receiver point)/d(mirror tilt) — the aiming
+    derivative — matches central finite differences through a full
+    2-bounce trace (intersect, specular reflect, Lambertian receiver)."""
+    table, meta = _mirror_receiver_scene()
+    m_rows = _rows_of(meta, "mirror")
+    r_rows = _rows_of(meta, "receiver")
+    beam = _beam()
+    key = jax.random.PRNGKey(3)
+
+    def loss(a):
+        n = jnp.stack([jnp.sin(a), jnp.zeros_like(a), jnp.cos(a)])
+        fr = diff.frame_to(n, jnp.zeros(3))
+        t = diff.with_rows(table, m_rows, frame=fr[None])
+        _, mom = diff.trace_diff(t, beam, key, bounces=3)
+        return diff.spot_rms(mom, r_rows, center=(0.4, -0.3))
+
+    a0 = jnp.asarray(np.pi / 4 + 0.02)
+    g = jax.grad(loss)(a0)
+    h = 1e-6
+    fd = (loss(a0 + h) - loss(a0 - h)) / (2 * h)
+    assert np.isfinite(float(g))
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-5)
+
+
+def test_focal_length_gradient_matches_finite_difference():
+    """d(focal-plane spot RMS)/d(dish curvature) through the quadric
+    root solve: a parabolic dish under a parallel beam, receiver at the
+    nominal focus, differentiated w.r.t. the quadric coefficient."""
+    f0 = 2.0
+    dish = Surface(G.parabolic_dish(2.0, f0), M.reflective(0.05),
+                   name="dish")
+    # small receiver at the focus; the ANNULAR beam passes around it
+    recv = Surface(G.rect_plate(0.5, 0.5), M.lambertian(0.95),
+                   location=[0.0, 0.0, f0],
+                   rotation=sp.rotx(np.pi)[:3, :3], name="receiver")
+    table, meta = compile_scene(Assembly([AssembledObject([dish, recv])]),
+                                dtype=jnp.float64)
+    d_rows = _rows_of(meta, "dish")
+    r_rows = _rows_of(meta, "receiver")
+    beam = disk_bundle(jax.random.PRNGKey(5), 2048,
+                       center=[0.0, 0.0, 5.0], direction=[0.0, 0.0, -1.0],
+                       radius=0.95, radius_in=0.45, ang_range=1e-4,
+                       flux=1000.0)
+    key = jax.random.PRNGKey(4)
+
+    def loss(f):
+        q = 1.0 / (4.0 * f)
+        quad = jnp.zeros((10,), jnp.float64).at[0].set(q).at[1].set(q) \
+            .at[8].set(-0.5)
+        t = diff.with_rows(table, d_rows, quadric=quad[None])
+        _, mom = diff.trace_diff(t, beam, key, bounces=3)
+        return diff.spot_rms(mom, r_rows)
+
+    # away from the optimum the derivative is O(1); check against FD
+    fq = jnp.asarray(1.7)
+    g = jax.grad(loss)(fq)
+    h = 1e-6
+    fd = (loss(fq + h) - loss(fq - h)) / (2 * h)
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-5)
+    # and the defocused spot is larger than the focused one
+    assert float(loss(fq)) > float(loss(jnp.asarray(f0)))
+
+
+def test_absorptivity_gradient_is_incident_power():
+    """d(receiver absorbed)/d(alpha) == incident power exactly (single
+    interaction, absorbed = alpha * e_in) — an analytic gradient check
+    through the accumulators and the shade energy bookkeeping."""
+    table, meta = _mirror_receiver_scene()
+    r_rows = _rows_of(meta, "receiver")
+    beam = _beam()
+    key = jax.random.PRNGKey(9)
+
+    def absorbed(alpha):
+        prm = table.opt_params[r_rows[0]]
+        prm = prm.at[0].set(alpha)
+        t = diff.with_rows(table, r_rows, opt_params=prm[None])
+        acc, mom = diff.trace_diff(t, beam, key, bounces=2)
+        return jnp.sum(mom.absorbed[r_rows]), jnp.sum(mom.e_in[r_rows])
+
+    a = jnp.asarray(0.9)
+    g = jax.grad(lambda x: absorbed(x)[0])(a)
+    e_in = absorbed(a)[1]
+    np.testing.assert_allclose(float(g), float(e_in), rtol=1e-12)
+
+
+def test_aim_optimization_converges():
+    """Gradient descent on the mirror tilt centers the reflected spot on
+    an off-axis receiver target; the optimum matches the analytic aim
+    angle (reflected direction must pass through the target point)."""
+    table, meta = _mirror_receiver_scene()
+    m_rows = _rows_of(meta, "mirror")
+    r_rows = _rows_of(meta, "receiver")
+    beam = _beam(n=512)
+    key = jax.random.PRNGKey(11)
+    target_local = (1.5, 0.0)
+
+    def loss(a):
+        n = jnp.stack([jnp.sin(a), jnp.zeros_like(a), jnp.cos(a)])
+        fr = diff.frame_to(n, jnp.zeros(3))
+        t = diff.with_rows(table, m_rows, frame=fr[None])
+        _, mom = diff.trace_diff(t, beam, key, bounces=3)
+        return diff.spot_rms(mom, r_rows, center=target_local)
+
+    # Adam bounds the step size: the raw gradient is steep enough to jump
+    # the spot clear off the receiver (where the pathwise loss degenerates
+    # to zero capture — see the spot_rms docstring)
+    import optax
+    opt = optax.adam(5e-3)
+    grad_fn = jax.jit(jax.value_and_grad(loss))
+    a = jnp.asarray(np.pi / 4)
+    state = opt.init(a)
+    for _ in range(200):
+        val, g = grad_fn(a)
+        upd, state = opt.update(g, state)
+        a = a + upd
+
+    # analytic optimum: beam (0,0,-1) reflects to d=(sin 2a, 0, cos 2a);
+    # receiver local x at the plane x=6 is -(z_hit) with this receiver
+    # orientation, so hitting local x=1.5 needs z = -1.5 at x = 6.
+    # The loss floor is the beam's own spot size (E[r^2] = R^2/2), so
+    # compare against the loss AT the analytic aim; the empirical
+    # minimizer differs from a_star by the sample centroid, O(R/sqrt(N)).
+    a_star = 0.5 * np.arctan2(6.0, -1.5)
+    assert float(val) < 1.2 * float(loss(jnp.asarray(a_star)))
+    assert abs(float(a) - a_star) < 8e-3
+
+
+def test_source_direction_gradient():
+    """Gradients also flow into the RayBundle: d(spot centroid)/d(beam
+    tilt) through the source directions matches finite differences."""
+    table, meta = _mirror_receiver_scene()
+    r_rows = _rows_of(meta, "receiver")
+    key = jax.random.PRNGKey(13)
+
+    def centroid_x(tilt):
+        b = _beam(n=1024)
+        d = jnp.stack([jnp.sin(tilt), jnp.zeros_like(tilt),
+                       -jnp.cos(tilt)])
+        b = b.replace(dir=jnp.broadcast_to(d, b.dir.shape))
+        _, mom = diff.trace_diff(table, b, key, bounces=3)
+        return diff.spot_centroid(mom, r_rows)[0]
+
+    t0 = jnp.asarray(0.03)
+    g = jax.grad(centroid_x)(t0)
+    h = 1e-6
+    fd = (centroid_x(t0 + h) - centroid_x(t0 - h)) / (2 * h)
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-6)

@@ -11,13 +11,14 @@ from .bundle import RayBundle, concatenate_rays
 from .engine import (TracerEngine, TraceOptions, TraceResult, trace_fused,
                      trace_streaming)
 from .scene import Assembly, AssembledObject, Surface, compile_scene
-from . import (geometry, materials, optics, sampling, sources, spatial,
+from . import (diff, geometry, materials, optics, sampling, sources, spatial,
                stl_utils, trace_tree, vector_utils)
 
 __version__ = "0.1.0"
 __all__ = [
     "RayBundle", "concatenate_rays", "TracerEngine", "TraceOptions",
     "TraceResult", "trace_fused", "trace_streaming", "Assembly",
-    "AssembledObject", "Surface", "compile_scene", "geometry", "materials",
-    "optics", "sampling", "sources", "spatial", "stl_utils", "vector_utils",
+    "AssembledObject", "Surface", "compile_scene", "diff", "geometry",
+    "materials", "optics", "sampling", "sources", "spatial", "stl_utils",
+    "vector_utils",
 ]

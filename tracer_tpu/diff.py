@@ -1,0 +1,219 @@
+"""Differentiable tracing — reverse-mode gradients through the trace.
+
+This is a capability the reference (pure-NumPy, host-stepped) cannot
+offer and a direct payoff of the functional JAX design: the compiled
+scene is a pytree of arrays (SceneTable), the bounce step is pure jnp,
+and a fixed-bounce-count ``lax.scan`` makes the whole trace one
+reverse-differentiable function of (scene, bundle). Uses:
+
+  - heliostat aim optimization (focus/center the receiver spot),
+  - optical design (lens curvature / refractive index vs spot size),
+  - slope-error or alignment calibration against a measured flux map.
+
+What the pathwise (fixed-PRNG, reparameterized) gradient does and does
+not see
+------------------------------------------------------------------------
+With the PRNG key held fixed, every sampled decision (Russian-roulette
+branches, Lambertian/slope-error draws, free paths) is a deterministic
+function of the uniforms, so the trace is piecewise-smooth in the scene
+parameters and ``jax.grad`` returns the exact derivative of that
+realization — the standard reparameterization estimator. Its gradient
+captures everything that moves CONTINUOUSLY with the parameters: hit
+positions, path lengths, Fresnel/Snell splits, absorbed fractions,
+Beer-Lambert factors. It does NOT capture boundary terms — a ray
+discretely switching which surface (or which aperture side) it hits
+contributes a jump the pathwise estimator ignores. Objectives built
+from hit-position MOMENTS (spot radius, centroid offset — see
+``spot_rms``) are dominated by the continuous term and optimize well;
+pure interception/counting objectives (energy ON a plate with constant
+absorptivity) are piecewise constant along rays and need a smooth
+surrogate (e.g. minimize the spot's second moment about the aperture
+center instead of maximizing the captured fraction).
+
+The trace runs the pure-jnp engine path (``force_jnp=True``): the
+Pallas megakernels have no VJP rules. On TPU this is still one fused
+XLA program — slower than the megakernel but batched and compiled; use
+float64 on CPU for gradient checks and float32 on device for
+optimization loops.
+
+No reference anchor: the reference has no gradient capability (its
+engine mutates NumPy state per surface, tracer_engine.py:124-295).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .bundle import RayBundle
+from .engine import TraceAccum, _bounce_step
+from .scene import SceneTable
+
+
+@struct.dataclass
+class MomentAccum:
+    """Per-row energy-weighted moments of the LOCAL hit coordinates.
+
+    e_in      (S,)   incident energy
+    absorbed  (S,)   absorbed energy (the moment weight)
+    m1        (S,3)  sum of absorbed * local
+    m2        (S,3)  sum of absorbed * local**2
+
+    Local (surface-frame) coordinates make the moments meaningful flux-
+    map statistics: the energy-weighted centroid of row r is m1[r] /
+    absorbed[r] and the mean squared spot radius about a point c is
+    (m2 - 2 c m1 + c^2 absorbed) / absorbed, both differentiable.
+
+    CAUTION for optimization: these are CONDITIONAL statistics over the
+    rays that land on the row. If an update pushes the whole spot off
+    the surface, the captured power goes to zero and spot_rms
+    degenerates to 0/eps = 0 — a spurious minimum the pathwise gradient
+    will not climb out of (the boundary term is invisible to it). Keep
+    steps bounded (Adam), start inside the capture basin, or add an
+    explicit capture penalty on ``absorbed``.
+    """
+
+    e_in: jnp.ndarray
+    absorbed: jnp.ndarray
+    m1: jnp.ndarray
+    m2: jnp.ndarray
+
+    @classmethod
+    def zeros(cls, n_rows: int, dtype=jnp.float32) -> "MomentAccum":
+        return cls(e_in=jnp.zeros((n_rows,), dtype),
+                   absorbed=jnp.zeros((n_rows,), dtype),
+                   m1=jnp.zeros((n_rows, 3), dtype),
+                   m2=jnp.zeros((n_rows, 3), dtype))
+
+
+def trace_diff(scene: SceneTable, bundle: RayBundle, key: jax.Array,
+               bounces: int, disc_eps: float = 1e-6, t_eps=None):
+    """Fixed-bounce-count differentiable trace.
+
+    Scans ``bounces`` bounce steps of the general engine path (pinned to
+    pure jnp) with ``min_energy=0`` (the energy cull is a discontinuity,
+    so the diff path never culls — dead rays just carry zero energy) and
+    folds every bounce's hits into per-row accumulators on the fly, so
+    nothing per-bounce is kept alive across the scan.
+
+    Returns ``(accum, moments)`` — a TraceAccum (absorbed / escaped /
+    medium / residual energies; residual here is whatever the final
+    bundle still carries) and a MomentAccum. Both are differentiable
+    functions of every float leaf of ``scene`` and ``bundle``; compose a
+    scalar loss from them and take ``jax.grad`` over a wrapper that
+    builds the perturbed scene (see ``with_rows`` and ``frame_to``).
+
+    Memory: reverse mode keeps each bounce's residuals; for long traces
+    wrap the body with ``jax.checkpoint`` yourself or split the bounce
+    budget across calls.
+    """
+    dtype = bundle.pos.dtype
+    accum = TraceAccum.zeros(scene.num_rows, dtype=dtype)
+    mom = MomentAccum.zeros(scene.num_rows, dtype=dtype)
+
+    def body(carry, k):
+        bund, acc, mo = carry
+        bund, acc, rec = _bounce_step(
+            scene, bund, acc, k, min_energy=0.0, t_eps=t_eps,
+            disc_eps=disc_eps, block=64, count_hits=False,
+            need_local=True, split_mode=False, force_jnp=True)
+        hit = rec.alive_in & (rec.sid >= 0)
+        s = jnp.maximum(rec.sid, 0)
+        w = jnp.where(hit, rec.absorbed, 0.0)
+        mo = mo.replace(
+            e_in=mo.e_in.at[s].add(jnp.where(hit, rec.e_in, 0.0)),
+            absorbed=mo.absorbed.at[s].add(w),
+            m1=mo.m1.at[s].add(w[:, None] * rec.local),
+            m2=mo.m2.at[s].add(w[:, None] * rec.local ** 2))
+        return (bund, acc, mo), None
+
+    keys = jax.random.split(key, bounces)
+    (bundle, accum, mom), _ = jax.lax.scan(body, (bundle, accum, mom), keys)
+    accum = accum.replace(residual=accum.residual
+                          + jnp.sum(jnp.where(bundle.alive,
+                                              bundle.energy, 0.0)))
+    return accum, mom
+
+
+# ---- differentiable scene editing ---------------------------------------
+
+def rigid_inverse(frame: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of rigid homogeneous transform(s) (..., 4, 4): [R|t] ->
+    [R^T | -R^T t], differentiable (no linear solve)."""
+    R = frame[..., :3, :3]
+    t = frame[..., :3, 3]
+    Rt = jnp.swapaxes(R, -1, -2)
+    ti = -jnp.einsum("...ij,...j->...i", Rt, t)
+    top = jnp.concatenate([Rt, ti[..., :, None]], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], frame.dtype),
+        frame.shape[:-2] + (1, 4))
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def with_rows(scene: SceneTable, rows, frame=None, quadric=None,
+              opt_params=None) -> SceneTable:
+    """Functionally replace per-row scene parameters — the bridge from a
+    design parameter to the traced SceneTable. ``rows`` is an int array
+    (or list) of table row ids; each given value must broadcast to the
+    rows' slice shape. Frames must be rigid (inverses are built with
+    ``rigid_inverse``; a scaled/sheared frame needs a real inverse and a
+    re-derived normal transform — compile the scene with it instead)."""
+    rows = jnp.asarray(rows)
+    out = scene
+    if frame is not None:
+        frame = jnp.asarray(frame, scene.frame.dtype)
+        out = out.replace(frame=out.frame.at[rows].set(frame),
+                          inv_frame=out.inv_frame.at[rows].set(
+                              rigid_inverse(frame)))
+    if quadric is not None:
+        out = out.replace(quadric=out.quadric.at[rows].set(
+            jnp.asarray(quadric, scene.quadric.dtype)))
+    if opt_params is not None:
+        out = out.replace(opt_params=out.opt_params.at[rows].set(
+            jnp.asarray(opt_params, scene.opt_params.dtype)))
+    return out
+
+
+def frame_to(normal, location, dtype=jnp.float64) -> jnp.ndarray:
+    """Rigid local->global 4x4 whose local +Z is ``normal`` (need not be
+    unit), placed at ``location`` — the jnp/differentiable twin of
+    spatial.rotation_to_z (same new-X-in-old-XY convention, so a frame
+    built here matches what compile_scene baked for the same pose).
+    Degenerate at normal || +-Z (the reference convention's own
+    singularity); perturb the aim or compose rotations there."""
+    n = jnp.asarray(normal, dtype)
+    n = n / jnp.linalg.norm(n)
+    perp = jnp.stack([n[1], -n[0], jnp.zeros((), dtype)])
+    perp = perp / jnp.linalg.norm(perp)
+    R = jnp.stack([perp, jnp.cross(n, perp), n], axis=1)
+    loc = jnp.asarray(location, dtype)
+    top = jnp.concatenate([R, loc[:, None]], axis=1)
+    return jnp.concatenate(
+        [top, jnp.array([[0.0, 0.0, 0.0, 1.0]], dtype)], axis=0)
+
+
+# ---- loss helpers --------------------------------------------------------
+
+def spot_rms(mom: MomentAccum, rows, center=(0.0, 0.0)) -> jnp.ndarray:
+    """Energy-weighted mean squared distance of the local (x, y) hit
+    coordinates from ``center``, over the table rows ``rows`` — the
+    differentiable spot-size/aiming loss. E[|r - c|^2] expands into the
+    accumulated moments, so no per-ray data is needed."""
+    rows = jnp.asarray(rows)
+    p = jnp.sum(mom.absorbed[rows])
+    m1 = jnp.sum(mom.m1[rows], axis=0)
+    m2 = jnp.sum(mom.m2[rows], axis=0)
+    c = jnp.asarray(center, mom.m1.dtype)
+    num = (m2[0] - 2.0 * c[0] * m1[0] + c[0] ** 2 * p
+           + m2[1] - 2.0 * c[1] * m1[1] + c[1] ** 2 * p)
+    return num / jnp.maximum(p, jnp.finfo(mom.m1.dtype).tiny)
+
+
+def spot_centroid(mom: MomentAccum, rows) -> jnp.ndarray:
+    """Energy-weighted centroid of the local hit coordinates over the
+    table rows ``rows`` (3-vector; z is 0 for flat receivers)."""
+    rows = jnp.asarray(rows)
+    p = jnp.sum(mom.absorbed[rows])
+    return jnp.sum(mom.m1[rows], axis=0) \
+        / jnp.maximum(p, jnp.finfo(mom.m1.dtype).tiny)

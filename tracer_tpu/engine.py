@@ -176,12 +176,13 @@ def _account(scene: SceneTable, accum: TraceAccum, sid, hit, escaped,
 
 @functools.partial(jax.jit,
                    static_argnames=("min_energy", "t_eps", "disc_eps", "block",
-                                    "count_hits", "need_local", "split_mode"))
+                                    "count_hits", "need_local", "split_mode",
+                                    "force_jnp"))
 def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
                  key: jax.Array, min_energy: float, t_eps, disc_eps: float,
                  block: int, count_hits: bool = True,
                  need_local: bool = True, split_mode: bool = False,
-                 cand=None):
+                 cand=None, force_jnp: bool = False):
     """One bounce: intersect, shade, account. Returns (bundle', accum', rec).
 
     With volumetric media in the scene ("volumetric" feature), a scattering
@@ -216,6 +217,7 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
     if refr_ok:
         fusable_kinds = fusable_kinds | {_M.K_REFRACTIVE}
     use_fused = (cand is None
+                 and not force_jnp
                  and not need_local
                  and set(scene.kinds_present) <= fusable_kinds
                  and "volumetric" not in scene.features
@@ -305,7 +307,8 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
     else:
         t, sid, aux = nearest_hit_aux(scene, bundle.pos, bundle.dir,
                                       t_eps=t_eps, disc_eps=disc_eps,
-                                      block=block, need_local=need_local)
+                                      block=block, need_local=need_local,
+                                      force_jnp=force_jnp)
     sid = jnp.where(alive, sid, -1)
 
     volumetric = "volumetric" in scene.features

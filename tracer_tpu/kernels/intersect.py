@@ -129,7 +129,11 @@ def _surface_t(inv_frame, quad, ap_params, pos, dirs, t_eps, disc_eps, sig,
     is_b0 = B == 0.0
 
     disc = B * B - 4.0 * A * C
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # double-where sqrt guard: sqrt'(0) = inf would poison reverse-mode
+    # autodiff (diff.trace_diff) through the clamped miss/tangent branches
+    disc_pos = disc > 0.0
+    sq = jnp.where(disc_pos,
+                   jnp.sqrt(jnp.where(disc_pos, disc, 1.0)), 0.0)
     signB = jnp.where(B >= 0.0, 1.0, -1.0)
     q = -0.5 * (B + signB * sq)
     safeA = jnp.where(is_linear, 1.0, A)
@@ -139,7 +143,9 @@ def _surface_t(inv_frame, quad, ap_params, pos, dirs, t_eps, disc_eps, sig,
     quad_ok = disc >= disc_eps
 
     mCA = -C / safeA
-    sqrt_mCA = jnp.sqrt(jnp.maximum(mCA, 0.0))
+    mCA_pos = mCA > 0.0
+    sqrt_mCA = jnp.where(mCA_pos,
+                         jnp.sqrt(jnp.where(mCA_pos, mCA, 1.0)), 0.0)
     b0_ok = mCA >= 0.0
 
     safeB = jnp.where(is_b0, 1.0, B)
@@ -250,13 +256,19 @@ def _candidate_t(scene, rows, pos, dirs, t_eps: float, disc_eps: float):
     is_linear = A == 0.0
     is_b0 = B == 0.0
     disc = B * B - 4.0 * A * C
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # double-where sqrt guard: sqrt'(0) = inf would poison reverse-mode
+    # autodiff (diff.trace_diff) through the clamped miss/tangent branches
+    disc_pos = disc > 0.0
+    sq = jnp.where(disc_pos,
+                   jnp.sqrt(jnp.where(disc_pos, disc, 1.0)), 0.0)
     signB = jnp.where(B >= 0.0, 1.0, -1.0)
     qq = -0.5 * (B + signB * sq)
     safeA = jnp.where(is_linear, 1.0, A)
     safeq = jnp.where(qq == 0.0, 1.0, qq)
     mCA = -C / safeA
-    sqrt_mCA = jnp.sqrt(jnp.maximum(mCA, 0.0))
+    mCA_pos = mCA > 0.0
+    sqrt_mCA = jnp.where(mCA_pos,
+                         jnp.sqrt(jnp.where(mCA_pos, mCA, 1.0)), 0.0)
     safeB = jnp.where(is_b0, 1.0, B)
     t_lin = -C / safeB
     t0 = jnp.where(is_linear, t_lin,
@@ -323,15 +335,19 @@ def pallas_rows_fit(scene) -> bool:
 
 
 def nearest_hit_aux(scene, pos, dirs, t_eps=None, disc_eps: float = 1e-6,
-                    block=None, need_local: bool = True):
+                    block=None, need_local: bool = True,
+                    force_jnp: bool = False):
     """Like nearest_hit, but on the Pallas path also returns the winner's
     shading data (normal/local/up_dot/kind/flags/p0/p1) carried through the
     kernel, letting the shade pass skip its per-ray row gather. Returns
     (t, sid, aux_or_None). need_local=False skips carrying the local hit
-    point (3 selects/surface) when no per-bounce records are kept."""
+    point (3 selects/surface) when no per-bounce records are kept.
+    force_jnp=True pins the pure-jnp path regardless of backend — required
+    by reverse-mode autodiff (diff.trace_diff), which cannot flow through
+    the Pallas kernels."""
     if t_eps is None:
         t_eps = default_t_eps(pos.dtype)
-    if _use_pallas(pos) and pallas_rows_fit(scene):
+    if not force_jnp and _use_pallas(pos) and pallas_rows_fit(scene):
         from .pallas_intersect import nearest_hit_pallas, pack_rows
         return nearest_hit_pallas(pack_rows(scene), pos, dirs, scene.groups,
                                   t_eps, disc_eps, need_local=need_local,

@@ -5,10 +5,15 @@ import jax.numpy as jnp
 
 
 def normalize(v: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarray:
-    """Unit vectors along ``axis``; zero vectors stay finite when eps>0."""
-    n = jnp.sqrt(jnp.sum(v * v, axis=axis, keepdims=True))
+    """Unit vectors along ``axis``; zero vectors stay finite when eps>0.
+    The eps branch is a double-where (not a maximum) so sqrt'(0) = inf
+    cannot poison reverse-mode autodiff through masked lanes."""
+    n2 = jnp.sum(v * v, axis=axis, keepdims=True)
     if eps:
-        n = jnp.maximum(n, eps)
+        good = n2 > eps * eps
+        n = jnp.where(good, jnp.sqrt(jnp.where(good, n2, 1.0)), eps)
+    else:
+        n = jnp.sqrt(n2)
     return v / n
 
 
@@ -25,10 +30,13 @@ def rotation_to_z(vecs: jnp.ndarray) -> jnp.ndarray:
     """
     vx, vy, vz = vecs[..., 0], vecs[..., 1], vecs[..., 2]
     perp = jnp.stack([vy, -vx, jnp.zeros_like(vx)], axis=-1)
-    nrm = jnp.sqrt(jnp.sum(perp * perp, axis=-1, keepdims=True))
-    singular = nrm[..., 0] < 1e-12
+    # double-where sqrt guard: a normal along +-Z has perp == 0 and
+    # sqrt'(0) = inf would poison reverse-mode autodiff (diff.trace_diff)
+    nrm2 = jnp.sum(perp * perp, axis=-1, keepdims=True)
+    singular = nrm2[..., 0] < 1e-24
+    nrm = jnp.sqrt(jnp.where(singular[..., None], 1.0, nrm2))
     fallback = jnp.zeros_like(perp).at[..., 0].set(1.0)
-    perp = jnp.where(singular[..., None], fallback, perp / jnp.maximum(nrm, 1e-30))
+    perp = jnp.where(singular[..., None], fallback, perp / nrm)
     ycol = jnp.cross(vecs, perp)
     # Columns are [perp, v x perp, v].
     return jnp.stack([perp, ycol, vecs], axis=-1)
