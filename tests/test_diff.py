@@ -166,6 +166,73 @@ def test_aim_optimization_converges():
     assert abs(float(a) - a_star) < 8e-3
 
 
+def test_refractive_index_gradient_matches_finite_difference():
+    """d(spot centroid)/d(refractive index) through the vector-Snell
+    refraction and the Fresnel Russian roulette (fixed key: the roulette
+    decisions are frozen, the refracted directions move smoothly)."""
+    iface = Surface(G.rect_plate(10.0, 10.0),
+                    M.refractive_homogenous(1.0, 1.5),
+                    location=[0.0, 0.0, 1.0], name="iface")
+    recv = Surface(G.rect_plate(20.0, 20.0), M.lambertian(1.0),
+                   name="receiver")
+    table, meta = compile_scene(Assembly([AssembledObject([iface, recv])]),
+                                dtype=jnp.float64)
+    i_rows = _rows_of(meta, "iface")
+    r_rows = _rows_of(meta, "receiver")
+    d = np.array([np.sin(0.5), 0.0, -np.cos(0.5)])
+    beam = disk_bundle(jax.random.PRNGKey(21), 512,
+                       center=[-2.0 * d[0], 0.0, 3.0], direction=d,
+                       radius=0.5, ang_range=1e-4, flux=1000.0)
+    key = jax.random.PRNGKey(22)
+
+    def centroid_x(n2):
+        prm = table.opt_params[i_rows[0]].at[1].set(n2)
+        t = diff.with_rows(table, i_rows, opt_params=prm[None])
+        _, mom = diff.trace_diff(t, beam, key, bounces=3)
+        return diff.spot_centroid(mom, r_rows)[0]
+
+    n0 = jnp.asarray(1.5)
+    g = jax.grad(centroid_x)(n0)
+    h = 1e-6
+    fd = (centroid_x(n0 + h) - centroid_x(n0 - h)) / (2 * h)
+    assert abs(float(fd)) > 1e-4   # the objective actually moves with n
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-5)
+
+
+def test_slope_error_sigma_gradient_matches_finite_difference():
+    """d(spot RMS)/d(slope-error sigma) — the mirror-quality calibration
+    derivative: sigma scales the per-ray normal perturbation draws, so
+    the pathwise gradient is smooth and positive (bigger errors, bigger
+    spot). The scene must COMPILE with sigma > 0 — the slope-error code
+    is statically pruned from scenes without the feature, where the
+    gradient is (correctly, for that compiled program) zero."""
+    mirror = Surface(G.rect_plate(3.0, 3.0),
+                     M.reflective(absorptivity=0.1, sigma=2e-3),
+                     rotation=sp.roty(np.pi / 4)[:3, :3], name="mirror")
+    recv = Surface(G.rect_plate(8.0, 8.0), M.lambertian(absorptivity=0.9),
+                   location=[6.0, 0.0, 0.0],
+                   rotation=sp.roty(np.pi / 2)[:3, :3], name="receiver")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([mirror, recv])]), dtype=jnp.float64)
+    m_rows = _rows_of(meta, "mirror")
+    r_rows = _rows_of(meta, "receiver")
+    beam = _beam(n=2048)
+    key = jax.random.PRNGKey(31)
+
+    def loss(sigma):
+        prm = table.opt_params[m_rows[0]].at[1].set(sigma)
+        t = diff.with_rows(table, m_rows, opt_params=prm[None])
+        _, mom = diff.trace_diff(t, beam, key, bounces=3)
+        return diff.spot_rms(mom, r_rows)
+
+    s0 = jnp.asarray(2e-3)
+    g = jax.grad(loss)(s0)
+    h = 1e-7
+    fd = (loss(s0 + h) - loss(s0 - h)) / (2 * h)
+    assert float(g) > 0.0
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-4)
+
+
 def test_source_direction_gradient():
     """Gradients also flow into the RayBundle: d(spot centroid)/d(beam
     tilt) through the source directions matches finite differences."""

@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from .. import materials as M
-from ..mathutils import apply_rot, dot, normalize, rotate_to_normal
+from ..mathutils import (apply_rot, dot, normalize, rotate_to_normal,
+                         safe_arccos)
 from ..optics import reflections, refractions, fresnel
 
 
@@ -274,7 +275,7 @@ def shade(scene, sid: jnp.ndarray, t: jnp.ndarray, pos: jnp.ndarray,
         if M.K_SEMI_LAMBERTIAN in kinds:
             # diffuse below ang_range incidence, specular at glancing
             # (ref SemiLambertian :506; both branches absorb)
-            ang_in = jnp.arccos(jnp.clip(cos_aoi, -1.0, 1.0))
+            ang_in = safe_arccos(cos_aoi)
             d_semi = jnp.where((ang_in > prm[:, 1])[:, None],
                                d_reflect, d_lambert)
             out_dir = jnp.where((kind == M.K_SEMI_LAMBERTIAN)[:, None],
@@ -364,7 +365,7 @@ def shade(scene, sid: jnp.ndarray, t: jnp.ndarray, pos: jnp.ndarray,
         n_dot_l = dot(d_ct, ns)
         from ..optics import fresnel_to_attenuating
         m2 = prm[:, 1] + 1j * prm[:, 2]
-        th1 = jnp.arccos(jnp.clip(v_dot_h, 0.0, 1.0))
+        th1 = safe_arccos(jnp.maximum(v_dot_h, 0.0))
         R_p, R_s, _ = fresnel_to_attenuating(1.0, m2, th1)
         F = 0.5 * (R_p + R_s)
         G = jnp.minimum(
@@ -389,7 +390,7 @@ def shade(scene, sid: jnp.ndarray, t: jnp.ndarray, pos: jnp.ndarray,
                                 scene.spectral_wl, scene.spectral_ab)
         k2_fc = _interp_segment(wavelength, st_fc + L_fc, L_fc,
                                 scene.spectral_wl, scene.spectral_ab)
-        th1 = jnp.arccos(jnp.clip(cos_aoi, 0.0, 1.0))
+        th1 = safe_arccos(jnp.maximum(cos_aoi, 0.0))
         n1_fc = jnp.where(prm[:, 0] > 0.0, prm[:, 0], 1.0)
         R_p, R_s, _ = fresnel_to_attenuating(n1_fc, n2_fc + 1j * k2_fc, th1)
         R_fc = jnp.clip(0.5 * (R_p + R_s), 0.0, 1.0)
@@ -401,7 +402,7 @@ def shade(scene, sid: jnp.ndarray, t: jnp.ndarray, pos: jnp.ndarray,
         # piecewise directional (and optionally spectral) diffuse
         # absorptance with constant or directional specularity (ref
         # optics_callables.py:331-491 family)
-        th_in = jnp.arccos(jnp.clip(cos_aoi, 0.0, 1.0))
+        th_in = safe_arccos(jnp.maximum(cos_aoi, 0.0))
         abs_pw = _interp_segment(th_in, prm[:, 0], prm[:, 1],
                                  scene.spectral_wl, scene.spectral_ab)
         if "lambertian_piecewise_spectral" in features:

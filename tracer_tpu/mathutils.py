@@ -21,6 +21,25 @@ def dot(a: jnp.ndarray, b: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return jnp.sum(a * b, axis=axis)
 
 
+def safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
+    """Forward-identical to sqrt(maximum(x, 0)), but with a ZERO gradient
+    on clamped lanes instead of sqrt'(0) = inf — reverse-mode autodiff
+    (diff.trace_diff) would otherwise turn every masked miss/TIR lane
+    into a NaN cotangent (the double-where pattern)."""
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
+def safe_arccos(c: jnp.ndarray) -> jnp.ndarray:
+    """Forward-identical to arccos(clip(c, -1, 1)), but with a ZERO
+    gradient at |c| >= 1 instead of the true (infinite) one-sided
+    derivative — keeps exactly-normal-incidence lanes differentiable."""
+    cc = jnp.clip(c, -1.0, 1.0)
+    inner = jnp.abs(cc) < 1.0
+    return jnp.where(inner, jnp.arccos(jnp.where(inner, cc, 0.0)),
+                     jnp.where(cc > 0.0, 0.0, jnp.pi).astype(cc.dtype))
+
+
 def rotation_to_z(vecs: jnp.ndarray) -> jnp.ndarray:
     """Batched frames whose Z axis is ``vecs`` (n,3) -> (n,3,3).
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .mathutils import dot
+from .mathutils import dot, safe_arccos, safe_sqrt
 
 
 def fresnel(ray_dirs: jnp.ndarray, normals: jnp.ndarray, n1, n2) -> jnp.ndarray:
@@ -30,7 +30,7 @@ def fresnel(ray_dirs: jnp.ndarray, normals: jnp.ndarray, n1, n2) -> jnp.ndarray:
     ratio = n1 / n2
     under = 1.0 - ratio * ratio * sin1_sq
     tir = under < 0.0
-    bar = jnp.sqrt(jnp.maximum(under, 0.0))
+    bar = safe_sqrt(under)
     Rs = ((n1 * cos1 - n2 * bar) / (n1 * cos1 + n2 * bar)) ** 2
     Rp = ((n1 * bar - n2 * cos1) / (n1 * bar + n2 * cos1)) ** 2
     return jnp.where(tir, 1.0, 0.5 * (Rs + Rp))
@@ -45,9 +45,9 @@ def fresnel_to_attenuating(n1, m2, theta1):
     n2r, k2 = jnp.real(m2), jnp.imag(m2)
     s1 = n1 * jnp.sin(theta1)
     b = n2r**2 - k2**2 - s1**2
-    a = jnp.sqrt(b**2 + 4.0 * (n2r * k2) ** 2)
-    p = jnp.sqrt(0.5 * (a + b))
-    q = jnp.sqrt(jnp.maximum(0.5 * (a - b), 0.0))
+    a = safe_sqrt(b**2 + 4.0 * (n2r * k2) ** 2)
+    p = safe_sqrt(0.5 * (a + b))
+    q = safe_sqrt(0.5 * (a - b))
     theta2 = jnp.arctan2(s1, p)
     c1 = n1 * jnp.cos(theta1)
     R_s = ((c1 - p) ** 2 + q**2) / ((c1 + p) ** 2 + q**2)
@@ -60,7 +60,7 @@ def fresnel_conductor(ray_dirs, normals, m2, n1=1.0):
     """Fresnel reflectances against a conductor with complex index m2
     (per-ray array ok). Mirrors reference tracer/optics.py:41 with the
     material lookup hoisted out (pass m2 = material.m(lambdas))."""
-    theta_in = jnp.arccos(jnp.abs(dot(normals, ray_dirs)))
+    theta_in = safe_arccos(jnp.abs(dot(normals, ray_dirs)))
     return fresnel_to_attenuating(n1, m2, theta_in)
 
 
@@ -79,8 +79,7 @@ def refractions(n1, n2, ray_dirs, normals):
     refracted = cos1**2 >= 1.0 - n**2
     safe_n = jnp.where(n == 0.0, 1.0, n)
     t = (ray_dirs - cos1[..., None] * normals) / safe_n[..., None]
-    cos2_sq = jnp.maximum(1.0 - (1.0 - cos1**2) / safe_n**2, 0.0)
-    cos2 = jnp.sqrt(cos2_sq)
+    cos2 = safe_sqrt(1.0 - (1.0 - cos1**2) / safe_n**2)
     t = t + normals * (cos2 * jnp.where(cos1 < 0.0, -1.0, 1.0))[..., None]
     return refracted, t
 
