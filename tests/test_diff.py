@@ -102,6 +102,42 @@ def test_focal_length_gradient_matches_finite_difference():
     assert float(loss(fq)) > float(loss(jnp.asarray(f0)))
 
 
+def test_vmap_design_sweep_matches_sequential():
+    """The functional design composes with jax.vmap: a BATCH of dish
+    curvatures traces as one XLA program (a parallel design sweep on one
+    chip — no reference analog) and reproduces the sequential results."""
+    f0 = 2.0
+    dish = Surface(G.parabolic_dish(2.0, f0), M.reflective(0.05),
+                   name="dish")
+    recv = Surface(G.rect_plate(0.5, 0.5), M.lambertian(0.95),
+                   location=[0.0, 0.0, f0],
+                   rotation=sp.rotx(np.pi)[:3, :3], name="receiver")
+    table, meta = compile_scene(Assembly([AssembledObject([dish, recv])]),
+                                dtype=jnp.float64)
+    d_rows = _rows_of(meta, "dish")
+    r_rows = _rows_of(meta, "receiver")
+    beam = disk_bundle(jax.random.PRNGKey(5), 1024,
+                       center=[0.0, 0.0, 5.0], direction=[0.0, 0.0, -1.0],
+                       radius=0.95, radius_in=0.45, ang_range=1e-4,
+                       flux=1000.0)
+    key = jax.random.PRNGKey(6)
+
+    def loss(f):
+        q = 1.0 / (4.0 * f)
+        quad = jnp.zeros((10,), jnp.float64).at[0].set(q).at[1].set(q) \
+            .at[8].set(-0.5)
+        t = diff.with_rows(table, d_rows, quadric=quad[None])
+        _, mom = diff.trace_diff(t, beam, key, bounces=3)
+        return diff.spot_rms(mom, r_rows)
+
+    fs = jnp.asarray([1.6, 1.8, 2.0, 2.4])
+    batched = jax.jit(jax.vmap(loss))(fs)
+    seq = jnp.stack([loss(f) for f in fs])
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(seq),
+                               rtol=1e-12)
+    assert float(batched[2]) == min(float(v) for v in batched)
+
+
 def test_absorptivity_gradient_is_incident_power():
     """d(receiver absorbed)/d(alpha) == incident power exactly (single
     interaction, absorbed = alpha * e_in) — an analytic gradient check
