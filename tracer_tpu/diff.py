@@ -41,6 +41,8 @@ engine mutates NumPy state per surface, tracer_engine.py:124-295).
 """
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -86,8 +88,58 @@ class MomentAccum:
                    m2=jnp.zeros((n_rows, 3), dtype))
 
 
+class DiffFluxSpec(NamedTuple):
+    """A differentiable flux map: absorbed energy soft-binned (bilinear
+    splat) over the local (x, y) coordinates of hits on ``rows``.
+
+    Unlike the hard-binned device flux maps (analysis.device_fluxmap),
+    the bilinear splat is piecewise-LINEAR in the hit position, so the
+    map has well-defined gradients w.r.t. scene parameters — the basis
+    for flux-map-fitting inverse problems (aim/slope calibration against
+    a measured map). Bin values converge to the hard histogram as the
+    spot moves well inside a bin. Hits outside [xlim] x [ylim] are
+    dropped (their gradient contribution too — keep the map generous).
+
+    rows   tuple of table row ids (static)
+    xlim   (xmin, xmax) in surface-local coordinates
+    ylim   (ymin, ymax)
+    shape  (nu, nv) bins
+    """
+
+    rows: tuple
+    xlim: tuple
+    ylim: tuple
+    shape: tuple
+
+
+def _splat(grid, spec: DiffFluxSpec, sid, local, w):
+    """Bilinear-splat w at local (x, y) into grid for sid in spec.rows."""
+    nu, nv = spec.shape
+    on = jnp.zeros_like(sid, dtype=bool)
+    for r in spec.rows:
+        on = on | (sid == r)
+    x, y = local[:, 0], local[:, 1]
+    gx = (x - spec.xlim[0]) / (spec.xlim[1] - spec.xlim[0]) * nu - 0.5
+    gy = (y - spec.ylim[0]) / (spec.ylim[1] - spec.ylim[0]) * nv - 0.5
+    i0 = jnp.floor(gx)
+    j0 = jnp.floor(gy)
+    fx = gx - i0
+    fy = gy - j0
+    i0 = i0.astype(jnp.int32)
+    j0 = j0.astype(jnp.int32)
+    for di, dj, wt in ((0, 0, (1 - fx) * (1 - fy)), (1, 0, fx * (1 - fy)),
+                       (0, 1, (1 - fx) * fy), (1, 1, fx * fy)):
+        ii, jj = i0 + di, j0 + dj
+        ok = on & (ii >= 0) & (ii < nu) & (jj >= 0) & (jj < nv)
+        grid = grid.at[jnp.where(ok, ii, 0),
+                       jnp.where(ok, jj, 0)].add(
+                           jnp.where(ok, w * wt, 0.0))
+    return grid
+
+
 def trace_diff(scene: SceneTable, bundle: RayBundle, key: jax.Array,
-               bounces: int, disc_eps: float = 1e-6, t_eps=None):
+               bounces: int, disc_eps: float = 1e-6, t_eps=None,
+               fluxspecs: tuple = ()):
     """Fixed-bounce-count differentiable trace.
 
     Scans ``bounces`` bounce steps of the general engine path (pinned to
@@ -98,7 +150,9 @@ def trace_diff(scene: SceneTable, bundle: RayBundle, key: jax.Array,
 
     Returns ``(accum, moments)`` — a TraceAccum (absorbed / escaped /
     medium / residual energies; residual here is whatever the final
-    bundle still carries) and a MomentAccum. Both are differentiable
+    bundle still carries) and a MomentAccum. With ``fluxspecs`` (a tuple
+    of DiffFluxSpec), returns ``(accum, moments, grids)`` where grids[i]
+    is spec i's soft-binned (nu, nv) flux map. All are differentiable
     functions of every float leaf of ``scene`` and ``bundle``; compose a
     scalar loss from them and take ``jax.grad`` over a wrapper that
     builds the perturbed scene (see ``with_rows`` and ``frame_to``).
@@ -110,9 +164,10 @@ def trace_diff(scene: SceneTable, bundle: RayBundle, key: jax.Array,
     dtype = bundle.pos.dtype
     accum = TraceAccum.zeros(scene.num_rows, dtype=dtype)
     mom = MomentAccum.zeros(scene.num_rows, dtype=dtype)
+    grids = tuple(jnp.zeros(s.shape, dtype) for s in fluxspecs)
 
     def body(carry, k):
-        bund, acc, mo = carry
+        bund, acc, mo, gr = carry
         bund, acc, rec = _bounce_step(
             scene, bund, acc, k, min_energy=0.0, t_eps=t_eps,
             disc_eps=disc_eps, block=64, count_hits=False,
@@ -125,13 +180,18 @@ def trace_diff(scene: SceneTable, bundle: RayBundle, key: jax.Array,
             absorbed=mo.absorbed.at[s].add(w),
             m1=mo.m1.at[s].add(w[:, None] * rec.local),
             m2=mo.m2.at[s].add(w[:, None] * rec.local ** 2))
-        return (bund, acc, mo), None
+        gr = tuple(_splat(g, sp, rec.sid, rec.local, w)
+                   for g, sp in zip(gr, fluxspecs))
+        return (bund, acc, mo, gr), None
 
     keys = jax.random.split(key, bounces)
-    (bundle, accum, mom), _ = jax.lax.scan(body, (bundle, accum, mom), keys)
+    (bundle, accum, mom, grids), _ = jax.lax.scan(
+        body, (bundle, accum, mom, grids), keys)
     accum = accum.replace(residual=accum.residual
                           + jnp.sum(jnp.where(bundle.alive,
                                               bundle.energy, 0.0)))
+    if fluxspecs:
+        return accum, mom, grids
     return accum, mom
 
 
