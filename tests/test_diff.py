@@ -324,6 +324,41 @@ def test_fluxmap_fit_recovers_aim():
     assert abs(float(a) - float(a_true)) < 2e-3
 
 
+def test_checkpoint_matches_plain_gradient():
+    """checkpoint=True (rematerialized backward) returns the same value
+    and gradient as the plain scan."""
+    table, meta = _mirror_receiver_scene()
+    m_rows = _rows_of(meta, "mirror")
+    r_rows = _rows_of(meta, "receiver")
+    beam = _beam(n=256)
+    key = jax.random.PRNGKey(51)
+
+    def loss(a, ckpt):
+        n = jnp.stack([jnp.sin(a), jnp.zeros_like(a), jnp.cos(a)])
+        t = diff.with_rows(table, m_rows,
+                           frame=diff.frame_to(n, jnp.zeros(3))[None])
+        _, mom = diff.trace_diff(t, beam, key, bounces=4, checkpoint=ckpt)
+        return diff.spot_rms(mom, r_rows)
+
+    a0 = jnp.asarray(np.pi / 4 + 0.01)
+    v0, g0 = jax.value_and_grad(lambda a: loss(a, False))(a0)
+    v1, g1 = jax.value_and_grad(lambda a: loss(a, True))(a0)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-14)
+    np.testing.assert_allclose(float(g0), float(g1), rtol=1e-12)
+
+
+def test_frame_to_z_axis_fallback():
+    """frame_to(normal = +-Z) returns a valid (NaN-free, orthonormal)
+    frame via rotation_to_z's X-axis fallback instead of 0/0."""
+    for nz in (1.0, -1.0):
+        fr = diff.frame_to(jnp.asarray([0.0, 0.0, nz]), jnp.zeros(3))
+        fr = np.asarray(fr)
+        assert np.isfinite(fr).all()
+        R = fr[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-14)
+        np.testing.assert_allclose(R[:, 2], [0.0, 0.0, nz], atol=1e-14)
+
+
 def test_source_direction_gradient():
     """Gradients also flow into the RayBundle: d(spot centroid)/d(beam
     tilt) through the source directions matches finite differences."""

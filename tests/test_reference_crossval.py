@@ -1026,7 +1026,7 @@ def test_volumetric_absorbant_matches_reference_engine(reference):
                    name="ceil", location=[0.0, 0.0, 1.0],
                    rotation=sp.rotx(np.pi)[:3, :3])
     table, meta = compile_scene(
-        Assembly([AssembledObject([floor, ceil])]),
+        Assembly([AssembledObject([floor, ceil])]), dtype=jnp.float64,
         extra_features=("volumetric",))
     b = oblique_solar_rect_bundle(
         jax.random.PRNGKey(0), n, [0.0, 0.0, 0.999], [0.0, 0.0, -1.0],

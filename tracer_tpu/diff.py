@@ -139,7 +139,7 @@ def _splat(grid, spec: DiffFluxSpec, sid, local, w):
 
 def trace_diff(scene: SceneTable, bundle: RayBundle, key: jax.Array,
                bounces: int, disc_eps: float = 1e-6, t_eps=None,
-               fluxspecs: tuple = ()):
+               fluxspecs: tuple = (), checkpoint: bool = False):
     """Fixed-bounce-count differentiable trace.
 
     Scans ``bounces`` bounce steps of the general engine path (pinned to
@@ -158,8 +158,9 @@ def trace_diff(scene: SceneTable, bundle: RayBundle, key: jax.Array,
     builds the perturbed scene (see ``with_rows`` and ``frame_to``).
 
     Memory: reverse mode keeps each bounce's residuals; for long traces
-    wrap the body with ``jax.checkpoint`` yourself or split the bounce
-    budget across calls.
+    pass ``checkpoint=True`` (rematerializes each bounce in the backward
+    pass — O(1) residual memory for O(2x) forward FLOPs) or split the
+    bounce budget across calls.
     """
     dtype = bundle.pos.dtype
     accum = TraceAccum.zeros(scene.num_rows, dtype=dtype)
@@ -184,6 +185,8 @@ def trace_diff(scene: SceneTable, bundle: RayBundle, key: jax.Array,
                    for g, sp in zip(gr, fluxspecs))
         return (bund, acc, mo, gr), None
 
+    if checkpoint:
+        body = jax.checkpoint(body)
     keys = jax.random.split(key, bounces)
     (bundle, accum, mom, grids), _ = jax.lax.scan(
         body, (bundle, accum, mom, grids), keys)
@@ -237,16 +240,14 @@ def with_rows(scene: SceneTable, rows, frame=None, quadric=None,
 
 def frame_to(normal, location, dtype=jnp.float64) -> jnp.ndarray:
     """Rigid local->global 4x4 whose local +Z is ``normal`` (need not be
-    unit), placed at ``location`` — the jnp/differentiable twin of
-    spatial.rotation_to_z (same new-X-in-old-XY convention, so a frame
-    built here matches what compile_scene baked for the same pose).
-    Degenerate at normal || +-Z (the reference convention's own
-    singularity); perturb the aim or compose rotations there."""
-    n = jnp.asarray(normal, dtype)
-    n = n / jnp.linalg.norm(n)
-    perp = jnp.stack([n[1], -n[0], jnp.zeros((), dtype)])
-    perp = perp / jnp.linalg.norm(perp)
-    R = jnp.stack([perp, jnp.cross(n, perp), n], axis=1)
+    unit), placed at ``location`` — the differentiable frame builder
+    (mathutils.rotation_to_z underneath: same new-X-in-old-XY convention
+    as spatial.rotation_to_z, so a frame built here matches what
+    compile_scene baked for the same pose, and normal == +-Z falls back
+    to the X-axis frame instead of NaN)."""
+    from .mathutils import normalize as _unit, rotation_to_z
+    n = _unit(jnp.asarray(normal, dtype))
+    R = rotation_to_z(n)
     loc = jnp.asarray(location, dtype)
     top = jnp.concatenate([R, loc[:, None]], axis=1)
     return jnp.concatenate(

@@ -346,7 +346,8 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
                            / (1.0 + g * sg)) ** 2) / (2.0 * jnp.where(
                                jnp.abs(g) < 1e-9, 1.0, g)))
         cos_th = jnp.clip(cos_th, -1.0, 1.0)
-        sin_th = jnp.sqrt(1.0 - cos_th**2)
+        from .mathutils import safe_sqrt
+        sin_th = safe_sqrt(1.0 - cos_th**2)   # |cos|=1 lanes stay gradable
         phi = jax.random.uniform(k_phi, (bundle.num_rays,),
                                  dtype=bundle.pos.dtype,
                                  minval=0.0, maxval=2.0 * jnp.pi)

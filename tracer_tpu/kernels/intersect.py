@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import geometry as G
-from ..mathutils import apply_rot
+from ..mathutils import apply_rot, safe_sqrt
 
 
 def _constraint_pred(kind: int, p, x, y, z):
@@ -129,11 +129,7 @@ def _surface_t(inv_frame, quad, ap_params, pos, dirs, t_eps, disc_eps, sig,
     is_b0 = B == 0.0
 
     disc = B * B - 4.0 * A * C
-    # double-where sqrt guard: sqrt'(0) = inf would poison reverse-mode
-    # autodiff (diff.trace_diff) through the clamped miss/tangent branches
-    disc_pos = disc > 0.0
-    sq = jnp.where(disc_pos,
-                   jnp.sqrt(jnp.where(disc_pos, disc, 1.0)), 0.0)
+    sq = safe_sqrt(disc)   # gradable through miss/tangent clamps
     signB = jnp.where(B >= 0.0, 1.0, -1.0)
     q = -0.5 * (B + signB * sq)
     safeA = jnp.where(is_linear, 1.0, A)
@@ -143,9 +139,7 @@ def _surface_t(inv_frame, quad, ap_params, pos, dirs, t_eps, disc_eps, sig,
     quad_ok = disc >= disc_eps
 
     mCA = -C / safeA
-    mCA_pos = mCA > 0.0
-    sqrt_mCA = jnp.where(mCA_pos,
-                         jnp.sqrt(jnp.where(mCA_pos, mCA, 1.0)), 0.0)
+    sqrt_mCA = safe_sqrt(mCA)
     b0_ok = mCA >= 0.0
 
     safeB = jnp.where(is_b0, 1.0, B)
@@ -256,19 +250,13 @@ def _candidate_t(scene, rows, pos, dirs, t_eps: float, disc_eps: float):
     is_linear = A == 0.0
     is_b0 = B == 0.0
     disc = B * B - 4.0 * A * C
-    # double-where sqrt guard: sqrt'(0) = inf would poison reverse-mode
-    # autodiff (diff.trace_diff) through the clamped miss/tangent branches
-    disc_pos = disc > 0.0
-    sq = jnp.where(disc_pos,
-                   jnp.sqrt(jnp.where(disc_pos, disc, 1.0)), 0.0)
+    sq = safe_sqrt(disc)   # gradable through miss/tangent clamps
     signB = jnp.where(B >= 0.0, 1.0, -1.0)
     qq = -0.5 * (B + signB * sq)
     safeA = jnp.where(is_linear, 1.0, A)
     safeq = jnp.where(qq == 0.0, 1.0, qq)
     mCA = -C / safeA
-    mCA_pos = mCA > 0.0
-    sqrt_mCA = jnp.where(mCA_pos,
-                         jnp.sqrt(jnp.where(mCA_pos, mCA, 1.0)), 0.0)
+    sqrt_mCA = safe_sqrt(mCA)
     safeB = jnp.where(is_b0, 1.0, B)
     t_lin = -C / safeB
     t0 = jnp.where(is_linear, t_lin,

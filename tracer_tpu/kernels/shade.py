@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from .. import materials as M
 from ..mathutils import (apply_rot, dot, normalize, rotate_to_normal,
-                         safe_arccos)
+                         safe_arccos, safe_sqrt)
 from ..optics import reflections, refractions, fresnel
 
 
@@ -353,7 +353,7 @@ def shade(scene, sid: jnp.ndarray, t: jnp.ndarray, pos: jnp.ndarray,
         alpha_ct = prm[:, 0]
         tan2 = -alpha_ct**2 * jnp.log(u_ct)
         cos_h = 1.0 / jnp.sqrt(1.0 + tan2)
-        sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h**2, 0.0))
+        sin_h = safe_sqrt(1.0 - cos_h**2)   # alpha=0 lanes stay gradable
         h_local = jnp.stack([sin_h * jnp.cos(phi_ct),
                              sin_h * jnp.sin(phi_ct), cos_h], axis=1)
         h_vec = normalize(rotate_to_normal(h_local, ns), eps=1e-30)
