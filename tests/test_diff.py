@@ -359,6 +359,56 @@ def test_frame_to_z_axis_fallback():
         np.testing.assert_allclose(R[:, 2], [0.0, 0.0, nz], atol=1e-14)
 
 
+def test_radiosity_jax_matches_numpy_and_analytic_gradient():
+    """The differentiable radiosity solver reproduces the NumPy solver on
+    a mixed-BC enclosure, matches the analytic concentric-spheres
+    exchange, and d(Q1)/d(eps1) through the linear solve matches both the
+    closed-form derivative and finite differences."""
+    from tracer_tpu.analysis.radiosity import (SIGMA, radiosity_rtvf,
+                                               radiosity_rtvf_jax)
+
+    # ---- concentric spheres: analytic Q1 and its eps1-derivative
+    A1, A2 = 1.0, 4.0
+    VF = jnp.asarray([[0.0, 1.0], [A1 / A2, 1.0 - A1 / A2]])
+    areas = jnp.asarray([A1, A2])
+    T = jnp.asarray([600.0, 300.0])
+    has_T = np.array([True, True])
+
+    def Q1(eps1):
+        eps = jnp.stack([eps1, jnp.asarray(0.5)])
+        _, _, _, _, Q = radiosity_rtvf_jax(VF, areas, eps, T,
+                                           jnp.zeros(2), has_T)
+        return Q[0]
+
+    def Q1_analytic(e1):
+        denom = 1.0 / e1 + (A1 / A2) * (1.0 / 0.5 - 1.0)
+        return SIGMA * A1 * (600.0 ** 4 - 300.0 ** 4) / denom
+
+    e1 = jnp.asarray(0.8)
+    np.testing.assert_allclose(float(Q1(e1)), Q1_analytic(0.8), rtol=1e-12)
+    g = jax.grad(Q1)(e1)
+    h = 1e-6
+    fd = (Q1(e1 + h) - Q1(e1 - h)) / (2 * h)
+    d_analytic = (Q1_analytic(0.8 + 1e-9) - Q1_analytic(0.8 - 1e-9)) / 2e-9
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-8)
+    np.testing.assert_allclose(float(g), d_analytic, rtol=1e-6)
+
+    # ---- mixed BCs: jax solver == numpy solver (flux BC on element 1)
+    VF3 = np.array([[0.0, 0.6, 0.4], [0.3, 0.2, 0.5], [0.2, 0.5, 0.3]])
+    areas3 = np.array([1.0, 2.0, 2.5])
+    eps3 = np.array([0.9, 0.4, 1.0])
+    T3 = np.array([500.0, np.nan, 350.0])
+    inc3 = np.array([np.nan, 2000.0, np.nan])
+    _, _, J_np, E_np, T_np, q_np, Q_np = radiosity_rtvf(
+        VF3, areas3, eps3, T=T3, inc_radiation=inc3)
+    J_j, E_j, T_j, q_j, Q_j = radiosity_rtvf_jax(
+        VF3, areas3, eps3, jnp.asarray(T3), jnp.asarray(inc3),
+        ~np.isnan(T3))
+    for a, b in ((J_np, J_j), (E_np, E_j), (T_np, T_j), (q_np, q_j),
+                 (Q_np, Q_j)):
+        np.testing.assert_allclose(np.asarray(b), a, rtol=1e-12)
+
+
 def test_source_direction_gradient():
     """Gradients also flow into the RayBundle: d(spot centroid)/d(beam
     tilt) through the source directions matches finite differences."""

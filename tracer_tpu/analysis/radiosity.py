@@ -77,3 +77,62 @@ def radiosity_rtvf(VF, areas, eps, T=None, inc_radiation=None, q_net=None):
     E = SIGMA * T ** 4
     Q = areas * q
     return AA, bb, J, E, T, q, Q
+
+
+def radiosity_rtvf_jax(VF, areas, eps, T, inc_radiation, has_T,
+                       q_net=None):
+    """Differentiable (jnp) twin of :func:`radiosity_rtvf` — gradients
+    flow through the linear solve into VF, eps, T and inc_radiation for
+    thermal design sensitivities (d loss / d emissivity etc., see
+    docs/differentiable.md).
+
+    Because jnp tracers cannot carry the NaN-encoded BC structure, the
+    split is explicit: ``has_T`` is a STATIC boolean array (True =
+    temperature BC, False = incident-flux BC); the non-selected entries
+    of ``T`` / ``inc_radiation`` are ignored (NaNs there are masked
+    before use, so they cannot poison values or gradients). ``q_net``
+    is an optional (values, mask) pair with a static mask.
+
+    Returns (J, E, T, q, Q) — the solver outputs of radiosity_rtvf
+    without the system matrices.
+    """
+    import jax.numpy as jnp
+
+    VF = jnp.asarray(VF)
+    areas = jnp.asarray(areas)
+    eps = jnp.asarray(eps)
+    has_T = np.asarray(has_T, dtype=bool)
+    n = VF.shape[0]
+    T_in = jnp.where(has_T, jnp.asarray(T), 0.0)
+    inc = jnp.where(has_T, 0.0, jnp.asarray(inc_radiation))
+
+    # temperature rows: J - (1-eps) F J = eps sigma T^4
+    # flux rows:        J -         F J = G
+    w = jnp.where(has_T, 1.0 - eps, 1.0)
+    AA = jnp.eye(n, dtype=VF.dtype) - VF * w[:, None]
+    bb = jnp.where(has_T, eps * SIGMA * T_in ** 4, inc)
+    if q_net is not None:
+        q_vals, q_mask = q_net
+        bb = bb - jnp.where(np.asarray(q_mask, dtype=bool),
+                            jnp.asarray(q_vals), 0.0)
+
+    J = jnp.linalg.solve(AA, bb)
+
+    # back-compute net fluxes / temperatures per BC type (vectorized
+    # where-chain of the reference's per-element branches)
+    E_T = SIGMA * T_in ** 4
+    eps_safe = jnp.where(eps < 1.0, eps, 0.5)
+    black = eps >= 1.0
+    q_T = jnp.where(black, E_T - VF @ J,
+                    eps / jnp.where(black, 1.0, 1.0 - eps_safe)
+                    * (E_T - J))
+    q = jnp.where(has_T, q_T, bb)
+    eps_pos = jnp.where(eps > 0.0, eps, 1.0)
+    arg = jnp.where(has_T, 1.0,
+                    (J + (1.0 - eps) / eps_pos * q) / SIGMA)
+    pos = arg > 0.0   # double-where: x**0.25 has an infinite slope at 0
+    T_q = jnp.where(pos, jnp.where(pos, arg, 1.0) ** 0.25, 0.0)
+    T_out = jnp.where(has_T, T_in, T_q)
+    E = SIGMA * T_out ** 4
+    Q = areas * q
+    return J, E, T_out, q, Q
