@@ -166,6 +166,12 @@ def trace_diff(scene: SceneTable, bundle: RayBundle, key: jax.Array,
     accum = TraceAccum.zeros(scene.num_rows, dtype=dtype)
     mom = MomentAccum.zeros(scene.num_rows, dtype=dtype)
     grids = tuple(jnp.zeros(s.shape, dtype) for s in fluxspecs)
+    # inherit the bundle's device-variance manifest: under shard_map the
+    # scan carry must start as 'varying' over the ray axis like the data
+    # it accumulates, and adding this zero is the axis-name-agnostic way
+    vary0 = jnp.zeros((), dtype) * jnp.sum(bundle.energy)
+    accum, mom, grids = jax.tree_util.tree_map(
+        lambda x: x + vary0.astype(x.dtype), (accum, mom, grids))
 
     def body(carry, k):
         bund, acc, mo, gr = carry
