@@ -53,7 +53,7 @@ STEPS = (
     ("suite_123", [sys.executable, "-m", "benchmarks.suite", "1", "2", "3",
                    "--md"], 2400),
     ("suite_678", [sys.executable, "-m", "benchmarks.suite", "6", "7", "8",
-                   "--md"], 2400),
+                   "9", "--md"], 2400),
     ("suite_5", [sys.executable, "-m", "benchmarks.suite", "5", "--md"],
      2400),
     ("curved", [sys.executable, "-m", "benchmarks.curved"], 2400),

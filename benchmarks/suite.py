@@ -509,6 +509,56 @@ def config8_volumetric_scattering(slab_tiles=114, rounds=32) -> dict:
                 floor_frac=round(floor_mk, 4))
 
 
+def config9_diff_gradient(n_rays: int = 262_144, bounces: int = 3) -> dict:
+    """Config 9: differentiable-trace gradient throughput (no reference
+    analog — the NumPy engine has no gradients). One jitted
+    value_and_grad of the spot-RMS loss on a dish + receiver scene,
+    differentiated w.r.t. the dish curvature through trace_diff's
+    scan (pure-jnp path; forward + backward in one XLA program).
+    Throughput counts source rays per wall second of the full gradient
+    step."""
+    from tracer_tpu import diff, geometry as G, materials as M
+    from tracer_tpu import spatial as sp
+    from tracer_tpu.scene import (Assembly, AssembledObject, Surface,
+                                  compile_scene)
+    from tracer_tpu.sources import disk_bundle
+
+    f0 = 2.0
+    dish = Surface(G.parabolic_dish(2.0, f0), M.reflective(0.05),
+                   name="dish")
+    recv = Surface(G.rect_plate(0.5, 0.5), M.lambertian(0.95),
+                   location=[0.0, 0.0, f0],
+                   rotation=sp.rotx(np.pi)[:3, :3], name="receiver")
+    table, meta = compile_scene(Assembly([AssembledObject([dish, recv])]),
+                                dtype=jnp.float32)
+    d_rows = np.nonzero(meta.row_logical == meta.index_of("dish"))[0]
+    r_rows = np.nonzero(meta.row_logical == meta.index_of("receiver"))[0]
+    beam = disk_bundle(jax.random.PRNGKey(9), n_rays,
+                       center=[0.0, 0.0, 5.0], direction=[0.0, 0.0, -1.0],
+                       radius=0.95, radius_in=0.45, ang_range=1e-4,
+                       flux=1000.0)
+    key = jax.random.PRNGKey(10)
+
+    def loss(f):
+        q = 1.0 / (4.0 * f)
+        quad = jnp.zeros((10,), jnp.float32).at[0].set(q).at[1].set(q) \
+            .at[8].set(-0.5)
+        t = diff.with_rows(table, d_rows, quadric=quad[None])
+        _, mom = diff.trace_diff(t, beam, key, bounces=bounces)
+        return diff.spot_rms(mom, r_rows)
+
+    step = jax.jit(jax.value_and_grad(loss))
+    fs = [jnp.asarray(1.7 + 0.01 * i, jnp.float32) for i in range(8)]
+    val, g = jax.block_until_ready(step(fs[0]))
+    assert np.isfinite(float(val)) and float(val) > 0.0, float(val)
+    assert np.isfinite(float(g)) and abs(float(g)) > 0.0, float(g)
+    best = _time_best(lambda i: step(fs[i]))
+    return dict(metric="diff_gradient_trace_throughput",
+                value=round(n_rays / best / 1e6, 3),
+                unit="Mrays/s/chip", loss=round(float(val), 5),
+                grad=round(float(g), 5), bounces=bounces)
+
+
 def config5_cavity_emissive_losses() -> dict:
     """Config 5: 2N-parameter cavity view factors (adaptive MC, 3-sigma
     Welford gates) coupled to the radiosity solver (ref emissive_losses)."""
@@ -567,7 +617,8 @@ def main(write_md: bool = False, only=None):
     all_cfgs = {1: config1_minidish, 2: config2_slope_error_fluxmap,
                 3: config3_spectral_buie, 5: config5_cavity_emissive_losses,
                 6: config6_spherical_lens, 7: config7_cook_torrance,
-                8: config8_volumetric_scattering}
+                8: config8_volumetric_scattering,
+                9: config9_diff_gradient}
     idxs = sorted(only or all_cfgs)
     results = []
     for i in idxs:
