@@ -1390,3 +1390,50 @@ def test_media_toggled_volumes_megakernel_matches_general_path():
     assert abs(float(a1.escaped) / float(se1)
                - float(a0.escaped) / float(se0)) < 0.01
     np.testing.assert_allclose(f1, f0, atol=0.01)
+
+
+def test_diff_gradient_on_hardware():
+    """trace_diff's forward+backward XLA program runs on the chip in
+    float32: the curvature gradient of the dish spot-RMS loss is finite,
+    has the right sign on both sides of the optimum, and the loss at the
+    true focal length is the smallest of the three."""
+    from tracer_tpu import diff
+    from tracer_tpu import spatial as sp
+    from tracer_tpu.sources import disk_bundle
+
+    f0 = 2.0
+    dish = Surface(G.parabolic_dish(2.0, f0), M.reflective(0.05),
+                   name="dish")
+    recv = Surface(G.rect_plate(0.5, 0.5), M.lambertian(0.95),
+                   location=[0.0, 0.0, f0],
+                   rotation=sp.rotx(np.pi)[:3, :3], name="receiver")
+    table, meta = compile_scene(Assembly([AssembledObject([dish, recv])]),
+                                dtype=jnp.float32)
+    d_rows = np.nonzero(np.asarray(meta.row_logical)
+                        == meta.index_of("dish"))[0]
+    r_rows = np.nonzero(np.asarray(meta.row_logical)
+                        == meta.index_of("receiver"))[0]
+    beam = disk_bundle(jax.random.PRNGKey(5), 65536,
+                       center=[0.0, 0.0, 5.0], direction=[0.0, 0.0, -1.0],
+                       radius=0.95, radius_in=0.45, ang_range=1e-4,
+                       flux=1000.0)
+
+    @jax.jit
+    def val_grad(f):
+        def loss(ff):
+            q = 1.0 / (4.0 * ff)
+            quad = jnp.zeros((10,), jnp.float32).at[0].set(q) \
+                .at[1].set(q).at[8].set(-0.5)
+            t = diff.with_rows(table, d_rows, quadric=quad[None])
+            _, mom = diff.trace_diff(t, beam, jax.random.PRNGKey(6),
+                                     bounces=3)
+            return diff.spot_rms(mom, r_rows)
+        return jax.value_and_grad(loss)(f)
+
+    v_lo, g_lo = val_grad(jnp.asarray(1.7, jnp.float32))
+    v_0, g_0 = val_grad(jnp.asarray(f0, jnp.float32))
+    v_hi, g_hi = val_grad(jnp.asarray(2.3, jnp.float32))
+    for v, g in ((v_lo, g_lo), (v_0, g_0), (v_hi, g_hi)):
+        assert np.isfinite(float(v)) and np.isfinite(float(g))
+    assert float(g_lo) < 0.0 < float(g_hi)   # descending toward f0
+    assert float(v_0) < min(float(v_lo), float(v_hi))
