@@ -298,9 +298,41 @@ def config6_spherical_lens(slab_tiles=114, rounds=32) -> dict:
     mk, rec_frac, cl = measure(True)      # refractive megakernel
     gen, rec_frac_g, _ = measure(False)   # general streaming path
     assert abs(rec_frac - rec_frac_g) / rec_frac_g < 0.02  # same physics
+
+    # same lens with ENERGY-SPLITTING interfaces (single_ray=False):
+    # the general streaming path serves these with true two-branch
+    # splitting via per-lane overflow slots (round 4); same focus
+    # physics, lower variance than roulette
+    lens_s = SphericalLens(diameter=0.5, depth=0.02, R1=0.3, R2=-0.3,
+                           refr_idx=1.5, single_ray=False)
+    rec_s = Surface(G.round_plate(0.3), M.absorber(one_sided=False),
+                    location=[0.0, 0.0, -f], name="rec")
+    table_s, meta_s = compile_scene(
+        Assembly([lens_s, AssembledObject([rec_s])]), dtype=jnp.float32)
+    assert "split" in table_s.features
+
+    @jax.jit
+    def step_s(key):
+        return trace_streaming(table_s, src, key, total_rays=total,
+                               max_rounds=400, max_path=20)
+
+    keys_s = [jax.random.fold_in(jax.random.PRNGKey(66), i)
+              for i in range(8)]
+    accum_s, emitted_s, se_s = jax.block_until_ready(step_s(keys_s[0]))
+    cl_s = _closure(accum_s, se_s)
+    assert abs(cl_s) < 1e-4, cl_s
+    rec_rows_s = np.nonzero(np.asarray(meta_s.row_logical)
+                            == meta_s.index_of("rec"))[0]
+    rec_frac_s = (float(np.asarray(accum_s.absorbed)[rec_rows_s].sum())
+                  / float(se_s))
+    assert abs(rec_frac_s - rec_frac_g) / rec_frac_g < 0.02
+    split_stream = float(emitted_s) / _time_best(
+        lambda i: step_s(keys_s[i])) / 1e6
+
     return dict(metric="spherical_lens_trace_throughput",
                 value=round(mk, 3), unit="Mrays/s/chip",
                 general_path=round(gen, 3),
+                split_stream=round(split_stream, 3),
                 receiver_frac=round(rec_frac, 4), closure=float(cl))
 
 

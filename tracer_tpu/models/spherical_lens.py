@@ -16,7 +16,8 @@ _FLAT_VALUES = (0, None, np.inf, -np.inf)
 
 
 class SphericalLens(AssembledObject):
-    def __init__(self, diameter, depth, R1, R2, refr_idx, transform=None):
+    def __init__(self, diameter, depth, R1, R2, refr_idx, transform=None,
+                 single_ray=True):
         """diameter, depth - aperture and center thickness; R1, R2 - front /
         back radii of curvature (positive = center of curvature down the Z
         axis; 0/None/inf = flat); refr_idx - lens material: a constant
@@ -25,12 +26,16 @@ class SphericalLens(AssembledObject):
         mirroring the reference's material-based Refractive manager
         (optics_callables.py:726). Dispersive faces evaluate n at each
         ray's wavelength; focal_length()/positioning use the table's mean
-        index (call focal_length(wavelength=...) for a specific color)."""
+        index (call focal_length(wavelength=...) for a specific color).
+        single_ray - False requests energy-splitting interfaces (the
+        reference Refractive's single_ray, optics_callables.py:732)."""
         flip = sp.rotx(np.pi)[:3, :3]
         if np.isscalar(refr_idx):
             self._n_table = None
-            refr = lambda n=refr_idx: M.refractive_homogenous(1.0, n)
-            refr_out = lambda n=refr_idx: M.refractive_homogenous(n, 1.0)
+            refr = lambda n=refr_idx: M.refractive_homogenous(
+                1.0, n, single_ray=single_ray)
+            refr_out = lambda n=refr_idx: M.refractive_homogenous(
+                n, 1.0, single_ray=single_ray)
         else:
             # build the n(wl) table ONCE and hand the same (wl, n) pair to
             # every face, so focal_length(wavelength) and the traced
@@ -39,8 +44,10 @@ class SphericalLens(AssembledObject):
             self._n_table = M._index_table(refr_idx,
                                            (300e-9, 2500e-9), 64)
             pair = (self._n_table[:, 0], self._n_table[:, 1])
-            refr = lambda: M.refractive_material(1.0, pair)
-            refr_out = lambda: M.refractive_material(pair, 1.0)
+            refr = lambda: M.refractive_material(
+                1.0, pair, single_ray=single_ray)
+            refr_out = lambda: M.refractive_material(
+                pair, 1.0, single_ray=single_ray)
             # positioning + default focal length use the mean index
             refr_idx = float(self._n_table[:, 1].mean())
         surfs = []
