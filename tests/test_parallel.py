@@ -218,3 +218,53 @@ def test_streaming_sharded_culled_rejects_ambient_scattering():
     with pytest.raises(ValueError, match="ambient HG scattering"):
         trace_streaming_sharded(table, source_fn, jax.random.PRNGKey(0),
                                 8 * slab, mesh, culling=culling)
+
+
+def test_streaming_sharded_split_closure():
+    """The general streaming path's true energy splitting (per-lane
+    overflow branches) runs inside shard_map workers: closure holds
+    exactly and the glass-slab physics matches the single-device split
+    stream to MC tolerance."""
+    from tracer_tpu import spatial as sp
+    from tracer_tpu.engine import trace_streaming
+    from tracer_tpu.parallel import trace_streaming_sharded
+    from tracer_tpu.sources import disk_bundle
+
+    glass = lambda: M.refractive_homogenous(1.0, 1.5, single_ray=False)
+    top = Surface(G.rect_plate(8.0, 8.0), glass(),
+                  location=[0.0, 0.0, 1.0], name="top")
+    floor = Surface(G.rect_plate(12.0, 12.0), M.lambertian(1.0),
+                    name="floor")
+    ceil = Surface(G.rect_plate(12.0, 12.0), M.lambertian(1.0),
+                   location=[0.0, 0.0, 3.0],
+                   rotation=sp.rotx(np.pi)[:3, :3], name="ceil")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([top, floor, ceil])]),
+        dtype=jnp.float64)
+    assert "split" in table.features
+
+    ang = 0.45
+    d = [np.sin(ang), 0.0, -np.cos(ang)]
+    slab = 512
+
+    def source_fn(key):
+        return disk_bundle(key, slab, center=[-2.0 * d[0], 0.0, 2.0],
+                           direction=d, radius=1.0, ang_range=1e-3,
+                           flux=1000.0)
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("rays",))
+    acc_s, em_s, se_s = trace_streaming_sharded(
+        table, source_fn, jax.random.PRNGKey(3), total_rays=4 * slab,
+        mesh=mesh, max_rounds=200, max_path=20)
+    closure = (float(se_s) - float(np.asarray(acc_s.absorbed).sum())
+               - float(acc_s.escaped) - float(acc_s.culled)
+               - float(acc_s.medium) - float(acc_s.residual))
+    np.testing.assert_allclose(closure / float(se_s), 0.0, atol=1e-12)
+    assert int(em_s) == 4 * slab
+
+    acc_1, _, se_1 = trace_streaming(
+        table, source_fn, jax.random.PRNGKey(4), total_rays=4 * slab,
+        max_rounds=200, max_path=20)
+    f_s = np.asarray(acc_s.absorbed) / float(se_s)
+    f_1 = np.asarray(acc_1.absorbed) / float(se_1)
+    np.testing.assert_allclose(f_s, f_1, atol=0.02)
