@@ -1782,9 +1782,10 @@ def _trace_streaming_general(scene: SceneTable, source_fn, key: jax.Array,
 
     def cond(state):
         i, bundle, age, ovf, ovf_age, accum, key, emitted, source_e = state
-        return ((i < max_rounds)
-                & ((emitted < total_rays) | jnp.any(bundle.alive)
-                   | jnp.any(ovf.alive)))
+        live = (emitted < total_rays) | jnp.any(bundle.alive)
+        if split:
+            live = live | jnp.any(ovf.alive)
+        return (i < max_rounds) & live
 
     def body(state):
         i, bundle, age, ovf, ovf_age, accum, key, emitted, source_e = state
@@ -1822,15 +1823,20 @@ def _trace_streaming_general(scene: SceneTable, source_fn, key: jax.Array,
                 source_e)
 
     zero_i = jnp.sum(probe.parent) * 0
+    # the overflow carry exists only in split mode (None is an empty
+    # pytree, so non-split scenes pay no extra HBM traffic per round)
+    ovf0 = empty if split else None
+    ovf_age0 = jnp.zeros((n,), dtype=jnp.int32) + zero_i if split else None
     state = (jnp.array(0, dtype=jnp.int32), empty,
-             jnp.zeros((n,), dtype=jnp.int32) + zero_i, empty,
-             jnp.zeros((n,), dtype=jnp.int32) + zero_i, accum0, key,
-             jnp.array(0, dtype=jnp.int32) + zero_i, source0)
+             jnp.zeros((n,), dtype=jnp.int32) + zero_i, ovf0, ovf_age0,
+             accum0, key, jnp.array(0, dtype=jnp.int32) + zero_i, source0)
     _, bundle, _, ovf, _, accum, _, emitted, source_e = jax.lax.while_loop(
         cond, body, state)
     # exact closure on early (max_rounds) exit: account live-ray energy,
     # including branches still parked in the overflow
-    accum = accum.replace(residual=accum.residual + jnp.sum(
-        jnp.where(bundle.alive, bundle.energy, 0.0)) + jnp.sum(
-        jnp.where(ovf.alive, ovf.energy, 0.0)))
+    residual = jnp.sum(jnp.where(bundle.alive, bundle.energy, 0.0))
+    if split:
+        residual = residual + jnp.sum(
+            jnp.where(ovf.alive, ovf.energy, 0.0))
+    accum = accum.replace(residual=accum.residual + residual)
     return accum, emitted, source_e
