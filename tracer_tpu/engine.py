@@ -1428,16 +1428,17 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     their energy accounted, which bounds the straggler tail that would
     otherwise keep the whole slab looping for rare long paths.
 
-    Energy-splitting interfaces (``single_ray=False``, F_SPLIT) stream
-    with TRUE splitting on the general path: reflected branches park in
+    Energy-splitting interfaces (``single_ray=False``, F_SPLIT) always
+    stream with TRUE splitting: the dispatch gates route every F_SPLIT
+    scene to the general path, where reflected branches park in
     per-lane overflow slots and fill dead slab slots with priority over
     fresh source rays (see _trace_streaming_general) — roulette only
     happens if a lane splits again while its overflow is still pending
     (energy-proportional merge, unbiased in expectation). The
-    megakernel, whose slab is fixed in-kernel, still streams F_SPLIT
-    scenes as Russian roulette via the general path's dispatch rules;
-    the host-stepped ``TracerEngine.ray_tracer`` grows the bundle for
-    exact per-ray branch pairs (deterministic beam-splitting studies).
+    megakernel never serves F_SPLIT scenes (its slab is fixed
+    in-kernel); the host-stepped ``TracerEngine.ray_tracer`` grows the
+    bundle instead for exact per-ray branch pairs (deterministic
+    beam-splitting studies).
 
     ``fluxspecs`` (static tuple of device_fluxmap.FluxSpec) accumulates
     per-surface spatial flux histograms on device across ALL streaming
@@ -1653,6 +1654,32 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
         split="split" in scene.features)
 
 
+# the per-ray STATE fields of a streaming slab (everything but the alive
+# flag and the host-only parent index) — the single list that regenerate /
+# place_overflow / merge_secondaries all move together, so a new RayBundle
+# field cannot be silently dropped from one of them
+_RAY_FIELDS = ("pos", "dir", "energy", "wavelength", "ref_index",
+               "att_coeff", "scat_coeff", "scat_g")
+
+
+def _where_ray_fields(mask, new, old):
+    """Per-lane select of every ray-state field: mask ? new : old."""
+    upd = {}
+    for f in _RAY_FIELDS:
+        a, b = getattr(new, f), getattr(old, f)
+        m = mask[:, None] if b.ndim == 2 else mask
+        upd[f] = jnp.where(m, a, b)
+    return old.replace(**upd)
+
+
+def _scatter_ray_fields(dst, src, dest):
+    """Scatter every ray-state field of src into dst at rows ``dest``
+    (out-of-range indices dropped)."""
+    upd = {f: getattr(dst, f).at[dest].set(getattr(src, f), mode="drop")
+           for f in _RAY_FIELDS}
+    return dst.replace(**upd)
+
+
 @functools.partial(
     jax.jit, static_argnames=("source_fn", "total_rays", "max_rounds",
                               "max_path", "min_energy", "t_eps", "disc_eps",
@@ -1696,18 +1723,8 @@ def _trace_streaming_general(scene: SceneTable, source_fn, key: jax.Array,
         # refill at most `budget` dead slots (prefix of free slots)
         free_rank = jnp.cumsum(free.astype(jnp.int32))
         refill = free & (free_rank <= budget)
-        sel = refill[:, None]
-        bundle = bundle.replace(
-            pos=jnp.where(sel, fresh.pos, bundle.pos),
-            dir=jnp.where(sel, fresh.dir, bundle.dir),
-            energy=jnp.where(refill, fresh.energy, bundle.energy),
-            wavelength=jnp.where(refill, fresh.wavelength, bundle.wavelength),
-            ref_index=jnp.where(refill, fresh.ref_index, bundle.ref_index),
-            att_coeff=jnp.where(refill, fresh.att_coeff, bundle.att_coeff),
-            scat_coeff=jnp.where(refill, fresh.scat_coeff, bundle.scat_coeff),
-            scat_g=jnp.where(refill, fresh.scat_g, bundle.scat_g),
-            alive=bundle.alive | refill,
-        )
+        bundle = _where_ray_fields(refill, fresh, bundle).replace(
+            alive=bundle.alive | refill)
         age = jnp.where(refill, 0, age)
         emitted = emitted + jnp.sum(refill, dtype=jnp.int32)
         source_e = source_e + jnp.sum(jnp.where(refill, fresh.energy, 0.0))
@@ -1731,21 +1748,11 @@ def _trace_streaming_general(scene: SceneTable, source_fn, key: jax.Array,
         placeable = pend & (pend_rank < n_free)
         dest = jnp.where(placeable,
                          slot_of_rank[jnp.clip(pend_rank, 0, n - 1)], n)
-        bundle = bundle.replace(
-            pos=bundle.pos.at[dest].set(ovf.pos, mode="drop"),
-            dir=bundle.dir.at[dest].set(ovf.dir, mode="drop"),
-            energy=bundle.energy.at[dest].set(ovf.energy, mode="drop"),
-            wavelength=bundle.wavelength.at[dest].set(ovf.wavelength,
-                                                      mode="drop"),
-            ref_index=bundle.ref_index.at[dest].set(ovf.ref_index,
-                                                    mode="drop"),
-            att_coeff=bundle.att_coeff.at[dest].set(ovf.att_coeff,
-                                                    mode="drop"),
-            scat_coeff=bundle.scat_coeff.at[dest].set(ovf.scat_coeff,
-                                                      mode="drop"),
-            scat_g=bundle.scat_g.at[dest].set(ovf.scat_g, mode="drop"),
+        bundle = _scatter_ray_fields(bundle, ovf, dest).replace(
             alive=bundle.alive.at[dest].set(True, mode="drop"))
-        age = age.at[dest].set(ovf_age, mode="drop")
+        # the branch's path already includes the split bounce, so it
+        # resumes one bounce further along than its parent was
+        age = age.at[dest].set(ovf_age + 1, mode="drop")
         ovf = ovf.replace(alive=pend & ~placeable,
                           energy=jnp.where(placeable, 0.0, ovf.energy))
         return bundle, age, ovf
@@ -1763,19 +1770,12 @@ def _trace_streaming_general(scene: SceneTable, source_fn, key: jax.Array,
         u = jax.random.uniform(k, (n,), dtype=s_e.dtype)
         take_new = both & (u * tot < s_e)
         new_store = (ok & ~ovf.alive) | take_new
-        sel = new_store[:, None]
-        ovf = ovf.replace(
-            pos=jnp.where(sel, rec.hit, ovf.pos),
-            dir=jnp.where(sel, s_dir, ovf.dir),
+        # the branch starts at the hit point along the reflected
+        # direction with the INCIDENCE side's wavelength/index/medium
+        sec = prev.replace(pos=rec.hit, dir=s_dir)
+        ovf = _where_ray_fields(new_store, sec, ovf).replace(
             energy=jnp.where(both, tot,
                              jnp.where(ok & ~ovf.alive, s_e, ovf.energy)),
-            wavelength=jnp.where(new_store, prev.wavelength,
-                                 ovf.wavelength),
-            ref_index=jnp.where(new_store, prev.ref_index, ovf.ref_index),
-            att_coeff=jnp.where(new_store, prev.att_coeff, ovf.att_coeff),
-            scat_coeff=jnp.where(new_store, prev.scat_coeff,
-                                 ovf.scat_coeff),
-            scat_g=jnp.where(new_store, prev.scat_g, ovf.scat_g),
             alive=ovf.alive | ok)
         ovf_age = jnp.where(new_store, age_now, ovf_age)
         return ovf, ovf_age, accum
