@@ -418,6 +418,53 @@ def test_sharded_gradient_matches_per_shard_sum():
     np.testing.assert_allclose(float(g_s), float(g_q), rtol=1e-11)
 
 
+def test_volumetric_medium_gradients_match_finite_difference():
+    """Gradients through the engine volumetrics: d(medium absorption)/
+    d(att_coeff) through the Beer-Lambert segments and d(floor spot)/
+    d(scat_g) through the Henyey-Greenstein phase draws (the sqrt sites
+    guarded after the round-4 review) both match finite differences."""
+    lam = lambda: M.lambertian(absorptivity=1.0)
+    floor = Surface(G.rect_plate(20.0, 20.0), lam(), name="floor")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([floor])]), dtype=jnp.float64,
+        extra_features=("volumetric",))
+    r_rows = _rows_of(meta, "floor")
+    n = 2048
+    key = jax.random.PRNGKey(71)
+
+    def beam(att, scat, g):
+        b = disk_bundle(jax.random.PRNGKey(70), n,
+                        center=[0.0, 0.0, 3.0],
+                        direction=[0.2, 0.0, -1.0], radius=0.5,
+                        ang_range=1e-3, flux=1000.0)
+        one = jnp.ones((n,), b.pos.dtype)
+        return b.replace(att_coeff=att * one, scat_coeff=scat * one,
+                         scat_g=g * one)
+
+    def medium_loss(att):
+        acc, _ = diff.trace_diff(table, beam(att, 0.4, 0.5), key,
+                                 bounces=6)
+        return acc.medium
+
+    a0 = jnp.asarray(0.2)
+    g = jax.grad(medium_loss)(a0)
+    h = 1e-6
+    fd = (medium_loss(a0 + h) - medium_loss(a0 - h)) / (2 * h)
+    assert float(g) > 0.0   # more attenuation, more medium absorption
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-6)
+
+    def spot(gg):
+        _, mom = diff.trace_diff(table, beam(0.1, 0.4, gg), key,
+                                 bounces=6)
+        return diff.spot_rms(mom, r_rows)
+
+    g0 = jnp.asarray(0.5)
+    gr = jax.grad(spot)(g0)
+    fd = (spot(g0 + h) - spot(g0 - h)) / (2 * h)
+    assert np.isfinite(float(gr))
+    np.testing.assert_allclose(float(gr), float(fd), rtol=1e-5)
+
+
 def test_radiosity_jax_matches_numpy_and_analytic_gradient():
     """The differentiable radiosity solver reproduces the NumPy solver on
     a mixed-BC enclosure, matches the analytic concentric-spheres
