@@ -1272,3 +1272,52 @@ def test_bake_media_dedups_spec_ambient_in_scene_dtype():
     (sid, i1, i2) = rows[0]
     assert i1 == 0, (tab, rows)   # side 1 == the ambient medium
     assert i2 != 0
+
+
+def test_split_refractive_megakernel_interpret(monkeypatch):
+    """F_SPLIT lens (single_ray=False) through the interpreted fused
+    bounce in refr_split mode: the general streaming path now serves
+    splitting scenes with the Pallas kernel emitting the reflected
+    branch through dedicated outputs (round 4 — previously split scenes
+    fell to the jnp bounce, whose per-ray row gathers made them ~180x
+    slower). Physics oracle: the host-stepped exact splitter
+    (TracerEngine.ray_tracer appends both branches every bounce,
+    engine.py _append_split_rays)."""
+    from tracer_tpu.engine import TracerEngine, TraceOptions
+    from tracer_tpu.models.spherical_lens import SphericalLens
+
+    lens = SphericalLens(diameter=0.5, depth=0.02, R1=0.3, R2=-0.3,
+                         refr_idx=1.5, single_ray=False)
+    fl = lens.focal_length()
+    rec = Surface(G.round_plate(0.3), M.absorber(one_sided=False),
+                  location=[0.0, 0.0, -fl], name="rec")
+    table, meta = compile_scene(
+        Assembly([lens, AssembledObject([rec])]), dtype=jnp.float32)
+    assert "split" in table.features
+
+    slab = TILE
+
+    def source_fn(key):
+        return _f32(disk_bundle(key, slab, center=[0.0, 0.0, 0.5],
+                                direction=[0.0, 0.0, -1.0], radius=0.1,
+                                ang_range=1e-4, flux=1000.0))
+
+    # host-stepped EXACT splitter (every branch traced, no roulette)
+    eng = TracerEngine(table, meta)
+    b = source_fn(jax.random.PRNGKey(1))
+    res = eng.ray_tracer(b, reps=12, key=jax.random.PRNGKey(2),
+                         opts=TraceOptions(max_bounces=12, record=False))
+    f0 = (np.asarray(res.accum.absorbed)
+          / float(np.asarray(b.energy).sum()))
+    r0 = _frac(meta, f0, "rec")
+    assert r0 > 0.75           # the lens focuses onto the receiver
+
+    _interp_env(monkeypatch)
+    with pltpu.force_tpu_interpret_mode():
+        a1, _, se1 = jax.block_until_ready(trace_streaming(
+            table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+            max_rounds=60, max_path=12))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    _closure(a1, se1)
+    assert abs(_frac(meta, f1, "rec") - r0) < 0.03
+    np.testing.assert_allclose(f1, f0, atol=0.03)

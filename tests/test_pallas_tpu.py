@@ -1437,3 +1437,57 @@ def test_diff_gradient_on_hardware():
         assert np.isfinite(float(v)) and np.isfinite(float(g))
     assert float(g_lo) < 0.0 < float(g_hi)   # descending toward f0
     assert float(v_0) < min(float(v_lo), float(v_hi))
+
+
+def test_split_refractive_megakernel_matches_exact_splitter():
+    """F_SPLIT (single_ray=False) lens through the streaming general
+    path, whose bounces now run the fused kernel in refr_split mode
+    (round 4): the kernel emits each reflected branch through dedicated
+    outputs and the engine's per-lane overflow slots drain them with
+    elementwise own-slot placement. Oracle: the host-stepped EXACT
+    splitter (every branch traced, engine.py _append_split_rays)."""
+    from tracer_tpu.engine import (TracerEngine, TraceOptions,
+                                   trace_streaming)
+    from tracer_tpu.kernels.pallas_intersect import TILE
+    from tracer_tpu.models.spherical_lens import SphericalLens
+    from tracer_tpu.sources import disk_bundle
+
+    lens = SphericalLens(diameter=0.5, depth=0.02, R1=0.3, R2=-0.3,
+                         refr_idx=1.5, single_ray=False)
+    f = lens.focal_length()
+    rec = Surface(G.round_plate(0.3), M.absorber(one_sided=False),
+                  location=[0.0, 0.0, -f], name="rec")
+    table, meta = compile_scene(
+        Assembly([lens, AssembledObject([rec])]), dtype=jnp.float32)
+    assert "split" in table.features
+
+    slab = 20 * TILE
+    total = 6 * slab
+
+    def source_fn(key):
+        return disk_bundle(key, slab, center=[0.0, 0.0, 0.5],
+                           direction=[0.0, 0.0, -1.0], radius=0.1,
+                           ang_range=1e-4, flux=1000.0)
+
+    a1, _, se1 = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(0), total_rays=total,
+        max_rounds=300, max_path=20))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    cl1 = (float(se1) - np.asarray(a1.absorbed).sum() - float(a1.escaped)
+           - float(a1.culled) - float(a1.medium)
+           - float(a1.residual)) / float(se1)
+    assert abs(cl1) < 1e-5
+
+    # host-stepped EXACT splitter oracle (no roulette anywhere)
+    eng = TracerEngine(table, meta)
+    b = source_fn(jax.random.PRNGKey(1))
+    res = eng.ray_tracer(b, reps=20, key=jax.random.PRNGKey(2),
+                         opts=TraceOptions(max_bounces=20, record=False))
+    f0 = (np.asarray(res.accum.absorbed)
+          / float(np.asarray(b.energy).sum()))
+    rec_rows = np.nonzero(np.asarray(meta.row_logical)
+                          == meta.index_of("rec"))[0]
+    r1, r0 = f1[rec_rows].sum(), f0[rec_rows].sum()
+    assert r0 > 0.75           # the lens focuses onto the receiver
+    assert abs(r1 - r0) / r0 < 0.02, (r1, r0)
+    np.testing.assert_allclose(f1, f0, atol=0.01)

@@ -212,8 +212,14 @@ def smem_need_bytes(table, nb: int, width: int,
     S = table.ap_params.shape[0] if n_rows is None else n_rows
     rows_bytes = K * pad(S) * 4
     n_tab = int(table.spectral_wl.shape[0])
+    # the trailing constant covers the compiler's scoped SMEM scratch
+    # beyond the operands themselves: a failing 1001-row compile measured
+    # ~51 KB of it (operands 1.0015 MB, total need 1.0527 MB), so the
+    # round-3 32 KB slack under-budgeted by ~4 KB once the round-4
+    # `active` operand landed — 64 KB keeps a real margin at the cost of
+    # ~3 candidate columns per segment
     misc = ((8 + len(table.groups)) * pad(nb) * 4
-            + 2 * pad(max(n_tab, 2)) * 4 + 32 * 1024)
+            + 2 * pad(max(n_tab, 2)) * 4 + 64 * 1024)
     return rows_bytes + misc + width * pad(nb) * 4
 
 

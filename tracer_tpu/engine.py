@@ -210,10 +210,14 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
                      _M.K_LAMBERTIAN_SPECULAR, _M.K_SEMI_LAMBERTIAN,
                      _M.K_TRANSPARENT, _M.K_FRESNEL_CONDUCTOR,
                      _M.K_PERIODIC, _M.K_LAMBERTIAN_PIECEWISE}
+    # F_SPLIT scenes may fuse ONLY under split_mode: the kernel then
+    # emits the reflected branch through dedicated outputs
+    # (refr_split) instead of rouletting — without split_mode the RR
+    # kernel would silently drop the secondary's energy share (biased)
     refr_ok = (_M.K_REFRACTIVE in scene.kinds_present
                and "volumetric" not in scene.features
                and "dispersive" not in scene.features
-               and "split" not in scene.features)
+               and ("split" not in scene.features or split_mode))
     if refr_ok:
         fusable_kinds = fusable_kinds | {_M.K_REFRACTIVE}
     use_fused = (cand is None
@@ -265,6 +269,8 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
             piecewise=lpw_scene,
             refr_frost=(refractive
                         and "refractive_slope" in scene.features),
+            refr_split=(refractive and split_mode
+                        and "split" in scene.features),
             backside_miss="bifacial" in scene.features)
         new_pos, new_dir, new_e, sid, absorbed_f = outs[:5]
         k_o = 5 + int(need_wl)  # spectral mode returns the (unchanged) wl
@@ -288,13 +294,19 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
             ref_index=jnp.where(hit, new_ri.astype(bundle.ref_index.dtype),
                                 bundle.ref_index),
             alive=alive_next)
+        rec_split = None
+        if split_mode and "split" in scene.features:
+            s_e, s_dir = outs[-2], outs[-1]
+            s_mask = alive & (s_e > 0.0)
+            rec_split = (s_mask, jnp.where(s_mask, s_e, 0.0), s_dir)
         zeros3 = jnp.zeros_like(bundle.pos)
         rec = BounceRecord(
             sid=sid, t=jnp.where(hit, 0.0, jnp.inf), hit=new_pos,
             local=zeros3, dir_in=bundle.dir, dir_out=new_dir, e_in=e_in,
             e_out=e_out, absorbed=absorbed_ray,
             backside=jnp.zeros_like(hit), alive_in=alive,
-            wavelength=bundle.wavelength, normal=zeros3)
+            wavelength=bundle.wavelength, normal=zeros3,
+            split=rec_split)
         return new_bundle, accum, rec
 
     if cand is not None:
@@ -1672,14 +1684,6 @@ def _where_ray_fields(mask, new, old):
     return old.replace(**upd)
 
 
-def _scatter_ray_fields(dst, src, dest):
-    """Scatter every ray-state field of src into dst at rows ``dest``
-    (out-of-range indices dropped)."""
-    upd = {f: getattr(dst, f).at[dest].set(getattr(src, f), mode="drop")
-           for f in _RAY_FIELDS}
-    return dst.replace(**upd)
-
-
 @functools.partial(
     jax.jit, static_argnames=("source_fn", "total_rays", "max_rounds",
                               "max_path", "min_energy", "t_eps", "disc_eps",
@@ -1695,15 +1699,19 @@ def _trace_streaming_general(scene: SceneTable, source_fn, key: jax.Array,
     split=True (scenes with F_SPLIT interfaces) streams TRUE energy
     splitting: each slab lane owns one OVERFLOW slot holding its pending
     reflected branch. The primary lane continues refracted at (1-R)E;
-    the R E branch parks in the overflow and is placed into dead slab
-    slots (rank-matched scatter) with priority over fresh source rays,
-    so the population never grows and splits drain within a few rounds.
-    Only a second split on a lane whose overflow is still occupied
-    degrades to an energy-proportional roulette MERGE of the two pending
-    branches (unbiased in expectation: keep branch i with probability
-    e_i/(e_i+e_j), carry e_i+e_j) — on realistic lens scenes a
-    measure-zero event, vs the reference's unbounded bundle growth
-    (optics_callables.py:718-722) and round 3's roulette-everything."""
+    the R E branch parks in the overflow and is placed into its OWN slab
+    slot when that slot frees (elementwise — cross-lane matching costs
+    ~11 serialized TPU gathers/scatters per round, see place_overflow),
+    with priority over fresh source rays, so the population never grows
+    and every branch drains within a bounded number of rounds. A second
+    split on a lane whose overflow is still occupied degrades to an
+    energy-proportional roulette MERGE of the two pending branches
+    (unbiased in expectation: keep branch i with probability
+    e_i/(e_i+e_j), carry e_i+e_j), vs the reference's unbounded bundle
+    growth (optics_callables.py:718-722) and round 3's
+    roulette-everything. The bounces themselves ride the fused Pallas
+    kernel (refr_split mode: the kernel emits the reflected branch
+    through dedicated outputs instead of rouletting)."""
     from .analysis import device_fluxmap as _dfm
     probe = source_fn(key)
     n = probe.num_rays
@@ -1734,27 +1742,30 @@ def _trace_streaming_general(scene: SceneTable, source_fn, key: jax.Array,
                           energy=jnp.zeros_like(probe.energy))
 
     def place_overflow(bundle, age, ovf, ovf_age):
-        """Move pending overflow branches into dead slab slots: the r-th
-        pending lane fills the r-th free slot (distinct ranks -> distinct
-        slots, so the scatters never collide); unplaced lanes wait."""
-        free = ~bundle.alive
-        pend = ovf.alive
-        n_free = jnp.sum(free.astype(jnp.int32))
-        free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
-        slot_of_rank = jnp.full((n,), n, dtype=jnp.int32).at[
-            jnp.where(free, free_rank, n)].set(
-                jnp.arange(n, dtype=jnp.int32), mode="drop")
-        pend_rank = jnp.cumsum(pend.astype(jnp.int32)) - 1
-        placeable = pend & (pend_rank < n_free)
-        dest = jnp.where(placeable,
-                         slot_of_rank[jnp.clip(pend_rank, 0, n - 1)], n)
-        bundle = _scatter_ray_fields(bundle, ovf, dest).replace(
-            alive=bundle.alive.at[dest].set(True, mode="drop"))
+        """Place each lane's pending branch into ITS OWN slab slot the
+        round that slot is free — pure elementwise selects.
+
+        Why own-slot, not cross-lane rank matching: at slab size a
+        single arbitrary-index TPU gather or scatter costs ~2.6 ms
+        (benchmarks/probe_split2.py), and any cross-lane permutation
+        needs ~11 of them per round — ~30 ms against a ~1 ms fused
+        bounce, which is exactly the 0.875 Mrays/s split-path collapse
+        the round-4 capture measured. A branch therefore waits for its
+        own lane (primaries die within a few bounces, and placement
+        runs BEFORE regeneration, so the wait is bounded and fresh
+        source rays can never starve a pending branch); the cost is
+        that a lane splitting again while one branch waits
+        roulette-merges the two (unbiased, see merge_secondaries) —
+        more frequent than under rank matching, but each merge only
+        halves the sample count of that lane's ~R-energy branch."""
+        place = ovf.alive & ~bundle.alive
+        bundle = _where_ray_fields(place, ovf, bundle).replace(
+            alive=bundle.alive | place)
         # the branch's path already includes the split bounce, so it
         # resumes one bounce further along than its parent was
-        age = age.at[dest].set(ovf_age + 1, mode="drop")
-        ovf = ovf.replace(alive=pend & ~placeable,
-                          energy=jnp.where(placeable, 0.0, ovf.energy))
+        age = jnp.where(place, ovf_age + 1, age)
+        ovf = ovf.replace(alive=ovf.alive & ~place,
+                          energy=jnp.where(place, 0.0, ovf.energy))
         return bundle, age, ovf
 
     def merge_secondaries(ovf, ovf_age, prev, age_now, rec, accum, k):

@@ -341,8 +341,12 @@ def nearest_hit_aux(scene, pos, dirs, t_eps=None, disc_eps: float = 1e-6,
                                   t_eps, disc_eps, need_local=need_local,
                                   backside_miss="bifacial"
                                   in scene.features)
+    # use_pallas=False, not None: nearest_hit re-decides the dispatch
+    # otherwise, and on TPU it would pick the Pallas kernel right back —
+    # force_jnp callers (reverse-mode autodiff) cannot flow through it
     t, sid = nearest_hit(scene, pos, dirs, t_eps=t_eps, disc_eps=disc_eps,
-                         block=block)
+                         block=block,
+                         use_pallas=False if force_jnp else None)
     return t, sid, None
 
 

@@ -683,6 +683,7 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
                          periodic: bool = False,
                          piecewise: bool = False,
                          refr_frost: bool = False,
+                         refr_split: bool = False,
                          ambient_scat: float = 0.0,
                          ambient_g: float = 0.0,
                          media=None):
@@ -785,7 +786,20 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
     LANE's medium, toggles ``mid`` on interface crossings (index-matched
     interfaces compare ids, the id twin of shade.py's tuple compare),
     and returns the new ``mid`` between the refraction-index and scat
-    outputs. Requires ``refractive``."""
+    outputs. Requires ``refractive``.
+
+    ``refr_split`` compiles TRUE ENERGY SPLITTING for F_SPLIT-flagged
+    refractive rows (bit 3 of the flags word; materials single_ray=False,
+    ref Refractive optics_callables.py:732): instead of Russian roulette,
+    the primary lane always takes the refracted branch at (1-R) E and the
+    reflected branch leaves with R E through four extra trailing outputs
+    (s_e, s_dx, s_dy, s_dz) for the engine's overflow machinery
+    (_trace_streaming_general). On TIR R = 1: all energy leaves on the
+    reflected secondary and the primary dies. Non-F_SPLIT refractive
+    rows in the same scene keep rouletting. The kernel twin of
+    shade.py's split_mode branch. Requires ``refractive``."""
+    if refr_split:
+        assert refractive, "refr_split rides the refractive epilogue"
     media_tab = media_rows = None
     media_att_on, media_scat_on = media_flags(media)
     if media is not None:
@@ -998,8 +1012,11 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
                     sel_r = sid_b == s_r
                     mid1_l = jnp.where(sel_r, jnp.float32(i1_r), mid1_l)
                     mid2_l = jnp.where(sel_r, jnp.float32(i2_r), mid2_l)
-                in1 = jnp.where(jnp.abs(n1s - n2s) > 1e-9, in1,
-                                mid == mid1_l)
+                # logical ops, not jnp.where on bools: Mosaic can't lower
+                # select_n over i1 vectors (it round-trips through i8 and
+                # fails on the i8->i1 trunci)
+                idx_diff = jnp.abs(n1s - n2s) > 1e-9
+                in1 = (idx_diff & in1) | (~idx_diff & (mid == mid1_l))
             n_next = jnp.where(in1, n2s, n1s)
             safe_ri = jnp.where(ri == 0.0, 1.0, ri)
             safe_nx = jnp.where(n_next == 0.0, 1.0, n_next)
@@ -1023,6 +1040,19 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
                   / (safe_ri * bar + safe_nx * cos1a)) ** 2
             R = jnp.where(refr_ok & (under >= 0.0), 0.5 * (Rs + Rp), 1.0)
             go_reflect = _kernel_uniform(px.shape) <= R
+            r_split = None
+            if refr_split:
+                # F_SPLIT rows (flags bit 3): the primary always takes
+                # the refracted branch; the reflected branch leaves with
+                # R E through the dedicated split outputs (on TIR R = 1,
+                # so the primary keeps zero energy and dies) — the
+                # kernel twin of shade.py's split_mode branch. Save the
+                # pure reflected direction before `crossed` overwrites
+                # it with the refracted one.
+                split_b = is_refr & hit & (jnp.mod(kf_b, 16.0) >= 8.0)
+                s_rdx, s_rdy, s_rdz = rx, ry, rz
+                go_reflect = go_reflect & ~split_b
+                r_split = jnp.where(split_b, R, 0.0)
             crossed = is_refr & hit & ~go_reflect
             rx = jnp.where(crossed, tx, rx)
             ry = jnp.where(crossed, ty, ry)
@@ -1238,6 +1268,14 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
             if media is not None:
                 # a scattering event stays inside the lane's medium
                 nmid = jnp.where(scat, mid, nmid)
+        if refr_split:
+            # the reflected branch's share of the post-interaction
+            # energy; a scattering event preempts the surface hit, so
+            # no secondary is emitted there (ne already reset to e_att)
+            s_e = jnp.where(hit, ne * r_split, 0.0)
+            if scat is not None:
+                s_e = jnp.where(scat, 0.0, s_e)
+            ne = ne - s_e
         outs = (npx, npy, npz, ndx, ndy, ndz, ne, absorbed)
         if refractive:
             outs = outs + (nri,)
@@ -1245,6 +1283,8 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
             outs = outs + (nmid,)
         if scat is not None:
             outs = outs + (scat,)
+        if refr_split:
+            outs = outs + (s_e, s_rdx, s_rdy, s_rdz)
         return outs
 
     return epilogue
@@ -1437,6 +1477,7 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                        conductor=False, iam=False, periodic=False,
                        piecewise=False, ambient_scat=0.0, ambient_g=0.0,
                        refr_disp=False, refr_frost=False,
+                       refr_split=False,
                        backside_miss=False, media=None):
     """Fused intersect + shade-epilogue kernel: one HBM round trip of the
     ray state per bounce. Runs one specialized fori per aperture-signature
@@ -1468,6 +1509,7 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                                conductor=conductor, iam=iam,
                                periodic=periodic, piecewise=piecewise,
                                refr_frost=refr_frost,
+                               refr_split=refr_split,
                                ambient_scat=ambient_scat,
                                ambient_g=ambient_g, media=media)
     has_mid = media is not None
@@ -1492,6 +1534,7 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
         nmid_ref = outs_ref[k] if has_mid else None
         k += int(has_mid)
         sid_ref, abs_ref = outs_ref[k], outs_ref[k + 1]
+        split_refs = outs_ref[k + 2:k + 6] if refr_split else None
 
         _prng_seed(seed_ref[0] + pl.program_id(0))
         px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
@@ -1574,6 +1617,13 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
         else:
             sid_ref[:] = jnp.where(jnp.isfinite(t_b) & live, sid_b, -1)
         abs_ref[:] = jnp.where(live, absorbed, 0.0)
+        if refr_split:
+            # (s_e, s_dx, s_dy, s_dz) are the last four epilogue outputs
+            s_e_k, s_dx_k, s_dy_k, s_dz_k = outs[-4:]
+            split_refs[0][:] = jnp.where(live, s_e_k, 0.0)
+            split_refs[1][:] = s_dx_k
+            split_refs[2][:] = s_dy_k
+            split_refs[3][:] = s_dz_k
 
     return kernel
 
@@ -1587,8 +1637,8 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                                     "conductor", "iam", "periodic",
                                     "piecewise", "ambient_scat",
                                     "ambient_g", "refr_disp",
-                                    "refr_frost", "backside_miss",
-                                    "media"))
+                                    "refr_frost", "refr_split",
+                                    "backside_miss", "media"))
 def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                           t_eps: float, disc_eps: float = 1e-6,
                           bivar: bool = True, one_sided: bool = True,
@@ -1607,6 +1657,7 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                           ambient_g: float = 0.0,
                           refr_disp: bool = False,
                           refr_frost: bool = False,
+                          refr_split: bool = False,
                           backside_miss: bool = False,
                           medium_id=None, media=None):
     """Fused intersect+shade bounce for K_REFLECT / K_LAMBERTIAN /
@@ -1632,7 +1683,11 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
     their absorptance exactly. Passing ``ref_index`` (N,) enables the
     refractive mode: per-lane indices thread through and K_REFRACTIVE
     rows Russian-roulette between Fresnel reflection and Snell
-    refraction (regenerated lanes restart at index 1.0). Passing
+    refraction (regenerated lanes restart at index 1.0). With
+    ``refr_split`` (requires the refractive mode), F_SPLIT rows split
+    instead of rouletting and the return tuple gains a trailing
+    ``(s_e, s_dir)`` pair — the reflected branch's energy (0 where no
+    split happened) and its (N, 3) direction. Passing
     ``medium_id`` (N, f32) plus the static ``media`` pair (see
     _make_shade_epilogue) enables per-surface-toggled volumetric media:
     the lane's medium id threads through and is returned after the
@@ -1695,18 +1750,22 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                                 ambient_g=ambient_g,
                                 refr_disp=refr_disp,
                                 refr_frost=refr_frost,
+                                refr_split=refr_split,
                                 backside_miss=backside_miss,
                                 media=media)
+    n_out = n_io + 2 + (4 if refr_split else 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,   # seed, regen, spectral table x/y, rows
         grid=(nb,),
         in_specs=[ray_spec] * n_io,
-        out_specs=tuple([ray_spec] * (n_io + 2)),
+        out_specs=tuple([ray_spec] * n_out),
     )
     shape2 = (n_pad // LANE, LANE)
     out_shapes = tuple([jax.ShapeDtypeStruct(shape2, jnp.float32)] * n_io
                        + [jax.ShapeDtypeStruct(shape2, jnp.int32),
-                          jax.ShapeDtypeStruct(shape2, jnp.float32)])
+                          jax.ShapeDtypeStruct(shape2, jnp.float32)]
+                       + [jax.ShapeDtypeStruct(shape2, jnp.float32)] * 4
+                       * int(refr_split))
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1729,6 +1788,10 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
         k += 1
     if has_mid:
         res.append(flat_outs[k])
+    if refr_split:
+        s_e = flat_outs[n_io + 2]
+        s_dir = jnp.stack(flat_outs[n_io + 3:n_io + 6], axis=1)
+        res.extend([s_e, s_dir])
     return tuple(res)
 
 
