@@ -407,3 +407,43 @@ def test_streaming_exact_closure_with_residual():
              + float(accum.residual))
     np.testing.assert_allclose(total, float(source_e), rtol=1e-12)
     assert int(emitted) == slab
+
+
+def test_reach_precompute_matches_single_source_bfs():
+    """The global level-synchronous reach precompute (one multi-source
+    BFS + cluster-pruned sweeps, the 10k-row build fix) returns EXACTLY
+    the per-s0 BFS's sets at every cap — on a flat field and on a
+    curved two-group field (varying normal cones exercise the widen
+    accumulation and the depth-2 self-revisit check)."""
+    import math
+    from tracer_tpu.culling import (_ReachCache, _row_spheres,
+                                    _row_normal_cones)
+    import tracer_tpu.materials as M
+
+    def _cache_inputs(table, meta, spec):
+        spheres = _row_spheres(meta, 8)
+        n_axis, n_beta = _row_normal_cones(table, meta, 8)
+        kinds = np.asarray(table.opt_kind)
+        prm = np.asarray(table.opt_params)
+        sigma = np.where(kinds == M.K_REFLECT, prm[:, 1], 0.0)
+        widen = 2.0 * (n_beta + 5.0 * math.sqrt(2.0) * sigma)
+        terminal = prm[:, 0] >= 1.0 - 1e-6
+        specular = kinds == M.K_REFLECT
+        demote = (~terminal) & ((widen > 0.15) | ~specular)
+        exp = set(np.nonzero(~terminal & ~demote)[0].tolist())
+        rot = np.asarray(spec[3]).reshape(3, 3)
+        theta = float(spec[11] if spec[8] is not None else spec[12])
+        return spheres, n_axis, widen, exp, rot[:, 2], theta
+
+    table, meta, info, source_fn, slab = _small_field()
+    tablec, metac, source_fnc, _ = _curved_field()
+    for tb, mt, spec in ((table, meta, source_fn.pallas_spec),
+                         (tablec, metac, source_fnc.pallas_spec)):
+        spheres, n_axis, widen, exp, d0, theta = _cache_inputs(tb, mt, spec)
+        for cap in (2, 3, 4):
+            cache = _ReachCache(spheres, n_axis, widen, exp, 0.25, d0,
+                                theta)
+            cache.precompute(cap)
+            for s in sorted(exp):
+                assert cache.reach(s, cap) == cache._reach_single(s, cap), \
+                    (cap, s)

@@ -380,6 +380,68 @@ def _cell_sphere(center, rot, radius: float, bounds,
     return c, float(np.linalg.norm(pts - c, axis=1).max())
 
 
+def _cone_sweep_clusters(CL: np.ndarray, RL: np.ndarray,
+                         cl_norm2: np.ndarray,
+                         c0s: np.ndarray, r0s: np.ndarray,
+                         axes: np.ndarray, alphas: np.ndarray,
+                         margin: float) -> np.ndarray:
+    """Conservative cluster-level cone sweep: True whenever ANY sphere
+    contained in the cluster bounding sphere could pass
+    ``_cone_sweep_hits_batch``. For a member (c_m, r_m) inside cluster
+    (c, R) (i.e. |c_m - c| + r_m <= R), a pass of the fine test implies
+    the cluster passes with the radius inflated to R (1 + tan(alpha)):
+    the lateral distance shifts by at most D = |c_m - c| while the reach
+    loses at most D tan(alpha) of along-axis growth, and
+    r_m + D (1 + tan a) <= R (1 + tan a). Returns (B, K) bool."""
+    c0s = c0s.astype(np.float32)
+    axes = axes.astype(np.float32)
+    t = CL @ axes.T
+    t -= (c0s * axes).sum(axis=1)[None, :]
+    d2 = -2.0 * (CL @ c0s.T)
+    d2 += cl_norm2[:, None]
+    d2 += (c0s * c0s).sum(axis=1)[None, :]
+    d2 -= t * t
+    tanv = np.tan(np.minimum(alphas, 1.4)).astype(np.float32)
+    reff = RL[:, None] * (1.0 + tanv[None, :]) + np.float32(1e-3)
+    reach = np.maximum(t, 0.0)
+    reach *= tanv[None, :]
+    reach += r0s.astype(np.float32)[None, :] + reff + np.float32(margin)
+    ahead = t + reff + np.float32(margin) >= 0.0
+    return (ahead & (d2 <= reach * reach)).T
+
+
+def _cluster_spheres(spheres: np.ndarray, leaf: int = 128) -> tuple:
+    """Partition row bounding spheres into ~S/leaf spatial clusters by
+    recursive median split along the widest axis. Returns
+    (member_ids list of int arrays, cluster centers (K, 3) f32,
+    cluster radii (K,) f32) with every member sphere CONTAINED in its
+    cluster sphere (center distance + member radius <= cluster radius)."""
+    C = spheres[:, :3]
+    stack = [np.arange(len(spheres))]
+    leaves = []
+    while stack:
+        idx = stack.pop()
+        if len(idx) <= leaf:
+            leaves.append(idx)
+            continue
+        P = C[idx]
+        ax = int(np.argmax(P.max(axis=0) - P.min(axis=0)))
+        m = len(idx) // 2
+        part = np.argpartition(P[:, ax], m)
+        stack.append(idx[part[:m]])
+        stack.append(idx[part[m:]])
+    centers = np.zeros((len(leaves), 3), dtype=np.float32)
+    radii = np.zeros(len(leaves), dtype=np.float32)
+    for k, idx in enumerate(leaves):
+        lo = (C[idx] - spheres[idx, 3:4]).min(axis=0)
+        hi = (C[idx] + spheres[idx, 3:4]).max(axis=0)
+        c = 0.5 * (lo + hi)
+        centers[k] = c
+        radii[k] = float((np.linalg.norm(C[idx] - c, axis=1)
+                          + spheres[idx, 3]).max())
+    return leaves, centers, radii
+
+
 class _ReachCache:
     """Memoized specular-closure sets: ``reach(s, cap)`` = rows reachable
     from a first-segment hit on row s under the source cone
@@ -389,7 +451,17 @@ class _ReachCache:
     — identical for every cell — so the closure from a given first-hit
     row is CELL-INDEPENDENT and one BFS per (row, cap) serves the whole
     grid. (The round-3 build ran this BFS per (cell, row): ~3 s per cell
-    at 5k rows, hours for a 1.4k-cell grid; memoized it is seconds.)"""
+    at 5k rows, hours for a 1.4k-cell grid; memoized it is seconds.)
+
+    The first ``reach`` call triggers ``precompute``: ONE multi-source
+    level-synchronous BFS over every expandable row, with per-depth hit
+    matrices so later calls at SMALLER caps (the corridor-degrade path)
+    read the same store — hits found while expanding to depth d are a
+    superset of any shallower BFS's (domination skips only drop cones
+    whose hits an earlier-depth, wider cone already contributed). Sweeps
+    go through a two-level sphere-cluster prune (_cone_sweep_clusters):
+    at 10k rows the round-4 per-s0 BFS spent ~1050 s in flat (B, S)
+    sweeps; the pruned global pass is ~20x cheaper."""
 
     def __init__(self, spheres, n_axis, widen, expandable_set, margin,
                  d0, theta_src):
@@ -404,15 +476,159 @@ class _ReachCache:
         self.d0 = np.asarray(d0)
         self.theta_src = theta_src
         self.memo: dict = {}
+        leaves, cl_c, cl_r = _cluster_spheres(spheres)
+        self._leaves = leaves
+        self._clC = cl_c
+        self._clR = cl_r
+        self._cl_norm2 = (cl_c * cl_c).sum(axis=1)
+        self._pre = None        # list of per-depth (n_own, S) bool
+        self._pre_cap = 0
+        self._slot = None       # row -> owner slot (-1 = not expandable)
+
+    def _sweep(self, origin_rows, axes, alphas) -> np.ndarray:
+        """(B, S) bool cone sweep with cluster pruning: cones test the
+        ~S/128 cluster bounding spheres first (conservatively inflated,
+        see _cone_sweep_clusters) and refine only against hit clusters'
+        members with the EXACT per-row test."""
+        c0s = self.spheres[origin_rows, :3]
+        r0s = self.spheres[origin_rows, 3]
+        coarse = _cone_sweep_clusters(self._clC, self._clR, self._cl_norm2,
+                                      c0s, r0s, axes, alphas, self.margin)
+        out = np.zeros((len(origin_rows), len(self.spheres)), dtype=bool)
+        for k, ids in enumerate(self._leaves):
+            sel = np.nonzero(coarse[:, k])[0]
+            if not sel.size:
+                continue
+            sub = _cone_sweep_hits_batch(
+                self.C32[ids], self.r32[ids], self.c_norm2[ids],
+                c0s[sel], r0s[sel], axes[sel], alphas[sel], self.margin)
+            out[np.ix_(sel, ids)] = sub
+        return out
+
+    def precompute(self, cap: int) -> None:
+        """Populate per-depth reach matrices for every expandable row."""
+        if self._pre is not None and self._pre_cap >= cap:
+            return
+        S = len(self.spheres)
+        owners = np.array(sorted(self.expandable), dtype=np.int32)
+        slot = np.full(S, -1, dtype=np.int32)
+        slot[owners] = np.arange(len(owners), dtype=np.int32)
+        self._slot = slot
+        self._pre = []
+        self._pre_cap = cap
+        if owners.size == 0 or cap <= 1:
+            return
+        exp_mask = np.zeros(S, dtype=bool)
+        exp_mask[owners] = True
+        n_own = len(owners)
+        # cap > 3 needs the exact sequential domination bookkeeping of
+        # the per-s0 BFS (cones expanded at depth >= 2 can dominate
+        # depth >= 3 revisits); at the default cap 3 the only possible
+        # seen entry at depth 2 is the source cone at (o, o), checked
+        # vectorized below
+        generic = cap > 3
+        seen: dict = {}
+        f_own = owners.copy()
+        f_row = owners.copy()
+        f_ax = np.broadcast_to(np.asarray(self.d0, dtype=np.float64),
+                               (n_own, 3)).copy()
+        f_al = np.full(n_own, float(self.theta_src))
+        for depth in range(1, cap):
+            if generic:
+                keep_l = []
+                for i in range(len(f_row)):
+                    key = (int(f_own[i]), int(f_row[i]))
+                    lst = seen.get(key)
+                    ax, al = f_ax[i], float(f_al[i])
+                    if lst is not None and any(
+                            math.acos(float(np.clip(np.dot(a0, ax),
+                                                    -1.0, 1.0))) + al
+                            <= al0 + 1e-9 for a0, al0 in lst):
+                        continue
+                    seen.setdefault(key, []).append((ax.copy(), al))
+                    keep_l.append(i)
+                keep = np.asarray(keep_l, dtype=np.int64)
+            elif depth == 2:
+                # a depth-2 revisit of the own first-hit row checks
+                # against the source cone recorded at depth 1
+                self_mask = f_row == f_own
+                dom = np.zeros(len(f_row), dtype=bool)
+                if self_mask.any():
+                    gap = np.arccos(np.clip(f_ax[self_mask]
+                                            @ np.asarray(self.d0),
+                                            -1.0, 1.0))
+                    dom[self_mask] = (gap + f_al[self_mask]
+                                      <= self.theta_src + 1e-9)
+                keep = np.nonzero(~dom)[0]
+            else:
+                keep = np.arange(len(f_row))
+            if keep.size == 0:
+                break
+            o = f_own[keep]
+            s = f_row[keep]
+            N = self.n_axis[s]
+            refl = f_ax[keep] - 2.0 * (f_ax[keep] * N).sum(
+                axis=1, keepdims=True) * N
+            nrm = np.linalg.norm(refl, axis=1, keepdims=True)
+            refl = refl / np.where(nrm > 0, nrm, 1.0)
+            out_al = f_al[keep] + self.widen[s]
+            order = np.argsort(o, kind="stable")
+            o, s, refl, out_al = o[order], s[order], refl[order], \
+                out_al[order]
+            M = np.zeros((n_own, S), dtype=bool)
+            nf = ([], [], [], [])
+            chunk = max(1, (1 << 25) // max(S, 1))
+            for i0 in range(0, len(s), chunk):
+                sl = slice(i0, i0 + chunk)
+                hits = self._sweep(s[sl], refl[sl], out_al[sl])
+                ob = o[sl]
+                starts = np.nonzero(np.r_[True, ob[1:] != ob[:-1]])[0]
+                ends = np.r_[starts[1:], len(ob)]
+                # owner-run OR folds: np.any reduces each run's rows
+                # vectorized (ufunc.reduceat along axis 0 is a scalar
+                # loop — it cost 460 s of the 569 s 10k-row build)
+                for st, en in zip(starts.tolist(), ends.tolist()):
+                    if en - st == 1:
+                        M[slot[ob[st]]] |= hits[st]
+                    else:
+                        M[slot[ob[st]]] |= hits[st:en].any(axis=0)
+                if depth + 1 < cap:
+                    ci, cj = np.nonzero(hits & exp_mask[None, :])
+                    nf[0].append(ob[ci])
+                    nf[1].append(cj.astype(np.int32))
+                    nf[2].append(refl[sl][ci])
+                    nf[3].append(out_al[sl][ci])
+            self._pre.append(M)
+            if depth + 1 >= cap or not nf[0]:
+                break
+            f_own = np.concatenate(nf[0])
+            f_row = np.concatenate(nf[1])
+            f_ax = np.concatenate(nf[2])
+            f_al = np.concatenate(nf[3])
 
     def reach(self, s0: int, cap: int) -> frozenset:
         key = (int(s0), int(cap))
         got = self.memo.get(key)
         if got is not None:
             return got
+        if self._pre is None:
+            self.precompute(cap)
+        sl = self._slot[int(s0)] if self._slot is not None else -1
+        if sl >= 0 and cap <= self._pre_cap:
+            acc = np.zeros(len(self.spheres), dtype=bool)
+            for M in self._pre[:max(cap - 1, 0)]:
+                acc |= M[sl]
+            out = frozenset(np.nonzero(acc)[0].tolist())
+        else:
+            out = self._reach_single(int(s0), int(cap))
+        self.memo[key] = out
+        return out
+
+    def _reach_single(self, s0: int, cap: int) -> frozenset:
+        """Per-source BFS fallback (non-expandable s0 or cap beyond the
+        precomputed depth); the reference semantics the global pass
+        mirrors."""
         cand = set()
-        # level-synchronous BFS: all of one depth's cone sweeps run as a
-        # single batched GEMM (per-cone numpy dispatch dominated builds)
         frontier = [(int(s0), self.d0, self.theta_src)]
         seen = {}   # row -> list of (axis, alpha) cones already expanded
 
@@ -453,9 +669,7 @@ class _ReachCache:
                     for c in hits:
                         if c in self.expandable:
                             frontier.append((int(c), out_axis, out_alpha))
-        out = frozenset(cand)
-        self.memo[key] = out
-        return out
+        return frozenset(cand)
 
 
 def _one_cell_list(bounds, center, rot, radius, theta_src, spheres,
@@ -599,7 +813,7 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
                         balance: bool = True,
                         pilot_rays: int = 256,
                         max_smem_bytes: int = 1 << 20,
-                        max_segments: int = 16,
+                        max_segments: int = 64,
                         min_segments: int = 1) -> BlockCulling:
     """Build per-block candidate lists for a disk source
     (``buie_sunshape_pallas_spec`` / ``disk_pillbox_pallas_spec``) or a
@@ -878,7 +1092,13 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
             break
         # degrade the widest still-degradable group's binding cells;
         # fall through to narrower groups when the widest is already at
-        # depth 1 (any width reduction shrinks the combined layout)
+        # depth 1 (any width reduction shrinks the combined layout).
+        # This is a LAST resort, hence the high max_segments default:
+        # segments decompose the trace exactly (blocks never interact)
+        # and cost only a per-call dispatch plus their own tail rounds,
+        # while a depth-1 corridor parks EVERY bounce survivor for the
+        # full-scene drain — the round-4 10k-row run at max_segments=16
+        # degraded 98 blocks and collapsed to 10 Mrays/s
         cands = np.array([], dtype=np.int64)
         for g_star in np.argsort(cgc.max(axis=0))[::-1]:
             cands = np.nonzero((cgc[:, g_star] == cgc[:, g_star].max())
