@@ -22,9 +22,14 @@ streaming warmup (first rounds fill the slab pipeline) and the drain
 tail (mid-flight rays finishing after emission stops) are roughly
 FIXED in rounds, so short calls understate sustained throughput badly —
 the minidish measured 158 Mrays/s at 16 rounds vs 421 at 64 on the same
-code. Defaults are sized so the tail is <15% of the call; production
-CSP studies trace 1e8-1e9 rays, so the large call is the representative
-workload (same reasoning as bench.py's headline call).
+code, and a round-4 same-process sweep measured 377 / 702 / 787 / 682 /
+492 at 114x64 / 114x256 / 228x128 / 456x64 / 912x32 (tiles x rounds):
+at a FIXED 30M-ray call, halving rounds below ~64 puts the ~10-round
+tail back over the call, while tiles beyond ~456 gain nothing. Defaults
+are 228x128 (30M rays/call) for the few-surface trace configs;
+production CSP studies trace 1e8-1e9 rays, so the large call is the
+representative workload (same reasoning as bench.py's 269M-ray headline
+call).
 """
 from __future__ import annotations
 
@@ -52,7 +57,7 @@ def _time_best(fn, reps=4):
     return best
 
 
-def config1_minidish(slab_tiles=114, rounds=64) -> dict:
+def config1_minidish(slab_tiles=228, rounds=128) -> dict:
     """Config 1: MiniDish (dish + homogenizer + receiver), pillbox sun —
     the multi-group streaming megakernel path."""
     import math
@@ -116,7 +121,7 @@ def _dish_absorber_scene():
     return compile_scene(asm, dtype=jnp.float32)
 
 
-def config2_slope_error_fluxmap(slab_tiles=114, rounds=64) -> dict:
+def config2_slope_error_fluxmap(slab_tiles=228, rounds=128) -> dict:
     """Config 2: dish with slope error + Lambertian absorber. Throughput
     from the streaming megakernel (Lambertian epilogue); a 1M-ray flux map
     on the receiver from the host-stepped trace with tag-gated records."""
@@ -162,7 +167,7 @@ def config2_slope_error_fluxmap(slab_tiles=114, rounds=64) -> dict:
                 closure=float(cl))
 
 
-def config3_spectral_buie(slab_tiles=114, rounds=64) -> dict:
+def config3_spectral_buie(slab_tiles=228, rounds=128) -> dict:
     """Config 3: Buie sunshape + spectral mirror absorptance (Sopra-style
     n(lambda) table) + attenuating ambient medium — the SPECTRAL streaming
     megakernel (per-lane wavelengths threaded through the kernel, exact
@@ -230,7 +235,7 @@ def config3_spectral_buie(slab_tiles=114, rounds=64) -> dict:
                 medium_frac=round(float(accum.medium) / float(se), 4))
 
 
-def config6_spherical_lens(slab_tiles=114, rounds=32) -> dict:
+def config6_spherical_lens(slab_tiles=228, rounds=128) -> dict:
     """Config 6 (beyond BASELINE, round-3 verdict item 3): refractive
     trace through a spherical lens onto a focal-plane receiver. The
     headline ``value`` is the REFRACTIVE MEGAKERNEL (per-lane index
@@ -322,7 +327,7 @@ def config6_spherical_lens(slab_tiles=114, rounds=32) -> dict:
                 receiver_frac=round(rec_frac, 4), closure=float(cl))
 
 
-def config7_cook_torrance(slab_tiles=114, rounds=32) -> dict:
+def config7_cook_torrance(slab_tiles=228, rounds=128) -> dict:
     """Config 7 (beyond BASELINE, round-3 verdict item 3): Cook-Torrance
     microfacet BDRF target + collection dome. K_COOK_TORRANCE now runs
     the fused megakernel (four-parameter winner carry + in-kernel
@@ -393,7 +398,7 @@ def config7_cook_torrance(slab_tiles=114, rounds=32) -> dict:
                 dome_frac=round(dome_frac, 4), closure=float(cl))
 
 
-def config8_volumetric_scattering(slab_tiles=114, rounds=32) -> dict:
+def config8_volumetric_scattering(slab_tiles=228, rounds=128) -> dict:
     """Config 8 (round-3/4 verdict item 3): participating-medium enclosure
     — a closed box of diffuse absorbing walls filled with a homogeneous
     Henyey-Greenstein scattering + Beer-Lambert absorbing medium (ref
