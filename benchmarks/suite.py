@@ -25,10 +25,13 @@ the minidish measured 158 Mrays/s at 16 rounds vs 421 at 64 on the same
 code, and a round-4 same-process sweep measured 377 / 702 / 787 / 682 /
 492 at 114x64 / 114x256 / 228x128 / 456x64 / 912x32 (tiles x rounds):
 at a FIXED 30M-ray call, halving rounds below ~64 puts the ~10-round
-tail back over the call, while tiles beyond ~456 gain nothing. Defaults
+tail back over the call, while tiles beyond ~456 gain nothing. (The
+sweep's 114x256 point itself hit the then-fixed max_rounds=400 budget
+at ~80% emitted — every trace config now derives max_rounds from the
+call size and ASSERTS full emission, so truncation is loud.) Defaults
 are 228x128 (30M rays/call) for the few-surface trace configs;
 production CSP studies trace 1e8-1e9 rays, so the large call is the
-representative workload (same reasoning as bench.py's 269M-ray headline
+representative workload (same reasoning as bench.py's 538M-ray headline
 call).
 """
 from __future__ import annotations
@@ -88,11 +91,16 @@ def config1_minidish(slab_tiles=228, rounds=128) -> dict:
     @jax.jit
     def step(key):
         return trace_streaming(table, source_fn, key, total_rays=total,
-                               max_rounds=400, max_path=20)
+                               max_rounds=4 * rounds + 80, max_path=20)
 
     keys = [jax.random.fold_in(jax.random.PRNGKey(1), i) for i in range(8)]
     accum, emitted, se = jax.block_until_ready(step(keys[0]))
     cl = _closure(accum, se)
+    # the megakernel grants refills at block granularity, so the final
+    # emission round may overshoot the budget by up to one slab; only
+    # UNDER-emission means the max_rounds budget truncated the call
+    assert total <= int(emitted) <= total + slab, \
+        f"call truncated: emitted {int(emitted)} of {total} — raise max_rounds"
     assert abs(cl) < 1e-4, cl
     ab = np.asarray(accum.absorbed)
     rec_row = int(np.nonzero(np.asarray(meta.row_logical)
@@ -144,11 +152,16 @@ def config2_slope_error_fluxmap(slab_tiles=228, rounds=128) -> dict:
     @jax.jit
     def step(key):
         return trace_streaming(table, source_fn, key, total_rays=total,
-                               max_rounds=400, max_path=20)
+                               max_rounds=4 * rounds + 80, max_path=20)
 
     keys = [jax.random.fold_in(jax.random.PRNGKey(2), i) for i in range(8)]
     accum, emitted, se = jax.block_until_ready(step(keys[0]))
     cl = _closure(accum, se)
+    # the megakernel grants refills at block granularity, so the final
+    # emission round may overshoot the budget by up to one slab; only
+    # UNDER-emission means the max_rounds budget truncated the call
+    assert total <= int(emitted) <= total + slab, \
+        f"call truncated: emitted {int(emitted)} of {total} — raise max_rounds"
     assert abs(cl) < 1e-4, cl
     best = _time_best(lambda i: step(keys[i]))
 
@@ -220,11 +233,16 @@ def config3_spectral_buie(slab_tiles=228, rounds=128) -> dict:
     @jax.jit
     def step(key):
         return trace_streaming(table, source_fn, key, total_rays=total,
-                               max_rounds=200, max_path=8)
+                               max_rounds=4 * rounds + 80, max_path=8)
 
     keys = [jax.random.fold_in(jax.random.PRNGKey(5), i) for i in range(8)]
     accum, emitted, se = jax.block_until_ready(step(keys[0]))
     cl = _closure(accum, se)
+    # the megakernel grants refills at block granularity, so the final
+    # emission round may overshoot the budget by up to one slab; only
+    # UNDER-emission means the max_rounds budget truncated the call
+    assert total <= int(emitted) <= total + slab, \
+        f"call truncated: emitted {int(emitted)} of {total} — raise max_rounds"
     assert abs(cl) < 1e-4, cl
     assert float(accum.medium) > 0.0   # attenuation actually engaged
 
@@ -286,12 +304,14 @@ def config6_spherical_lens(slab_tiles=228, rounds=128) -> dict:
         @jax.jit
         def step(key):
             return trace_streaming(tab, source_fn, key, total_rays=total,
-                                   max_rounds=400, max_path=20)
+                                   max_rounds=8 * rounds + 80, max_path=20)
 
         keys = [jax.random.fold_in(jax.random.PRNGKey(seed), i)
                 for i in range(8)]
         accum, emitted, se = jax.block_until_ready(step(keys[0]))
         cl = _closure(accum, se)
+        assert total <= int(emitted) <= total + slab, \
+            f"call truncated: emitted {int(emitted)} of {total}"
         assert abs(cl) < 1e-4, cl
         ab = np.asarray(accum.absorbed)
         rec_rows = np.nonzero(np.asarray(met.row_logical)
@@ -374,12 +394,14 @@ def config7_cook_torrance(slab_tiles=228, rounds=128) -> dict:
         @jax.jit
         def step(key):
             return trace_streaming(table, source_fn, key, total_rays=total,
-                                   max_rounds=400, max_path=20)
+                                   max_rounds=8 * rounds + 80, max_path=20)
 
         keys = [jax.random.fold_in(jax.random.PRNGKey(7), i)
                 for i in range(8)]
         accum, emitted, se = jax.block_until_ready(step(keys[0]))
         cl = _closure(accum, se)
+        assert total <= int(emitted) <= total + slab, \
+            f"call truncated: emitted {int(emitted)} of {total}"
         assert abs(cl) < 1e-4, cl
         ab = np.asarray(accum.absorbed)
         dome_rows = np.nonzero(np.asarray(meta.row_logical)
@@ -455,12 +477,15 @@ def config8_volumetric_scattering(slab_tiles=228, rounds=128) -> dict:
         @jax.jit
         def step(key):
             return trace_streaming(table, source_fn, key, total_rays=total,
-                                   max_rounds=400, max_path=24)
+                                   max_rounds=24 * rounds + 200,
+                                   max_path=24)
 
         keys = [jax.random.fold_in(jax.random.PRNGKey(8), i)
                 for i in range(8)]
         accum, emitted, se = jax.block_until_ready(step(keys[0]))
         cl = _closure(accum, se)
+        assert total <= int(emitted) <= total + slab, \
+            f"call truncated: emitted {int(emitted)} of {total}"
         assert abs(cl) < 1e-4, cl
         med_frac = float(accum.medium) / float(se)
         assert med_frac > 0.1, med_frac   # the medium takes real energy
@@ -512,12 +537,14 @@ def config8_volumetric_scattering(slab_tiles=228, rounds=128) -> dict:
     @jax.jit
     def step_b(key):
         return trace_streaming(table_b, source_b, key, total_rays=total,
-                               max_rounds=400, max_path=24)
+                               max_rounds=24 * rounds + 200, max_path=24)
 
     keys_b = [jax.random.fold_in(jax.random.PRNGKey(88), i)
               for i in range(8)]
     accum_b, emitted_b, se_b = jax.block_until_ready(step_b(keys_b[0]))
     cl_b = _closure(accum_b, se_b)
+    assert total <= int(emitted_b) <= total + slab, \
+        f"call truncated: emitted {int(emitted_b)} of {total}"
     assert abs(cl_b) < 1e-4, cl_b
     med_b = float(accum_b.medium) / float(se_b)
     assert med_b > 0.05, med_b   # the bounded medium takes real energy

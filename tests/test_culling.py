@@ -447,3 +447,13 @@ def test_reach_precompute_matches_single_source_bfs():
             for s in sorted(exp):
                 assert cache.reach(s, cap) == cache._reach_single(s, cap), \
                     (cap, s)
+        # growing caps on ONE cache: the store must rebuild when a later
+        # call exceeds the first call's cap (regression: gating precompute
+        # on `_pre is None` pinned the store at the first cap and sent
+        # larger caps down the slow per-s0 BFS)
+        cache = _ReachCache(spheres, n_axis, widen, exp, 0.25, d0, theta)
+        some = sorted(exp)[: max(1, len(exp) // 8)]
+        for cap in (2, 4, 3):
+            for s in some:
+                assert cache.reach(s, cap) == cache._reach_single(s, cap)
+            assert cache._pre_cap >= cap

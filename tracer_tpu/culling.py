@@ -611,8 +611,11 @@ class _ReachCache:
         got = self.memo.get(key)
         if got is not None:
             return got
-        if self._pre is None:
-            self.precompute(cap)
+        # precompute early-returns when the store already covers cap and
+        # rebuilds otherwise — gating on `_pre is None` instead would pin
+        # the store at the FIRST call's cap and silently send every
+        # larger-cap query down the per-s0 BFS
+        self.precompute(cap)
         sl = self._slot[int(s0)] if self._slot is not None else -1
         if sl >= 0 and cap <= self._pre_cap:
             acc = np.zeros(len(self.spheres), dtype=bool)
