@@ -121,6 +121,12 @@ def _orchestrate():
 def main():
     import jax
 
+    import tracer_tpu
+    # persist the megakernel executable across processes: the watchdog
+    # re-runs bench in a fresh subprocess, and the tunneled compile is
+    # ~40 s of pure overhead on a repeat run
+    tracer_tpu.enable_compilation_cache()
+
     from benchmarks.nsttf import build_scene, make_source_fn
     from tracer_tpu.culling import build_block_culling
     from tracer_tpu.engine import trace_streaming

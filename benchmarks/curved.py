@@ -14,6 +14,10 @@ import time
 import jax
 import numpy as np
 
+import tracer_tpu
+
+tracer_tpu.enable_compilation_cache()
+
 
 def run(reps: int = 6, total_mult: int = 128) -> dict:
     import jax.numpy as jnp

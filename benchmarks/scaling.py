@@ -18,6 +18,10 @@ import time
 import jax
 import numpy as np
 
+import tracer_tpu
+
+tracer_tpu.enable_compilation_cache()
+
 
 def run_size(n_heliostats: int, slab_tiles: int | None = None,
              reps: int = 4) -> dict:

@@ -43,6 +43,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import tracer_tpu
+
+# persist compiled executables across suite processes — a converged
+# config's end-to-end time is otherwise dominated by tunneled compiles
+tracer_tpu.enable_compilation_cache()
+
 
 def _closure(accum, source_e) -> float:
     ab = float(np.asarray(accum.absorbed).sum())
