@@ -565,14 +565,21 @@ def config8_volumetric_scattering(slab_tiles=228, rounds=128) -> dict:
                 floor_frac=round(floor_mk, 4))
 
 
-def config9_diff_gradient(n_rays: int = 262_144, bounces: int = 3) -> dict:
+def config9_diff_gradient(n_rays: int = 1_048_576, bounces: int = 3) -> dict:
     """Config 9: differentiable-trace gradient throughput (no reference
     analog — the NumPy engine has no gradients). One jitted
     value_and_grad of the spot-RMS loss on a dish + receiver scene,
     differentiated w.r.t. the dish curvature through trace_diff's
     scan (pure-jnp path; forward + backward in one XLA program).
     Throughput counts source rays per wall second of the full gradient
-    step."""
+    step.
+
+    Round-4 retune (benchmarks/probe_diff.py): the scatter-free moment /
+    splat accumulation lifted the fixed-shape number 4.09 -> 6.44 at the
+    old 262k-ray call, and the step saturates near 15 Mrays/s at 4M rays;
+    1M rays + checkpoint=True (remat is net-faster here — fewer stored
+    residuals means less HBM traffic) is the representative optimization
+    workload."""
     from tracer_tpu import diff, geometry as G, materials as M
     from tracer_tpu import spatial as sp
     from tracer_tpu.scene import (Assembly, AssembledObject, Surface,
@@ -600,7 +607,8 @@ def config9_diff_gradient(n_rays: int = 262_144, bounces: int = 3) -> dict:
         quad = jnp.zeros((10,), jnp.float32).at[0].set(q).at[1].set(q) \
             .at[8].set(-0.5)
         t = diff.with_rows(table, d_rows, quadric=quad[None])
-        _, mom = diff.trace_diff(t, beam, key, bounces=bounces)
+        _, mom = diff.trace_diff(t, beam, key, bounces=bounces,
+                                 checkpoint=True)
         return diff.spot_rms(mom, r_rows)
 
     step = jax.jit(jax.value_and_grad(loss))
@@ -636,7 +644,10 @@ def config5_cavity_emissive_losses() -> dict:
     fire = vf._build_fire_all()
     key = jax.random.PRNGKey(9)
     fire(key)  # warm (compile cached from the loop, but be explicit)
-    per_call = vf.n_elements * num_rays
+    # one device call now carries iters_per_call independent sub-iteration
+    # samples (amortizing the tunnel round trip the adaptive loop was
+    # bound by); throughput counts every ray of every sample
+    per_call = vf.iters_per_call * vf.n_elements * num_rays
     best = float("inf")
     for i in range(5):
         t1 = time.perf_counter()

@@ -181,17 +181,25 @@ class RTVFBase:
 
     def _adaptive_loop_batched(self, key, max_iters: int, min_iters: int,
                                fire_all) -> None:
-        """Batched adaptive loop: ``fire_all(key) -> (n, n) VF matrix`` is
-        ONE device call covering every element; rows of converged elements
-        are simply ignored (device rays are ~free next to the per-element
-        host round-trips they replace — the round-3 path spent 4 orders of
-        magnitude on exactly those)."""
+        """Batched adaptive loop: ``fire_all(key) -> (k, n, n) VF samples``
+        is ONE device call covering every element for ``iters_per_call``
+        independent sub-iterations; rows of converged elements are simply
+        ignored (device rays are ~free next to the host round-trips they
+        replace — the round-3 per-element path spent 4 orders of magnitude
+        on exactly those, and through a tunneled runtime even the
+        one-call-per-iteration loop is round-trip-bound, hence the
+        k-samples-per-call amortization). Samples are consumed one at a
+        time through the same Welford/gating sequence as before, so the
+        statistics are identical to k separate device calls."""
         stable = 0
         it = 0
+        pending: list = []
         while (self.progress.any() or stable < 2) and it < max_iters:
             it += 1
-            key, sub = jax.random.split(key)
-            vf = fire_all(sub)
+            if not pending:
+                key, sub = jax.random.split(key)
+                pending = list(fire_all(sub))
+            vf = pending.pop(0)
             active = self.ray_counts > 0
             self.VF[active] = vf[active]
             self.p += self.ray_counts
@@ -203,6 +211,21 @@ class RTVFBase:
             self.ray_counts = np.where(self.progress.any(axis=1),
                                        float(self.num_rays), 0.0)
         self.iterations = it
+
+    def _wrap_fire(self, fire_fn, scene):
+        """Jit ``fire_fn(scene, key) -> (n, n)`` into a host callable
+        returning ``iters_per_call`` stacked samples per device call
+        (sequential lax.map on device: each sample is already one fused
+        program; the point is amortizing the host round trip, not
+        parallelism)."""
+        k = max(1, int(getattr(self, "iters_per_call", 1)))
+
+        def many(scene, key):
+            return jax.lax.map(lambda kk: fire_fn(scene, kk),
+                               jax.random.split(key, k))
+
+        jm = jax.jit(many)
+        return lambda key: np.asarray(jm(scene, key))
 
     # --- batched device helpers (shared by the drivers) ---------------------
     def _alpha_rows(self):
@@ -254,7 +277,9 @@ class BinnedAxisymmetricRTVF(RTVFBase):
     def __init__(self, assembly, binning_scheme, areas, num_rays=10000,
                  precision=0.01, precision_option="absolute",
                  precision_rec=None, rays_in=True, key=None,
-                 max_iters=200, min_iters=3, batched=True):
+                 max_iters=200, min_iters=3, batched=True,
+                 iters_per_call=8):
+        self.iters_per_call = int(iters_per_call)
         self.binning_scheme = np.asarray(binning_scheme, dtype=float)
         self.areas = np.asarray(areas, dtype=float)
         self.precision = precision
@@ -313,8 +338,7 @@ class BinnedAxisymmetricRTVF(RTVFBase):
             emitted = e.reshape(n, nrays).sum(axis=1)
             return per_src / emitted[:, None]
 
-        jf = jax.jit(fire_all)
-        return lambda key: np.asarray(jf(scene, key))
+        return self._wrap_fire(fire_all, scene)
 
     def _element_source(self, key, el: int):
         ang, zz, rr = self.binning_scheme[el]
@@ -391,7 +415,8 @@ class TwoNParametersCavityRTVF(RTVFBase):
                  precision_option: str = "absolute",
                  precision_rec: Optional[float] = None,
                  key=None, max_iters: int = 200, min_iters: int = 3,
-                 batched: bool = True):
+                 batched: bool = True, iters_per_call: int = 8):
+        self.iters_per_call = int(iters_per_call)
         self.aperture_radius = float(apertureRadius)
         self.frusta_radii = [float(r) for r in np.atleast_1d(frustaRadii)]
         self.frusta_depths = [float(d) for d in np.atleast_1d(frustaDepths)]
@@ -488,8 +513,7 @@ class TwoNParametersCavityRTVF(RTVFBase):
             emitted = e.reshape(n, nrays).sum(axis=1)
             return mat / emitted[:, None]
 
-        jf = jax.jit(fire_all)
-        return lambda key: np.asarray(jf(scene, key))
+        return self._wrap_fire(fire_all, scene)
 
     # --- geometry bookkeeping ------------------------------------------------
     def _element_areas(self, n: int) -> np.ndarray:

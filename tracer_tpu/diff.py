@@ -113,7 +113,17 @@ class DiffFluxSpec(NamedTuple):
 
 
 def _splat(grid, spec: DiffFluxSpec, sid, local, w):
-    """Bilinear-splat w at local (x, y) into grid for sid in spec.rows."""
+    """Bilinear-splat w at local (x, y) into grid for sid in spec.rows.
+
+    Scatter-free: the bilinear corner weights of a point are exactly the
+    triangular hat functions max(0, 1 - |g - u|) evaluated at the integer
+    bin centers, so the whole splat is one (nu, N) @ (N, nv) matmul of
+    hat-weight matrices — a TPU scatter-add of N rays costs ~ms each
+    (and this ran 4 of them per bounce, plus their gather VJPs in the
+    backward pass), while the MXU matmul's VJP is just another matmul.
+    Identical values to the 4-corner scatter formulation, including the
+    partial splats at the grid edge (an out-of-range corner simply has
+    no in-range bin center under its hat)."""
     nu, nv = spec.shape
     on = jnp.zeros_like(sid, dtype=bool)
     for r in spec.rows:
@@ -121,20 +131,34 @@ def _splat(grid, spec: DiffFluxSpec, sid, local, w):
     x, y = local[:, 0], local[:, 1]
     gx = (x - spec.xlim[0]) / (spec.xlim[1] - spec.xlim[0]) * nu - 0.5
     gy = (y - spec.ylim[0]) / (spec.ylim[1] - spec.ylim[0]) * nv - 0.5
-    i0 = jnp.floor(gx)
-    j0 = jnp.floor(gy)
-    fx = gx - i0
-    fy = gy - j0
-    i0 = i0.astype(jnp.int32)
-    j0 = j0.astype(jnp.int32)
-    for di, dj, wt in ((0, 0, (1 - fx) * (1 - fy)), (1, 0, fx * (1 - fy)),
-                       (0, 1, (1 - fx) * fy), (1, 1, fx * fy)):
-        ii, jj = i0 + di, j0 + dj
-        ok = on & (ii >= 0) & (ii < nu) & (jj >= 0) & (jj < nv)
-        grid = grid.at[jnp.where(ok, ii, 0),
-                       jnp.where(ok, jj, 0)].add(
-                           jnp.where(ok, w * wt, 0.0))
-    return grid
+    dt = grid.dtype
+    wu = jnp.maximum(0.0, 1.0 - jnp.abs(
+        gx[:, None] - jnp.arange(nu, dtype=dt)[None, :]))     # (N, nu)
+    wv = jnp.maximum(0.0, 1.0 - jnp.abs(
+        gy[:, None] - jnp.arange(nv, dtype=dt)[None, :]))     # (N, nv)
+    wm = jnp.where(on, w, 0.0).astype(dt)
+    return grid + jax.lax.dot((wu * wm[:, None]).T, wv,
+                              precision=jax.lax.Precision.HIGHEST)
+
+
+def _row_sums(payload, sid, n_rows: int):
+    """Exact per-row sums of payload (N, K) grouped by sid — scatter-free.
+
+    sid < 0 (miss) rows contribute nothing. Small scenes: one masked
+    reduction per row (XLA fuses the chain into elementwise passes).
+    Large scenes: an f32 one-hot matmul at HIGHEST precision (exact —
+    the one-hot side is 0/1 and f32 payload survives the bf16x3
+    decomposition exactly... the sums themselves round as any f32 sum
+    would). The integer sid carries no gradient either way, matching
+    the scatter-add semantics this replaces."""
+    if n_rows <= 64:
+        return jnp.stack([
+            jnp.sum(jnp.where((sid == r)[:, None], payload, 0.0), axis=0)
+            for r in range(n_rows)])
+    onehot = (sid[None, :] == jnp.arange(n_rows)[:, None]
+              ).astype(payload.dtype)
+    return jax.lax.dot(onehot, payload,
+                       precision=jax.lax.Precision.HIGHEST)
 
 
 def trace_diff(scene: SceneTable, bundle: RayBundle, key: jax.Array,
@@ -173,6 +197,8 @@ def trace_diff(scene: SceneTable, bundle: RayBundle, key: jax.Array,
     accum, mom, grids = jax.tree_util.tree_map(
         lambda x: x + vary0.astype(x.dtype), (accum, mom, grids))
 
+    n_rows = scene.num_rows
+
     def body(carry, k):
         bund, acc, mo, gr = carry
         bund, acc, rec = _bounce_step(
@@ -180,13 +206,19 @@ def trace_diff(scene: SceneTable, bundle: RayBundle, key: jax.Array,
             disc_eps=disc_eps, block=64, count_hits=False,
             need_local=True, split_mode=False, force_jnp=True)
         hit = rec.alive_in & (rec.sid >= 0)
-        s = jnp.maximum(rec.sid, 0)
         w = jnp.where(hit, rec.absorbed, 0.0)
-        mo = mo.replace(
-            e_in=mo.e_in.at[s].add(jnp.where(hit, rec.e_in, 0.0)),
-            absorbed=mo.absorbed.at[s].add(w),
-            m1=mo.m1.at[s].add(w[:, None] * rec.local),
-            m2=mo.m2.at[s].add(w[:, None] * rec.local ** 2))
+        # scatter-free per-row accumulation: a .at[sid].add of N rays
+        # costs ~ms on TPU (and its VJP is an equally slow gather); the
+        # masked reductions / one-hot matmul below are exact and ~30x
+        # cheaper both ways (same rationale as engine._account)
+        payload = jnp.concatenate(
+            [jnp.where(hit, rec.e_in, 0.0)[:, None], w[:, None],
+             w[:, None] * rec.local, w[:, None] * rec.local ** 2], axis=1)
+        rows = _row_sums(payload, rec.sid, n_rows)
+        mo = mo.replace(e_in=mo.e_in + rows[:, 0],
+                        absorbed=mo.absorbed + rows[:, 1],
+                        m1=mo.m1 + rows[:, 2:5],
+                        m2=mo.m2 + rows[:, 5:8])
         gr = tuple(_splat(g, sp, rec.sid, rec.local, w)
                    for g, sp in zip(gr, fluxspecs))
         return (bund, acc, mo, gr), None
