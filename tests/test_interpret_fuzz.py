@@ -231,3 +231,104 @@ def test_fuzzed_scene_interpret_matches_jnp(monkeypatch, seed, n_surf):
     np.testing.assert_allclose(f1, f0, atol=0.025)
     assert abs(float(a1.escaped) / float(se1)
                - float(a0.escaped) / float(se0)) < 0.025
+
+
+def _random_optics_full(rng):
+    """Extended mix: every megakernel-eligible optics kind, adding the
+    ones the base fuzz omits — Cook-Torrance, Fresnel conductors
+    (constant AND dispersive), piecewise-Lambertian (scalar and
+    per-theta specularity) and IAM wrappers — so the packed-row optics
+    columns, shared spectral-table chunks and winner carries are fuzzed
+    ACROSS kinds in one table."""
+    kind = rng.integers(0, 11)
+    if kind < 7:
+        return _random_optics(rng)
+    if kind == 7:
+        return M.bdrf_cook_torrance(float(rng.uniform(0.1, 0.5)),
+                                    float(rng.uniform(1.0, 3.0)),
+                                    float(rng.uniform(3.0, 7.0)),
+                                    float(rng.uniform(0.7, 1.0)))
+    if kind == 8:
+        if rng.integers(0, 2):
+            m = complex(float(rng.uniform(0.5, 2.0)),
+                        float(rng.uniform(3.0, 7.0)))
+            return M.fresnel_conductor_homogenous(1.0, m)
+        wls = np.array([400e-9, 700e-9])
+        ns = rng.uniform(0.5, 2.0, 2)
+        ks = rng.uniform(3.0, 7.0, 2)
+        return M.fresnel_conductor_homogenous(1.0, (wls, ns, ks))
+    if kind == 9:
+        th = np.array([0.0, np.pi / 3, np.pi / 2])
+        ab = rng.uniform(0.2, 0.9, 3)
+        spec = (float(rng.uniform(0.0, 0.6)) if rng.integers(0, 2)
+                else rng.uniform(0.0, 0.6, 3))
+        return M.lambertian_directional_piecewise(th, ab, spec)
+    base = (M.reflective(float(rng.uniform(0.05, 0.3)))
+            if rng.integers(0, 2)
+            else M.lambertian(float(rng.uniform(0.3, 0.9))))
+    return M.iam(base, float(rng.uniform(0.1, 0.4)))
+
+
+def _random_scene_full(seed, n_surf):
+    rng = np.random.default_rng(seed)
+    surfaces = []
+    for i in range(n_surf):
+        loc = rng.uniform(-2.0, 2.0, 3)
+        loc[2] = rng.uniform(-1.0, 2.5)
+        rot = (spatial.rotx(rng.uniform(0, 2 * np.pi))[:3, :3]
+               @ spatial.roty(rng.uniform(0, np.pi))[:3, :3])
+        surfaces.append(Surface(_random_geometry(rng),
+                                _random_optics_full(rng),
+                                location=loc.tolist(), rotation=rot,
+                                name=f"s{i}"))
+    asm = Assembly([AssembledObject(surfaces)])
+    return compile_scene(asm, dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("seed,n_surf", [(101, 9), (301, 9), (211, 8)])
+def test_fuzzed_full_kinds_interpret_matches_jnp(monkeypatch, seed, n_surf):
+    """The extended-kind twin of test_fuzzed_scene_interpret_matches_jnp
+    (that one keeps its original generator: adding kinds changes the rng
+    consumption order, which would silently redraw its documented
+    seeds). Guards that each seed actually exercises the extended kinds
+    so seed drift can't hollow the test out."""
+    table, meta = _random_scene_full(seed, n_surf)
+    extended = {M.K_COOK_TORRANCE, M.K_FRESNEL_CONDUCTOR,
+                M.K_LAMBERTIAN_PIECEWISE}
+    assert len(extended & set(table.kinds_present)) >= 2, \
+        (seed, table.kinds_present)
+
+    slab = TILE
+    band = (400e-9, 700e-9)
+
+    def source_fn(key):
+        k1, k2 = jax.random.split(key)
+        b = disk_bundle(k1, slab, center=[0.0, 0.0, 4.0],
+                        direction=[0.0, 0.0, -1.0], radius=2.5,
+                        ang_range=5e-3, flux=1000.0)
+        wl = jax.random.uniform(k2, (slab,), minval=band[0],
+                                maxval=band[1])
+        return _f32(b.replace(wavelength=wl))
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 4.0], [0.0, 0.0, -1.0], 2.5, 5e-3, 1000.0,
+        wl_band=band)
+
+    a0, _, se0 = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+        max_rounds=30, max_path=10))
+    f0 = np.asarray(a0.absorbed) / float(se0)
+
+    monkeypatch.setenv("TRACER_FORCE_PALLAS", "1")
+    monkeypatch.setenv("TRACER_INTERPRET_PRNG", "1")
+    with pltpu.force_tpu_interpret_mode():
+        a1, _, se1 = jax.block_until_ready(trace_streaming(
+            table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+            max_rounds=30, max_path=10))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+
+    tot = (np.asarray(a1.absorbed).sum() + float(a1.escaped)
+           + float(a1.culled) + float(a1.medium) + float(a1.residual))
+    np.testing.assert_allclose(tot, float(se1), rtol=1e-5)
+    np.testing.assert_allclose(f1, f0, atol=0.025)
+    assert abs(float(a1.escaped) / float(se1)
+               - float(a0.escaped) / float(se0)) < 0.025
