@@ -1,11 +1,21 @@
 """Probe: differentiable-gradient throughput vs ray-batch size and remat.
 
-Config 9 measures one jitted value_and_grad of the spot-RMS loss at
-262k rays (~4 Mrays/s on capture day). The forward+backward program is
-pure jnp (the Pallas kernels have no VJP), so its throughput should be
-dominated by fixed per-call overhead at small batches — this probe
-sweeps the batch size and the checkpoint (remat) flag to find where the
-gradient step saturates on one chip.
+Config 9 measures one jitted value_and_grad of the spot-RMS loss (~4
+Mrays/s at 262k rays on round-4 capture day). The forward+backward
+program is pure jnp (the Pallas kernels have no VJP), so its throughput
+is dominated by per-ray work — this probe sweeps the batch size and the
+checkpoint (remat) flag to find where the gradient step saturates on
+one chip. The scene/loss builder is IMPORTED from the suite
+(suite.diff_gradient_step) so the probe always measures the exact
+config-9 workload.
+
+Measured history (2026-08-19): before the scatter-free moment/splat
+accumulation the step saturated at ~6.2 Mrays/s (both remat settings);
+after, 6.44 / 12.41 / 14.6 at 262k / 1M / 4M rays (checkpoint=False)
+and 6.66 / 13.02 / 15.31 with checkpoint=True — remat is net-faster
+(fewer stored residuals, less HBM traffic). A 16M-ray program fails in
+the axon remote compiler with "HTTP 413: length limit exceeded", so 4M
+is the practical single-call cap; chunk + accumulate gradients beyond.
 
 Run: python -m benchmarks.probe_diff
 """
@@ -22,41 +32,12 @@ import tracer_tpu
 
 tracer_tpu.enable_compilation_cache()
 
+from benchmarks.suite import diff_gradient_step  # noqa: E402
+
 
 def probe(n_rays: int, bounces: int = 3, checkpoint: bool = False,
           reps: int = 5) -> dict:
-    from tracer_tpu import diff, geometry as G, materials as M
-    from tracer_tpu import spatial as sp
-    from tracer_tpu.scene import (Assembly, AssembledObject, Surface,
-                                  compile_scene)
-    from tracer_tpu.sources import disk_bundle
-
-    f0 = 2.0
-    dish = Surface(G.parabolic_dish(2.0, f0), M.reflective(0.05),
-                   name="dish")
-    recv = Surface(G.rect_plate(0.5, 0.5), M.lambertian(0.95),
-                   location=[0.0, 0.0, f0],
-                   rotation=sp.rotx(np.pi)[:3, :3], name="receiver")
-    table, meta = compile_scene(Assembly([AssembledObject([dish, recv])]),
-                                dtype=jnp.float32)
-    d_rows = np.nonzero(meta.row_logical == meta.index_of("dish"))[0]
-    r_rows = np.nonzero(meta.row_logical == meta.index_of("receiver"))[0]
-    beam = disk_bundle(jax.random.PRNGKey(9), n_rays,
-                       center=[0.0, 0.0, 5.0], direction=[0.0, 0.0, -1.0],
-                       radius=0.95, radius_in=0.45, ang_range=1e-4,
-                       flux=1000.0)
-    key = jax.random.PRNGKey(10)
-
-    def loss(f):
-        q = 1.0 / (4.0 * f)
-        quad = jnp.zeros((10,), jnp.float32).at[0].set(q).at[1].set(q) \
-            .at[8].set(-0.5)
-        t = diff.with_rows(table, d_rows, quadric=quad[None])
-        _, mom = diff.trace_diff(t, beam, key, bounces=bounces,
-                                 checkpoint=checkpoint)
-        return diff.spot_rms(mom, r_rows)
-
-    step = jax.jit(jax.value_and_grad(loss))
+    step = diff_gradient_step(n_rays, bounces, checkpoint=checkpoint)
     fs = [jnp.asarray(1.7 + 0.01 * i, jnp.float32) for i in range(reps + 1)]
     t0 = time.perf_counter()
     val, g = jax.block_until_ready(step(fs[0]))
@@ -75,7 +56,7 @@ def probe(n_rays: int, bounces: int = 3, checkpoint: bool = False,
 
 if __name__ == "__main__":
     for ck in (False, True):
-        for n in (262_144, 1_048_576, 4_194_304, 16_777_216):
+        for n in (262_144, 1_048_576, 4_194_304):
             try:
                 print(json.dumps(probe(n, checkpoint=ck)))
             except Exception as e:  # OOM etc. — report and continue

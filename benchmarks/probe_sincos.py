@@ -13,6 +13,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import tracer_tpu
+
+tracer_tpu.enable_compilation_cache()
+
 
 def measure(tag):
     # import inside so a monkeypatch applied between calls is seen by the

@@ -12,6 +12,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import tracer_tpu
+
+tracer_tpu.enable_compilation_cache()
+
 from tracer_tpu.engine import trace_streaming
 from tracer_tpu.kernels.pallas_intersect import TILE
 from tracer_tpu.models.spherical_lens import SphericalLens

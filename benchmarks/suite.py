@@ -50,6 +50,14 @@ import tracer_tpu
 tracer_tpu.enable_compilation_cache()
 
 
+def _assert_full_emission(emitted, total, slab):
+    """The megakernel grants refills at block granularity, so the final
+    emission round may overshoot the budget by up to one slab; only
+    UNDER-emission means the max_rounds budget truncated the call."""
+    assert total <= int(emitted) <= total + slab, \
+        f"call truncated: emitted {int(emitted)} of {total} — raise max_rounds"
+
+
 def _closure(accum, source_e) -> float:
     ab = float(np.asarray(accum.absorbed).sum())
     return (float(source_e) - ab - float(accum.escaped)
@@ -102,11 +110,7 @@ def config1_minidish(slab_tiles=228, rounds=128) -> dict:
     keys = [jax.random.fold_in(jax.random.PRNGKey(1), i) for i in range(8)]
     accum, emitted, se = jax.block_until_ready(step(keys[0]))
     cl = _closure(accum, se)
-    # the megakernel grants refills at block granularity, so the final
-    # emission round may overshoot the budget by up to one slab; only
-    # UNDER-emission means the max_rounds budget truncated the call
-    assert total <= int(emitted) <= total + slab, \
-        f"call truncated: emitted {int(emitted)} of {total} — raise max_rounds"
+    _assert_full_emission(emitted, total, slab)
     assert abs(cl) < 1e-4, cl
     ab = np.asarray(accum.absorbed)
     rec_row = int(np.nonzero(np.asarray(meta.row_logical)
@@ -163,11 +167,7 @@ def config2_slope_error_fluxmap(slab_tiles=228, rounds=128) -> dict:
     keys = [jax.random.fold_in(jax.random.PRNGKey(2), i) for i in range(8)]
     accum, emitted, se = jax.block_until_ready(step(keys[0]))
     cl = _closure(accum, se)
-    # the megakernel grants refills at block granularity, so the final
-    # emission round may overshoot the budget by up to one slab; only
-    # UNDER-emission means the max_rounds budget truncated the call
-    assert total <= int(emitted) <= total + slab, \
-        f"call truncated: emitted {int(emitted)} of {total} — raise max_rounds"
+    _assert_full_emission(emitted, total, slab)
     assert abs(cl) < 1e-4, cl
     best = _time_best(lambda i: step(keys[i]))
 
@@ -244,11 +244,7 @@ def config3_spectral_buie(slab_tiles=228, rounds=128) -> dict:
     keys = [jax.random.fold_in(jax.random.PRNGKey(5), i) for i in range(8)]
     accum, emitted, se = jax.block_until_ready(step(keys[0]))
     cl = _closure(accum, se)
-    # the megakernel grants refills at block granularity, so the final
-    # emission round may overshoot the budget by up to one slab; only
-    # UNDER-emission means the max_rounds budget truncated the call
-    assert total <= int(emitted) <= total + slab, \
-        f"call truncated: emitted {int(emitted)} of {total} — raise max_rounds"
+    _assert_full_emission(emitted, total, slab)
     assert abs(cl) < 1e-4, cl
     assert float(accum.medium) > 0.0   # attenuation actually engaged
 
@@ -316,8 +312,7 @@ def config6_spherical_lens(slab_tiles=228, rounds=128) -> dict:
                 for i in range(8)]
         accum, emitted, se = jax.block_until_ready(step(keys[0]))
         cl = _closure(accum, se)
-        assert total <= int(emitted) <= total + slab, \
-            f"call truncated: emitted {int(emitted)} of {total}"
+        _assert_full_emission(emitted, total, slab)
         assert abs(cl) < 1e-4, cl
         ab = np.asarray(accum.absorbed)
         rec_rows = np.nonzero(np.asarray(met.row_logical)
@@ -406,8 +401,7 @@ def config7_cook_torrance(slab_tiles=228, rounds=128) -> dict:
                 for i in range(8)]
         accum, emitted, se = jax.block_until_ready(step(keys[0]))
         cl = _closure(accum, se)
-        assert total <= int(emitted) <= total + slab, \
-            f"call truncated: emitted {int(emitted)} of {total}"
+        _assert_full_emission(emitted, total, slab)
         assert abs(cl) < 1e-4, cl
         ab = np.asarray(accum.absorbed)
         dome_rows = np.nonzero(np.asarray(meta.row_logical)
@@ -490,8 +484,7 @@ def config8_volumetric_scattering(slab_tiles=228, rounds=128) -> dict:
                 for i in range(8)]
         accum, emitted, se = jax.block_until_ready(step(keys[0]))
         cl = _closure(accum, se)
-        assert total <= int(emitted) <= total + slab, \
-            f"call truncated: emitted {int(emitted)} of {total}"
+        _assert_full_emission(emitted, total, slab)
         assert abs(cl) < 1e-4, cl
         med_frac = float(accum.medium) / float(se)
         assert med_frac > 0.1, med_frac   # the medium takes real energy
@@ -549,8 +542,7 @@ def config8_volumetric_scattering(slab_tiles=228, rounds=128) -> dict:
               for i in range(8)]
     accum_b, emitted_b, se_b = jax.block_until_ready(step_b(keys_b[0]))
     cl_b = _closure(accum_b, se_b)
-    assert total <= int(emitted_b) <= total + slab, \
-        f"call truncated: emitted {int(emitted_b)} of {total}"
+    _assert_full_emission(emitted_b, total, slab)
     assert abs(cl_b) < 1e-4, cl_b
     med_b = float(accum_b.medium) / float(se_b)
     assert med_b > 0.05, med_b   # the bounded medium takes real energy
@@ -565,21 +557,12 @@ def config8_volumetric_scattering(slab_tiles=228, rounds=128) -> dict:
                 floor_frac=round(floor_mk, 4))
 
 
-def config9_diff_gradient(n_rays: int = 1_048_576, bounces: int = 3) -> dict:
-    """Config 9: differentiable-trace gradient throughput (no reference
-    analog — the NumPy engine has no gradients). One jitted
-    value_and_grad of the spot-RMS loss on a dish + receiver scene,
-    differentiated w.r.t. the dish curvature through trace_diff's
-    scan (pure-jnp path; forward + backward in one XLA program).
-    Throughput counts source rays per wall second of the full gradient
-    step.
-
-    Round-4 retune (benchmarks/probe_diff.py): the scatter-free moment /
-    splat accumulation lifted the fixed-shape number 4.09 -> 6.44 at the
-    old 262k-ray call, and the step saturates near 15 Mrays/s at 4M rays;
-    1M rays + checkpoint=True (remat is net-faster here — fewer stored
-    residuals means less HBM traffic) is the representative optimization
-    workload."""
+def diff_gradient_step(n_rays: int, bounces: int = 3,
+                       checkpoint: bool = True):
+    """The config-9 workload: a jitted value_and_grad of the spot-RMS
+    loss w.r.t. the dish focal length on a dish + receiver scene.
+    Shared with benchmarks/probe_diff.py — the probe exists to tune this
+    exact workload, so a private copy there would silently drift."""
     from tracer_tpu import diff, geometry as G, materials as M
     from tracer_tpu import spatial as sp
     from tracer_tpu.scene import (Assembly, AssembledObject, Surface,
@@ -608,10 +591,28 @@ def config9_diff_gradient(n_rays: int = 1_048_576, bounces: int = 3) -> dict:
             .at[8].set(-0.5)
         t = diff.with_rows(table, d_rows, quadric=quad[None])
         _, mom = diff.trace_diff(t, beam, key, bounces=bounces,
-                                 checkpoint=True)
+                                 checkpoint=checkpoint)
         return diff.spot_rms(mom, r_rows)
 
-    step = jax.jit(jax.value_and_grad(loss))
+    return jax.jit(jax.value_and_grad(loss))
+
+
+def config9_diff_gradient(n_rays: int = 1_048_576, bounces: int = 3) -> dict:
+    """Config 9: differentiable-trace gradient throughput (no reference
+    analog — the NumPy engine has no gradients). One jitted
+    value_and_grad of the spot-RMS loss on a dish + receiver scene,
+    differentiated w.r.t. the dish curvature through trace_diff's
+    scan (pure-jnp path; forward + backward in one XLA program).
+    Throughput counts source rays per wall second of the full gradient
+    step.
+
+    Round-4 retune (benchmarks/probe_diff.py): the scatter-free moment /
+    splat accumulation lifted the fixed-shape number 4.09 -> 6.44 at the
+    old 262k-ray call, and the step saturates near 15 Mrays/s at 4M rays;
+    1M rays + checkpoint=True (remat is net-faster here — fewer stored
+    residuals means less HBM traffic) is the representative optimization
+    workload."""
+    step = diff_gradient_step(n_rays, bounces)
     fs = [jnp.asarray(1.7 + 0.01 * i, jnp.float32) for i in range(8)]
     val, g = jax.block_until_ready(step(fs[0]))
     assert np.isfinite(float(val)) and float(val) > 0.0, float(val)

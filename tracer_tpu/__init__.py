@@ -24,8 +24,7 @@ __all__ = [
 ]
 
 
-def enable_compilation_cache(path="/tmp/tracer_jax_cache",
-                             min_compile_secs=1.0):
+def enable_compilation_cache(path=None, min_compile_secs=1.0):
     """Persist compiled XLA executables across processes.
 
     The tracer's megakernel programs take tens of seconds to compile
@@ -38,10 +37,19 @@ def enable_compilation_cache(path="/tmp/tracer_jax_cache",
     toy program; the NSTTF megakernel compile drops from ~40 s to ~0).
 
     Safe to call any time before the first compilation of interest;
-    CPU- and TPU-compiled entries coexist in one directory.
+    CPU- and TPU-compiled entries coexist in one directory. The default
+    path is per-user (uid-suffixed under the system temp dir) so a
+    shared host's users don't fight over one directory's ownership —
+    JAX would silently fall back to compiling on every PermissionError.
     """
     import jax
 
+    if path is None:
+        import os
+        import tempfile
+        uid = os.getuid() if hasattr(os, "getuid") else "all"
+        path = os.path.join(tempfile.gettempdir(),
+                            f"tracer_jax_cache-{uid}")
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       float(min_compile_secs))
