@@ -1491,3 +1491,52 @@ def test_split_refractive_megakernel_matches_exact_splitter():
     assert r0 > 0.75           # the lens focuses onto the receiver
     assert abs(r1 - r0) / r0 < 0.02, (r1, r0)
     np.testing.assert_allclose(f1, f0, atol=0.01)
+
+
+def test_trace_sharded_one_device_mesh_runs_pallas():
+    """Regression (round 4): trace_sharded wraps trace_fused in shard_map,
+    and on an accelerator backend the nearest-hit inside it is a
+    pallas_call whose out_shapes carry no vma manifest — with shard_map's
+    default check_vma=True the call fails to trace (JAX raises
+    "vma on jax.ShapeDtypeStruct must not be None"). The CPU suite never
+    sees this because it takes the jnp path, so the only coverage is a
+    hardware mesh. A 1-device mesh suffices: the failure is at trace
+    time, not in the collective."""
+    from jax.sharding import Mesh
+    from tracer_tpu.bundle import RayBundle
+    from tracer_tpu.engine import trace_fused
+    from tracer_tpu.parallel import trace_sharded
+
+    mirror = Surface(G.rect_plate(4.0, 4.0), M.reflective(0.2, sigma=2e-3),
+                     name="mirror")
+    recv = Surface(G.rect_plate(6.0, 6.0), M.absorber(),
+                   location=[0.0, 0.0, 3.0],
+                   rotation=spatial.rotx(np.pi)[:3, :3], name="recv")
+    table, meta = compile_scene(Assembly([AssembledObject([mirror, recv])]),
+                                dtype=jnp.float32)
+
+    n = 2048
+    k = jax.random.PRNGKey(7)
+    xy = jax.random.uniform(k, (n, 2), minval=-1.5, maxval=1.5,
+                            dtype=jnp.float32)
+    pos = jnp.concatenate([xy, jnp.ones((n, 1), jnp.float32)], axis=1)
+    dirs = jnp.tile(jnp.array([0.0, 0.0, -1.0], jnp.float32), (n, 1))
+    bundle = RayBundle.create(pos=pos, dir=dirs)
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("rays",))
+    key = jax.random.PRNGKey(11)
+    final_s, accum_s = trace_sharded(table, bundle, key, mesh, max_bounces=6)
+
+    # 1-device mesh + the worker's fold_in(key, axis_index) = a plain
+    # trace_fused with the folded key: accumulators must match exactly
+    _, accum_1 = trace_fused(table, bundle, jax.random.fold_in(key, 0),
+                             max_bounces=6)
+    np.testing.assert_allclose(np.asarray(accum_s.absorbed),
+                               np.asarray(accum_1.absorbed), rtol=1e-6)
+    np.testing.assert_allclose(float(accum_s.escaped),
+                               float(accum_1.escaped), rtol=1e-6)
+    src = float(jnp.sum(bundle.energy))
+    total = (float(np.asarray(accum_s.absorbed).sum())
+             + float(accum_s.escaped) + float(accum_s.culled)
+             + float(jnp.sum(final_s.energy)))
+    np.testing.assert_allclose(total, src, rtol=1e-5)

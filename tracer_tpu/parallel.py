@@ -57,9 +57,13 @@ def trace_sharded(scene, bundle: RayBundle, key: jax.Array, mesh: Mesh,
             lambda a: jax.lax.psum(a, "rays"), accum)
         return final, accum
 
+    # check_vma=False: on accelerator backends trace_fused's nearest-hit
+    # runs a pallas_call whose out_shapes carry no vma manifest (same
+    # reason as the streaming workers below); with the default
+    # check_vma=True the call fails to trace under shard_map.
     fn = jax.shard_map(local_trace, mesh=mesh,
                        in_specs=(P(), P("rays"), P()),
-                       out_specs=(P("rays"), P()))
+                       out_specs=(P("rays"), P()), check_vma=False)
     return fn(scene, bundle, key)
 
 
