@@ -144,6 +144,11 @@ class HeliostatField(Assembly):
     def get_heliostats(self):
         return self._heliostats
 
+    @property
+    def positions(self) -> np.ndarray:
+        """(n, 3) heliostat pad positions."""
+        return self._pos
+
     def set_aim_height(self, h: float) -> None:
         self._th = float(h)
 
