@@ -55,10 +55,14 @@ def main(n_days=None, n_hours=None, rays_log2=None):
           f"{grid[:, 2].sum():.0f} daylight h represented "
           f"(+{grid.excluded:.0f} h below the elevation floor)")
 
+    # the default (unculled megakernel) path shares ONE compiled
+    # executable across every sun position — the source pose is a traced
+    # kernel operand; use_culling=True trades that for the culled
+    # kernel's higher per-trace throughput at one compile + one culling
+    # build per position (worth it for few positions x many rays)
     res = efficiency_sweep(asm, field, grid,
                            total_mirror_area=len(positions) * 6.1 * 6.1,
-                           rays_per_position=rays, aim_height=tower,
-                           use_culling=on_tpu)
+                           rays_per_position=rays, aim_height=tower)
 
     print(f"{'azimuth':>8} {'zenith':>7} {'hours':>7} {'cos_eff':>8} "
           f"{'eta_opt':>8} {'P_rec MW':>9}")

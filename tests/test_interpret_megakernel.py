@@ -1321,3 +1321,45 @@ def test_split_refractive_megakernel_interpret(monkeypatch):
     _closure(a1, se1)
     assert abs(_frac(meta, f1, "rec") - r0) < 0.03
     np.testing.assert_allclose(f1, f0, atol=0.03)
+
+
+def test_streaming_megakernel_reaimed_source_shares_one_program(monkeypatch):
+    """The source POSE (center + rotation frames) is a traced kernel
+    operand (engine._spec_frame_split), so traces that differ ONLY by
+    source aim — annual sun sweeps, tracking studies — reuse one traced/
+    compiled megakernel program. Asserts the megakernel's jit cache grows
+    by exactly ONE across two differently-aimed traces, and that both
+    aims land their energy on the plate (the pose really moves)."""
+    from tracer_tpu.engine import _trace_streaming_megakernel
+    plate = Surface(G.rect_plate(4.0, 4.0), M.absorber(one_sided=True),
+                    name="plate")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([plate])]), dtype=jnp.float32)
+    slab = TILE
+
+    def src(center, direction):
+        direction = np.asarray(direction, dtype=float)
+        direction /= np.linalg.norm(direction)
+
+        def source_fn(key):
+            return _f32(disk_bundle(key, slab, center=center,
+                                    direction=direction, radius=0.5,
+                                    ang_range=4.65e-3, flux=1000.0))
+        source_fn.pallas_spec = disk_pillbox_pallas_spec(
+            slab, center, direction, 0.5, 4.65e-3, 1000.0)
+        return source_fn
+
+    _interp_env(monkeypatch)
+    fracs = []
+    with pltpu.force_tpu_interpret_mode():
+        c0 = _trace_streaming_megakernel._cache_size()
+        for source_fn in (src([0.0, 0.0, 2.0], [0.0, 0.0, -1.0]),
+                          src([2.0, 2.0, 2.0], [-1.0, -1.0, -1.0])):
+            a, _, se = jax.block_until_ready(trace_streaming(
+                table, source_fn, jax.random.PRNGKey(0),
+                total_rays=slab, max_rounds=10, max_path=4))
+            _closure(a, se)
+            fracs.append(float(np.asarray(a.absorbed).sum()) / float(se))
+        assert _trace_streaming_megakernel._cache_size() == c0 + 1
+    # both the vertical and the oblique aim hit the one-sided plate
+    assert min(fracs) > 0.95, fracs

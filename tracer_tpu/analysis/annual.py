@@ -17,11 +17,13 @@ Here a sun-path grid sweeps through the same compiled trace machinery:
   recompiles the scene table and traces each position on the streaming
   path (the megakernel/culled megakernel on TPU, the general path on CPU).
 
-Each sun position bakes its own source spec (position/direction constants
-are static in the megakernel), so each position is a distinct XLA
-executable: the first sweep pays one compile per position, and
-``tracer_tpu.enable_compilation_cache()`` (on by default here) makes every
-later run — same process or not — reuse them.
+The source POSE (center + rotation frames) is a traced operand of the
+plain streaming megakernel (engine._spec_frame_split), so every position
+of a sweep shares ONE compiled executable on the default path — a
+365x24-point annual matrix compiles once, not 8760 times. Only the
+relevancy-culled path (``use_culling=True``) recompiles per position (its
+candidate lists are position-dependent by construction); the persistent
+compilation cache amortizes those across runs.
 """
 from __future__ import annotations
 
@@ -161,11 +163,12 @@ def efficiency_sweep(assembly, field, angles, total_mirror_area: float,
               the standard optical efficiency eta = P_receiver / (DNI * A)
 
     Per position: ``field.track_sun`` re-aims (host NumPy), the scene
-    recompiles to a fresh table (same shapes — XLA retraces nothing when
-    only frame VALUES change inside one executable; the SOURCE spec is
-    static per sun direction, so each position still owns one executable,
-    deduplicated across runs by the persistent compilation cache), and
-    ``engine.trace_streaming`` traces ``rays_per_position`` rays.
+    recompiles to a fresh table, and ``engine.trace_streaming`` traces
+    ``rays_per_position`` rays. Scene rows AND the source pose are traced
+    operands, so on the default (unculled) path every position reuses ONE
+    compiled executable; ``use_culling=True`` trades that for the culled
+    megakernel's throughput at one compile per position (amortized across
+    runs by the persistent compilation cache).
 
     Returns a dict with per-position arrays (azimuth, zenith, weight,
     receiver_kw, efficiency, cosine_eff, closure) and scalars

@@ -827,7 +827,8 @@ def trace_fused(scene: SceneTable, bundle: RayBundle, key: jax.Array,
                               "transparent", "conductor", "iam",
                               "periodic", "piecewise", "refr_disp",
                               "refr_frost", "backside_miss", "media"))
-def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
+def _trace_streaming_megakernel(scene: SceneTable, source_spec, src_frame,
+                                key,
                                 total_rays: int, slab: int,
                                 max_rounds: int, max_path: int,
                                 min_energy: float, t_eps, disc_eps: float,
@@ -906,7 +907,8 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, key,
             ambient_g=ambient_g, refr_disp=refr_disp,
             refr_frost=refr_frost,
             backside_miss=backside_miss,
-            medium_id=mid if media is not None else None, media=media)
+            medium_id=mid if media is not None else None, media=media,
+            src_frame=src_frame)
         pos, dirs, e_new, sid, absorbed = outs[:5]
         k_o = 5
         if spectral:
@@ -1640,8 +1642,10 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
         logging.getLogger("tracer_tpu").debug(
             "streaming dispatch: megakernel (kinds=%s)",
             scene.kinds_present)
+        spec_c, src_frame = _spec_frame_split(spec)
         return _trace_streaming_megakernel(
-            scene, spec, key, total_rays, n, max_rounds, max_path,
+            scene, spec_c, src_frame, key, total_rays, n, max_rounds,
+            max_path,
             min_energy, t_eps, disc_eps,
             bivar=_bivar_mode(scene),
             one_sided="one_sided" in scene.features,
@@ -1664,6 +1668,30 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
         scene, source_fn, key, total_rays, max_rounds, max_path,
         min_energy, t_eps, disc_eps, block, fluxspecs=fluxspecs,
         split="split" in scene.features)
+
+
+def _spec_frame_split(spec):
+    """Split a bakeable source spec into (canonical static spec, traced
+    (21,) f32 pose: center xyz + row-major position rotation + row-major
+    direction rotation). The pose becomes a kernel OPERAND of the plain
+    streaming megakernel instead of baked constants, so traces that
+    differ only by source aim — annual sun sweeps (analysis/annual.py),
+    tracking studies — share ONE compiled executable. The canonical spec
+    holds None in the pose slots; any accidental constant use fails at
+    trace time. (The culled megakernel keeps the full static spec: its
+    candidate lists are position-dependent anyway.)"""
+    rect = spec[15] if len(spec) > 15 else None
+    rot = np.asarray(spec[3], dtype=np.float32).reshape(9)
+    drot = rot
+    if rect is not None and rect[2] is not None:
+        drot = np.asarray(rect[2], dtype=np.float32).reshape(9)
+    frame = jnp.asarray(np.concatenate(
+        [np.asarray(spec[:3], dtype=np.float32), rot, drot]))
+    spec_c = list(spec)
+    spec_c[0] = spec_c[1] = spec_c[2] = spec_c[3] = None
+    if rect is not None:
+        spec_c[15] = (rect[0], rect[1], None) + tuple(rect[3:])
+    return tuple(spec_c), frame
 
 
 # the per-ray STATE fields of a streaming slab (everything but the alive

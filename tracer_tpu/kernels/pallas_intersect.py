@@ -1388,7 +1388,7 @@ def _sincos_rad(x):
     return _sincos_turns(x * jnp.float32(1.0 / (2.0 * np.pi)))
 
 
-def _sample_disk_buie(spec, shape, cell=None):
+def _sample_disk_buie(spec, shape, cell=None, frame=None):
     """In-kernel disk/rect + Buie-sunshape source sampling (all parameters
     are static Python floats baked into the kernel; cf.
     sources.buie_sunshape). Returns the 6 fresh ray components.
@@ -1401,6 +1401,14 @@ def _sample_disk_buie(spec, shape, cell=None):
     oblique_solar_rect_bundle sources.py:268) cell = (x0, x1, y0, y1)
     local-frame coordinate bounds (culling.rect_cells scaled by w, h).
 
+    With ``frame`` (a (21,) f32 SMEM ref or array: center xyz, row-major
+    position rotation, row-major direction rotation) the source POSE is
+    a traced kernel operand instead of baked constants — the spec's
+    center/rot slots hold None (engine._spec_frame_split) and a re-aimed
+    source (annual sun sweeps, analysis/annual.py) reuses one compiled
+    executable. Shape and distribution parameters (radius, CSR
+    polynomial, wavelength band) stay static.
+
     Specs may carry two optional trailing fields (see
     sources.buie_sunshape_pallas_spec): a (wl_lo, wl_hi) band — a 7th
     returned component then samples per-ray wavelengths uniformly in the
@@ -1410,6 +1418,16 @@ def _sample_disk_buie(spec, shape, cell=None):
      gamma, kappa, integ_sum, theta_tot, theta_dni) = spec[:13]
     wl_band = spec[13] if len(spec) > 13 else None
     rect = spec[15] if len(spec) > 15 else None
+    if frame is not None:
+        cx, cy, cz = frame[0], frame[1], frame[2]
+        rot = tuple(frame[3 + i] for i in range(9))
+        drot = tuple(frame[12 + i] for i in range(9))
+    else:
+        drot = rot
+        if rect is not None and rect[2] is not None:
+            # oblique rect sources carry a separate direction frame (rays
+            # leave along rays_rot's +z, positions lie in rot's xy plane)
+            drot = rect[2]
     u1, u2, u3, u4 = (_kernel_uniform(shape) for _ in range(4))
     # position on the source disc/rect (or this block's cell of it)
     if rect is not None:
@@ -1453,11 +1471,6 @@ def _sample_disk_buie(spec, shape, cell=None):
     s_t, c_t = _sincos_rad(theta)
     s_d, c_d = _sincos_turns(u4)
     ax, ay, az = s_t * c_d, s_t * s_d, c_t
-    # oblique rect sources carry a separate direction frame (rays leave
-    # along rays_rot's +z, positions lie in rot's xy plane)
-    drot = rot
-    if rect is not None and rect[2] is not None:
-        drot = rect[2]
     fdx = drot[0] * ax + drot[1] * ay + drot[2] * az
     fdy = drot[3] * ax + drot[4] * ay + drot[5] * az
     fdz = drot[6] * ax + drot[7] * ay + drot[8] * az
@@ -1478,13 +1491,16 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                        piecewise=False, ambient_scat=0.0, ambient_g=0.0,
                        refr_disp=False, refr_frost=False,
                        refr_split=False,
-                       backside_miss=False, media=None):
+                       backside_miss=False, media=None,
+                       traced_frame=False):
     """Fused intersect + shade-epilogue kernel: one HBM round trip of the
     ray state per bounce. Runs one specialized fori per aperture-signature
     group over the shared (t, sid, winner) carry, so multi-group scenes
     (e.g. quadric dish + flat receiver) stay on the fast path. With a
     source_spec, dead lanes (energy <= 0) are regenerated from the source
-    in-kernel when the regen flag (2nd scalar prefetch) is set.
+    in-kernel when the regen flag (2nd scalar prefetch) is set; with
+    ``traced_frame`` the source POSE comes from the srcf scalar-prefetch
+    operand instead of spec constants (see _sample_disk_buie).
 
     ``spectral`` additionally threads a per-lane wavelength through the
     kernel (8th ray component, sampled from the source band at regen) and
@@ -1514,7 +1530,8 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
                                ambient_g=ambient_g, media=media)
     has_mid = media is not None
 
-    def kernel(seed_ref, regen_ref, tabx_ref, taby_ref, rows_ref, *io):
+    def kernel(seed_ref, regen_ref, tabx_ref, taby_ref, srcf_ref, rows_ref,
+               *io):
         n_in = 7 + int(spectral) + int(refractive) + int(has_mid)
         ins, outs_ref = io[:n_in], io[n_in:]
         px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref, e_ref = ins[:7]
@@ -1546,7 +1563,8 @@ def _make_fused_kernel(groups, t_eps, disc_eps,
 
         if source_spec is not None:
             do = (e <= 0.0) & (regen_ref[0] > 0)
-            f = _sample_disk_buie(source_spec, px.shape)
+            f = _sample_disk_buie(source_spec, px.shape,
+                                  frame=srcf_ref if traced_frame else None)
             e_ray = jnp.float32(source_spec[5])
             px = jnp.where(do, f[0], px)
             py = jnp.where(do, f[1], py)
@@ -1659,7 +1677,7 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                           refr_frost: bool = False,
                           refr_split: bool = False,
                           backside_miss: bool = False,
-                          medium_id=None, media=None):
+                          medium_id=None, media=None, src_frame=None):
     """Fused intersect+shade bounce for K_REFLECT / K_LAMBERTIAN /
     K_REFLECT_SPECTRAL / K_REFRACTIVE scenes (any number of
     aperture-signature groups).
@@ -1719,7 +1737,8 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
 
     nb = n_pad // TILE
 
-    def ray_idx(i, seed_ref, regen_ref, tabx_ref, taby_ref, rows_ref):
+    def ray_idx(i, seed_ref, regen_ref, tabx_ref, taby_ref, srcf_ref,
+                rows_ref):
         return (i, 0)
 
     if regen is None:
@@ -1730,6 +1749,10 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
     else:
         tabx = spectral_tab[:, 0].astype(jnp.float32)
         taby = spectral_tab[:, 1].astype(jnp.float32)
+    # source-pose scalar operand (center, position rot, direction rot):
+    # traced when given so re-aimed sources share one executable
+    srcf = (jnp.zeros((21,), dtype=jnp.float32) if src_frame is None
+            else src_frame.astype(jnp.float32))
 
     n_io = 7 + int(spectral) + int(refractive) + int(has_mid)
     ray_spec = pl.BlockSpec((SUB, LANE), ray_idx, memory_space=pltpu.VMEM)
@@ -1752,10 +1775,11 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
                                 refr_frost=refr_frost,
                                 refr_split=refr_split,
                                 backside_miss=backside_miss,
-                                media=media)
+                                media=media,
+                                traced_frame=src_frame is not None)
     n_out = n_io + 2 + (4 if refr_split else 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,   # seed, regen, spectral table x/y, rows
+        num_scalar_prefetch=6,   # seed, regen, spec table x/y, srcf, rows
         grid=(nb,),
         in_specs=[ray_spec] * n_io,
         out_specs=tuple([ray_spec] * n_out),
@@ -1770,7 +1794,7 @@ def bounce_reflect_pallas(rows, seed, pos, dirs, energy, groups,
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-    )(seed, regen, tabx, taby, rows, *comps)
+    )(seed, regen, tabx, taby, srcf, rows, *comps)
 
     flat_outs = [a.reshape(n_pad)[:n] for a in outs]
     new_pos = jnp.stack(flat_outs[0:3], axis=1)
