@@ -337,6 +337,54 @@ def test_iam_megakernel_interpret_analytic(monkeypatch):
     assert _frac(meta, f1, "rec") > 0.6
 
 
+@pytest.mark.parametrize("base", ["lam_specular", "semi_lambertian"])
+def test_iam_scatterer_bases_megakernel_interpret_analytic(
+        monkeypatch, base):
+    """IAM on LambertianSpecular / SemiLambertian bases rides the
+    megakernel (round 4: pack_rows mirrors a_r into p3 for kind 3, whose
+    p2 holds the specular-branch sigma, and into the free p2 for kind 4).
+    Both bases are forced onto their SPECULAR branch (specularity = 1 /
+    incidence beyond ang_range), so the first hit absorbs exactly the
+    mirror-IAM constant 0.4 * (1-e^-0.5)/(1-e^-1) = 0.2490 at 60 deg and
+    the remainder reflects onto the receiver (ref LambertianSpecular_IAM
+    optics_callables.py:588 — evaluated at the true incidence angle; the
+    reference zeroes its `directs` before the AOI dot product, a
+    documented deviation, see compat.py)."""
+    if base == "lam_specular":
+        opt = M.iam(M.lambertian_specular(0.4, specularity=1.0), a_r=1.0)
+    else:
+        opt = M.iam(M.semi_lambertian(0.4, ang_range=np.pi / 6), a_r=1.0)
+    mirror = Surface(G.rect_plate(1.6, 1.6), opt,
+                     rotation=spatial.rotx(-np.pi / 3)[:3, :3],
+                     name="mirror")
+    refl = np.array([0.0, np.sin(2 * np.pi / 3), np.cos(2 * np.pi / 3)])
+    rec = Surface(G.rect_plate(3.0, 3.0), M.absorber(one_sided=False),
+                  location=(1.6 * refl).tolist(),
+                  rotation=spatial.rotation_to_z(-refl), name="rec")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([mirror, rec])]), dtype=jnp.float32)
+    assert "iam" in table.features
+    assert "iam_nonmirror" not in table.features
+
+    slab = TILE
+    def source_fn(key):
+        return _f32(disk_bundle(key, slab, center=[0.0, 0.0, 2.0],
+                                direction=[0.0, 0.0, -1.0], radius=0.3,
+                                ang_range=2e-3, flux=1000.0))
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 2.0], [0.0, 0.0, -1.0], 0.3, 2e-3, 1000.0)
+
+    _interp_env(monkeypatch)
+    with pltpu.force_tpu_interpret_mode():
+        a1, _, se1 = jax.block_until_ready(trace_streaming(
+            table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+            max_rounds=20, max_path=6))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    _closure(a1, se1)
+    assert 0.23 < _frac(meta, f1, "mirror") < 0.27, f1
+    assert _frac(meta, f1, "rec") > 0.6
+
+
 def test_piecewise_megakernel_interpret_analytic(monkeypatch):
     """K_LAMBERTIAN_PIECEWISE on the interpreted megakernel: the theta
     table [0, pi/3, pi/2] -> [0.2, 0.6, 0.8] interpolates to absorptance

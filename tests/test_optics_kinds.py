@@ -196,6 +196,45 @@ def test_compat_names_resolve():
     assert "absorption" in s.record
 
 
+def test_iam_c_exponent_matches_analytic():
+    """The Martin-Ruiz exponent c (ref IAM.__init__ optics_callables.py:272,
+    energy *= 1 - abs*(1-exp(-cos^c/a_r))/(1-exp(-1/a_r))) applies on the
+    general path: at 60 deg with c = 2 the first hit absorbs
+    0.4 * (1-e^-0.25)/(1-e^-1) = 0.1400 (c = 1 would give 0.2490)."""
+    for c, cos_c in ((1.0, 0.5), (2.0, 0.25)):
+        asm = _plate_scene(M.iam(M.reflective(0.4), a_r=1.0, c=c))
+        eng = TracerEngine(asm)
+        bundle = _rays_at(np.pi / 3)
+        res = eng.ray_tracer(bundle, reps=1)
+        e0 = float(np.asarray(bundle.energy).sum())
+        absorbed = float(np.asarray(res.accum.absorbed).sum())
+        iam_f = (1.0 - np.exp(-cos_c)) / (1.0 - np.exp(-1.0))
+        np.testing.assert_allclose(absorbed / e0, 0.4 * iam_f, rtol=1e-5)
+
+
+def test_iam_base_kinds_feature_tags():
+    """Which IAM bases ride the fused megakernels (round 4): reflective,
+    Lambertian, LambertianSpecular and SemiLambertian bases (with c = 1)
+    are mirror-packable; any other base — or c != 1 — tags
+    "iam_nonmirror" and stays on the general path."""
+    from tracer_tpu.scene import compile_scene
+
+    def feats(opt):
+        table, _ = compile_scene(_plate_scene(opt))
+        return table.features
+
+    for opt in (M.iam(M.reflective(0.4), a_r=0.16),
+                M.iam(M.lambertian(0.4), a_r=0.16),
+                M.iam(M.lambertian_specular(0.4, 0.7), a_r=0.16),
+                M.iam(M.semi_lambertian(0.4, 0.5), a_r=0.16)):
+        f = feats(opt)
+        assert "iam" in f and "iam_nonmirror" not in f
+    for opt in (M.iam(M.reflective(0.4), a_r=0.16, c=2.0),
+                M.iam(M.bdrf_cook_torrance(0.2, 1.1, 6.0), a_r=0.16)):
+        f = feats(opt)
+        assert "iam" in f and "iam_nonmirror" in f
+
+
 def test_bifacial_mirror_and_transparent_backs():
     """Bifacial rows are visible only from their own face
     (F_BACKSIDE_MISS): a mirror or transparent BACK must reflect / pass

@@ -63,6 +63,15 @@ _BASES = {
         M.lambertian_directional_piecewise(thetas, absorptance_th),
     "LambertianSpecular": lambda absorptivity=0.0, specularity=0.5:
         M.lambertian_specular(absorptivity, specularity),
+    # ref LambertianSpecular_IAM (optics_callables.py:588) — NOTE the
+    # reference computes cos(aoi) from a zeroed directions array (its
+    # `directs` where Reflective_IAM uses the incident `directions`), so
+    # its modifier degenerates to the cos=0 constant; we apply the
+    # Martin-Ruiz form at the true incidence angle, like its other IAM
+    # classes (documented deviation)
+    "LambertianSpecular_IAM": lambda absorptivity=0.0, specularity=0.5,
+        a_r=0.16: M.iam(M.lambertian_specular(absorptivity, specularity),
+                        a_r),
     "Lambertian_IAM": lambda absorptivity, a_r, c=1.0:
         M.iam(M.lambertian(absorptivity), a_r, c),
     "LambertianAbsorbant": lambda absorptivity=0.0,

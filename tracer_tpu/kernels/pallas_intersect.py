@@ -65,13 +65,19 @@ def pack_rows(scene) -> "jnp.ndarray":
     (OOM beyond ~1.5k surfaces) while (K, S) costs K*ceil(S, 128)*4."""
     S = scene.num_rows
     p = scene.opt_params[:, 0:7]
-    # IAM rows on reflective/Lambertian bases leave p2 free: mirror a_r
-    # (p4) there so the fused epilogue finds it in the extra_q carry
-    # (scene.compile_scene tags any other IAM base "iam_nonmirror" and
-    # the engine keeps those scenes off the fused paths)
-    mirror = ((scene.opt_flags & 4) != 0) & (
-        (scene.opt_kind == 1) | (scene.opt_kind == 2))   # F_IAM; kinds 1/2
-    p = p.at[:, 2].set(jnp.where(mirror, scene.opt_params[:, 4], p[:, 2]))
+    # IAM rows leave a param column free on their supported bases: mirror
+    # a_r (p4) into p2 for reflective / Lambertian / semi-Lambertian bases
+    # and into p3 for LambertianSpecular (whose p2 holds the
+    # specular-branch slope sigma), so the fused epilogue finds it in the
+    # extra_q carry (scene.compile_scene tags any other IAM base — or a
+    # Martin-Ruiz exponent c != 1 — "iam_nonmirror" and the engine keeps
+    # those scenes off the fused paths)
+    f_iam = (scene.opt_flags & 4) != 0                   # F_IAM
+    k = scene.opt_kind
+    mirror2 = f_iam & ((k == 1) | (k == 2) | (k == 4))
+    mirror3 = f_iam & (k == 3)
+    p = p.at[:, 2].set(jnp.where(mirror2, scene.opt_params[:, 4], p[:, 2]))
+    p = p.at[:, 3].set(jnp.where(mirror3, scene.opt_params[:, 4], p[:, 3]))
     return jnp.concatenate([
         scene.inv_frame[:, :3, :3].reshape(S, 9),
         scene.inv_frame[:, :3, 3],
@@ -1148,10 +1154,16 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
 
         if iam:
             # Martin-Ruiz incidence-angle modifier on F_IAM lanes (bit 2
-            # of the flags word: kf mod 8 >= 4); a_r rides in q2
+            # of the flags word: kf mod 8 >= 4); a_r rides in q2 — except
+            # on LambertianSpecular bases, whose q2 holds the
+            # specular-branch sigma, so pack_rows mirrors their a_r to q3
             has_iam = jnp.mod(kf_b, 8.0) >= 4.0
             cosi = jnp.abs(dx * n0x + dy * n0y + dz * n0z)
-            a_r = jnp.where(q2_b > 0.0, q2_b, 1.0)
+            a_raw = q2_b
+            if lam_specular:
+                a_raw = jnp.where(
+                    jnp.floor(kf_b * (1.0 / 1024.0)) == 3.0, q3_b, a_raw)
+            a_r = jnp.where(a_raw > 0.0, a_raw, 1.0)
             iam_f = ((1.0 - jnp.exp(-cosi / a_r))
                      / (1.0 - jnp.exp(-1.0 / a_r)))
             q0_eff = jnp.where(has_iam, q0_eff * iam_f, q0_eff)

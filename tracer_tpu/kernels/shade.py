@@ -217,9 +217,13 @@ def shade(scene, sid: jnp.ndarray, t: jnp.ndarray, pos: jnp.ndarray,
         spectral = jnp.zeros((n,), dtype=bool)
     cos_aoi = jnp.abs(dot(dirs, ns))
     if "iam" in features:
-        # Martin-Ruiz incidence-angle modifier (ref optics_callables.py:271)
+        # Martin-Ruiz incidence-angle modifier (ref optics_callables.py:271);
+        # the exponent c (ref IAM.__init__ c=1) rides in p5 — cos**c with
+        # cos clipped away from 0 so c < 1 cannot produce a 0**c NaN grad
         a_r = jnp.where(prm[:, 4] > 0.0, prm[:, 4], 1.0)
-        iam_f = (1.0 - jnp.exp(-cos_aoi / a_r)) / (1.0 - jnp.exp(-1.0 / a_r))
+        c_exp = jnp.where(prm[:, 5] > 0.0, prm[:, 5], 1.0)
+        cos_c = jnp.clip(cos_aoi, 1e-12, 1.0) ** c_exp
+        iam_f = (1.0 - jnp.exp(-cos_c / a_r)) / (1.0 - jnp.exp(-1.0 / a_r))
         has_iam = (flags & M.F_IAM) != 0
         absorptivity = jnp.where(has_iam, absorptivity * iam_f, absorptivity)
 

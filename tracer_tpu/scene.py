@@ -384,10 +384,16 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
             slope_flags.add(opt.flags)
         if opt.flags & M.F_IAM:
             features.add("iam")
-            if opt.kind not in (M.K_REFLECT, M.K_LAMBERTIAN):
-                # pack_rows mirrors a_r (p4) into the p2 row column only
-                # for reflective/Lambertian bases (whose p2 is free), so
-                # only those IAM rows ride the fused megakernels
+            if opt.kind not in (M.K_REFLECT, M.K_LAMBERTIAN,
+                                M.K_LAMBERTIAN_SPECULAR,
+                                M.K_SEMI_LAMBERTIAN) \
+                    or opt.params[5] != 1.0:
+                # pack_rows mirrors a_r (p4) into a free row column only
+                # for reflective / Lambertian / semi-Lambertian (p2) and
+                # LambertianSpecular (p3) bases, and the kernel applies
+                # the c = 1 Martin-Ruiz form, so only those IAM rows ride
+                # the fused megakernels; any other base — or an exponent
+                # c != 1 — stays on the general path
                 features.add("iam_nonmirror")
         if opt.flags & M.F_ONE_SIDED:
             features.add("one_sided")
