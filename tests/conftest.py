@@ -36,6 +36,32 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: needs real TPU hardware (run with TRACER_TESTS_TPU=1)")
+    config.addinivalue_line(
+        "markers",
+        "smoke: fast cross-subsystem tier (`pytest -m smoke`, <2 min CPU warm)")
+
+
+# One cheap, representative test per subsystem (engine, kernels, culling,
+# optics, sampling, materials, sharding, thermal, diff, models, IO, annual).
+# `pytest tests/ -m smoke` gives a first signal in ~1-2 min warm-cache
+# instead of the ~22-min full suite.
+SMOKE = {
+    "tests/test_intersect.py::test_multi_surface_nearest",
+    "tests/test_engine.py::test_fused_matches_stepped",
+    "tests/test_engine.py::test_refractive_interface_snell",
+    "tests/test_optics_kinds.py::test_compat_names_resolve",
+    "tests/test_utils.py::test_pw_linear_sampling_matches_pdf",
+    "tests/test_utils.py::test_bundled_nk_database",
+    "tests/test_parallel.py::test_sharded_accumulators_match_single_device",
+    "tests/test_culling.py::test_disk_cells_partition",
+    "tests/test_thermal.py::test_radiosity_holman_cavity",
+    "tests/test_diff.py::test_absorptivity_gradient_is_incident_power",
+    "tests/models/test_spherical_lens.py::test_focal_length_biconvex",
+    "tests/test_accel.py::test_kdtree_candidate_lists",
+    "tests/test_sandia.py::test_load_heliostat_positions_bundled_and_csv",
+    "tests/test_io_viz_compat.py::test_hist_csv_roundtrip",
+    "tests/test_annual.py::test_solar_declination_identities",
+}
 
 
 def pytest_collection_modifyitems(config, items):
@@ -48,3 +74,5 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip_tpu)
         elif TPU_MODE and not is_tpu:
             item.add_marker(skip_cpu)
+        if item.nodeid in SMOKE:
+            item.add_marker(pytest.mark.smoke)
