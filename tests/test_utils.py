@@ -158,6 +158,35 @@ def test_bundled_nk_database():
     _ = BK7()  # analytic model constructs
 
 
+def test_bundled_sopra_archive_breadth():
+    """The full public SOPRA measured archive is bundled at reference
+    breadth (ref ray_trace_utils/Sopra_Data, 268 files; loader
+    optical_constants.py:9): out-of-the-box materials the generated DB
+    does not cover resolve, measured=True prefers the measured table for
+    overlapping names, and unknown names fail loudly."""
+    import os
+    from tracer_tpu.optical_constants import builtin_nk_dir, from_sopra
+    sopra = os.path.join(builtin_nk_dir(), "sopra")
+    assert len([f for f in os.listdir(sopra) if f.endswith(".txt")]) >= 260
+    # alumina film at the sodium d-line: transparent dielectric; SOPRA-only
+    m = from_sopra("AL2O3").m(589e-9)[0]
+    assert 1.6 < m.real < 1.8 and m.imag == 0.0
+    # crystalline silicon band edge: strong blue absorption, nearly
+    # transparent at 800 nm, high index throughout
+    si = from_sopra("SI111")
+    assert si.m(400e-9)[0].imag > 0.1
+    assert abs(si.m(800e-9)[0].imag) < 1e-2
+    assert si.m(800e-9)[0].real > 3.0
+    # overlapping name: default = generated analytic, measured= flips
+    gen = from_sopra("AG").m(633e-9)[0]
+    mea = from_sopra("AG", measured=True).m(633e-9)[0]
+    assert gen != mea          # distinct tables
+    np.testing.assert_allclose(mea.real, gen.real, atol=0.15)
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        from_sopra("NOT_A_MATERIAL")
+
+
 def test_spectral_trace_with_bundled_material():
     """A spectral mirror built from the bundled real-silver table traces
     end to end with zero user files (round-3 verdict item 6 'done' gate)."""
