@@ -23,13 +23,16 @@ def _small_field(n=40):
     return table, meta, info, source_fn, slab
 
 
-def _cell_rays(rng, spec, bounds, n, k_sigma_pad=0.0):
+def _cell_rays(rng, spec, bounds, n, k_sigma_pad=0.0, disc_only=False):
     """Numpy twin of the kernel's cell-stratified sampling: uniform
     positions in the cell with the given [a0, a1, th0, th1] bounds,
-    directions uniform inside the full source cone."""
+    directions uniform inside the full source cone (``disc_only`` limits
+    them to the solar-disc cone — the corridor invariant when the build
+    parks aureole-born lanes, culling park_aureole)."""
     (cx, cy, cz, rot, radius, _e, _c, _de, gamma, _k, _i,
      theta_tot, theta_dni) = spec[:13]
-    theta_max = theta_tot if gamma is not None else theta_dni
+    theta_max = (theta_dni if disc_only
+                 else (theta_tot if gamma is not None else theta_dni))
     R = np.asarray(rot).reshape(3, 3)
     a0, a1, th0, th1 = (float(v) for v in bounds)
     u1, u2 = rng.random(n), rng.random(n)
@@ -113,14 +116,15 @@ def test_rect_cells_partition():
                 assert a <= bound + 1e-6, (nb, w, h, a)
 
 
-def _cell_rays_rect(rng, spec, bounds, n):
+def _cell_rays_rect(rng, spec, bounds, n, disc_only=False):
     """Numpy twin of the kernel's rect-cell sampling: uniform positions in
     the LOCAL-coordinate cell bounds [x0, x1, y0, y1], directions uniform
     inside the full source cone about the rays frame."""
     (cx, cy, cz, rot, _radius, _e, _c, _de, gamma, _k, _i,
      theta_tot, theta_dni) = spec[:13]
     w, h, rays_rot = spec[15]
-    theta_max = theta_tot if gamma is not None else theta_dni
+    theta_max = (theta_dni if disc_only
+                 else (theta_tot if gamma is not None else theta_dni))
     R = np.asarray(rot).reshape(3, 3)
     Rd = R if rays_rot is None else np.asarray(rays_rot).reshape(3, 3)
     x0, x1, y0, y1 = (float(v) for v in bounds)
@@ -152,7 +156,8 @@ def test_rect_source_first_bounce_coverage():
     sigma = float(np.asarray(table.opt_params)[:, 1].max())
     checked = 0
     for b in range(bc.nb):
-        pos, dirs = _cell_rays_rect(rng, spec, bc.cell_bounds[b], n)
+        pos, dirs = _cell_rays_rect(rng, spec, bc.cell_bounds[b], n,
+                                    disc_only=bc.park_aureole)
         t, sid = nearest_hit(table, jnp.asarray(pos), jnp.asarray(dirs))
         t, sid = np.asarray(t), np.asarray(sid)
         hit_rows = np.unique(sid[sid >= 0])
@@ -240,6 +245,8 @@ def test_first_bounce_lists_cover_brute_force():
     nb = bc.nb
     rng = np.random.default_rng(0)
     n = 4000
+    # first-bounce coverage holds for the FULL sunshape cone even under
+    # park_aureole (only the specular CLOSURE is disc-sized)
     for b in range(nb):
         pos, dirs = _cell_rays(rng, source_fn.pallas_spec,
                                bc.cell_bounds[b], n)
@@ -264,7 +271,8 @@ def test_second_bounce_closure_covers_reflections():
     checked = 0
     for b in range(nb):
         pos, dirs = _cell_rays(rng, source_fn.pallas_spec,
-                               bc.cell_bounds[b], n)
+                               bc.cell_bounds[b], n,
+                               disc_only=bc.park_aureole)
         t, sid = nearest_hit(table, jnp.asarray(pos), jnp.asarray(dirs))
         t, sid = np.asarray(t), np.asarray(sid)
         hit = (sid >= 0) & ~np.isin(sid, bc.demote_rows)

@@ -164,6 +164,49 @@ def test_culled_megakernel_interpret_matches_jnp_path(monkeypatch):
     assert 2 * slab <= int(em1) < 2 * slab + culling.n_cells
 
 
+def test_park_aureole_culled_interpret_matches_general(monkeypatch):
+    """Buie sunshapes carry a circumsolar aureole ~10x wider than the
+    solar disc; the culled build sizes its corridors to the DISC cone and
+    the kernel parks aureole-born lanes (~20% of energy at CSR=0.2 here)
+    at birth for the exact full-scene drain (culling park_aureole). The
+    physics must match the general path — a dropped or double-counted
+    aureole would shift the fractions by the CSR share."""
+    from tracer_tpu.culling import build_block_culling
+    from tracer_tpu.sources import buie_sunshape, buie_sunshape_pallas_spec
+
+    table, meta = _mirror_field_scene()
+    slab = 2 * TILE
+    center, radius = [0.0, 0.0, 3.0], 2.8
+
+    def source_fn(key):
+        return _f32(buie_sunshape(key, slab, center=center,
+                                  direction=[0, 0, -1.0], radius=radius,
+                                  CSR=0.2, flux=1000.0))
+    source_fn.pallas_spec = buie_sunshape_pallas_spec(
+        slab, center, [0, 0, -1.0], radius, 0.2, 1000.0)
+
+    a0, _, se0 = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+        max_rounds=40, max_path=6))
+    f0 = np.asarray(a0.absorbed) / float(se0)
+
+    monkeypatch.setenv("TRACER_FORCE_PALLAS", "1")
+    monkeypatch.setenv("TRACER_INTERPRET_PRNG", "1")
+    # park_aureole auto-engages only on multi-k-row fields; force it here
+    culling = build_block_culling(table, meta, source_fn.pallas_spec, slab,
+                                  park_aureole=True)
+    assert culling.park_aureole
+    with pltpu.force_tpu_interpret_mode():
+        a1, em1, se1 = jax.block_until_ready(trace_streaming(
+            table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+            max_rounds=40, max_path=6, culling=culling))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+
+    np.testing.assert_allclose(f1, f0, atol=0.02)
+    _closure(a1, se1)
+    assert 2 * slab <= int(em1) < 2 * slab + culling.n_cells
+
+
 def test_culled_idle_block_passthrough(monkeypatch):
     """active[b] == 0 makes a culled-kernel block pass its ray state
     through untouched (no regeneration, no hits, no absorption) — the
@@ -335,6 +378,45 @@ def test_iam_megakernel_interpret_analytic(monkeypatch):
     _closure(a1, se1)
     assert 0.23 < _frac(meta, f1, "mirror") < 0.27, f1
     assert _frac(meta, f1, "rec") > 0.6
+
+
+def test_iam_exponent_c_megakernel_interpret_analytic(monkeypatch):
+    """Martin-Ruiz exponent c != 1 on the FUSED path (round-5 trigger
+    retirement: c is a static per-scene constant baked as cos^c into the
+    epilogue). At 60 deg with c = 2: first-hit absorption
+    0.4 * (1-e^-0.25)/(1-e^-1) = 0.1400 (c = 1 gives 0.2490), matching
+    tests/test_optics_kinds.py's general-path analytic check."""
+    mirror = Surface(G.rect_plate(1.6, 1.6),
+                     M.iam(M.reflective(0.4, sigma=1e-3), a_r=1.0, c=2.0),
+                     rotation=spatial.rotx(-np.pi / 3)[:3, :3],
+                     name="mirror")
+    refl = np.array([0.0, np.sin(2 * np.pi / 3), np.cos(2 * np.pi / 3)])
+    rec = Surface(G.rect_plate(3.0, 3.0), M.absorber(one_sided=False),
+                  location=(1.6 * refl).tolist(),
+                  rotation=spatial.rotation_to_z(-refl), name="rec")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([mirror, rec])]), dtype=jnp.float32)
+    assert "iam" in table.features
+    assert "iam_nonmirror" not in table.features    # c != 1 now fuses
+    assert table.iam_c == 2.0
+
+    slab = TILE
+    def source_fn(key):
+        return _f32(disk_bundle(key, slab, center=[0.0, 0.0, 2.0],
+                                direction=[0.0, 0.0, -1.0], radius=0.3,
+                                ang_range=2e-3, flux=1000.0))
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 2.0], [0.0, 0.0, -1.0], 0.3, 2e-3, 1000.0)
+
+    _interp_env(monkeypatch)
+    with pltpu.force_tpu_interpret_mode():
+        a1, _, se1 = jax.block_until_ready(trace_streaming(
+            table, source_fn, jax.random.PRNGKey(0), total_rays=2 * slab,
+            max_rounds=20, max_path=6))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    _closure(a1, se1)
+    expect = 0.4 * (1.0 - np.exp(-0.25)) / (1.0 - np.exp(-1.0))
+    assert abs(_frac(meta, f1, "mirror") - expect) < 0.02, f1
 
 
 @pytest.mark.parametrize("base", ["lam_specular", "semi_lambertian"])

@@ -102,6 +102,16 @@ class BlockCulling:
     # global row ids everywhere (legacy layout, rows table fits whole).
     seg_row_ids: tuple = ()
     seg_demote_rows: tuple = ()
+    # Mesh-targeted build (build_block_culling(mesh_devices=D)): the SMEM
+    # feasibility was proven for the per-device uniform-segment split of
+    # mesh_segment_shards, not for single-chip segments (which are not
+    # built). 1 = single-chip build (the default).
+    mesh_devices: int = 1
+    # Buie sources: corridors are sized to the solar DISC cone and the
+    # kernel parks aureole-born lanes (~2%) at birth for the exact drain
+    # (see build_block_culling). False = corridors cover the full
+    # sunshape extent.
+    park_aureole: bool = False
 
     @property
     def nb(self) -> int:
@@ -577,7 +587,11 @@ class _ReachCache:
                 out_al[order]
             M = np.zeros((n_own, S), dtype=bool)
             nf = ([], [], [], [])
-            chunk = max(1, (1 << 25) // max(S, 1))
+            # multi-k-row frontiers are millions of cones: the per-chunk
+            # python overhead (leaf loop + owner folds) dominates below
+            # ~8k cones/chunk, and a (chunk, S) bool hits matrix at this
+            # size is ~150 MB — cheap against the (n_own, S) store
+            chunk = max(1, (1 << 27) // max(S, 1))
             for i0 in range(0, len(s), chunk):
                 sl = slice(i0, i0 + chunk)
                 hits = self._sweep(s[sl], refl[sl], out_al[sl])
@@ -687,8 +701,13 @@ def _one_cell_list(bounds, center, rot, radius, theta_src, spheres,
         reach_cache = _ReachCache(spheres, n_axis, widen, expandable_set,
                                   margin, d0, theta_src)
     c0, r0 = _cell_sphere(center, rot, radius, bounds, rect_wh=rect_wh)
-    first = np.nonzero(_cone_sweep_hits(spheres, c0, r0, d0, theta_src,
-                                        margin))[0]
+    # the batched sweep (f32) everywhere — _cell_lists uses it for whole
+    # grids, so the single-cell path (degrade rebuilds) must share its
+    # numerics or a rebuilt cell could differ in boundary entries
+    first = np.nonzero(_cone_sweep_hits_batch(
+        reach_cache.C32, reach_cache.r32, reach_cache.c_norm2,
+        np.asarray(c0)[None], np.asarray([r0]),
+        np.asarray(d0)[None], np.asarray([theta_src]), margin)[0])[0]
     cand = set(first.tolist())
     for s in first.tolist():
         if s in expandable_set:
@@ -699,11 +718,62 @@ def _one_cell_list(bounds, center, rot, radius, theta_src, spheres,
 def _cell_lists(cell_bounds, center, rot, radius, theta_src, spheres,
                 n_axis, widen, expandable_set, age_cap, margin, d0,
                 rect_wh=None, reach_cache=None):
-    """Candidate row lists for each source cell (see _one_cell_list)."""
-    return [_one_cell_list(bounds, center, rot, radius, theta_src, spheres,
-                           n_axis, widen, expandable_set, age_cap, margin,
-                           d0, rect_wh=rect_wh, reach_cache=reach_cache)
-            for bounds in cell_bounds]
+    """Candidate row lists for each source cell (see _one_cell_list).
+
+    First-segment sweeps for the WHOLE grid run as one batched GEMM pass
+    (chunked) instead of one scalar sweep per cell — mesh-targeted builds
+    use grids of tens of thousands of cells where the per-call numpy
+    dispatch dominated."""
+    if reach_cache is None:
+        reach_cache = _ReachCache(spheres, n_axis, widen, expandable_set,
+                                  margin, d0, theta_src)
+    nc = len(cell_bounds)
+    S = len(spheres)
+    c0s = np.zeros((nc, 3))
+    r0s = np.zeros(nc)
+    for i, bounds in enumerate(cell_bounds):
+        c0s[i], r0s[i] = _cell_sphere(center, rot, radius, bounds,
+                                      rect_wh=rect_wh)
+    axes = np.broadcast_to(np.asarray(d0, dtype=np.float64), (nc, 3))
+    alphas = np.full(nc, float(theta_src))
+    # big grids (mesh builds: tens of thousands of cells x multi-k rows)
+    # union the memoized reach sets as PACKED BITMASKS — the frozenset
+    # unions cost ~1e9 set inserts at a 20k x 20k build. Same sets: the
+    # bitmask of row s is exactly reach(s, age_cap)'s store lookup.
+    bitset = nc * S > (1 << 25) and reach_cache.expandable
+    pre_pack = None
+    if bitset:
+        reach_cache.precompute(age_cap)
+        if reach_cache._pre is not None and len(reach_cache._pre):
+            acc = reach_cache._pre[0].copy()
+            for Mx in reach_cache._pre[1:max(age_cap - 1, 0)]:
+                acc |= Mx
+            pre_pack = np.packbits(acc, axis=1)
+    out = []
+    chunk = max(1, (1 << 25) // max(S, 1))
+    for i0 in range(0, nc, chunk):
+        sl = slice(i0, min(i0 + chunk, nc))
+        hits = _cone_sweep_hits_batch(
+            reach_cache.C32, reach_cache.r32, reach_cache.c_norm2,
+            c0s[sl], r0s[sl], axes[sl], alphas[sl], margin)
+        for j in range(hits.shape[0]):
+            first = np.nonzero(hits[j])[0]
+            if pre_pack is not None:
+                slots = reach_cache._slot[first]
+                slots = slots[slots >= 0]
+                mask = np.zeros(S, dtype=bool)
+                mask[first] = True
+                if slots.size:
+                    pk = np.bitwise_or.reduce(pre_pack[slots], axis=0)
+                    mask |= np.unpackbits(pk, count=S).astype(bool)
+                out.append(np.nonzero(mask)[0].tolist())
+                continue
+            cand = set(first.tolist())
+            for s in first.tolist():
+                if s in expandable_set:
+                    cand |= reach_cache.reach(s, age_cap)
+            out.append(sorted(cand))
+    return out
 
 
 def _row_fill(meta, spheres, resolution: int = 8) -> np.ndarray:
@@ -793,8 +863,11 @@ def _aggregate_survival(fine_cells, fine_h, coarse_cells) -> np.ndarray:
     """Area-weighted survival of a coarse equal-area partition from a
     fine partition's estimates: each fine cell's center lands in exactly
     one coarse cell, and all fine cells have equal area, so the coarse h
-    is the plain mean of its member fine cells (empty coarse cells keep
-    the global mean)."""
+    is the plain mean of its member fine cells. Coarse cells with no
+    member center SAMPLE the fine field at their own center instead (the
+    mesh-scale builds run the pilot on a CAPPED grid, so the "coarse"
+    query partition can be finer than the pilot; the survival field is
+    smooth at that scale)."""
     a_mid = 0.5 * (fine_cells[:, 0] + fine_cells[:, 1])
     th_mid = 0.5 * (fine_cells[:, 2] + fine_cells[:, 3])
     out = np.full(len(coarse_cells), float(fine_h.mean()))
@@ -804,6 +877,19 @@ def _aggregate_survival(fine_cells, fine_h, coarse_cells) -> np.ndarray:
         m = (a_mid >= a0) & (a_mid < a1) & (th_mid >= th0) & (th_mid < th1)
         counts[c] = m.sum()
         sums[c] = fine_h[m].sum()
+    empty = counts == 0
+    if empty.any():
+        qa = 0.5 * (coarse_cells[empty, 0] + coarse_cells[empty, 1])
+        qt = 0.5 * (coarse_cells[empty, 2] + coarse_cells[empty, 3])
+        inside = ((qa[:, None] >= fine_cells[None, :, 0])
+                  & (qa[:, None] < fine_cells[None, :, 1])
+                  & (qt[:, None] >= fine_cells[None, :, 2])
+                  & (qt[:, None] < fine_cells[None, :, 3]))
+        has = inside.any(axis=1)
+        pick = np.argmax(inside, axis=1)
+        out_e = np.full(int(empty.sum()), float(fine_h.mean()))
+        out_e[has] = fine_h[pick[has]]
+        out[empty] = out_e
     nz = counts > 0
     out[nz] = sums[nz] / counts[nz]
     return out
@@ -817,7 +903,9 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
                         pilot_rays: int = 256,
                         max_smem_bytes: int = 1 << 20,
                         max_segments: int = 64,
-                        min_segments: int = 1) -> BlockCulling:
+                        min_segments: int = 1,
+                        mesh_devices: int = 1,
+                        park_aureole: Optional[bool] = None) -> BlockCulling:
     """Build per-block candidate lists for a disk source
     (``buie_sunshape_pallas_spec`` / ``disk_pillbox_pallas_spec``) or a
     rect source (``rect_buie_sunshape_pallas_spec`` /
@@ -830,7 +918,18 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
     a cheap pilot trace estimates each region's bounce-survival rate and
     cells over dense optics get MULTIPLE blocks (quota split between
     them): otherwise those cells' slow emission (refill only replaces dead
-    lanes) sets the round count for the whole grid."""
+    lanes) sets the round count for the whole grid.
+
+    ``mesh_devices > 1`` targets the MESH-SHARDED culled path
+    (parallel.trace_streaming_sharded): ``slab`` is then the GLOBAL slab
+    (per-device slab = slab / mesh_devices) and the SMEM feasibility test
+    becomes the per-device one — device d owns blocks
+    [d*nb/D, (d+1)*nb/D), split into uniform sequential segments
+    (``mesh_segment_shards``), and every (device, segment) chunk's
+    candidate layout + row shard must fit its 1 MB SMEM. Single-chip
+    segment arrays are NOT built (the mesh split supersedes them); use
+    the result only with trace_streaming_sharded on a mesh of
+    ``mesh_devices`` devices."""
     from .kernels.pallas_intersect import TILE
     from .accel import UNBOUNDED_KINDS
     tile = tile or TILE
@@ -849,6 +948,10 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
             "unbounded kinds "
             f"({sorted({_row_geometries(meta)[i].kind for i in unbounded})})")
     nb = slab // tile
+    if mesh_devices > 1 and nb % mesh_devices:
+        raise ValueError(f"{nb} blocks not divisible by {mesh_devices} "
+                         "mesh devices; pick a slab with a divisible "
+                         "tile count")
 
     (cx, cy, cz, rot, radius, _e_ray, _coeffs, _disc_end, gamma, _kappa,
      _integ, theta_tot, theta_dni) = source_spec[:13]
@@ -867,10 +970,38 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
         cells_fn = lambda nc: rect_cells(nc, *rect_wh)   # noqa: E731
     else:
         cells_fn = disk_cells
-    theta_src = float(theta_tot if gamma is not None else theta_dni)
+    # Buie-type sunshapes carry a circumsolar aureole out to theta_tot
+    # (~43.6 mrad) — ~10x the solar-disc cone (theta_dni ~4.65 mrad) for
+    # ~2% of the energy. Sizing the specular CLOSURE to theta_tot is what
+    # blew up multi-10k-row builds (depth-2 reach ~1850 rows at 20k,
+    # forcing depth-1 degrades, and a reach BFS frontier ~ S x reach).
+    # With ``park_aureole`` only the FIRST-segment sweep keeps the full
+    # sunshape cone (aureole lanes bounce once on the fast path — their
+    # first hits are covered) while the closure uses the DISC cone; the
+    # kernel marks aureole lanes' first-bounce survivors (~0.2% of
+    # refills) and the engine parks them for the exact full-scene drain.
+    # The 1.001 factor covers the polynomial inverse-CDF fit error
+    # (~1e-7 rad).
+    if park_aureole is None:
+        # auto: aureole-carrying sunshapes on LARGE fields only. Parking
+        # costs ~0.2% of refills as frozen lanes (measured -22% on the
+        # 219-row headline, where full-cone corridors are short anyway);
+        # the disc-sized closure pays off where the full-cone closure
+        # forces SMEM degrades — multi-k-row fields
+        park_aureole = (gamma is not None
+                        and float(theta_tot) > 1.5 * float(theta_dni)
+                        and int(table.ap_params.shape[0]) > 4000)
+    park_aureole = bool(park_aureole) and gamma is not None
+    theta_first = float(theta_tot if gamma is not None else theta_dni)
+    theta_reach = (1.001 * float(theta_dni) if park_aureole
+                   else theta_first)
 
+    import time as _time
+    t_phase = {}
+    t0 = _time.perf_counter()
     spheres = _row_spheres(meta, resolution)
     n_axis, n_beta = _row_normal_cones(table, meta, resolution)
+    t_phase["geometry"] = _time.perf_counter() - t0
 
     kinds = (meta.host_opt_kind if meta.host_opt_kind is not None
              else np.asarray(table.opt_kind))
@@ -921,9 +1052,14 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
     # each candidate by max_c(w_c / m_c) / n_cells after greedy allocation
     n_cells = nb
     mult = np.ones(nb, dtype=np.int64)
+    t0 = _time.perf_counter()
     if balance and nb > 1:
-        # ONE pilot on the finest grid; candidate partitions aggregate it
-        fine = cells_fn(nb)
+        # ONE pilot; candidate partitions aggregate/sample it. The grid
+        # is CAPPED: the pilot only feeds block multiplicities, and the
+        # survival field is smooth at ~2k-cell resolution, while an
+        # uncapped nb x rays x rows pilot cost 231 s of a 20k-row mesh
+        # build (nb = 21888)
+        fine = cells_fn(min(nb, 2048))
         fill = _row_fill(meta, spheres, resolution)
         # the pilot is O(cells x rays x rows) and only feeds load
         # balancing — scale rays down as the scene grows (relative
@@ -942,7 +1078,7 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
                 continue
             tried.add(nc)
             cand = cells_fn(nc)
-            h = (fine_h if nc == nb
+            h = (fine_h if nc == len(fine)
                  else _aggregate_survival(fine, fine_h, cand))
             w = 1.0 / np.maximum(1.0 - h, 0.1)
             m = np.ones(nc, dtype=np.int64)
@@ -957,19 +1093,26 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
             mid = cand[len(cand) // 2]
             c0, r0 = _cell_sphere(center, rot, radius, mid,
                                   rect_wh=rect_wh)
-            L1 = int(_cone_sweep_hits(spheres, c0, r0, d0, theta_src,
+            L1 = int(_cone_sweep_hits(spheres, c0, r0, d0, theta_first,
                                       margin).sum())
             score = (float((w / m).max()) / nc) * (1.0 + 0.09 * L1)
             if best is None or score < best[0]:
                 best = (score, nc, m)
         _, n_cells, mult = best
+    t_phase["pilot_balance"] = _time.perf_counter() - t0
     cells = cells_fn(n_cells)
 
     reach_cache = _ReachCache(spheres, n_axis, widen, expandable_set,
-                              margin, d0, theta_src)
-    cl = _cell_lists(cells, center, rot, radius, theta_src, spheres,
+                              margin, d0, theta_reach)
+    t0 = _time.perf_counter()
+    reach_cache.precompute(age_cap)
+    t_phase["reach_precompute"] = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    cl = _cell_lists(cells, center, rot, radius, theta_first, spheres,
                      n_axis, widen, expandable_set, age_cap, margin, d0,
                      rect_wh=rect_wh, reach_cache=reach_cache)
+    t_phase["cell_lists"] = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
 
     # ---- SMEM budget: the lists ride in SMEM transposed (L_max, nb),
     # padded to (L_max, ceil(nb/128)*128) int32, alongside the (K, S)
@@ -995,10 +1138,14 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
     cell_depth = np.full(n_cells, age_cap, dtype=np.int64)
 
     def _cell_group_counts():
+        # lists are sorted: each group's count is a searchsorted pair
+        # (the linear scan cost seconds per degrade round at mesh grids)
         out = np.zeros((n_cells, G), dtype=np.int64)
         for c in range(n_cells):
+            arr = np.asarray(cl[c], dtype=np.int64)
             for g, (start, end, _sig, _tag) in enumerate(groups):
-                out[c, g] = sum(1 for r in cl[c] if start <= r < end)
+                out[c, g] = (np.searchsorted(arr, end)
+                             - np.searchsorted(arr, start))
         return out
 
     cell_of_block = np.repeat(np.arange(n_cells), mult).astype(np.int32)
@@ -1077,20 +1224,82 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
                 return None
         return tuple(cuts)
 
+    def _chunk_rows_cells(cells_in) -> int:
+        """Size of the row union referenced by a set of cells."""
+        if not len(cells_in):
+            return 1
+        return len(np.unique(np.concatenate(
+            [np.asarray(cl[c], dtype=np.int64) for c in cells_in]
+            + [np.zeros(1, dtype=np.int64)])))
+
+    def _mesh_fit_at(cgc, n_seg):
+        nbl = nb // mesh_devices
+        cuts = [round(i * nbl / n_seg) for i in range(n_seg + 1)]
+        if any(b1 - b0 < 1 for b0, b1 in zip(cuts, cuts[1:])):
+            return False
+        for b0, b1 in zip(cuts, cuts[1:]):
+            w_i = 0
+            s_pad = 1
+            for d in range(mesh_devices):
+                lo, hi = d * nbl + b0, d * nbl + b1
+                cells_in = np.unique(cell_of_block[lo:hi])
+                w_d = int(sum(max(1, int(cgc[cells_in, g].max()))
+                              for g in range(G)))
+                w_i = max(w_i, w_d)
+                s_pad = max(s_pad, _chunk_rows_cells(cells_in))
+            if smem_need_bytes(table, b1 - b0, w_i,
+                               n_rows=s_pad) > max_smem_bytes:
+                return False
+        return True
+
+    def _mesh_fit(cgc, only_max: bool = False):
+        """Per-device uniform-segment feasibility for a mesh of
+        ``mesh_devices`` devices: device d owns blocks
+        [d*nbl, (d+1)*nbl); each device runs the SAME n_seg sequential
+        culled calls over even cuts of its range (shard_map programs are
+        SPMD — shapes must match across devices, so widths/row shards
+        pad to the per-segment max over devices). Searches n_seg by
+        doubling (segments decompose the trace exactly and cost only a
+        dispatch, so a near-minimal count is fine); ``only_max`` tests
+        the finest split alone — the degrade loop's fast feasibility
+        probe (a full scan per failed round cost ~7x). Returns n_seg or
+        None."""
+        nbl = nb // mesh_devices
+        n_max = min(max_segments, nbl)
+        if only_max:
+            return n_max if _mesh_fit_at(cgc, n_max) else None
+        n_seg = 1
+        while n_seg <= n_max:
+            if _mesh_fit_at(cgc, n_seg):
+                return n_seg
+            n_seg *= 2
+        return n_max if _mesh_fit_at(cgc, n_max) else None
+
     cgc = _cell_group_counts()
     seg_bounds = None
+    mesh_n_seg = None
+    mesh_probing = False      # once any fit failed, probe only the max
     while seg_bounds is None:
-        if min_segments <= 1:
-            seg_bounds = _seg_fit(cgc, 1)
-        if seg_bounds is None:
-            gb = _seg_fit_greedy(cgc)
-            if gb is not None and len(gb) - 1 >= min_segments:
-                seg_bounds = gb
-        if seg_bounds is None:
-            for k in range(max(2, min_segments), max_segments + 1):
-                seg_bounds = _seg_fit(cgc, k)
-                if seg_bounds is not None:
-                    break
+        if mesh_devices > 1:
+            mesh_n_seg = _mesh_fit(cgc, only_max=mesh_probing)
+            if mesh_n_seg is not None:
+                if mesh_probing:    # refine to a near-minimal count
+                    mesh_n_seg = _mesh_fit(cgc)
+                seg_bounds = (0, nb)
+                break
+            mesh_probing = True
+        else:
+            if min_segments <= 1:
+                seg_bounds = _seg_fit(cgc, 1)
+            if seg_bounds is None:
+                gb = _seg_fit_greedy(cgc)
+                if gb is not None and len(gb) - 1 >= min_segments:
+                    seg_bounds = gb
+            if seg_bounds is None:
+                for k in range(max(2, min_segments), max_segments + 1):
+                    seg_bounds = _seg_fit(cgc, k)
+                    if seg_bounds is not None:
+                        break
         if seg_bounds is not None:
             break
         # degrade the widest still-degradable group's binding cells;
@@ -1117,7 +1326,7 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
         for c in cands:
             cell_depth[c] -= 1
             cl[c] = _one_cell_list(cells[c], center, rot, radius,
-                                   theta_src, spheres, n_axis, widen,
+                                   theta_first, spheres, n_axis, widen,
                                    expandable_set, int(cell_depth[c]),
                                    margin, d0, rect_wh=rect_wh,
                                    reach_cache=reach_cache)
@@ -1173,8 +1382,11 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
     seg_lists, seg_counts, seg_offsets = (), (), ()
     seg_row_ids, seg_demote = (), ()
     # a single greedy segment still needs the seg arrays when the whole
-    # rows table does not fit SMEM (its shard is what makes it runnable)
-    use_segments = len(seg_bounds) > 2 or not rows_fit_whole
+    # rows table does not fit SMEM (its shard is what makes it runnable);
+    # a mesh-targeted build skips them — mesh_segment_shards derives the
+    # per-device split at trace time from the global layout
+    use_segments = mesh_devices == 1 and (len(seg_bounds) > 2
+                                          or not rows_fit_whole)
     if use_segments:
         outs = [_layout(b0, b1, subset=True)
                 for b0, b1 in zip(seg_bounds, seg_bounds[1:])]
@@ -1190,12 +1402,15 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
             "(widths %s, row shards %s of %d)", len(outs),
             [a.shape[1] for a in seg_lists],
             [len(ids) for ids in seg_row_ids], S)
+    t_phase["fit_degrade_layout"] = _time.perf_counter() - t0
     n_cand = counts.sum(axis=1)
     stats = dict(nb=nb, n_cells=n_cells, mult_max=int(mult.max()),
                  L_max=int(n_cand.max()), n_groups=G,
                  L_mean=float(n_cand.mean()), n_rows=S,
                  n_demoted=int(demote.sum()),
                  n_segments=max(len(seg_bounds) - 1, 1),
+                 mesh_n_seg=mesh_n_seg,
+                 t_phase={k: round(v, 1) for k, v in t_phase.items()},
                  reduction=float(S / max(n_cand.mean(), 1.0)))
     return BlockCulling(lists=arr, counts=counts, cell_bounds=cell_bounds,
                         cell_of_block=cell_of_block, n_cells=n_cells,
@@ -1208,7 +1423,9 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
                         seg_lists=seg_lists, seg_counts=seg_counts,
                         seg_group_offsets=seg_offsets,
                         seg_row_ids=seg_row_ids,
-                        seg_demote_rows=seg_demote)
+                        seg_demote_rows=seg_demote,
+                        mesh_devices=mesh_devices,
+                        park_aureole=park_aureole)
 
 
 def _localize_rows(a: np.ndarray, n_rows: int, demote_rows):
@@ -1229,6 +1446,124 @@ def _localize_rows(a: np.ndarray, n_rows: int, demote_rows):
     dem_local = tuple(int(local[r]) for r in demote_rows
                       if local[r] >= 0)
     return a_local, ids, local, dem_local
+
+
+def mesh_segment_shards(culling: BlockCulling, table, n_dev: int,
+                        max_smem_bytes: int = 1 << 20,
+                        max_segments: int = 64,
+                        force_n_seg: int = 0) -> list:
+    """Uniform per-device SMEM segmentation of the culled block grid for
+    the mesh-sharded path — the shard_map twin of the single-chip
+    ``segment_bounds`` machinery, generalized so a scene can be BOTH
+    sharded over devices and (per device) split into sequential kernel
+    calls. Device d owns the contiguous block range [d*nb/D, (d+1)*nb/D);
+    every device runs the SAME ``n_seg`` sequential segments over even
+    cuts of its range (shard_map programs are SPMD, so per-segment
+    widths and row-shard sizes pad to the max over devices). Blocks never
+    interact, so the decomposition is exact.
+
+    This is what carries a multi-10k-row field past the single-chip
+    envelope: per (device, segment) chunk, the kernel ships only the
+    candidate columns and the row SHARD that chunk references — both
+    shrink ~linearly with D x n_seg while the physics is untouched.
+    (Ref anchor: the reference's entire distribution story is the
+    fork-and-merge pool of tracer_engine_mp.py:19-119; it has no
+    equivalent of scene-partitioned acceleration.)
+
+    Returns a list of ``n_seg`` dicts with keys:
+      blocks        (D*chunk,) int32 global block ids, device-major
+      lists         (D*chunk, W) int32 candidate layout, entries LOCAL
+                    to each device's row shard, per-group columns
+      counts        (D*chunk, G) int32
+      group_offsets (G,) static column offsets for this segment
+      row_maps      (D, s_pad) int32 local->global row ids (edge-padded)
+      demote_masks  (D, s_pad) bool device-local demotion masks
+    """
+    nb = culling.nb
+    if nb % n_dev:
+        raise ValueError(f"{nb} blocks not divisible by {n_dev} devices")
+    nbl = nb // n_dev
+    counts = culling.counts
+    G = counts.shape[1]
+    goff = culling.group_offsets
+    n_rows = int(table.ap_params.shape[0])
+
+    def _plan(n_seg):
+        """Cuts + per-seg (widths, row shards) if every chunk fits."""
+        cuts = [round(i * nbl / n_seg) for i in range(n_seg + 1)]
+        if any(b1 - b0 < 1 for b0, b1 in zip(cuts, cuts[1:])):
+            return None
+        plan = []
+        for b0, b1 in zip(cuts, cuts[1:]):
+            w_g = np.ones(G, dtype=np.int64)
+            shards = []
+            for d in range(n_dev):
+                lo, hi = d * nbl + b0, d * nbl + b1
+                w_g = np.maximum(w_g, counts[lo:hi].max(axis=0))
+                sub = culling.lists[lo:hi]
+                ids = np.unique(sub[sub >= 0]).astype(np.int32)
+                if len(ids) == 0:
+                    ids = np.array([0], dtype=np.int32)
+                shards.append(ids)
+            W = int(w_g.sum())
+            s_pad = max(len(x) for x in shards)
+            if smem_need_bytes(table, b1 - b0, W,
+                               n_rows=s_pad) > max_smem_bytes:
+                return None
+            plan.append((b0, b1, tuple(int(w) for w in w_g), shards,
+                         s_pad))
+        return plan
+
+    if force_n_seg:
+        plan = _plan(force_n_seg)
+        if plan is None:
+            raise ValueError(f"forced n_seg={force_n_seg} does not fit "
+                             "the per-device SMEM budget")
+    else:
+        plan = None
+        hint = culling.stats.get("mesh_n_seg")
+        if hint and culling.mesh_devices == n_dev:
+            plan = _plan(int(hint))
+        n_seg = 1
+        while plan is None and n_seg <= min(max_segments, nbl):
+            plan = _plan(n_seg)
+            n_seg *= 2
+        if plan is None:
+            raise ValueError(
+                f"culled layout does not fit the per-device SMEM budget "
+                f"even split into {min(max_segments, nbl)} sequential "
+                f"segments per device; use more devices or a larger "
+                "slab (smaller cells)")
+
+    out = []
+    for b0, b1, w_g, shards, s_pad in plan:
+        off = tuple(int(sum(w_g[:g])) for g in range(G))
+        chunk = b1 - b0
+        lists_l = np.full((n_dev * chunk, sum(w_g)), -1, dtype=np.int32)
+        blocks = np.zeros(n_dev * chunk, dtype=np.int32)
+        row_maps = np.stack([np.pad(ids, (0, s_pad - len(ids)),
+                                    mode="edge") for ids in shards])
+        demote_masks = np.zeros((n_dev, s_pad), dtype=bool)
+        cnt = np.zeros((n_dev * chunk, G), dtype=np.int32)
+        for d in range(n_dev):
+            local = np.full(n_rows, -1, dtype=np.int32)
+            local[shards[d]] = np.arange(len(shards[d]), dtype=np.int32)
+            for r in culling.demote_rows:
+                if local[r] >= 0:
+                    demote_masks[d, local[r]] = True
+            for j, blk in enumerate(range(d * nbl + b0, d * nbl + b1)):
+                row = d * chunk + j
+                blocks[row] = blk
+                cnt[row] = counts[blk]
+                for g in range(G):
+                    k = int(counts[blk, g])
+                    if k:
+                        ent = culling.lists[blk, goff[g]:goff[g] + k]
+                        lists_l[row, off[g]:off[g] + k] = local[ent]
+        out.append(dict(blocks=blocks, lists=lists_l, counts=cnt,
+                        group_offsets=off, row_maps=row_maps,
+                        demote_masks=demote_masks))
+    return out
 
 
 def device_row_shards(culling: BlockCulling, n_rows: int, n_dev: int):

@@ -114,6 +114,17 @@ class TraceOptions:
     record: object = True
 
 
+def _iam_mode(scene: SceneTable):
+    """False when the scene has no IAM rows; otherwise the scene's single
+    STATIC Martin-Ruiz exponent c as a truthy float for the kernels'
+    ``iam`` switch (1.0 = the plain modifier; anything else bakes cos^c
+    into the fused epilogue — compile_scene tags mixed exponents
+    "iam_nonmirror" so exactly one value reaches here)."""
+    if "iam" not in scene.features:
+        return False
+    return float(getattr(scene, "iam_c", 1.0)) or 1.0
+
+
 def _bivar_mode(scene: SceneTable):
     """Static slope-error model for the fused Pallas path: True when every
     slope-error surface carries F_BIVAR, False when none does, "mixed" when
@@ -264,7 +275,7 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
             lam_specular=_M.K_LAMBERTIAN_SPECULAR in scene.kinds_present,
             semi_lambertian=_M.K_SEMI_LAMBERTIAN in scene.kinds_present,
             transparent=_M.K_TRANSPARENT in scene.kinds_present,
-            conductor=fc_scene, iam="iam" in scene.features,
+            conductor=fc_scene, iam=_iam_mode(scene),
             periodic=_M.K_PERIODIC in scene.kinds_present,
             piecewise=lpw_scene,
             refr_frost=(refractive
@@ -316,11 +327,33 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
         t, sid = nearest_hit_candidates(scene, cand, bundle.pos, bundle.dir,
                                         t_eps=t_eps, disc_eps=disc_eps)
         aux = None
+    elif force_jnp:
+        # differentiable mode (diff.trace_diff): the nearest-hit WINNER
+        # CHOICE runs on the fast dispatch (the Pallas megakernel on TPU
+        # — previously this pinned the 50x-slower jnp brute force) under
+        # stop_gradient, since sid is integral and AD cannot flow through
+        # the kernel anyway; the winner's distance is then recomputed
+        # DIFFERENTIABLY per ray against its own row (_candidate_t,
+        # O(N) both ways — the O(N*S) brute force never enters the
+        # backward pass). Same recompute trick the verdict called
+        # "recompute-based backward".
+        from .kernels.intersect import (_candidate_t, default_t_eps,
+                                        nearest_hit)
+        sg = jax.lax.stop_gradient
+        te = default_t_eps(bundle.pos.dtype) if t_eps is None else t_eps
+        t_ng, sid = nearest_hit(sg(scene), sg(bundle.pos), sg(bundle.dir),
+                                t_eps=te, disc_eps=disc_eps, block=block)
+        t = _candidate_t(scene, sid, bundle.pos, bundle.dir, te, disc_eps)
+        # boundary lanes where the recompute's epsilon ordering disagrees
+        # with the kernel keep the kernel's value (no gradient there —
+        # measure-zero set) instead of poisoning downstream with inf
+        t = jnp.where((sid >= 0) & ~jnp.isfinite(t), t_ng, t)
+        aux = None
     else:
         t, sid, aux = nearest_hit_aux(scene, bundle.pos, bundle.dir,
                                       t_eps=t_eps, disc_eps=disc_eps,
                                       block=block, need_local=need_local,
-                                      force_jnp=force_jnp)
+                                      force_jnp=False)
     sid = jnp.where(alive, sid, -1)
 
     volumetric = "volumetric" in scene.features
@@ -563,6 +596,7 @@ class TracerEngine:
         opts = opts or TraceOptions(max_bounces=reps, min_energy=min_energy)
         if key is None:
             key = jax.random.PRNGKey(0)
+        bundle = _ambient_bundle(self.scene, bundle)
         accum = TraceAccum.zeros(self.scene.num_rows, dtype=bundle.pos.dtype)
         records: List[BounceRecord] = []
         source = bundle
@@ -785,6 +819,7 @@ def trace_fused(scene: SceneTable, bundle: RayBundle, key: jax.Array,
     TracerEngine.ray_tracer for true per-ray splitting.
     """
     from .analysis import device_fluxmap as _dfm
+    bundle = _ambient_bundle(scene, bundle)
     # Derive the zeros from bundle data so they inherit shard_map's
     # varying-axis tags (a bare jnp.zeros would mismatch the loop carry
     # under a mesh).
@@ -1026,7 +1061,8 @@ def _trace_streaming_megakernel(scene: SceneTable, source_spec, src_frame,
                               "slope", "lambertian", "spectral",
                               "ambient_att", "demote_rows", "fluxspecs",
                               "conductor", "iam", "drain_jnp",
-                              "backside_miss"))
+                              "backside_miss", "park_aureole",
+                              "sync_axis"))
 def _trace_streaming_megakernel_culled(
         scene: SceneTable, key, lists, counts, cells, cell_bounds, quota_b,
         age_caps, source_spec, group_offsets,
@@ -1037,7 +1073,8 @@ def _trace_streaming_megakernel_culled(
         ambient_att: float = 0.0, fluxspecs: tuple = (),
         conductor: bool = False, iam: bool = False,
         row_map=None, drain_jnp: bool = False, demote_mask=None,
-        backside_miss: bool = False):
+        backside_miss: bool = False, park_aureole: bool = False,
+        sync_axis=None):
     """Relevancy-culled streaming megakernel (see culling.py): each grid
     block owns one equal-area source cell and intersects only its static
     candidate list; per-block quotas keep the stratified emission unbiased
@@ -1113,8 +1150,16 @@ def _trace_streaming_megakernel_culled(
         lu_b = jnp.sum(live_unparked.reshape(nb, TILE), axis=1,
                        dtype=jnp.int32)
         can_emit = (emitted_b < quota_b) & ((dead_b > 0) | (lu_b > 0))
-        return (i < max_rounds) & (jnp.any(can_emit)
-                                   | jnp.any(live_unparked))
+        go = jnp.any(can_emit) | jnp.any(live_unparked)
+        if sync_axis is not None:
+            # mesh-synchronized trip count: all devices run the same
+            # number of rounds (idle ones pass through via active_b=0).
+            # Uniform counts are what the Pallas INTERPRETER's global
+            # barrier requires (threading.Barrier over the mesh axis per
+            # kernel invocation), and on hardware the per-round psum is
+            # noise next to a compute round.
+            go = jax.lax.psum(go.astype(jnp.int32), sync_axis) > 0
+        return (i < max_rounds) & go
 
     def body(st):
         (i, pos, dirs, e, wl, age, parked, accum, hist, key, emitted_b,
@@ -1159,7 +1204,7 @@ def _trace_streaming_megakernel_culled(
             wavelength=wl if spectral else None,
             spectral_tab=spectral_tab, ambient_att=ambient_att,
             conductor=conductor, iam=iam,
-            backside_miss=backside_miss)
+            backside_miss=backside_miss, park_aureole=park_aureole)
         if spectral:
             npos, ndirs, ne, sid, absorbed, nwl = outs
         else:
@@ -1171,6 +1216,13 @@ def _trace_streaming_megakernel_culled(
         # is accounted for them until the drain phase
         sid = jnp.where(parked, -1, sid)
         absorbed = jnp.where(parked, 0.0, absorbed)
+        # aureole-born lanes (park_aureole, culling.py): their FIRST
+        # bounce happened normally (first-segment lists cover the full
+        # sunshape cone) and arrives sid-encoded as -(row+16); decode,
+        # account the bounce like any other, and PARK the survivor — the
+        # disc-sized specular closure does not cover its reflected cone.
+        aur_hit = sid <= -16
+        sid = jnp.where(aur_hit, -sid - 16, sid)
         hit = sid >= 0
         # with a row shard, the kernel's sid is LOCAL; global ids are
         # only needed for the spatial flux maps (the slot histogram and
@@ -1228,7 +1280,8 @@ def _trace_streaming_megakernel_culled(
             demote_hit = demote_hit | (hit
                                        & demote_mask[jnp.maximum(sid, 0)])
         age_cap_lane = jnp.repeat(age_caps, TILE)
-        newly = ~parked & (ne > 0.0) & (demote_hit | (age >= age_cap_lane))
+        newly = ~parked & (ne > 0.0) & (demote_hit | aur_hit
+                                        | (age >= age_cap_lane))
         pos = jnp.where(parked[:, None], pos, npos)
         dirs = jnp.where(parked[:, None], dirs, ndirs)
         e = jnp.where(parked, e, ne)
@@ -1332,8 +1385,10 @@ def _trace_streaming_megakernel_culled(
     def outer_cond(st):
         (i, pos, dirs, e, wl, age, parked, accum, hist, key, emitted_b,
          source_e) = st
-        return (i < max_rounds) & (jnp.any(emitted_b < quota_b)
-                                   | jnp.any(e > 0.0))
+        go = jnp.any(emitted_b < quota_b) | jnp.any(e > 0.0)
+        if sync_axis is not None:
+            go = jax.lax.psum(go.astype(jnp.int32), sync_axis) > 0
+        return (i < max_rounds) & go
 
     def outer_body(st):
         st = jax.lax.while_loop(cond, body, st)
@@ -1400,6 +1455,61 @@ def _bake_media(scene, spec_att: float, spec_scat: float, spec_g: float):
             ids.append(tab.index(m))
         rows_map.append((int(s), ids[0], ids[1]))
     return (tuple(tab), tuple(rows_map))
+
+
+def _apply_scene_ambient(scene, spec, source_fn):
+    """Fold a scene-declared ambient medium (SceneTable.ambient_medium —
+    carried by the periodic-medium composite optics, ref
+    optics_callables.py:1038-1106) into the source: the spec's ambient
+    slots (14 = attenuation, 16 = (scat, g)) for the fused paths, and
+    fresh bundles' medium fields for the general path. A source that
+    declares a DIFFERENT nonzero ambient is a modeling conflict."""
+    am = getattr(scene, "ambient_medium", ())
+    if not am:
+        return spec, source_fn
+    att, sc, g = (float(v) for v in am)
+    if spec is not None:
+        sp = list(spec)
+        while len(sp) < 17:
+            sp.append(None)
+        cur_att = float(sp[14] or 0.0)
+        cur_med = sp[16] or (0.0, 0.0)
+        cur = (cur_att, float(cur_med[0]),
+               float(cur_med[1]) if len(cur_med) > 1 else 0.0)
+        if any(cur) and cur != (att, sc, g):
+            raise ValueError(
+                f"source spec declares ambient medium {cur} but the "
+                f"scene's optics declare {(att, sc, g)}")
+        sp[14] = att
+        sp[16] = (sc, g)
+        spec = tuple(sp)
+    base = source_fn
+
+    def wrapped(key):
+        b = base(key)
+        return b.replace(
+            att_coeff=jnp.full_like(b.att_coeff, att),
+            scat_coeff=jnp.full_like(b.scat_coeff, sc),
+            scat_g=jnp.full_like(b.scat_g, g))
+
+    if spec is not None:
+        wrapped.pallas_spec = spec
+    return spec, wrapped
+
+
+def _ambient_bundle(scene, bundle):
+    """Bundle-path twin of _apply_scene_ambient (trace_fused /
+    ray_tracer): rays whose medium fields are unset (0) start in the
+    scene-declared ambient medium."""
+    am = getattr(scene, "ambient_medium", ())
+    if not am:
+        return bundle
+    att, sc, g = (float(v) for v in am)
+    in_ambient = (bundle.att_coeff == 0.0) & (bundle.scat_coeff == 0.0)
+    return bundle.replace(
+        att_coeff=jnp.where(in_ambient, att, bundle.att_coeff),
+        scat_coeff=jnp.where(in_ambient, sc, bundle.scat_coeff),
+        scat_g=jnp.where(in_ambient, g, bundle.scat_g))
 
 
 def _media_for(scene, spec):
@@ -1480,6 +1590,7 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     from . import materials as _M
     from .kernels.intersect import _use_pallas, pallas_rows_fit
     spec = getattr(source_fn, "pallas_spec", None)
+    spec, source_fn = _apply_scene_ambient(scene, spec, source_fn)
     probe = source_fn(key)
     n = probe.num_rays
     spec_band = spec[13] if spec is not None and len(spec) > 13 else None
@@ -1529,7 +1640,7 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     # dispersive conductors need the per-lane wavelength thread, so the
     # source band must be bakeable; constant-index ones do not
     fc_wl = fc_scene and "conductor_dispersive" in scene.features
-    iam_scene = "iam" in scene.features
+    iam_scene = _iam_mode(scene)
     pd_scene = _M.K_PERIODIC in scene.kinds_present
     lpw_scene = _M.K_LAMBERTIAN_PIECEWISE in scene.kinds_present
     # bilinear (theta, wl) piecewise grids need the wavelength thread
@@ -1594,7 +1705,8 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
             fluxspecs=fluxspecs,
             conductor=fc_scene, iam=iam_scene,
             drain_jnp=not fusable,
-            backside_miss="bifacial" in scene.features)
+            backside_miss="bifacial" in scene.features,
+            park_aureole=getattr(culling, "park_aureole", False))
         if culling.segment_bounds:
             # single-chip SMEM segmentation (culling.py): blocks never
             # interact, so the culled trace decomposes EXACTLY into
@@ -1621,6 +1733,16 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
                 emitted = em if emitted is None else emitted + em
                 source_e = se if source_e is None else source_e + se
             return accum, emitted, source_e
+        from .kernels.intersect import pallas_rows_fit as _rows_fit
+        if not _rows_fit(scene):
+            # only a mesh-targeted build (build_block_culling
+            # mesh_devices>1) reaches here: single-chip builds always
+            # carry segment_bounds when the rows table exceeds SMEM
+            raise ValueError(
+                "culling has no single-chip SMEM segments but the packed "
+                "rows table exceeds SMEM — this is a mesh-targeted build "
+                "(mesh_devices>1); trace it with "
+                "parallel.trace_streaming_sharded on a matching mesh")
         return _trace_streaming_megakernel_culled(
             scene, key, jnp.asarray(culling.lists),
             jnp.asarray(culling.counts),

@@ -1156,9 +1156,19 @@ def _make_shade_epilogue(bivar, one_sided: bool, slope: bool,
             # Martin-Ruiz incidence-angle modifier on F_IAM lanes (bit 2
             # of the flags word: kf mod 8 >= 4); a_r rides in q2 — except
             # on LambertianSpecular bases, whose q2 holds the
-            # specular-branch sigma, so pack_rows mirrors their a_r to q3
+            # specular-branch sigma, so pack_rows mirrors their a_r to q3.
+            # ``iam`` may carry the scene's STATIC Martin-Ruiz exponent c
+            # (a float; True == 1.0, compile_scene guarantees one value
+            # per fused scene): c != 1 bakes cos^c = exp(c ln cos) —
+            # Mosaic lowers exp/log but not pow (ref optics_callables.py
+            # :271-329, the c parameter round 4 only applied on the
+            # general path)
             has_iam = jnp.mod(kf_b, 8.0) >= 4.0
             cosi = jnp.abs(dx * n0x + dy * n0y + dz * n0z)
+            c_exp = 1.0 if iam is True else float(iam)
+            if c_exp != 1.0:
+                cosi = jnp.exp(c_exp
+                               * jnp.log(jnp.maximum(cosi, 1e-30)))
             a_raw = q2_b
             if lam_specular:
                 a_raw = jnp.where(
@@ -1400,7 +1410,8 @@ def _sincos_rad(x):
     return _sincos_turns(x * jnp.float32(1.0 / (2.0 * np.pi)))
 
 
-def _sample_disk_buie(spec, shape, cell=None, frame=None):
+def _sample_disk_buie(spec, shape, cell=None, frame=None,
+                      want_aureole=False):
     """In-kernel disk/rect + Buie-sunshape source sampling (all parameters
     are static Python floats baked into the kernel; cf.
     sources.buie_sunshape). Returns the 6 fresh ray components.
@@ -1486,11 +1497,21 @@ def _sample_disk_buie(spec, shape, cell=None, frame=None):
     fdx = drot[0] * ax + drot[1] * ay + drot[2] * az
     fdy = drot[3] * ax + drot[4] * ay + drot[5] * az
     fdz = drot[6] * ax + drot[7] * ay + drot[8] * az
+    out = (fpx, fpy, fpz, fdx, fdy, fdz)
     if wl_band is not None:
         u5 = _kernel_uniform(shape)
         wl = wl_band[0] + u5 * (wl_band[1] - wl_band[0])
-        return fpx, fpy, fpz, fdx, fdy, fdz, wl
-    return fpx, fpy, fpz, fdx, fdy, fdz
+        out = out + (wl,)
+    if want_aureole:
+        # lanes drawn into the circumsolar aureole (u3 >= disc_end,
+        # theta > theta_dni — ~2% of Buie energy): the culled path parks
+        # them at birth so its corridors can be sized to the solar DISC
+        # cone instead of the 10x-wider full sunshape (culling.py
+        # park_aureole)
+        aur = (jnp.full(shape, False) if gamma is None
+               else u3 >= disc_end)
+        out = out + (aur,)
+    return out
 
 
 def _make_fused_kernel(groups, t_eps, disc_eps,
@@ -1866,7 +1887,8 @@ def _make_fused_kernel_culled(group_specs, t_eps, disc_eps, bivar,
                               spectral: bool = False, n_tab: int = 0,
                               ambient_att: float = 0.0,
                               conductor: bool = False, iam: bool = False,
-                              backside_miss: bool = False):
+                              backside_miss: bool = False,
+                              park_aureole: bool = False):
     """Culled group kernel: per-block candidate-list fori loops (one
     specialized loop per aperture-signature group, group_specs =
     ((sig, flat, col_offset), ...)) + per-block cell-stratified
@@ -1941,7 +1963,22 @@ def _make_fused_kernel_culled(group_specs, t_eps, disc_eps, bivar,
             do = dead & (rank < remaining_ref[b].astype(jnp.float32))
             bounds = (cellb_ref[0, b], cellb_ref[1, b],
                       cellb_ref[2, b], cellb_ref[3, b])
-            f = _sample_disk_buie(source_spec, px.shape, cell=bounds)
+            f = _sample_disk_buie(source_spec, px.shape, cell=bounds,
+                                  want_aureole=park_aureole)
+            aur = None
+            if park_aureole:
+                # lanes born into the circumsolar aureole trace their
+                # FIRST segment normally (the first-segment sweep covers
+                # the full sunshape cone) but may not ride the disc-cone
+                # specular closure afterwards: survivors of their first
+                # bounce are marked by an ENCODED sid (-(sid+16)) so the
+                # engine parks them for the exact full-scene drain.
+                # Parking only survivors (~0.2% of refills) keeps the
+                # slab from silting up with frozen lanes — parking at
+                # birth (~2.2%) starved emission and biased the source
+                # density on long runs.
+                aur = f[-1] & do
+                f = f[:-1]
             e_ray = jnp.float32(source_spec[5])
             px = jnp.where(do, f[0], px)
             py = jnp.where(do, f[1], py)
@@ -1980,6 +2017,13 @@ def _make_fused_kernel_culled(group_specs, t_eps, disc_eps, bivar,
                        q1_b, px, py, pz, dx, dy, dz, e,
                        q2_b=q2_b, q3_b=q3_b)
             npx, npy, npz, ndx, ndy, ndz, ne, absorbed = outs
+            sid_out = jnp.where(jnp.isfinite(t_b) & (e > 0.0), sid_b, -1)
+            if park_aureole:
+                # aureole-born lanes bounce normally; a HIT is flagged by
+                # the encoded sid (engine decodes -(sid+16), accounts
+                # the bounce, and parks the survivor)
+                sid_out = jnp.where(aur & (sid_out >= 0),
+                                    -sid_out - 16, sid_out)
             npx_ref[:] = npx
             npy_ref[:] = npy
             npz_ref[:] = npz
@@ -1989,9 +2033,8 @@ def _make_fused_kernel_culled(group_specs, t_eps, disc_eps, bivar,
             ne_ref[:] = ne
             if spectral:
                 nwl_ref[:] = wl
-            live = e > 0.0
-            sid_ref[:] = jnp.where(jnp.isfinite(t_b) & live, sid_b, -1)
-            abs_ref[:] = jnp.where(live, absorbed, 0.0)
+            sid_ref[:] = sid_out
+            abs_ref[:] = jnp.where(e > 0.0, absorbed, 0.0)
 
     return kernel
 
@@ -2001,7 +2044,8 @@ def _make_fused_kernel_culled(group_specs, t_eps, disc_eps, bivar,
                                     "disc_eps", "bivar",
                                     "one_sided", "slope", "lambertian",
                                     "source_spec", "ambient_att",
-                                    "conductor", "iam", "backside_miss"))
+                                    "conductor", "iam", "backside_miss",
+                                    "park_aureole"))
 def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
                                  seed, remaining, active,
                                  pos, dirs, energy, groups,
@@ -2014,7 +2058,8 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
                                  ambient_att: float = 0.0,
                                  conductor: bool = False,
                                  iam: bool = False,
-                                 backside_miss: bool = False):
+                                 backside_miss: bool = False,
+                                 park_aureole: bool = False):
     """Relevancy-culled fused bounce (pure-specular/Lambertian scenes,
     any number of aperture-signature groups — one specialized candidate
     loop per group over its static column segment of ``lists``).
@@ -2085,7 +2130,8 @@ def bounce_reflect_culled_pallas(rows, lists, counts, cells, cell_bounds,
                                        n_tab=tabx.shape[0],
                                        ambient_att=ambient_att,
                                        conductor=conductor, iam=iam,
-                                       backside_miss=backside_miss)
+                                       backside_miss=backside_miss,
+                                       park_aureole=park_aureole)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         # seed, quotas, active, lists, counts, ids, bounds, table x/y, rows
         num_scalar_prefetch=10,

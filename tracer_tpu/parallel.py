@@ -73,7 +73,8 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
                             min_energy: float = 1e-6, t_eps=None,
                             disc_eps: float = 1e-6, block: int = 64,
                             culling=None, fluxspecs: tuple = (),
-                            _force_row_shards: bool = False):
+                            _force_row_shards: bool = False,
+                            _force_mesh_segments: int = 0):
     """Streaming wavefront trace sharded over a device mesh: every device
     runs its own regeneration loop on a private slab (source_fn's bundle
     size is the PER-DEVICE slab) with an independent folded key, and the
@@ -131,49 +132,41 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
         raise ValueError(f"{nb} source cells not divisible by {n_dev} "
                          "devices; choose a slab with a divisible block "
                          "count")
-    from .culling import device_row_shards, smem_need_bytes
+    from .culling import mesh_segment_shards, smem_need_bytes
     W = culling.lists.shape[1]
-    n_rows = int(scene.ap_params.shape[0])
-    # each device gets nb/n_dev blocks of the GLOBAL layout; when the
-    # whole rows table no longer fits SMEM next to it (>~6k rows), each
-    # device ships only the row SHARD its blocks reference — the
-    # shard_map twin of trace_streaming's sequential SMEM segments
-    use_row_shards = (_force_row_shards
-                      or smem_need_bytes(scene, nb // n_dev, W)
-                      > (1 << 20))
-    row_maps = demote_masks = None
-    if use_row_shards:
-        lists_np, row_maps, demote_masks = device_row_shards(
-            culling, n_rows, n_dev)
-        if smem_need_bytes(scene, nb // n_dev, W,
-                           n_rows=row_maps.shape[1]) > (1 << 20):
-            raise ValueError(
-                f"per-device culled layout ({nb // n_dev} blocks x {W} "
-                f"candidate columns + {row_maps.shape[1]}-row shard) "
-                "exceeds SMEM; use more devices, a larger slab (smaller "
-                "cells), or trace_streaming's sequential SMEM "
-                "segmentation")
+    # plain path: each device gets nb/n_dev blocks of the GLOBAL layout
+    # with the whole rows table in SMEM. When that no longer fits (or a
+    # mesh-targeted build / test hook forces it), mesh_segment_shards
+    # splits every device's range into uniform sequential segments, each
+    # shipping only the candidate columns + row SHARD it references —
+    # the shard_map generalization of trace_streaming's single-chip SMEM
+    # segments, and the path that carries ≥20k-row fields past the
+    # single-chip envelope.
+    use_segments = (_force_row_shards or _force_mesh_segments
+                    or culling.mesh_devices > 1
+                    or smem_need_bytes(scene, nb // n_dev, W) > (1 << 20))
+    segs = None
+    if use_segments:
+        segs = mesh_segment_shards(culling, scene, n_dev,
+                                   force_n_seg=_force_mesh_segments)
     else:
         lists_np = culling.lists
     spec = getattr(source_fn, "pallas_spec", None)
     if spec is None:
         raise ValueError("culled sharded streaming needs a source with a "
                          "pallas_spec")
+    from .engine import _apply_scene_ambient
+    spec, source_fn = _apply_scene_ambient(scene, spec, source_fn)
 
-    lists = jnp.asarray(lists_np)
-    counts = jnp.asarray(culling.counts)
-    cells = jnp.arange(nb, dtype=jnp.int32)
-    cell_bounds = jnp.asarray(culling.cell_bounds)
-    quota_b = jnp.asarray(culling.block_quota(total_rays))
-    age_caps = jnp.asarray(culling.age_caps)
-    slab_local = (nb // n_dev) * TILE
+    quota_np = culling.block_quota(total_rays)
 
     from . import materials as _M
 
     spectral_scene = _M.K_REFLECT_SPECTRAL in scene.kinds_present
     fc_scene = _M.K_FRESNEL_CONDUCTOR in scene.kinds_present
     fc_wl = fc_scene and "conductor_dispersive" in scene.features
-    iam_scene = "iam" in scene.features
+    from .engine import _iam_mode
+    iam_scene = _iam_mode(scene)
     spec_att = float(spec[14]) if len(spec) > 14 else 0.0
     spec_band = spec[13] if len(spec) > 13 else None
     # same eligibility as trace_streaming's culled gate: fail loudly
@@ -205,59 +198,98 @@ def trace_streaming_sharded(scene, source_fn, key: jax.Array,
                          "is not culled-megakernel eligible; use "
                          "trace_streaming_sharded without culling")
 
-    from .kernels.intersect import pallas_rows_fit
-    drain_jnp = not pallas_rows_fit(scene)
+    # the sharded culled worker always drains through the jnp oracle and
+    # runs mesh-synchronized round counts (sync_axis): every device then
+    # issues the SAME sequence of Pallas kernel invocations, which the
+    # interpreter's per-invocation global barrier requires (and which
+    # makes hardware round counts deterministic across the mesh for the
+    # cost of one scalar psum per round). Drain survivors are sparse and
+    # compacted, so the jnp oracle drain costs little.
+    drain_jnp = True
 
-    def worker(scene, lists, counts, cells, cell_bounds, quota_b,
-               age_caps, key, row_map=None, demote_mask=None):
-        key = jax.random.fold_in(key, jax.lax.axis_index("rays"))
-        accum, emitted, source_e = _trace_streaming_megakernel_culled(
-            scene, key, lists, counts, cells, cell_bounds, quota_b,
-            age_caps, source_spec=spec,
-            group_offsets=culling.group_offsets,
-            slab=slab_local, max_rounds=max_rounds,
-            max_path=max_path, min_energy=min_energy, t_eps=t_eps,
-            disc_eps=disc_eps, bivar=_bivar_mode(scene),
-            one_sided="one_sided" in scene.features,
-            slope="slope_error" in scene.features,
-            lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
-            spectral=spectral_scene or fc_wl, ambient_att=spec_att,
-            demote_rows=(() if row_map is not None
-                         else culling.demote_rows),
-            fluxspecs=fluxspecs,
-            conductor=fc_scene, iam=iam_scene,
-            row_map=row_map, demote_mask=demote_mask,
-            drain_jnp=drain_jnp,
-            backside_miss="bifacial" in scene.features)
-        return (jax.tree_util.tree_map(
-                    lambda a: jax.lax.psum(a, "rays"), accum),
-                jax.lax.psum(emitted, "rays"),
-                jax.lax.psum(source_e, "rays"))
+    def make_worker(group_offsets, slab_local, demote_rows):
+        def worker(scene, lists, counts, cells, cell_bounds, quota_b,
+                   age_caps, key, row_map=None, demote_mask=None):
+            key = jax.random.fold_in(key, jax.lax.axis_index("rays"))
+            accum, emitted, source_e = _trace_streaming_megakernel_culled(
+                scene, key, lists, counts, cells, cell_bounds, quota_b,
+                age_caps, source_spec=spec,
+                group_offsets=group_offsets,
+                slab=slab_local, max_rounds=max_rounds,
+                max_path=max_path, min_energy=min_energy, t_eps=t_eps,
+                disc_eps=disc_eps, bivar=_bivar_mode(scene),
+                one_sided="one_sided" in scene.features,
+                slope="slope_error" in scene.features,
+                lambertian=_M.K_LAMBERTIAN in scene.kinds_present,
+                spectral=spectral_scene or fc_wl, ambient_att=spec_att,
+                demote_rows=(() if row_map is not None else demote_rows),
+                fluxspecs=fluxspecs,
+                conductor=fc_scene, iam=iam_scene,
+                row_map=row_map, demote_mask=demote_mask,
+                drain_jnp=drain_jnp,
+                backside_miss="bifacial" in scene.features,
+                park_aureole=getattr(culling, "park_aureole", False),
+                sync_axis="rays")
+            return (jax.tree_util.tree_map(
+                        lambda a: jax.lax.psum(a, "rays"), accum),
+                    jax.lax.psum(emitted, "rays"),
+                    jax.lax.psum(source_e, "rays"))
+        return worker
 
-    if use_row_shards:
-        # row_maps/demote_masks shard over their leading device axis; the
-        # worker squeezes it away (each device sees its (1, S_pad) slice)
-        def worker_rs(scene, lists, counts, cells, cell_bounds, quota_b,
-                      age_caps, rm, dm, key):
-            return worker(scene, lists, counts, cells, cell_bounds,
-                          quota_b, age_caps, key, row_map=rm[0],
-                          demote_mask=dm[0])
+    if segs is not None:
+        # per-device uniform segments: one shard_map call per segment
+        # (sequential — blocks never interact, so the trace decomposes
+        # exactly, like trace_streaming's single-chip segments). Each
+        # call ships its own narrow candidate layout + per-device row
+        # shard; row_maps/demote_masks shard over their leading device
+        # axis and the worker squeezes the (1, S_pad) slice away.
+        accum = emitted = source_e = None
+        for sg in segs:
+            chunk = sg["lists"].shape[0] // n_dev
+            base = make_worker(sg["group_offsets"], chunk * TILE, ())
 
-        fn = jax.shard_map(worker_rs, mesh=mesh,
-                           in_specs=(P(), P("rays"), P("rays"), P("rays"),
-                                     P("rays"), P("rays"), P("rays"),
-                                     P("rays"), P("rays"), P()),
-                           out_specs=(P(), P(), P()), check_vma=False)
-        return fn(scene, lists, counts, cells, cell_bounds, quota_b,
-                  age_caps, jnp.asarray(row_maps),
-                  jnp.asarray(demote_masks), key)
+            def worker_rs(scene, lists, counts, cells, cell_bounds,
+                          quota_b, age_caps, rm, dm, key, _base=base):
+                return _base(scene, lists, counts, cells, cell_bounds,
+                             quota_b, age_caps, key, row_map=rm[0],
+                             demote_mask=dm[0])
 
+            fn = jax.shard_map(worker_rs, mesh=mesh,
+                               in_specs=(P(), P("rays"), P("rays"),
+                                         P("rays"), P("rays"), P("rays"),
+                                         P("rays"), P("rays"), P("rays"),
+                                         P()),
+                               out_specs=(P(), P(), P()), check_vma=False)
+            key, sub = jax.random.split(key)
+            blocks = sg["blocks"]
+            a, em, se = jax.block_until_ready(fn(
+                scene, jnp.asarray(sg["lists"]),
+                jnp.asarray(sg["counts"]),
+                jnp.asarray(blocks),
+                jnp.asarray(culling.cell_bounds[blocks]),
+                jnp.asarray(quota_np[blocks]),
+                jnp.asarray(culling.age_caps[blocks]),
+                jnp.asarray(sg["row_maps"]),
+                jnp.asarray(sg["demote_masks"]), sub))
+            # the barrier between segments is REQUIRED, not just polite:
+            # the Pallas interpreter keeps one global simulated-memory
+            # state per program — overlapping mesh programs deadlock its
+            # device barrier. Segments are sequential on hardware anyway.
+            accum = a if accum is None else accum + a
+            emitted = em if emitted is None else emitted + em
+            source_e = se if source_e is None else source_e + se
+        return accum, emitted, source_e
+
+    worker = make_worker(culling.group_offsets, (nb // n_dev) * TILE,
+                         culling.demote_rows)
     fn = jax.shard_map(worker, mesh=mesh,
                        in_specs=(P(), P("rays"), P("rays"), P("rays"),
                                  P("rays"), P("rays"), P("rays"), P()),
                        out_specs=(P(), P(), P()), check_vma=False)
-    return fn(scene, lists, counts, cells, cell_bounds, quota_b, age_caps,
-              key)
+    return fn(scene, jnp.asarray(lists_np), jnp.asarray(culling.counts),
+              jnp.arange(nb, dtype=jnp.int32),
+              jnp.asarray(culling.cell_bounds), jnp.asarray(quota_np),
+              jnp.asarray(culling.age_caps), key)
 
 
 def multi_ray_sim(scene, bundles, key: jax.Array, mesh: Optional[Mesh] = None,
