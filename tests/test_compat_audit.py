@@ -1,0 +1,109 @@
+"""Compat-surface audit: the migration contract.
+
+The reference synthesizes ~20k optics-manager class names at import time
+(every optics class x every ordered accountant combination + aliases,
+optics_callables.py:2043-2092). This audit enumerates the ACTUAL import-
+time class list of the reference module and asserts every name either
+resolves through tracer_tpu.compat or falls in one of two explicit,
+documented buckets — so any upstream name that silently stops resolving
+fails CI here, and the "documented unsupported" list IS the
+documentation.
+"""
+import inspect
+import os
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference checkout not present")
+
+# Factory byproducts, not usable managers in the reference either:
+# OpticsCallable is the abstract accountant-wrapper base and IAM the bare
+# modifier mixin (neither performs an interaction; no reference model
+# instantiates their generated combos), the *Accountant classes are the
+# recording primitives themselves, and obj/optics_class are leaked loop
+# variables of the import-time factory (optics_callables.py:2090-2092).
+ARTIFACT_PREFIXES = ("OpticsCallable", "IAM", "Accountant", "obj",
+                     "optics_class")
+ARTIFACT_EXACT = {"AbsorptionAccountant", "AttenuationAccountant",
+                  "DirectionAccountant", "LocationAccountant",
+                  "NormalAccountant", "PolychromaticAccountant",
+                  "ReceptionAccountant", "ScatteringAccountant",
+                  "SpectralAccountant", "Accountant"}
+
+# Capabilities deliberately not replicated (documented-unsupported):
+# every entry needs a reason here.
+UNSUPPORTED_PREFIXES = (
+    # per-ray-spectra diffuse reflector (optics_callables.py:393): needs
+    # the polychromatic bundle extension; the monochromatic bilinear
+    # (theta, wl) piecewise family covers the single-wavelength case
+    "Lambertian_directional_axisymmetric_piecewise_Polychromatic",
+)
+
+
+@pytest.fixture(scope="module")
+def ref_names():
+    from benchmarks.reference_numpy import _setup_reference
+    _setup_reference(REF)
+    import tracer.optics_callables as oc
+    return sorted(
+        n for n, obj in vars(oc).items()
+        if inspect.isclass(obj) and not n.startswith("_")
+        and obj.__module__ == "tracer.optics_callables")
+
+
+def test_every_reference_optics_name_is_classified(ref_names):
+    """Every import-time class name of the reference module resolves in
+    compat, or is an explicitly documented artifact/unsupported entry."""
+    from tracer_tpu import compat
+    assert len(ref_names) > 15_000     # the factory really enumerated
+    unresolved = []
+    for n in ref_names:
+        if n in ARTIFACT_EXACT or n.startswith(ARTIFACT_PREFIXES):
+            continue
+        if n.startswith(UNSUPPORTED_PREFIXES) if UNSUPPORTED_PREFIXES \
+                else False:
+            continue
+        try:
+            compat._resolve(n)
+        except AttributeError:
+            unresolved.append(n)
+    assert not unresolved, (len(unresolved), unresolved[:20])
+
+
+def test_resolved_factories_construct_with_reference_signatures():
+    """Spot-check that resolved names BUILD with the reference's
+    constructor arguments (resolution without constructibility would be
+    an empty promise)."""
+    from tracer_tpu import compat, materials as M
+
+    specs = [
+        compat.ReflectiveReceiver(0.1),
+        compat.LambertianReceiver(0.9),
+        compat.OneSidedRealReflectiveDetector(0.05, 1e-3),
+        compat.Reflective_IAMReceptor(0.1, a_r=0.16),
+        compat.ReflectiveAbsorberAttenuatorReceptorScattererLocation(0.2),
+        compat.ScatteringPeriodicBoundary(1.0, 0.5, 0.9),
+        compat.AbsorbantPeriodicBoundary(1.0, 0.3),
+        compat.ScatteringAbsorbantPeriodicBoundary(1.0, 0.5, 0.9, 0.2),
+        compat.Refractive(1.0, 1.52),
+        compat.RefractiveScattering(1.0, 1.52, 0.0, 0.5, 0.0, 0.9),
+        compat.RefractiveScatteringAbsorbant(1.0, 1.52, 0.0, 0.5, 0.0,
+                                             0.9, 0.0, 0.2),
+        compat.RefractiveAbsorbant(1.0, 1.52, 0.0, 0.25),
+        compat.BiFacial(M.reflective(0.1), M.transparent()),
+        compat.TransparentLocation(),
+    ]
+    for s in specs:
+        assert isinstance(s, M.OpticsSpec)
+    # periodic-medium composites carry their medium for the engine
+    assert compat.ScatteringPeriodicBoundary(1.0, 0.5, 0.9)\
+        .ambient_medium == (0.0, 0.5, 0.9)
+    assert compat.AbsorbantPeriodicBoundary(1.0, 0.3)\
+        .ambient_medium == (0.3, 0.0, 0.0)
+    # refractive composites put the media on the interface tuple slots
+    rs = compat.RefractiveScattering(1.0, 1.52, 0.1, 0.5, 0.2, 0.9)
+    np.testing.assert_allclose(rs.params[6:12],
+                               [0.0, 0.0, 0.1, 0.5, 0.2, 0.9])

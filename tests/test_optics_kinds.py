@@ -213,26 +213,39 @@ def test_iam_c_exponent_matches_analytic():
 
 
 def test_iam_base_kinds_feature_tags():
-    """Which IAM bases ride the fused megakernels (round 4): reflective,
-    Lambertian, LambertianSpecular and SemiLambertian bases (with c = 1)
-    are mirror-packable; any other base — or c != 1 — tags
-    "iam_nonmirror" and stays on the general path."""
+    """Which IAM bases ride the fused megakernels (round 4/5): reflective,
+    Lambertian, LambertianSpecular and SemiLambertian bases are
+    mirror-packable, with ANY single Martin-Ruiz exponent c (c is a
+    compile-time constant of the scene, baked as cos^c into the fused
+    epilogue — round-5 trigger retirement); any other base — or MIXED
+    exponents across rows — tags "iam_nonmirror" and stays on the
+    general path."""
     from tracer_tpu.scene import compile_scene
 
     def feats(opt):
         table, _ = compile_scene(_plate_scene(opt))
-        return table.features
+        return table
 
     for opt in (M.iam(M.reflective(0.4), a_r=0.16),
                 M.iam(M.lambertian(0.4), a_r=0.16),
                 M.iam(M.lambertian_specular(0.4, 0.7), a_r=0.16),
                 M.iam(M.semi_lambertian(0.4, 0.5), a_r=0.16)):
-        f = feats(opt)
-        assert "iam" in f and "iam_nonmirror" not in f
-    for opt in (M.iam(M.reflective(0.4), a_r=0.16, c=2.0),
-                M.iam(M.bdrf_cook_torrance(0.2, 1.1, 6.0), a_r=0.16)):
-        f = feats(opt)
-        assert "iam" in f and "iam_nonmirror" in f
+        t = feats(opt)
+        assert "iam" in t.features and "iam_nonmirror" not in t.features
+    t = feats(M.iam(M.reflective(0.4), a_r=0.16, c=2.0))
+    assert "iam" in t.features and "iam_nonmirror" not in t.features
+    assert t.iam_c == 2.0
+    t = feats(M.iam(M.bdrf_cook_torrance(0.2, 1.1, 6.0), a_r=0.16))
+    assert "iam" in t.features and "iam_nonmirror" in t.features
+    # mixed exponents cannot bake one static c
+    from tracer_tpu import geometry as G
+    from tracer_tpu.scene import (Assembly, AssembledObject, Surface,
+                                  compile_scene as cs)
+    a = Surface(G.rect_plate(1, 1), M.iam(M.reflective(0.4), 0.16, c=1.0))
+    b = Surface(G.rect_plate(1, 1), M.iam(M.reflective(0.4), 0.16, c=2.0),
+                location=[3.0, 0.0, 0.0])
+    t, _ = cs(Assembly([AssembledObject([a, b])]))
+    assert "iam_nonmirror" in t.features
 
 
 def test_bifacial_mirror_and_transparent_backs():

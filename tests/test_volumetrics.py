@@ -122,3 +122,69 @@ def test_bifacial_lowering():
     e_out = np.asarray(res.records[0].e_out)
     assert e_out[0] == 1.0   # front face mirror
     assert e_out[1] == 0.0   # back face absorber
+
+
+def test_periodic_medium_composite_folds_ambient():
+    """The periodic x medium composites (ref ScatteringPeriodicBoundary /
+    AbsorbantPeriodicBoundary, optics_callables.py:1038 :1089) carry
+    their medium on the optics spec; the engine folds it into the
+    source's ambient slots — the same trace as declaring the ambient on
+    the source directly, with the exact Beer-Lambert loss."""
+    import jax.numpy as jnp
+    from tracer_tpu import compat
+    from tracer_tpu.engine import trace_streaming
+    from tracer_tpu.scene import compile_scene
+    from tracer_tpu.sources import disk_bundle, disk_pillbox_pallas_spec
+
+    att = 0.5
+    period = 4.0
+    # an absorbing periodic cell: side boundary at x=+2 teleports rays by
+    # -period x; a detector floor catches them. Rays fly 45 deg so every
+    # path crosses the cell; the medium attenuates the full path length.
+    side = AssembledObject(surfs=[Surface(
+        G.rect_plate(8.0, 8.0), compat.AbsorbantPeriodicBoundary(period, att),
+        name="side",
+        rotation=sp.roty(-np.pi / 2)[:3, :3])])
+    side.set_transform(sp.translate(x=2.0))
+    det = AssembledObject(surfs=[Surface(
+        G.rect_plate(20.0, 20.0), M.receiver(M.reflective(1.0)),
+        name="det")])
+    det.set_transform(sp.translate(z=-3.0))
+    asm = Assembly(objects=[side, det])
+    table, meta = compile_scene(asm, dtype=jnp.float32)
+    assert table.ambient_medium == (att, 0.0, 0.0)
+
+    slab = 4096
+    d = np.array([2**-0.5, 0.0, -2**-0.5])
+
+    def source_fn(key):
+        b = disk_bundle(key, slab, center=[-1.0, 0.0, 2.0], direction=d,
+                        radius=0.5, ang_range=1e-4, flux=1000.0)
+        return jax.tree.map(lambda a: a.astype(jnp.float32)
+                            if jnp.issubdtype(a.dtype, jnp.floating)
+                            else a, b)
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [-1.0, 0.0, 2.0], d, 0.5, 1e-4, 1000.0)
+
+    accum, _, se = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(0), total_rays=slab,
+        max_rounds=20, max_path=8))
+    det_rows = np.nonzero(np.asarray(meta.row_logical)
+                          == meta.index_of("det"))[0]
+    frac = float(np.asarray(accum.absorbed)[det_rows].sum()) / float(se)
+    med = float(accum.medium) / float(se)
+    # every ray travels 5/cos(45deg) m of medium from birth to the floor
+    # (teleports do not change path length)
+    expect = np.exp(-att * 5.0 * np.sqrt(2.0))
+    np.testing.assert_allclose(frac, expect, rtol=0.02)
+    np.testing.assert_allclose(med, 1.0 - expect, rtol=0.02)
+
+    # ray_tracer bundle path: unset medium fields fill from the scene
+    from tracer_tpu.bundle import RayBundle
+    eng = TracerEngine(asm)
+    bund = RayBundle.create(pos=np.tile([-1.0, 0.0, 2.0], (256, 1)),
+                            dir=np.tile(d, (256, 1)))
+    res = eng.ray_tracer(bund, reps=8, key=jax.random.PRNGKey(1))
+    hits = res.hits_of("det")
+    np.testing.assert_allclose(hits["absorbed"].sum() / 256.0, expect,
+                               rtol=0.05)

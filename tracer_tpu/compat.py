@@ -113,8 +113,67 @@ _BASES = {
                  "attenuation coefficient instead"),
     "Scattering": lambda s_c=0.0, g_HG=0.0, n=1.0:
         M.scattering_interface(s_c, g_HG, n=n),
+    # periodic x medium composites (ref optics_callables.py:1038-1106):
+    # the boundary teleports; the medium rides OpticsSpec.ambient_medium
+    # (the reference applies it to every path segment, which here is the
+    # engine's ambient medium — folded into the source at trace time)
+    "ScatteringAbsorbantPeriodicBoundary": lambda period, sc, g_HG,
+        attenuation_coefficient=0.0, scaling=1.0: _reject_nonzero(
+            M.scattering_periodic_boundary(period, sc, g_HG,
+                                           attenuation_coefficient or 0.0),
+            scaling=(scaling - 1.0),
+            hint="free-path scaling is not supported; rescale the "
+                 "coefficients instead"),
+    "ScatteringPeriodicBoundary": lambda period, sc, g_HG, scaling=1.0:
+        _reject_nonzero(
+            M.scattering_periodic_boundary(period, sc, g_HG),
+            scaling=(scaling - 1.0),
+            hint="free-path scaling is not supported; rescale the "
+                 "coefficients instead"),
+    "AbsorbantPeriodicBoundary": lambda period,
+        attenuation_coefficient=0.0, scaling=1.0: _reject_nonzero(
+            M.absorbant_periodic_boundary(period,
+                                          attenuation_coefficient or 0.0),
+            scaling=(scaling - 1.0),
+            hint="free-path scaling is not supported; rescale the "
+                 "attenuation coefficient instead"),
+    # material-based refractive x medium composites (ref :1108 :1172) —
+    # the sides' media ride the K_REFRACTIVE medium tuple
+    "RefractiveScatteringAbsorbant": lambda material_1, material_2, s_c1,
+        s_c2, g_HG_1, g_HG_2, attenuation_coefficient_1=0.0,
+        attenuation_coefficient_2=0.0, single_ray=True, sigma=None,
+        scaling=1.0: _reject_nonzero(
+            M.refractive_material(material_1, material_2, single_ray,
+                                  sigma or 0.0,
+                                  att1=attenuation_coefficient_1 or 0.0,
+                                  att2=attenuation_coefficient_2 or 0.0,
+                                  scat1=s_c1, scat2=s_c2, g1=g_HG_1,
+                                  g2=g_HG_2),
+            scaling=(scaling - 1.0),
+            hint="free-path scaling is not supported; rescale the "
+                 "coefficients instead"),
+    "RefractiveScattering": lambda material_1, material_2, s_c1, s_c2,
+        g_HG_1, g_HG_2, single_ray=True, sigma=None:
+        M.refractive_material(material_1, material_2, single_ray,
+                              sigma or 0.0, scat1=s_c1, scat2=s_c2,
+                              g1=g_HG_1, g2=g_HG_2),
+    "Refractive": lambda material_1, material_2, single_ray=True,
+        sigma=None: M.refractive_material(material_1, material_2,
+                                          single_ray, sigma or 0.0),
+    "RefractiveAbsorbant": lambda material_1, material_2,
+        attenuation_coefficient_1=0.0, attenuation_coefficient_2=0.0,
+        single_ray=True, sigma=None:
+        M.refractive_material(material_1, material_2, single_ray,
+                              sigma or 0.0,
+                              att1=attenuation_coefficient_1 or 0.0,
+                              att2=attenuation_coefficient_2 or 0.0),
     "PeriodicBoundary": lambda period: M.periodic_boundary(period),
     "Transparent": lambda: M.transparent(),
+    # ref BiFacial (optics_callables.py:1877): separate optics per face
+    # side — takes two already-built specs, like the reference takes two
+    # managers
+    "BiFacial": lambda OpticsCallable_front, OpticsCallable_back:
+        M.bifacial(OpticsCallable_front, OpticsCallable_back),
 }
 
 # accountant-name tokens -> record tags (ref Accountant subclasses
@@ -126,6 +185,7 @@ _TOKENS = {
     "Location": ("location",),
     "Absorber": ("absorption",),
     "Attenuator": ("attenuation",),
+    "Receptor": ("reception",),
     "Reception": ("reception",),
     "Directional": ("direction",),
     "Normal": ("normal",),

@@ -70,6 +70,14 @@ class OpticsSpec:
     # accounting configuration (realized via engine per-bounce records):
     record: tuple = ()   # subset of accountant names, e.g ("location","absorption")
     spectral_table: Optional[np.ndarray] = None  # (n,2) [wavelength, absorptance]
+    # (att, scat, g) of the AMBIENT medium this optics expects the scene
+    # to sit in — carried by the periodic-medium composites (reference's
+    # ScatteringPeriodicBoundary family, optics_callables.py:1038-1106:
+    # their medium applies to every path segment, which in this engine is
+    # the ambient medium). compile_scene aggregates it onto the table and
+    # the engine folds it into the source's ambient slots, so ported
+    # reference scripts carry the medium with the optics object.
+    ambient_medium: Optional[tuple] = None
 
     def replace(self, **kw) -> "OpticsSpec":
         return dataclasses.replace(self, **kw)
@@ -175,7 +183,10 @@ def _index_table(mat, wl_range, n_samples):
 def refractive_material(material_1, material_2, single_ray: bool = True,
                         sigma: float = 0.0,
                         wl_range=(300e-9, 2500e-9),
-                        n_samples: int = 64) -> OpticsSpec:
+                        n_samples: int = 64,
+                        att1: float = 0.0, att2: float = 0.0,
+                        scat1: float = 0.0, scat2: float = 0.0,
+                        g1: float = 0.0, g2: float = 0.0) -> OpticsSpec:
     """Fresnel interface between two dispersive media whose indices come
     from material callables, evaluated at each ray's wavelength (ref
     Refractive, optics_callables.py:726: toggles between two
@@ -192,6 +203,11 @@ def refractive_material(material_1, material_2, single_ray: bool = True,
     flags = 0 if single_ray else F_SPLIT
     p = _params(float(t1[:, 1].mean()), float(t2[:, 1].mean()), sigma,
                 0.0, float(len(t1)), float(len(t2)))
+    # medium tuple slots shared with refractive_homogenous (covers ref
+    # RefractiveScattering / RefractiveScatteringAbsorbant,
+    # optics_callables.py:1108 :1172: material-based interfaces whose
+    # sides carry absorbing/scattering media)
+    p[6:12] = [att1, att2, scat1, scat2, g1, g2]
     return OpticsSpec(K_REFRACTIVE, p, flags,
                       spectral_table=np.concatenate([t1, t2], axis=0))
 
@@ -360,10 +376,34 @@ def bdrf_cook_torrance(alpha: float, m_n: float, m_k: float,
     return OpticsSpec(K_COOK_TORRANCE, _params(alpha, m_n, m_k, R_lam))
 
 
-def periodic_boundary(period: float) -> OpticsSpec:
+def periodic_boundary(period: float, medium=None) -> OpticsSpec:
     """Teleports rays by ``period`` along the surface normal (ref
-    PeriodicBoundary :690)."""
-    return OpticsSpec(K_PERIODIC, _params(period))
+    PeriodicBoundary :690). ``medium=(att, scat, g)`` declares the ambient
+    participating medium the periodic cell is filled with (the reference's
+    periodic x scattering/absorbant composites apply their medium to every
+    path segment; here the engine folds it into the source's ambient
+    slots — see OpticsSpec.ambient_medium)."""
+    med = None
+    if medium is not None and any(float(v) != 0.0 for v in medium[:2]):
+        med = (float(medium[0]), float(medium[1]),
+               float(medium[2]) if len(medium) > 2 else 0.0)
+    return OpticsSpec(K_PERIODIC, _params(period), ambient_medium=med)
+
+
+def scattering_periodic_boundary(period: float, sc: float, g_hg: float = 0.0,
+                                 att: float = 0.0) -> OpticsSpec:
+    """Periodic boundary of a cell filled with a Henyey-Greenstein
+    scattering (optionally absorbing) medium — ref
+    ScatteringPeriodicBoundary / ScatteringAbsorbantPeriodicBoundary
+    (optics_callables.py:1038 :1094)."""
+    return periodic_boundary(period, medium=(att, sc, g_hg))
+
+
+def absorbant_periodic_boundary(period: float, att: float) -> OpticsSpec:
+    """Periodic boundary of an absorbing cell — ref
+    AbsorbantPeriodicBoundary (optics_callables.py:1089; its ctor is
+    broken upstream, SURVEY §2.11 — capability kept, defect not)."""
+    return periodic_boundary(period, medium=(att, 0.0, 0.0))
 
 
 def absorber(one_sided: bool = True) -> OpticsSpec:

@@ -197,6 +197,13 @@ class SceneTable:
     # static feature tags ("slope_error", "iam", "one_sided", "bivar",
     # "spectral") used to prune unused shading code paths
     features: tuple = struct.field(pytree_node=False, default=())
+    # (att, scat, g) ambient participating medium declared by optics
+    # specs (periodic-medium composites); () = none. The engine folds it
+    # into the source's ambient slots at trace time.
+    ambient_medium: tuple = struct.field(pytree_node=False, default=())
+    # the scene's single static Martin-Ruiz IAM exponent c (1.0 = the
+    # plain modifier); mixed per-row exponents tag "iam_nonmirror"
+    iam_c: float = struct.field(pytree_node=False, default=1.0)
 
     @property
     def num_rows(self) -> int:
@@ -375,6 +382,8 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
     from . import materials as M
     features = set()
     slope_flags = set()
+    ambient_medium = ()
+    iam_cs: set = set()
     for g, frame, lid, opt in rows:
         sigma_slot = 1 if opt.kind == M.K_REFLECT else 2
         if opt.kind in (M.K_REFLECT, M.K_REFLECT_SPECTRAL,
@@ -384,16 +393,15 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
             slope_flags.add(opt.flags)
         if opt.flags & M.F_IAM:
             features.add("iam")
+            iam_cs.add(round(float(opt.params[5]), 9))
             if opt.kind not in (M.K_REFLECT, M.K_LAMBERTIAN,
                                 M.K_LAMBERTIAN_SPECULAR,
-                                M.K_SEMI_LAMBERTIAN) \
-                    or opt.params[5] != 1.0:
+                                M.K_SEMI_LAMBERTIAN):
                 # pack_rows mirrors a_r (p4) into a free row column only
                 # for reflective / Lambertian / semi-Lambertian (p2) and
-                # LambertianSpecular (p3) bases, and the kernel applies
-                # the c = 1 Martin-Ruiz form, so only those IAM rows ride
-                # the fused megakernels; any other base — or an exponent
-                # c != 1 — stays on the general path
+                # LambertianSpecular (p3) bases, so only those IAM rows
+                # ride the fused megakernels; any other base stays on
+                # the general path
                 features.add("iam_nonmirror")
         if opt.flags & M.F_ONE_SIDED:
             features.add("one_sided")
@@ -427,6 +435,29 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
             features.add("refractive_slope")
         if opt.kind == M.K_REFRACTIVE and np.any(opt.params[6:12] != 0.0):
             features.add("volumetric")
+        if opt.ambient_medium is not None:
+            # the periodic-medium composites carry the cell's ambient
+            # medium on the optics spec (materials.OpticsSpec
+            # ambient_medium); the engine folds it into the source's
+            # ambient slots at trace time. Differing declarations are a
+            # modeling error — there is one ambient.
+            if ambient_medium and tuple(ambient_medium) != tuple(
+                    opt.ambient_medium):
+                raise ValueError(
+                    f"conflicting ambient media declared by optics specs: "
+                    f"{ambient_medium} vs {opt.ambient_medium}")
+            ambient_medium = tuple(opt.ambient_medium)
+    if ambient_medium:
+        # the engine's volumetric machinery (free paths, Beer-Lambert,
+        # HG draws) is compiled only for scenes with this feature
+        features.add("volumetric")
+    # one static Martin-Ruiz exponent per scene rides the fused kernels
+    # as a compile-time constant (cos^c baked into the IAM epilogue);
+    # MIXED exponents across rows would need a per-lane carry — those
+    # scenes keep the general path
+    if len(iam_cs) > 1:
+        features.add("iam_nonmirror")
+    iam_c = iam_cs.pop() if len(iam_cs) == 1 else 1.0
     features.update(extra_features)
     features = tuple(sorted(features))
 
@@ -447,6 +478,8 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
         flags_present=flags_present,
         slope_flags_present=tuple(sorted(slope_flags)),
         features=features,
+        ambient_medium=ambient_medium,
+        iam_c=iam_c,
     )
     names = [s.name or f"surface_{k}" for k, s in enumerate(logical_surfaces)]
     meta = SceneMeta(surfaces=logical_surfaces, names=names,
