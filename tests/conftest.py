@@ -39,6 +39,10 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers",
         "smoke: fast cross-subsystem tier (`pytest -m smoke`, <2 min CPU warm)")
+    config.addinivalue_line(
+        "markers",
+        "scale: multi-10-minute scale demonstrations (20k-row interpret "
+        "trace); run with TRACER_TESTS_SCALE=1")
 
 
 # One cheap, representative test per subsystem (engine, kernels, culling,
@@ -68,11 +72,16 @@ def pytest_collection_modifyitems(config, items):
     skip_tpu = pytest.mark.skip(
         reason="TPU-only: run with TRACER_TESTS_TPU=1 on hardware")
     skip_cpu = pytest.mark.skip(reason="CPU-mode test skipped in TPU mode")
+    skip_scale = pytest.mark.skip(
+        reason="scale tier (~30+ min): run with TRACER_TESTS_SCALE=1")
+    scale_mode = os.environ.get("TRACER_TESTS_SCALE", "") == "1"
     for item in items:
         is_tpu = "tpu" in item.keywords
         if is_tpu and not TPU_MODE:
             item.add_marker(skip_tpu)
         elif TPU_MODE and not is_tpu:
             item.add_marker(skip_cpu)
+        if "scale" in item.keywords and not scale_mode:
+            item.add_marker(skip_scale)
         if item.nodeid in SMOKE:
             item.add_marker(pytest.mark.smoke)

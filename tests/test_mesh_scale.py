@@ -105,6 +105,7 @@ def _grid_field_scene(n_mirrors=20000, pitch=1.0, size=0.45):
     return table, meta, radius
 
 
+@pytest.mark.scale
 def test_20k_rows_trace_8way_interpret(monkeypatch):
     """THE scale demonstration the single chip cannot give: a 20,001-row
     field — whose packed rows table alone exceeds one chip's 1 MB SMEM —
@@ -147,9 +148,13 @@ def test_20k_rows_trace_8way_interpret(monkeypatch):
     # oracle: brute-force jnp general path (f32), aggregate physics
     rec_rows = np.nonzero(np.asarray(meta.row_logical)
                           == meta.index_of("rec"))[0]
+    # the oracle gets its OWN slab sized to the ray budget — the general
+    # path's per-round cost is slab x rows, and reusing the culled
+    # grid's 393k-lane slab for a 16k-ray oracle costs ~20x the trace
+    oracle_fn = _disk_source(total, [0.0, 0.0, 60.0], radius)
     a0, _, se0 = jax.block_until_ready(trace_streaming(
-        table, source_fn, jax.random.PRNGKey(0), total_rays=total,
-        max_rounds=30, max_path=5))
+        table, oracle_fn, jax.random.PRNGKey(0), total_rays=total,
+        max_rounds=10, max_path=5))
     ab0 = np.asarray(a0.absorbed)
     rec0 = ab0[rec_rows].sum() / float(se0)
     mir0 = ab0.sum() / float(se0) - rec0

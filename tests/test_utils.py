@@ -103,6 +103,17 @@ def test_planck_wien_peak():
     np.testing.assert_allclose(peak, 2.8977719e-3 / T, rtol=1e-3)
 
 
+def test_refr_idx_hartmann():
+    """Hartmann dispersion (ref optics.py:194): n = a + b/(c-L) + d/(e-L),
+    checked against a hand evaluation."""
+    from tracer_tpu.optics import refr_idx_hartmann
+    wl = np.array([400e-9, 600e-9])
+    a, b, c, d, e = 1.5, 4e-9, 180e-9, 2e-9, 120e-9
+    expect = a + b / (c - wl) + d / (e - wl)
+    np.testing.assert_allclose(np.asarray(
+        refr_idx_hartmann(wl, a, b, c, d, e)), expect, rtol=1e-6)
+
+
 def test_fresnel_normal_incidence():
     R_p, R_s, th2 = fresnel_dielectrics(1.0, 1.5, 0.0)
     np.testing.assert_allclose(R_p, ((1.5 - 1) / (1.5 + 1)) ** 2, atol=1e-12)

@@ -188,3 +188,34 @@ def test_periodic_medium_composite_folds_ambient():
     hits = res.hits_of("det")
     np.testing.assert_allclose(hits["absorbed"].sum() / 256.0, expect,
                                rtol=0.05)
+
+
+def test_bifacial_general_apertures():
+    """Bifacial on NON-mirror-symmetric flat apertures (round-4 verdict
+    item: the lowering rejected them; ref BiFacial works with any GM,
+    optics_callables.py:1877): the back row's y-odd aperture parameters
+    are negated through the pi-flip, so front and back rows cover the
+    SAME world footprint."""
+    tri = G.triangle([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    cut = G.straight_cut_round_plate(1.0, 0.3)     # disc x <= 0.3
+    perf = G.perforated_rect_plate(2.0, 2.0, [[0.5, 0.6]], [0.2])
+    for geom, inside, outside in (
+            (tri, (0.2, 0.2), (0.8, 0.8)),          # beyond hypotenuse
+            (cut, (0.0, 0.5), (0.6, 0.0)),          # past the chord
+            (perf, (0.0, 0.0), (0.5, 0.6))):        # in the hole
+        opt = M.bifacial(M.reflective(0.0), M.reflective(1.0))
+        plate = AssembledObject(surfs=[Surface(geom, opt)])
+        eng = TracerEngine(Assembly(objects=[plate]))
+        assert eng.scene.num_rows == 2
+        x, y = inside
+        xo, yo = outside
+        bund = RayBundle.create(
+            pos=[[x, y, 1.0], [x, y, -1.0], [xo, yo, 1.0], [xo, yo, -1.0]],
+            dir=[[0.0, 0.0, -1.0], [0.0, 0.0, 1.0]] * 2)
+        res = eng.ray_tracer(bund, reps=1, key=jax.random.PRNGKey(7))
+        rec = res.records[0]
+        sid = np.asarray(rec.sid)
+        e_out = np.asarray(rec.e_out)
+        assert sid[0] >= 0 and e_out[0] == 1.0     # front face mirror
+        assert sid[1] >= 0 and e_out[1] == 0.0     # back face absorber
+        assert sid[2] < 0 and sid[3] < 0           # outside: both miss

@@ -237,14 +237,27 @@ class RTVFBase:
         VF cavities from absorptivity-1 LambertianReceiver surfaces,
         view_factors_3D.py:432-460); with any reflecting row the engine
         loop's multi-bounce redistribution matters."""
+        import logging
         meta = self.engine.meta
         kinds = np.asarray(meta.host_opt_kind)
         ok = np.isin(kinds, [M.K_LAMBERTIAN, M.K_REFLECT, M.K_ABSORBER])
         if not ok.all():
+            logging.getLogger("tracer_tpu").warning(
+                "view factors: cavity has non-Lambertian/absorber optics "
+                "(kinds %s) — falling back to the per-element engine loop "
+                "(~2 orders slower than the batched device path; use "
+                "absorptivity-1 Lambertian elements for geometric VFs)",
+                sorted(set(kinds.tolist())))
             return None
         p0 = np.asarray(meta.host_opt_params)[:, 0]
         alpha = np.where(kinds == M.K_ABSORBER, 1.0, p0)
         if not (alpha >= 1.0 - 1e-9).all():
+            logging.getLogger("tracer_tpu").warning(
+                "view factors: %d cavity rows have absorptivity < 1 — "
+                "falling back to the per-element engine loop (~2 orders "
+                "slower). Geometric view factors presume BLACK elements; "
+                "set absorptivity=1 to ride the batched device path",
+                int((alpha < 1.0 - 1e-9).sum()))
             return None
         return jnp.asarray(alpha)
 

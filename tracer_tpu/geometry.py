@@ -90,6 +90,48 @@ def flat() -> Geometry:
     return Geometry(_FLAT.copy(), [], kind="flat")
 
 
+def flip_y_flat(g: Geometry) -> Geometry:
+    """The same world footprint as seen from a local frame rotated by pi
+    about x (y -> -y, z -> -z) — the BACK row of a bifacial pair
+    (scene.py lowering; ref BiFacial works with any GM,
+    optics_callables.py:1877). Flat geometries only: the z=0 zero set is
+    flip-invariant, so only y-odd aperture parameters (and the matching
+    mesh/flux extents) need negating. Curved quadrics would additionally
+    need their coefficient matrix conjugated and their meshes mirrored —
+    they stay rejected by the lowering."""
+    if not np.array_equal(g.quadric, _FLAT):
+        raise NotImplementedError(
+            "flip_y_flat: flat (z=0) geometries only")
+    aps = []
+    for t, p in g.apertures:
+        p = np.array(p, dtype=float, copy=True)
+        if t == AP_ZRANGE:
+            p[0], p[1] = -p[1], -p[0]
+        elif t == AP_ANGRANGE:
+            p[0], p[1] = 2.0 * np.pi - p[1], 2.0 * np.pi - p[0]
+        elif t in (AP_TRIANGLE, AP_TRIANGLE_HOLE):
+            p[1], p[3], p[5] = -p[1], -p[3], -p[5]
+        elif t in (AP_RECT_HOLE, AP_CIRC_HOLE, AP_CIRC):
+            p[1] = -p[1]
+        elif t == AP_SPHERE:
+            p[1], p[2] = -p[1], -p[2]
+        elif t == AP_ABS_HALFPLANE:
+            p[1] = -p[1]
+        # AP_NONE / AP_RECT / AP_RADIAL / AP_XCUT / AP_HEX are y-even
+        aps.append((t, p))
+    extent = dict(g.extent)
+    if "verts" in extent:
+        v = np.array(extent["verts"], dtype=float, copy=True)
+        v[:, 1] *= -1.0
+        extent["verts"] = v
+    if "cy" in extent:
+        extent["cy"] = -float(extent["cy"])
+    if "holes" in extent:
+        extent["holes"] = tuple((cx, -cy, r)
+                                for cx, cy, r in extent["holes"])
+    return dataclasses.replace(g, apertures=aps, extent=extent)
+
+
 def rect_plate(width: float, height: float) -> Geometry:
     """w x h rectangle in the local XY plane (ref RectPlateGM :181)."""
     if width <= 0 or height <= 0:

@@ -270,15 +270,23 @@ def compile_scene(assembly: Assembly, dtype=jnp.float32,
             rows.append((g, frame, lid, surf.optics))
             back = getattr(surf.optics, "back_spec", None)
             if back is not None:
-                # the flip mirrors local y and z: only mirror-symmetric
-                # apertures survive unchanged
-                from .geometry import AP_NONE, AP_RECT, AP_RADIAL, AP_HEX
-                ok_types = {AP_NONE, AP_RECT, AP_RADIAL, AP_HEX}
-                if any(t not in ok_types for t, _ in g.apertures):
-                    raise NotImplementedError(
-                        "bifacial lowering currently supports mirror-"
-                        "symmetric apertures (rect/annulus/hex)")
-                rows.append((g, frame @ flip, lid, back))
+                # the flip mirrors local y and z: flip_y_flat negates the
+                # y-odd aperture parameters (and mesh extents) so ANY
+                # flat geometry works — triangle, polygon, x-cut,
+                # perforations (ref BiFacial works with any GM,
+                # optics_callables.py:1877). Curved quadrics stay
+                # rejected: their coefficient matrix and meshes would
+                # need mirroring too.
+                import dataclasses as _dc
+                from .geometry import flip_y_flat
+                gb = flip_y_flat(g)
+                if g.frame is not None:
+                    # per-face local frames (triangulated surfaces):
+                    # the flip is the innermost local op
+                    gb = _dc.replace(gb, frame=g.frame @ flip)
+                    rows.append((gb, frame, lid, back))
+                else:
+                    rows.append((gb, frame @ flip, lid, back))
 
     # Sort rows so surfaces with the same aperture signature (and quadric
     # CLASS) are contiguous: the intersect kernel specializes per group.
