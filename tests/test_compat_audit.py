@@ -34,13 +34,10 @@ ARTIFACT_EXACT = {"AbsorptionAccountant", "AttenuationAccountant",
                   "SpectralAccountant", "Accountant"}
 
 # Capabilities deliberately not replicated (documented-unsupported):
-# every entry needs a reason here.
-UNSUPPORTED_PREFIXES = (
-    # per-ray-spectra diffuse reflector (optics_callables.py:393): needs
-    # the polychromatic bundle extension; the monochromatic bilinear
-    # (theta, wl) piecewise family covers the single-wavelength case
-    "Lambertian_directional_axisymmetric_piecewise_Polychromatic",
-)
+# every entry needs a reason here. (Round 5 emptied the list —
+# polychromatic bundles landed and the piecewise-Polychromatic name
+# resolves to the bilinear (theta, wl) factory.)
+UNSUPPORTED_PREFIXES = ()
 
 
 @pytest.fixture(scope="module")

@@ -46,6 +46,16 @@ class RayBundle:
     scat_g: jnp.ndarray
     alive: jnp.ndarray
     parent: jnp.ndarray
+    # Optional POLYCHROMATIC extension (ref optics_callables.py:137-138 /
+    # PolychromaticAccountant :1825): every ray carries a full spectral
+    # power density ``spectra`` (N, K) [W/m of wavelength] over ONE shared
+    # ``spectral_grid`` (K,) of vacuum wavelengths — a TPU-first redesign
+    # of the reference's per-ray wavelength grids (static shapes, one
+    # trapezoid rule). ``energy`` must equal trapz(spectra, grid) at
+    # construction (see with_spectra); the host-stepped engine keeps the
+    # identity through every interaction. None = monochromatic bundle.
+    spectra: jnp.ndarray = None
+    spectral_grid: jnp.ndarray = None
 
     # ---- construction ----------------------------------------------------
     @classmethod
@@ -91,6 +101,22 @@ class RayBundle:
             parent = jnp.broadcast_to(jnp.asarray(parent, dtype=jnp.int32), (n,))
         return cls(pos, dir, energy, wavelength, ref_index, att_coeff,
                    scat_coeff, scat_g, alive, parent)
+
+    def with_spectra(self, spectral_grid, spectra) -> "RayBundle":
+        """Attach per-ray spectra (N, K) over a shared wavelength grid
+        (K,); ``energy`` is recomputed as the trapezoid integral of each
+        spectrum so the polychromatic and scalar accounting agree exactly
+        (ref rays carry spectra whose trapz IS the energy,
+        optics_callables.py:413)."""
+        grid = jnp.asarray(spectral_grid, dtype=self.pos.dtype)
+        spec = jnp.asarray(spectra, dtype=self.pos.dtype)
+        if spec.shape != (self.num_rays, grid.shape[0]):
+            raise ValueError(f"spectra must be (N, K) = "
+                             f"({self.num_rays}, {grid.shape[0]}), got "
+                             f"{spec.shape}")
+        energy = jnp.trapezoid(spec, grid, axis=1)
+        return self.replace(spectra=spec, spectral_grid=grid,
+                            energy=energy)
 
     # ---- basic queries ----------------------------------------------------
     @property

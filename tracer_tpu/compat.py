@@ -58,6 +58,14 @@ _BASES = {
         lambda thetas, absorptance, wavelengths:
         M.lambertian_directional_spectral_piecewise(thetas, wavelengths,
                                                     absorptance),
+    # ref :393: polychromatic (per-ray spectra) variant of the bilinear
+    # (theta, wl) diffuse absorber — monochromatic traces use the same
+    # bilinear grid; polychromatic bundles reject it loudly at trace
+    # time (angle-dependent spectral filters need per-hit filtering)
+    "Lambertian_directional_axisymmetric_piecewise_Polychromatic":
+        lambda thetas, absorptance, wavelengths:
+        M.lambertian_directional_spectral_piecewise(thetas, wavelengths,
+                                                    absorptance),
     "Lambertian_directional_axisymmetric_piecewise":
         lambda thetas, absorptance_th, specularity=0.0:
         M.lambertian_directional_piecewise(thetas, absorptance_th),
@@ -190,7 +198,7 @@ _TOKENS = {
     "Directional": ("direction",),
     "Normal": ("normal",),
     "Spectral": ("spectral",),
-    "Polychromatic": ("spectral",),
+    "Polychromatic": ("polychromatic",),
     "Scatterer": ("scattering",),
 }
 

@@ -88,6 +88,9 @@ class BounceRecord:
     #    PolychromaticAccountant :1825)
     normal: jnp.ndarray = None      # (N,3) shading normal at the hit
     #   (ref NormalAccountant :1773)
+    spectra: jnp.ndarray = None     # (N, K) POST-interaction per-ray
+    #   spectra on the bundle's shared grid (polychromatic bundles only;
+    #   ref PolychromaticAccountant :1825 records outgoing spectra)
     # energy-splitting mode only: (mask, secondary energy, reflected dir)
     split: Optional[tuple] = None
     bounce: Optional[int] = None    # bounce index (set by the engine; lets
@@ -185,6 +188,44 @@ def _account(scene: SceneTable, accum: TraceAccum, sid, hit, escaped,
         escaped=new_escaped)
 
 
+def _rows_alpha_on_grid(scene, meta, grid):
+    """Host precompute for POLYCHROMATIC traces: (has_tab (S,) bool,
+    alpha (S, K)) — every K_REFLECT_SPECTRAL row's absorptance table
+    interpolated onto the bundle's shared wavelength grid, so the bounce
+    step's spectral multiply is one gather + elementwise product (ref
+    optics_callables.py:137-138 evaluates per-ray spectra against each
+    manager's spectrum). Conductor/dispersive-index rows keep the scalar
+    energy ratio of the sampled wavelength (gray approximation for the
+    spectrum SHAPE; energies stay exact); piecewise-spectral rows need
+    per-angle spectra and are rejected loudly."""
+    from . import materials as _M
+    kinds = (meta.host_opt_kind if meta is not None
+             and meta.host_opt_kind is not None
+             else np.asarray(scene.opt_kind))
+    prm = (meta.host_opt_params if meta is not None
+           and meta.host_opt_params is not None
+           else np.asarray(scene.opt_params))
+    if "lambertian_piecewise_spectral" in scene.features:
+        raise NotImplementedError(
+            "polychromatic bundles with piecewise (theta, wl) spectral "
+            "rows are not supported: their filter depends on the "
+            "incidence angle per hit; use K_REFLECT_SPECTRAL tables or "
+            "trace monochromatic wavelength samples")
+    g = np.asarray(grid, dtype=np.float64)
+    wl_tab = np.asarray(scene.spectral_wl, dtype=np.float64)
+    ab_tab = np.asarray(scene.spectral_ab, dtype=np.float64)
+    S = len(kinds)
+    has = np.zeros(S, dtype=bool)
+    alpha = np.zeros((S, len(g)))
+    for r in np.nonzero(kinds == _M.K_REFLECT_SPECTRAL)[0]:
+        start, ln = int(round(prm[r, 0])), int(round(prm[r, 1]))
+        has[r] = True
+        alpha[r] = np.interp(g, wl_tab[start:start + ln],
+                             ab_tab[start:start + ln])
+    dt = jnp.asarray(grid).dtype
+    return jnp.asarray(has), jnp.asarray(alpha, dtype=dt)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("min_energy", "t_eps", "disc_eps", "block",
                                     "count_hits", "need_local", "split_mode",
@@ -193,7 +234,7 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
                  key: jax.Array, min_energy: float, t_eps, disc_eps: float,
                  block: int, count_hits: bool = True,
                  need_local: bool = True, split_mode: bool = False,
-                 cand=None, force_jnp: bool = False):
+                 cand=None, force_jnp: bool = False, spectral_alpha=None):
     """One bounce: intersect, shade, account. Returns (bundle', accum', rec).
 
     With volumetric media in the scene ("volumetric" feature), a scattering
@@ -380,6 +421,11 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
         # attenuation is energy lost to the medium, not to a surface
         accum = accum.replace(medium=accum.medium + jnp.sum(
             jnp.where(alive, bundle.energy - new_energy, 0.0)))
+        if bundle.spectra is not None:
+            # the gray ambient medium scales the whole spectrum
+            bundle = bundle.replace(
+                spectra=bundle.spectra
+                * jnp.where(alive & att_ok, trans, 1.0)[:, None])
         bundle = bundle.replace(energy=new_energy)
         # Henyey-Greenstein scattering direction about the travel direction
         g = bundle.scat_g
@@ -407,6 +453,29 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
     e_in = jnp.where(hit, bundle.energy, 0.0)
     e_out = jnp.where(hit, res.out_energy, 0.0)
     absorbed_ray = jnp.where(hit, res.absorbed, 0.0)
+    new_spectra = None
+    if bundle.spectra is not None:
+        # polychromatic interaction (ref optics_callables.py:137-138):
+        # rows with a spectral absorptance table multiply the spectrum by
+        # 1 - alpha(grid) and the OUTGOING ENERGY becomes the trapezoid
+        # integral of the filtered spectrum; every other kind scales the
+        # spectrum by its scalar energy ratio (reflection/refraction
+        # splits, roulette, IAM, ... are wavelength-flat here)
+        ratio = jnp.where(e_in > 0.0, e_out / jnp.maximum(e_in, 1e-30),
+                          0.0)
+        s0 = jnp.maximum(sid, 0)
+        if spectral_alpha is not None:
+            has_tab, alpha = spectral_alpha       # (S,) bool, (S, K)
+            ht = hit & has_tab[s0]
+            fac = jnp.where(ht[:, None], 1.0 - alpha[s0], ratio[:, None])
+        else:
+            ht = jnp.zeros_like(hit)
+            fac = ratio[:, None]
+        new_spectra = jnp.where(hit[:, None], bundle.spectra * fac,
+                                bundle.spectra)
+        e_spec = jnp.trapezoid(new_spectra, bundle.spectral_grid, axis=1)
+        e_out = jnp.where(ht, e_spec, e_out)
+        absorbed_ray = jnp.where(ht, e_in - e_out, absorbed_ray)
 
     accum = _account(scene, accum, sid, hit, escaped, absorbed_ray,
                      bundle.energy, count_hits)
@@ -443,6 +512,8 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
             alive=new_bundle.alive | scattered,
         )
 
+    if new_spectra is not None:
+        new_bundle = new_bundle.replace(spectra=new_spectra)
     rec_split = None
     if res.split is not None:
         s_rows, s_e, s_dir = res.split
@@ -454,6 +525,7 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
         e_in=e_in, e_out=e_out, absorbed=absorbed_ray,
         backside=res.backside & hit, alive_in=alive,
         wavelength=bundle.wavelength, normal=res.normal, split=rec_split,
+        spectra=new_spectra,
     )
     return new_bundle, accum, rec
 
@@ -487,14 +559,20 @@ class TraceResult:
         Spectral (:1801) via ``wavelength`` and Normal (:1773) via
         ``normal``."""
         rows = set(self._rows_of(surface).tolist())
+        poly = any(rec.spectra is not None for rec in self.records)
         out = dict(hit=[], local=[], absorbed=[], e_in=[], e_out=[],
                    dir_in=[], bounce=[], backside=[], wavelength=[],
                    normal=[])
+        if poly:
+            out["spectra"] = []   # (n_hits, K) outgoing per-hit spectra
+            #   (ref PolychromaticAccountant optics_callables.py:1825)
         for b, rec in enumerate(self.records):
             sid = np.asarray(rec.sid)
             mask = np.isin(sid, list(rows)) & np.asarray(rec.alive_in)
             if not mask.any():
                 continue
+            if poly:
+                out["spectra"].append(np.asarray(rec.spectra)[mask])
             out["hit"].append(np.asarray(rec.hit)[mask])
             out["local"].append(np.asarray(rec.local)[mask])
             out["absorbed"].append(np.asarray(rec.absorbed)[mask])
@@ -621,6 +699,9 @@ class TracerEngine:
         # path that honors them — the bundle grows between reps like the
         # reference's concatenated outgoing bundles (optics_callables.py:718)
         use_split = "split" in self.scene.features
+        spectral_alpha = (None if bundle.spectra is None
+                          else _rows_alpha_on_grid(self.scene, self.meta,
+                                                   bundle.spectral_grid))
         for b in range(opts.max_bounces):
             t0 = _time.perf_counter()
             key, sub = jax.random.split(key)
@@ -632,7 +713,8 @@ class TracerEngine:
                 self.scene, bundle, accum, sub,
                 min_energy=opts.min_energy, t_eps=opts.t_eps,
                 disc_eps=opts.disc_eps, block=opts.block,
-                split_mode=use_split, cand=cand)
+                split_mode=use_split, cand=cand,
+                spectral_alpha=spectral_alpha)
             if use_split and rec.split is not None:
                 bundle, accum = _append_split_rays(bundle, prev, rec, accum,
                                                    opts.min_energy)
@@ -719,6 +801,7 @@ def _compact_record(rec: BounceRecord, mask, n_hits: int,
         wavelength=(None if rec.wavelength is None
                     else rec.wavelength[idx]),
         normal=None if rec.normal is None else rec.normal[idx],
+        spectra=None if rec.spectra is None else rec.spectra[idx],
         split=None, bounce=bounce, slot=idx.astype(jnp.int32))
 
 
@@ -819,6 +902,12 @@ def trace_fused(scene: SceneTable, bundle: RayBundle, key: jax.Array,
     TracerEngine.ray_tracer for true per-ray splitting.
     """
     from .analysis import device_fluxmap as _dfm
+    if bundle.spectra is not None:
+        raise NotImplementedError(
+            "polychromatic bundles trace on the host-stepped "
+            "TracerEngine.ray_tracer path (per-bounce spectral filtering "
+            "and records); the fused/streaming drivers are "
+            "monochromatic — sample wavelengths instead")
     bundle = _ambient_bundle(scene, bundle)
     # Derive the zeros from bundle data so they inherit shard_map's
     # varying-axis tags (a bare jnp.zeros would mismatch the loop carry
@@ -1592,6 +1681,11 @@ def trace_streaming(scene: SceneTable, source_fn, key: jax.Array,
     spec = getattr(source_fn, "pallas_spec", None)
     spec, source_fn = _apply_scene_ambient(scene, spec, source_fn)
     probe = source_fn(key)
+    if probe.spectra is not None:
+        raise NotImplementedError(
+            "polychromatic sources trace on the host-stepped "
+            "TracerEngine.ray_tracer path; the streaming drivers are "
+            "monochromatic — sample wavelengths instead")
     n = probe.num_rays
     spec_band = spec[13] if spec is not None and len(spec) > 13 else None
     spec_att = (float(spec[14])

@@ -424,11 +424,12 @@ def iam(spec: OpticsSpec, a_r: float, c: float = 1.0) -> OpticsSpec:
 
 def with_accounting(spec: OpticsSpec, *what: str) -> OpticsSpec:
     """Request per-hit recording for this surface. ``what`` from:
-    location, absorption, reception, direction, normal, spectral, attenuation,
-    scattering. Mirrors the reference's accountant class factory aliases
-    (optics_callables.py:2043-2092) compositionally."""
+    location, absorption, reception, direction, normal, spectral,
+    polychromatic (per-hit outgoing spectra on polychromatic bundles),
+    attenuation, scattering. Mirrors the reference's accountant class
+    factory aliases (optics_callables.py:2043-2092) compositionally."""
     valid = {"location", "absorption", "reception", "direction", "normal",
-             "spectral", "attenuation", "scattering"}
+             "spectral", "attenuation", "scattering", "polychromatic"}
     bad = set(what) - valid
     if bad:
         raise ValueError(f"unknown accountants: {bad}")
