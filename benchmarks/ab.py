@@ -83,7 +83,8 @@ def main(argv=None):
             5: suite.config5_cavity_emissive_losses,
             6: suite.config6_spherical_lens, 7: suite.config7_cook_torrance,
             8: suite.config8_volumetric_scattering,
-            9: suite.config9_diff_gradient}
+            9: suite.config9_diff_gradient,
+            10: suite.config9b_diff_gradient_field}
     pinned = {}
     if os.path.exists(PINNED):
         with open(PINNED) as fh:

@@ -186,11 +186,17 @@ def config2_slope_error_fluxmap(slab_tiles=228, rounds=128) -> dict:
                 closure=float(cl))
 
 
-def config3_spectral_buie(slab_tiles=228, rounds=128) -> dict:
+def config3_spectral_buie(slab_tiles=228, rounds=128,
+                          material="AG", measured=False) -> dict:
     """Config 3: Buie sunshape + spectral mirror absorptance (Sopra-style
     n(lambda) table) + attenuating ambient medium — the SPECTRAL streaming
     megakernel (per-lane wavelengths threaded through the kernel, exact
-    in-kernel table interpolation, Beer-Lambert per segment)."""
+    in-kernel table interpolation, Beer-Lambert per segment).
+
+    ``material``/``measured`` pick the coating from the bundled n,k
+    database: measured=True loads the SOPRA archive's measured table for
+    the same name (round-4 verdict item 8 — e.g.
+    config3_spectral_buie(measured=True) traces measured silver)."""
     from tracer_tpu import geometry as G, materials as M, spatial as sp
     from tracer_tpu.engine import trace_streaming
     from tracer_tpu.kernels.pallas_intersect import TILE
@@ -198,11 +204,14 @@ def config3_spectral_buie(slab_tiles=228, rounds=128) -> dict:
                                   compile_scene)
     from tracer_tpu.sources import buie_sunshape, buie_sunshape_pallas_spec
 
-    wls = np.linspace(350e-9, 2400e-9, 32)
-    # REAL silver from the bundled n,k database (zero user files —
+    # REAL metal from the bundled n,k database (zero user files —
     # round-3 verdict item 6): normal-incidence absorptance 1 - R(n, k)
     from tracer_tpu.optical_constants import from_sopra
-    m = from_sopra("AG").m(wls)
+    mat = from_sopra(material, measured=measured)
+    # clamp the band to the table's validity (measured SOPRA tables can
+    # stop short of 2.4 um)
+    wls = np.linspace(max(350e-9, mat.l_min), min(2400e-9, mat.l_max), 32)
+    m = mat.m(wls)
     n, k = m.real, np.abs(m.imag)
     abss = 1.0 - ((n - 1.0) ** 2 + k**2) / ((n + 1.0) ** 2 + k**2)
     # mirror tilted pi/8 about x: straight-down rays reflect at 45 deg
@@ -220,7 +229,7 @@ def config3_spectral_buie(slab_tiles=228, rounds=128) -> dict:
 
     slab = slab_tiles * TILE
     total = rounds * slab
-    wl_band = (350e-9, 2.4e-6)
+    wl_band = (float(wls[0]), float(wls[-1]))
     att = 0.3
 
     def source_fn(key):
@@ -622,6 +631,56 @@ def config9_diff_gradient(n_rays: int = 1_048_576, bounces: int = 3) -> dict:
                 value=round(n_rays / best / 1e6, 3),
                 unit="Mrays/s/chip", loss=round(float(val), 5),
                 grad=round(float(g), 5), bounces=bounces)
+
+
+def config9b_diff_gradient_field(n_rays: int = 1 << 20,
+                                 bounces: int = 2) -> dict:
+    """Config 9b: FIELD-SCALE differentiable tracing — one value_and_grad
+    step of a receiver spot-RMS loss through the real 219-row NSTTF
+    field w.r.t. a global beam tilt. This is the workload the round-5
+    fast-winner gradient path exists for: the nearest-hit winner CHOICE
+    runs on the Pallas kernel under stop_gradient and only the winner's
+    distance is recomputed differentiably per ray, so the O(N*S) brute
+    force never enters the backward pass. The previous (pure-jnp brute)
+    gradient path OOMs outright here: reverse mode through the blocked
+    intersect scan needs 40.8 GB of residuals against 15.75 GB of HBM
+    (measured 2026-08-20)."""
+    from benchmarks.nsttf import build_scene
+    from tracer_tpu import diff
+    from tracer_tpu.sources import disk_bundle
+
+    table, meta, info = build_scene(218)
+    rec_lid = next(i for i, nm in enumerate(meta.names)
+                   if nm.startswith("rec"))
+    rec_rows = jnp.asarray(np.nonzero(
+        np.asarray(meta.row_logical) == rec_lid)[0])
+    sun = info["sun"]
+    center = info["field_center"] + sun * 300.0
+    b0 = disk_bundle(jax.random.PRNGKey(0), n_rays, center=center,
+                     direction=-sun, radius=160.0, ang_range=4.65e-3,
+                     flux=1000.0)
+    b0 = jax.tree.map(lambda a: a.astype(jnp.float32)
+                      if jnp.issubdtype(a.dtype, jnp.floating) else a, b0)
+
+    def loss(a):
+        d = b0.dir + a * jnp.cross(jnp.array([1.0, 0.0, 0.0],
+                                             jnp.float32), b0.dir)
+        d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+        _, mom = diff.trace_diff(table, b0.replace(dir=d),
+                                 jax.random.PRNGKey(1), bounces=bounces,
+                                 checkpoint=True)
+        return diff.spot_rms(mom, rec_rows)
+
+    vg = jax.jit(jax.value_and_grad(loss))
+    v, g = jax.block_until_ready(vg(jnp.float32(0.0)))
+    assert np.isfinite(float(v)) and np.isfinite(float(g))
+    assert abs(float(g)) > 0.0
+    best = _time_best(lambda i: vg(jnp.float32(1e-4 * i)))
+    return dict(metric="diff_gradient_field_throughput",
+                value=round(n_rays / best / 1e6, 3),
+                unit="Mrays/s/chip", loss=round(float(v), 5),
+                grad=round(float(g), 5), bounces=bounces,
+                n_rows=int(table.num_rows))
 
 
 def config5_cavity_emissive_losses() -> dict:

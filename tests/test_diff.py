@@ -390,10 +390,15 @@ def test_sharded_gradient_matches_per_shard_sum():
             return jax.tree_util.tree_map(
                 lambda x: jax.lax.psum(x, "rays"), mom)
 
+        # check_vma=False like every internal shard_map (parallel.py): the
+        # fast-winner gradient's custom_vjp backward (one-hot matmul
+        # scene cotangents, kernels/intersect._take_rows) carries no
+        # varying-axis manifest for the scan-carry checker
         mom = jax.shard_map(
             worker, mesh=mesh,
             in_specs=(jax.tree_util.tree_map(lambda _: P("rays"), beam),),
             out_specs=jax.tree_util.tree_map(lambda _: P(), MOM_PROTO),
+            check_vma=False,
         )(beam)
         return diff.spot_rms(mom, r_rows, center=(0.4, -0.3))
 
@@ -535,3 +540,46 @@ def test_source_direction_gradient():
     h = 1e-6
     fd = (centroid_x(t0 + h) - centroid_x(t0 - h)) / (2 * h)
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-6)
+
+
+def test_multirow_fast_winner_gradient_matches_finite_difference():
+    """Scenes past the row threshold take the FAST-WINNER gradient path
+    (round 5: nearest-hit winner choice under stop_gradient + per-ray
+    differentiable recompute of the winner's distance, with the one-hot
+    matmul backward of kernels.intersect._take_rows). The aiming
+    derivative through a 50-mirror field must still match central finite
+    differences — pinning the recompute path's gradients, which the
+    small-scene tests above never enter."""
+    mirrors = []
+    rng = np.random.default_rng(11)
+    for i in range(50):
+        x, y = rng.uniform(-6, 6, 2)
+        mirrors.append(Surface(
+            G.rect_plate(1.2, 1.2), M.reflective(0.1),
+            location=[x, y, 0.0], name=f"m{i}"))
+    recv = Surface(G.rect_plate(30.0, 30.0), M.lambertian(0.9),
+                   location=[0.0, 0.0, 20.0],
+                   rotation=sp.rotx(np.pi)[:3, :3], name="receiver")
+    table, meta = compile_scene(
+        Assembly([AssembledObject(mirrors + [recv])]), dtype=jnp.float64)
+    assert table.num_rows >= 48      # the fast-winner gate engages
+    r_rows = _rows_of(meta, "receiver")
+    beam = disk_bundle(jax.random.PRNGKey(5), 4096,
+                       center=[0.0, 0.0, 8.0], direction=[0.0, 0.0, -1.0],
+                       radius=7.0, ang_range=1e-4, flux=1000.0)
+    key = jax.random.PRNGKey(9)
+
+    def loss(a):
+        d = beam.dir + a * jnp.cross(
+            jnp.array([1.0, 0.0, 0.0], jnp.float64), beam.dir)
+        d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+        _, mom = diff.trace_diff(table, beam.replace(dir=d), key,
+                                 bounces=2)
+        return diff.spot_rms(mom, r_rows)
+
+    a0 = jnp.asarray(0.01)
+    g = jax.grad(loss)(a0)
+    h = 1e-6
+    fd = (loss(a0 + h) - loss(a0 - h)) / (2.0 * h)
+    assert np.isfinite(float(g))
+    np.testing.assert_allclose(float(g), float(fd), rtol=2e-4)

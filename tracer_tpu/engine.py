@@ -368,16 +368,19 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
         t, sid = nearest_hit_candidates(scene, cand, bundle.pos, bundle.dir,
                                         t_eps=t_eps, disc_eps=disc_eps)
         aux = None
-    elif force_jnp:
-        # differentiable mode (diff.trace_diff): the nearest-hit WINNER
-        # CHOICE runs on the fast dispatch (the Pallas megakernel on TPU
-        # — previously this pinned the 50x-slower jnp brute force) under
-        # stop_gradient, since sid is integral and AD cannot flow through
-        # the kernel anyway; the winner's distance is then recomputed
-        # DIFFERENTIABLY per ray against its own row (_candidate_t,
-        # O(N) both ways — the O(N*S) brute force never enters the
-        # backward pass). Same recompute trick the verdict called
-        # "recompute-based backward".
+    elif force_jnp and scene.num_rows >= 48:
+        # differentiable mode (diff.trace_diff) on MULTI-ROW scenes: the
+        # nearest-hit WINNER CHOICE runs on the fast dispatch (the
+        # Pallas kernel on TPU) under stop_gradient, since sid is
+        # integral and AD cannot flow through the kernel anyway; the
+        # winner's distance is then recomputed DIFFERENTIABLY per ray
+        # against its own row (_candidate_t, O(N) both ways — the
+        # O(N*S) brute force never enters the backward pass). Below the
+        # row threshold the brute force is cheaper than the recompute's
+        # fixed costs (per-ray gathers + kernel dispatch: the 2-row
+        # config-9 dish measured 1.7 vs 13.8 Mrays/s on the recompute
+        # path), so small scenes keep the plain differentiable brute
+        # force below.
         from .kernels.intersect import (_candidate_t, default_t_eps,
                                         nearest_hit)
         sg = jax.lax.stop_gradient
@@ -394,7 +397,7 @@ def _bounce_step(scene: SceneTable, bundle: RayBundle, accum: TraceAccum,
         t, sid, aux = nearest_hit_aux(scene, bundle.pos, bundle.dir,
                                       t_eps=t_eps, disc_eps=disc_eps,
                                       block=block, need_local=need_local,
-                                      force_jnp=False)
+                                      force_jnp=force_jnp)
     sid = jnp.where(alive, sid, -1)
 
     volumetric = "volumetric" in scene.features

@@ -210,6 +210,42 @@ def _aperture_mask_dynamic(ap_type, ap_params, pt):
     return ok
 
 
+@jax.custom_vjp
+def _take_rows(table, idx):
+    """jnp.take(axis=0) whose BACKWARD is a one-hot matmul instead of a
+    scatter-add: XLA serializes big scatter-adds on TPU (~hundreds of ms
+    at 1M rays — measured dropping the diff-gradient benchmark from 13.8
+    to 1.7 Mrays/s), while the (S, N) x (N, K) accumulation rides the
+    MXU. Forward is a plain gather. For very large row tables the one-hot
+    would not fit, so the backward falls back to the scatter there (the
+    differentiable paths trace small scenes)."""
+    return jnp.take(table, idx, axis=0)
+
+
+def _take_rows_fwd(table, idx):
+    # residuals must be JAX types: a zero-width marker carries the
+    # table's static row count and dtype into the backward rule
+    marker = jnp.zeros((table.shape[0], 0), dtype=table.dtype)
+    return jnp.take(table, idx, axis=0), (idx, marker)
+
+
+def _take_rows_bwd(res, g):
+    idx, marker = res
+    S = marker.shape[0]
+    shape = (S,) + g.shape[1:]
+    if S > 2048:   # one-hot would not fit; rare (diff scenes are small)
+        acc = jnp.zeros(shape, dtype=g.dtype).at[idx].add(g)
+        return acc.astype(marker.dtype), None
+    onehot = (idx[:, None] == jnp.arange(S)[None, :]).astype(g.dtype)
+    gt = g.reshape(g.shape[0], -1)
+    acc = jax.lax.dot_general(onehot, gt, (((0,), (0,)), ((), ())),
+                              precision=jax.lax.Precision.HIGHEST)
+    return acc.reshape(shape).astype(marker.dtype), None
+
+
+_take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("t_eps", "disc_eps"))
 def _candidate_t(scene, rows, pos, dirs, t_eps: float, disc_eps: float):
     """Hit distance of each ray against ITS OWN candidate row (rows (N,)
@@ -218,10 +254,10 @@ def _candidate_t(scene, rows, pos, dirs, t_eps: float, disc_eps: float):
     dynamically. This is the building block of the Kd-accelerated path:
     ray i only ever pays for the surfaces its traversal returned."""
     s = jnp.maximum(rows, 0)
-    invf = jnp.take(scene.inv_frame, s, axis=0)
-    quad = jnp.take(scene.quadric, s, axis=0)
-    ap_t = jnp.take(scene.ap_type, s, axis=0)
-    ap_p = jnp.take(scene.ap_params, s, axis=0)
+    invf = _take_rows(scene.inv_frame, s)
+    quad = _take_rows(scene.quadric, s)
+    ap_t = jnp.take(scene.ap_type, s, axis=0)      # int: no cotangent
+    ap_p = _take_rows(scene.ap_params, s)
 
     rot = invf[:, :3, :3]
     trn = invf[:, :3, 3]
