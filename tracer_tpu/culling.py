@@ -983,14 +983,16 @@ def build_block_culling(table, meta, source_spec, slab: int, *,
     # The 1.001 factor covers the polynomial inverse-CDF fit error
     # (~1e-7 rad).
     if park_aureole is None:
-        # auto: aureole-carrying sunshapes on LARGE fields only. Parking
-        # costs ~0.2% of refills as frozen lanes (measured -22% on the
-        # 219-row headline, where full-cone corridors are short anyway);
-        # the disc-sized closure pays off where the full-cone closure
-        # forces SMEM degrades — multi-k-row fields
-        park_aureole = (gamma is not None
-                        and float(theta_tot) > 1.5 * float(theta_dni)
-                        and int(table.ap_params.shape[0]) > 4000)
+        # auto: MESH-targeted builds of aureole-carrying sunshapes only.
+        # The disc-sized closure is what makes >10k-row per-device
+        # budgets FIT at full corridor depth; on the single-chip path it
+        # is a measured loss — parked aureole survivors trigger repeated
+        # full-scene jnp drains (10001 rows: 144.6 -> 12.4 Mrays/s
+        # same-process A/B) and even small fields pay ~22% for parking
+        # lanes their short corridors never needed. Explicit
+        # park_aureole=True overrides for experiments.
+        park_aureole = (mesh_devices > 1 and gamma is not None
+                        and float(theta_tot) > 1.5 * float(theta_dni))
     park_aureole = bool(park_aureole) and gamma is not None
     theta_first = float(theta_tot if gamma is not None else theta_dni)
     theta_reach = (1.001 * float(theta_dni) if park_aureole
