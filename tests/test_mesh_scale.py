@@ -154,8 +154,8 @@ def test_20k_rows_trace_sharded_interpret(monkeypatch):
     interpreter concurrency limit, not a kernel property; 8-device
     interpret parity holds on small scenes in
     tests/test_interpret_megakernel.py and the 8-way SMEM budgets are
-    proven statically above). ~30-60 min on one CPU core — 'scale' tier,
-    TRACER_TESTS_SCALE=1."""
+    proven statically above). ~16 min on one CPU core — 'scale' tier,
+    TRACER_TESTS_SCALE=1 (green 2026-08-20, 937 s)."""
     from tracer_tpu.culling import build_block_culling
     from tracer_tpu.kernels.intersect import pallas_rows_fit
     from tracer_tpu.parallel import default_mesh, trace_streaming_sharded
