@@ -1617,3 +1617,50 @@ def test_trace_sharded_one_device_mesh_runs_pallas():
              + float(accum_s.escaped) + float(accum_s.culled)
              + float(jnp.sum(final_s.energy)))
     np.testing.assert_allclose(total, src, rtol=1e-5)
+
+
+def test_iam_exponent_c_megakernel_hardware_analytic():
+    """Mosaic lowering of the Martin-Ruiz exponent c != 1 (round 5: c is
+    a static per-scene constant compiled into the fused epilogue as
+    exp(c ln cos) — Mosaic lowers exp/log, not pow). At 60 deg with
+    c = 2: first-hit absorption 0.4 * (1-e^-0.25)/(1-e^-1) = 0.1400
+    (c = 1 gives 0.2490 — a silently-dropped exponent shifts this by
+    many sigma). Twin of the interpret-mode test in
+    tests/test_interpret_megakernel.py."""
+    from tracer_tpu.engine import trace_streaming
+    from tracer_tpu.kernels.pallas_intersect import TILE
+    from tracer_tpu.sources import disk_bundle, disk_pillbox_pallas_spec
+
+    mirror = Surface(G.rect_plate(1.6, 1.6),
+                     M.iam(M.reflective(0.4, sigma=1e-3), a_r=1.0, c=2.0),
+                     rotation=spatial.rotx(-np.pi / 3)[:3, :3],
+                     name="mirror")
+    refl = np.array([0.0, np.sin(2 * np.pi / 3), np.cos(2 * np.pi / 3)])
+    rec = Surface(G.rect_plate(3.0, 3.0), M.absorber(one_sided=False),
+                  location=(1.6 * refl).tolist(),
+                  rotation=spatial.rotation_to_z(-refl), name="rec")
+    table, meta = compile_scene(
+        Assembly([AssembledObject([mirror, rec])]), dtype=jnp.float32)
+    assert "iam_nonmirror" not in table.features
+    assert table.iam_c == 2.0
+
+    slab = 8 * TILE
+    def source_fn(key):
+        return disk_bundle(key, slab, center=[0.0, 0.0, 2.0],
+                           direction=[0.0, 0.0, -1.0], radius=0.3,
+                           ang_range=2e-3, flux=1000.0)
+    source_fn.pallas_spec = disk_pillbox_pallas_spec(
+        slab, [0.0, 0.0, 2.0], [0.0, 0.0, -1.0], 0.3, 2e-3, 1000.0)
+
+    a1, _, se1 = jax.block_until_ready(trace_streaming(
+        table, source_fn, jax.random.PRNGKey(0), total_rays=4 * slab,
+        max_rounds=60, max_path=8))
+    f1 = np.asarray(a1.absorbed) / float(se1)
+    rows = np.nonzero(np.asarray(meta.row_logical)
+                      == meta.index_of("mirror"))[0]
+    expect = 0.4 * (1.0 - np.exp(-0.25)) / (1.0 - np.exp(-1.0))
+    assert abs(f1[rows].sum() - expect) < 0.012, (f1[rows].sum(), expect)
+    cl = (float(se1) - np.asarray(a1.absorbed).sum() - float(a1.escaped)
+          - float(a1.culled) - float(a1.medium)
+          - float(a1.residual)) / float(se1)
+    assert abs(cl) < 1e-5

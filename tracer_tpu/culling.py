@@ -33,6 +33,14 @@ than ``age_cap`` are parked the same way. Gaussian slope error is unbounded,
 so strict closure is impossible; ``k_sigma = 5`` bounds the per-bounce
 escape probability below ~1e-6, far under float32/MC noise.
 
+With ``park_aureole`` (mesh-targeted Buie builds) the invariant splits by
+emission angle: the FIRST-segment sweep covers the full sunshape cone
+(every first hit of every ray, aureole included, is in ``lists[b]``),
+while the specular CLOSURE covers only rays within the solar-disc cone —
+aureole-born rays that survive their first bounce are parked (the kernel
+marks them by an encoded sid) and drained exactly, like demoted-surface
+survivors.
+
 The analysis is geometry-only (bounding spheres and direction cones), so
 fat margins cost list length, never correctness of the accounting.
 """
